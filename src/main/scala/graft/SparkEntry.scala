@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator row of SURVEY §2; `oracleSql`
+  * holds the DuckDB-equivalent SQL (identical output column names —
+  * the driver's compare sorts columns by name before hashing). Entries
+  * without an oracle (approximate/hash-seeded ops) get rows-only checks.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.joinAggNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (SURVEY §2.2) ---
+    "q01_agg_pricing" -> (Relational.aggPricing _),
+    "q02_filter_project" -> (Relational.filterProject _),
+    "q03_join_agg_nation" -> (Relational.joinAggNation _),
+    "q04_topk_orders" -> (Relational.topkOrders _),
+    "q05_window_rank" -> (Relational.windowRank _),
+    "q06_window_running" -> (Relational.windowRunning _),
+    "q07_rollup" -> (Relational.rollupQty _),
+    "q08_cube" -> (Relational.cubeSegNation _),
+    "q09_grouping_sets" -> (Relational.groupingSets _),
+    "q10_distinct_agg" -> (Relational.distinctAgg _),
+    "q11_intersect" -> (Relational.intersectCustomers _),
+    "q12_except" -> (Relational.exceptCustomers _),
+    "q13_union_all" -> (Relational.unionAllKeys _),
+    "q14_semi_join" -> (Relational.semiJoin _),
+    "q15_anti_join" -> (Relational.antiJoin _),
+    "q16_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q17_json_extract" -> (Relational.jsonExtract _),
+    "q18_time_bucket" -> (Relational.timeBucket _),
+    "q19_asof_join" -> (Relational.asofJoin _),
+    "q20_range_join" -> (Relational.rangeJoin _),
+    "q21_string_funcs" -> (Relational.stringFuncs _),
+    "q22_conditional_agg" -> (Relational.conditionalAgg _),
+    "q23_udaf_geomean" -> (Relational.udafGeomean _),
+    // --- LLM-data operators (dedup / text / similarity) ---
+    "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
+    "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
+    "q32_neardup_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccard(Tables.load(s, d, "documents"), minJaccard = 0.5)),
+    "q33_neardup_minhash" -> ((s, d) =>
+      DedupOps.minHashLsh(Tables.load(s, d, "documents"),
+        k = 64, bands = 16, minEstJaccard = 0.5)),
+    "q34_simhash_pairs" -> ((s, d) =>
+      DedupOps.simHashPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
+    "q35_text_stats" -> (TextOps.textStats _),
+    "q36_token_count" -> (TextOps.tokenStats _),
+    "q37_lang_id" -> (TextOps.languageId _),
+    "q38_fingerprint" -> (TextOps.fingerprints _),
+    "q39_cosine_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") === 0), k = 10)
+    }),
+    "q40_embedding_neardup" -> ((s, d) =>
+      SimilarityOps.embeddingNearDup(
+        Tables.load(s, d, "embeddings"), threshold = 0.35)),
+    "q41_ann_lsh" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      SimilarityOps.lshTopK(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") === 0), k = 10)
+    }),
+    "q42_multimodal_features" -> ((s, d) =>
+      MultimodalOps.documentFeatures(s, Tables.load(s, d, "documents"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+         sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+         avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+         avg(l_discount) AS avg_disc, count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice*l_discount AS disc_revenue FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_join_agg_nation" ->
+      """SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+         count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q06_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+         lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_price,
+         lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_price
+         FROM orders""",
+    "q07_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         count(*) AS n FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q08_cube" ->
+      """SELECT c_mktsegment, n_name, avg(c_acctbal) AS avg_bal,
+         count(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (c_mktsegment, n_name)""",
+    "q09_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS sum_price,
+         count(*) AS n FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT (l_partkey, l_suppkey)) AS n_ps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q11_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT SELECT o_custkey FROM orders""",
+    "q12_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders""",
+    "q13_union_all" ->
+      """SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
+           SELECT c_custkey AS key, 'customer' AS src FROM customer
+           UNION ALL
+           SELECT o_custkey AS key, 'orders' AS src FROM orders)
+         GROUP BY src""",
+    "q14_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         sum(o_totalprice) AS sum_price FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderpriority""",
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q16_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+         o_totalprice / (SELECT avg(o_totalprice) FROM orders) AS price_ratio
+         FROM orders
+         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""",
+    "q17_json_extract" ->
+      """SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         count(*) AS n,
+         avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1, 2""",
+    "q18_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value,
+         avg(value) AS avg_value FROM events GROUP BY 1, 2""",
+    "q19_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         pd AS (SELECT user_id, ts, event_id AS p_event_id,
+                value AS p_value FROM p WHERE rn = 1)
+         SELECT e.event_id, e.user_id, pd.p_event_id, pd.p_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN pd
+           ON e.user_id = pd.user_id AND e.ts >= pd.ts""",
+    "q20_range_join" ->
+      """SELECT e.event_id, count(p.p_id) AS n_prev,
+         coalesce(sum(p.p_value), 0) AS sum_prev
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error') e
+         LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts,
+                    event_id AS p_id, value AS p_value FROM events
+                    WHERE event_type = 'purchase') p
+           ON e.user_id = p.p_user
+           AND p.p_ts >= e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts
+         GROUP BY e.event_id""",
+    "q21_string_funcs" ->
+      """SELECT substring(p_type, 1, 6) AS type_prefix, count(*) AS n,
+         avg(length(p_name)) AS avg_name_len, max(upper(p_brand)) AS max_brand,
+         min(p_retailprice) AS min_price FROM part GROUP BY 1""",
+    "q22_conditional_agg" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END)
+           AS big_rev,
+         CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disc,
+         avg(CASE WHEN l_tax > 0.04 THEN l_tax END) AS avg_high_tax
+         FROM lineitem GROUP BY l_returnflag""",
+    "q23_udaf_geomean" ->
+      """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
+         count(*) AS n FROM orders GROUP BY 1""",
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+    "q31_dedup_norm" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+         GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
+    "q32_neardup_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT d1, d2, inter,
+                inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = d1
+         JOIN cnt cb ON cb.doc_id = d2
+         WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
+    "q35_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / (length(text) - length(replace(text, ' ', '')) + 1)
+           AS avg_word_len
+         FROM documents""",
+    "q36_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         avg(n_tokens) AS avg_tokens FROM (
+           SELECT source, len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens FROM documents)
+         GROUP BY source""",
+    "q37_lang_id" ->
+      """SELECT doc_id, CASE
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         FROM (SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','of','and','to','a','in','is'))) AS s_en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('el','la','de','que','y','los','un'))) AS s_es,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','et','les','des','une','est'))) AS s_fr
+           FROM documents)""",
+    "q38_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+    "q39_cosine_topk" ->
+      """SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+           q.embedding::DOUBLE[]) AS cos
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10""",
+    "q40_embedding_neardup" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.35""",
+  )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns + typed
+  * metadata, with decode/feature-extraction as a partition-parallel typed
+  * transform.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecode`): it derives metadata
+  * and a feature vector purely from the bytes. Everything around it — the
+  * binary schema, the `Dataset` encoder shapes, `mapPartitions`
+  * iterator-at-a-time batching (no per-partition materialization), and the
+  * downstream join/agg compatibility — is the real production plumbing:
+  * swap `fakeDecode` for a codec call and nothing else changes.
+  */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, content_hash: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** STUB decode: deterministic pseudo-metadata + 8-dim feature vector
+    * from raw bytes (stands in for image decode + embedding). */
+  def fakeDecode(r: MediaRow): MediaFeatures = {
+    var h = 1125899906842597L // deterministic FNV-ish rolling hash
+    var i = 0
+    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+    val feats = Array.tabulate(8) { j =>
+      val hj = h ^ (0x9e3779b97f4a7c15L * (j + 1))
+      ((hj >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    MediaFeatures(r.doc_id, r.payload.length.toLong, h,
+      width = (math.abs(h) % 1920).toInt + 1,
+      height = (math.abs(h >> 17) % 1080).toInt + 1,
+      features = feats)
+  }
+
+  /** Attach an opaque binary payload column (fixtures have no real media,
+    * so text bytes stand in; schema/partitioning identical either way). */
+  def withBinaryPayload(docs: DataFrame, idCol: String = "doc_id",
+                        srcCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).cast("binary").as("payload"))
+
+  /** Partition-parallel decode + feature extraction: one iterator pass per
+    * partition, constant memory, no shuffle. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(fakeDecode))
+  }
+
+  /** End-to-end: docs -> binary payload -> decoded features DataFrame. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(withBinaryPayload(docs)).toDF()
+}

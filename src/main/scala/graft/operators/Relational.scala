@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The relational query surface (SURVEY §2.2): projection/filter, joins
+  * (incl. semi/anti/as-of/range), aggregations (incl. rollup/cube/grouping
+  * sets/distinct), window functions, sort/limit/top-k, set ops, scalar +
+  * JSON functions, scalar subqueries, typed UDAF.
+  *
+  * Every query is a declarative DataFrame plan — Catalyst gets predicate
+  * pushdown, column pruning and join selection for free. Dimension tables
+  * (region/nation) are explicitly broadcast; fact-fact joins shuffle on
+  * their keys; `orderBy.limit` pairs plan as TakeOrderedAndProject.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: hash agg w/ map-side partials. */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Selective filter + computed projection (pushdown + pruning reach the
+    * parquet scan: only 6 of 11 lineitem columns are read). */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
+
+  /** Star join: fact orders -> dims, dims broadcast, agg by region/nation. */
+  def joinAggNation(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Global top-k: plans as TakeOrderedAndProject (k rows per partition,
+    * never a full sort). Deterministic via o_orderkey tie-break. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Per-group top-k via row_number window + filter. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+  }
+
+  /** Running sum + lag/lead over an explicit ROWS frame. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_spend"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
+
+  /** ROLLUP hierarchy totals. */
+  def rollupQty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** CUBE over customer segment x nation. */
+  def cubeSegNation(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(avg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+  }
+
+  /** GROUPING SETS via SQL (only SQL-expressible in Spark). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+             sum(l_extendedprice) AS sum_price, count(*) AS n
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** Exact multi-distinct aggregation. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps"))
+
+  /** INTERSECT (distinct set semantics). */
+  def intersectCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** EXCEPT (distinct set semantics). */
+  def exceptCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** UNION ALL + re-aggregation across heterogeneous sources. */
+  def unionAllKeys(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("src"))
+    val b = t(s, dir, "orders")
+      .select(col("o_custkey").as("key"), lit("orders").as("src"))
+    a.unionByName(b).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Scalar subquery: compare to a global aggregate (broadcast 1-row). */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgP = o.agg(avg(col("o_totalprice")).as("_avg"))
+    o.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > lit(1.5) * col("_avg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") / col("_avg")).as("price_ratio"))
+  }
+
+  /** JSON extraction + aggregation over events.props. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** Tumbling time-bucket aggregation (batch form of a streaming MV). */
+  def timeBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+
+  /** As-of join: each error event picks up the latest purchase (same user,
+    * at-or-before its timestamp). Right side deduped per (user, ts) for
+    * determinism. One shuffle total (see AsOfJoin). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+    val wDedup = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("_rn", row_number().over(wDedup)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    AsOfJoin.leftAsOf(
+      errors.select(col("event_id"), col("user_id"), col("ts")),
+      purchases,
+      keyL = "user_id", timeL = "ts", keyR = "user_id", timeR = "ts",
+      payloadCols = Seq("p_event_id", "p_value"))
+      .select(col("event_id"), col("user_id"), col("p_event_id"),
+        col("p_value"))
+  }
+
+  /** Range join: per error event, purchases of the same user in the
+    * preceding hour (equi key + range predicate -> shuffle join with
+    * post-filter, no cartesian blow-up). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    e.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("ts") - expr("INTERVAL '1' HOUR") &&
+        col("p_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("p_id")).as("n_prev"),
+        coalesce(sum(col("p_value")), lit(0.0)).as("sum_prev"))
+  }
+
+  /** String function battery. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(substring(col("p_type"), 1, 6).as("type_prefix"))
+      .agg(count(lit(1)).as("n"),
+        avg(length(col("p_name"))).as("avg_name_len"),
+        max(upper(col("p_brand"))).as("max_brand"),
+        min(col("p_retailprice")).as("min_price"))
+
+  /** CASE-WHEN conditional aggregation. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+          .otherwise(0.0)).as("big_rev"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
+        avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
+
+  /** Typed UDAF (Aggregator): geometric mean via log-space sum. */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+    def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  def udafGeomean(s: SparkSession, dir: String): DataFrame = {
+    val gm = udaf(GeoMean)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(gm(col("o_totalprice")).as("geomean_price"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis query surface over the documents table: stats, quality,
+  * tokens, language-id, fingerprints. Narrow per-row transforms — single
+  * scan, no shuffle except final aggregations. */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Per-document structural stats. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      wordCount(col("text")).as("n_words"),
+      avgWordLen(col("text")).as("avg_word_len"))
+
+  /** Token counts aggregated per source corpus. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        avg(col("n_tokens")).as("avg_tokens"))
+
+  /** Heuristic language ID per document. */
+  def languageId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), langId("text").as("lang_pred"))
+
+  /** Normalized-text md5 fingerprint per document. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}
