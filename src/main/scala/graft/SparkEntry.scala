@@ -72,6 +72,10 @@ object SparkEntry {
     }),
     "q42_multimodal_features" -> ((s, d) =>
       MultimodalOps.documentFeatures(s, Tables.load(s, d, "documents"))),
+    // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
+    "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
+    "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
+    "q52_lake_roundtrip" -> (graft.streaming.StreamingQueries.lakeRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,7 +142,7 @@ object SparkEntry {
          INTERSECT SELECT o_custkey FROM orders""",
     "q12_except" ->
       """SELECT c_custkey FROM customer
-         EXCEPT SELECT o_custkey FROM orders""",
+         EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",
     "q13_union_all" ->
       """SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
            SELECT c_custkey AS key, 'customer' AS src FROM customer
@@ -153,7 +157,8 @@ object SparkEntry {
          GROUP BY o_orderpriority""",
     "q15_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey,
          o_totalprice / (SELECT avg(o_totalprice) FROM orders) AS price_ratio
@@ -277,5 +282,15 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    "q50_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q51_stream_to_lake" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+         count(DISTINCT user_id) AS n_users FROM events GROUP BY 1""",
+    "q52_lake_roundtrip" ->
+      """SELECT event_type, count(*) AS n, avg(value) AS avg_value
+         FROM events GROUP BY 1""",
   )
 }

@@ -129,10 +129,12 @@ object Relational {
       .select(col("c_custkey"))
       .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
 
-  /** EXCEPT (distinct set semantics). */
+  /** EXCEPT (distinct set semantics): customers who never placed a
+    * high-value order. */
   def exceptCustomers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_custkey"))
-      .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
 
   /** UNION ALL + re-aggregation across heterogeneous sources. */
   def unionAllKeys(s: SparkSession, dir: String): DataFrame = {
@@ -153,9 +155,10 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
   }
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }

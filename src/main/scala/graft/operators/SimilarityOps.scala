@@ -46,10 +46,13 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed approximate top-k: bucket all vectors once (cacheable /
-    * persistable as a bucketed table in production), probe the query's
-    * bucket plus all hamming-1 neighbor buckets, brute-force only there. */
+    * persistable as a bucketed table in production), then multi-probe —
+    * brute-force only the buckets within `probeHamming` sign-flips of the
+    * query's bucket (37/256 buckets at bits=8, hamming<=2), since nearby
+    * cosine implies nearby sign pattern. The probe list is a tiny
+    * broadcast; the candidate join is an equi-join on bucket id. */
   def lshTopK(vectors: DataFrame, query: DataFrame, k: Int,
-              bits: Int = 8, seed: Long = 42L,
+              bits: Int = 8, probeHamming: Int = 2, seed: Long = 42L,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
     val dim = 64 // fixture embedding dimensionality (FIXTURES.md)
@@ -57,12 +60,11 @@ object SimilarityOps {
     val bucketed = vectors.withColumn("_bucket", bucketExpr(embCol, planes))
     val probed = query
       .select(col(embCol).as("_qv"), bucketExpr(embCol, planes).as("_qb"))
-      .select(col("_qv"), col("_qb"), explode(array(
-        (lit(-1L) +: (0 until bits).map(i => lit(i.toLong))): _*)).as("_flip"))
-      .select(col("_qv"),
-        when(col("_flip") === -1L, col("_qb"))
-          .otherwise(col("_qb").bitwiseXOR(
-            expr("shiftleft(1L, cast(_flip as int))"))).as("_bucket"))
+      .select(col("_qv"), col("_qb"),
+        expr(s"explode(sequence(0L, ${(1L << bits) - 1}L))").as("_bucket"))
+      .filter(bit_count(col("_qb").bitwiseXOR(col("_bucket")))
+        <= probeHamming)
+      .select(col("_qv"), col("_bucket"))
     bucketed.join(broadcast(probed), Seq("_bucket"))
       .select(col(idCol), cosine_sim(col(embCol), col("_qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

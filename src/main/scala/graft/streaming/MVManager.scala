@@ -1,0 +1,70 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.lake.LakeTable
+
+/** Materialized-view manager: the Spark-native replacement for the
+  * reference's whole ingestion orchestrator (ingestor.go:58-203 in
+  * /root/reference — reader goroutines, channel pipeline, committer).
+  *
+  * Each MV is one StreamingQuery: source -> transform -> foreachBatch ->
+  * LakeTable.appendExactlyOnce. Compared to the reference this upgrades
+  * (a) at-least-once + silent drops to exactly-once per micro-batch
+  * (checkpoint offsets + idempotent batchId commit), (b) the unwired
+  * batching/metrics config to real trigger intervals and a
+  * StreamingQueryListener, (c) errors-logged-and-dropped to fail-fast
+  * queries restartable from checkpoint.
+  */
+class MVManager(spark: SparkSession, checkpointRoot: String) {
+
+  private val queries = TrieMap.empty[String, StreamingQuery]
+  val metrics = new MVMetricsListener
+  spark.streams.addListener(metrics)
+
+  /** Start an MV that continuously appends micro-batches into a
+    * LakeTable. `transformed` must be a streaming DataFrame. */
+  def startToLake(name: String, transformed: DataFrame, table: LakeTable,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit =
+      (batch, id) => { table.appendExactlyOnce(batch, id); () }
+    val q = transformed.writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    queries.put(name, q)
+    q
+  }
+
+  def get(name: String): Option[StreamingQuery] = queries.get(name)
+  def awaitAll(): Unit = queries.values.foreach(_.awaitTermination())
+  def stopAll(): Unit = queries.values.foreach(_.stop())
+}
+
+/** Wires the reference's dead `metrics` config block (config.go:54-57)
+  * to a live listener: rows/batches per query, queryable in-process. */
+class MVMetricsListener extends StreamingQueryListener {
+  case class QueryStats(batches: Long, inputRows: Long)
+  private val stats = TrieMap.empty[String, QueryStats]
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+    val cur = stats.getOrElse(name, QueryStats(0, 0))
+    stats.put(name, QueryStats(cur.batches + 1,
+      cur.inputRows + e.progress.numInputRows))
+  }
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  def apply(name: String): Option[QueryStats] = stats.get(name)
+}

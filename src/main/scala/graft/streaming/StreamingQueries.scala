@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.lake.LakeTable
+
+/** Streaming query surface: the SURVEY §7 step-4 minimum slice (file
+  * stream -> windowed MV -> sink -> read-back), exposed as batch-checkable
+  * SparkEntry queries so the DuckDB oracle can grade streaming results.
+  */
+object StreamingQueries {
+
+  /** events as a STREAMING DataFrame (same nanos handling as
+    * Tables.load, which the file-stream source needs schema-first).
+    * The file source requires a *directory*, so the single fixture file
+    * is exposed through a staged symlink dir (read-only fixtures stay
+    * untouched). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Paths.get(
+      s"/root/repo/target/stream-src/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window MV driven as a real StreamingQuery (AvailableNow,
+    * complete mode, memory sink), returned as a batch DataFrame. Matches
+    * the plain GROUP BY date_trunc oracle because complete mode emits
+    * every window and a single AvailableNow pass drops nothing. */
+  def tumblingMv(s: SparkSession, dir: String): DataFrame = {
+    val qname = "mv_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation",
+        s"/root/repo/target/ckpt/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Full pipeline slice: stream events -> transform -> exactly-once
+    * commits into a LakeTable (one snapshot per micro-batch) -> read the
+    * table back and aggregate. This is the reference's whole dataflow
+    * (source/write/commit, E1-E3) in one query. */
+  def streamToLake(s: SparkSession, dir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val base = s"/root/repo/target/lake/run-$runId"
+    val stream = eventsStream(s, dir)
+      .withColumn("ingested_at", current_timestamp())
+    val table = LakeTable.create(s, s"$base/events_mv",
+      stream.schema)
+    val mgr = new MVManager(s, s"$base/ckpt")
+    val q = mgr.startToLake(s"events_mv_$runId", stream, table)
+    q.awaitTermination()
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Batch LakeTable roundtrip: create, two appends (two snapshots),
+    * read back + aggregate — exercises create/append/read/commit-log. */
+  def lakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val ev = Tables.load(s, dir, "events")
+    val table = LakeTable.create(s,
+      s"/root/repo/target/lake/rt-$runId/events", ev.schema)
+    table.append(ev.filter(col("event_id") % 2 === 0))
+    table.append(ev.filter(col("event_id") % 2 === 1))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.lake
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class LakeTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(name: String, schema: StructType): LakeTable =
+    LakeTable.create(spark, tmpDir(name), schema)
+
+  private val abSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType)))
+
+  test("create + append + read roundtrip") {
+    val t = freshTable("rt", abSchema)
+    assert(t.currentVersion == 0)
+    t.append(Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
+    t.append(Seq((3L, "z")).toDF("a", "b"))
+    assert(t.currentVersion == 2)
+    assert(t.read().count() == 3)
+    assert(t.read().agg(sum("a")).as[Long].head() == 6L)
+    assert(t.fieldIds == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("time travel reads historical snapshots") {
+    val t = freshTable("tt", abSchema)
+    t.append(Seq((1L, "x")).toDF("a", "b"))
+    t.append(Seq((2L, "y")).toDF("a", "b"))
+    assert(t.readVersion(0).count() == 0)
+    assert(t.readVersion(1).count() == 1)
+    assert(t.readVersion(2).count() == 2)
+    assert(t.snapshots.map(_.version) == Seq(0, 1, 2))
+  }
+
+  test("additive schema evolution: new column gets fresh field id, " +
+    "old files read as null") {
+    val t = freshTable("evo", abSchema)
+    t.append(Seq((1L, "x")).toDF("a", "b"))
+    t.append(Seq((2L, "y", 3.5)).toDF("a", "b", "c"))
+    val got = t.read().orderBy("a").select("a", "b", "c").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) == 3.5)
+    assert(t.fieldIds == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    assert(t.schema("c").nullable)
+  }
+
+  test("type change on append is rejected") {
+    val t = freshTable("tymis", abSchema)
+    t.append(Seq((1L, "x")).toDF("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq(("oops", "x")).toDF("a", "b"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
+  test("appendExactlyOnce is idempotent per batch id") {
+    val t = freshTable("eo", abSchema)
+    t.appendExactlyOnce(Seq((1L, "x")).toDF("a", "b"), batchId = 0)
+    t.appendExactlyOnce(Seq((1L, "dup")).toDF("a", "b"), batchId = 0)
+    t.appendExactlyOnce(Seq((2L, "y")).toDF("a", "b"), batchId = 1)
+    assert(t.read().count() == 2)
+  }
+
+  test("concurrent appends all commit (optimistic retry)") {
+    val t = freshTable("conc", abSchema)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 8).map { i =>
+      Future(t.append(Seq((i.toLong, s"w$i")).toDF("a", "b")))
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    assert(t.currentVersion == 8)
+    assert(t.read().count() == 8)
+    assert(t.read().agg(sum("a")).as[Long].head() == 36L)
+  }
+
+  test("compaction rewrites files, preserves content") {
+    val t = freshTable("compact", abSchema)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("a", "b")))
+    val before = t.read().orderBy("a").collect().toSeq
+    val filesBefore = t.dataFiles.size
+    t.compact(numFiles = 1)
+    assert(t.dataFiles.size == 1 && filesBefore > 1)
+    assert(t.read().orderBy("a").collect().toSeq == before)
+  }
+
+  test("create fails when table exists; load sees committed state") {
+    val dir = tmpDir("dup")
+    LakeTable.create(spark, dir, abSchema)
+      .append(Seq((1L, "x")).toDF("a", "b"))
+    intercept[IllegalArgumentException] {
+      LakeTable.create(spark, dir, abSchema)
+    }
+    assert(LakeTable.load(spark, dir).read().count() == 1)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+import graft.functions.VectorFunctions.cosine_sim
+
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, sf, "documents").cache()
+  lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("exact dedup finds injected duplicates") {
+    val withDups = docs.select("doc_id", "text")
+      .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
+        .limit(5))
+    val d = DedupOps.exact(withDups)
+    assert(d.filter($"n_copies" === 2).count() == 5)
+  }
+
+  test("minhash LSH recalls high-jaccard pairs") {
+    val truth = DedupOps.ngramJaccard(docs, minJaccard = 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup docs")
+    val found = DedupOps.minHashLsh(docs, k = 64, bands = 16,
+        minEstJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = truth.count(found).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash of identical docs collides at hamming 0") {
+    val base = docs.select("doc_id", "text").limit(3)
+    val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val pairs = DedupOps.simHashPairs(base.unionByName(dups))
+      .filter($"hamming" === 0)
+      .filter($"d2" === $"d1" + 100000)
+    assert(pairs.count() == 3)
+  }
+
+  test("cosine_sim expression matches manual computation") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val got = df.select(cosine_sim($"a", $"b").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("LSH ANN top-k overlaps brute-force top-k") {
+    val q = emb.filter($"vec_id" === 0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val brute = SimilarityOps.bruteForceTopK(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = SimilarityOps.lshTopK(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.size == 10)
+    val recall = brute.count(ann).toDouble / brute.size
+    assert(recall >= 0.2, s"ANN recall@10 = $recall") // multi-probe, 8 bits
+  }
+
+  test("langId + text stats agree with hand computation") {
+    import graft.functions.TextFunctions._
+    val df = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
+      .toDF("doc_id", "text")
+    val lang = df.select($"doc_id", langId("text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(lang(1L) == "en" && lang(2L) == "de")
+    val wc = df.select(wordCount($"text")).as[Long].collect().toSeq
+    assert(wc == Seq(5L, 5L))
+  }
+}
