@@ -35,4 +35,13 @@ object Tables {
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Ensure at least `defaultParallelism` partitions before CPU-heavy
+    * per-row work (shingling, hashing, decoding). Small single-file
+    * inputs otherwise pin an expensive narrow stage to one task; on a
+    * many-partition production input this is a no-op. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

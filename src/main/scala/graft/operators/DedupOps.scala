@@ -29,16 +29,51 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle).
-    * Docs shorter than n words produce no shingles. */
+  /** Distinct word n-gram shingles per document as one array column —
+    * dedup happens row-locally (array_distinct), so shingling costs ZERO
+    * shuffles regardless of corpus size. */
+  /** `concat(w[i], ' ', w[i+1], ...)` — direct indexed concat, no
+    * per-shingle slice allocation (measurably faster than
+    * concat_ws(slice(...)) on long documents). */
+  private def shingleConcat(n: Int): String =
+    (0 until n).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+
+  def shingleArrays(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", n: Int = 3): DataFrame =
+    graft.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(w)-$n), " +
+          s"i -> ${shingleConcat(n)}))").as("shs"))
+
+  /** Same, but shingles pre-hashed to 64-bit (xxhash64) — halves shuffle
+    * width and hash-agg cost for the MinHash path, where only hash
+    * identity matters (collision odds ~n^2/2^64, negligible). */
+  def shingleHashArrays(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3): DataFrame =
+    graft.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(w)-$n), " +
+          s"i -> xxhash64(${shingleConcat(n)})))").as("shs"))
+
+  /** Exploded form: (doc_id, shingle), distinct by construction. */
   def shingles(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id", n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"
-      )).as("shingle"))
-      .distinct()
+    shingleArrays(docs, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+
+  /** All ordered (d1 < d2) pairs from a sorted struct-array column `sds`
+    * of (doc_id, <payload>), payload field carried through both sides —
+    * generated in-place by nested array transforms (no self-join). */
+  private def pairComboExpr(payload: String): String =
+    s"""flatten(transform(sequence(1, size(sds)-1),
+       |  i -> transform(slice(sds, i+1, size(sds)-i),
+       |    y -> struct(sds[i-1].doc_id AS d1, sds[i-1].$payload AS p1,
+       |                y.doc_id AS d2, y.$payload AS p2))))"""
+      .stripMargin.replace("\n", " ")
 
   /** EXACT n-gram Jaccard near-dup pairs via inverted-index self-join:
     * pairs sharing >= 1 shingle get their true Jaccard; keep >= minJaccard.
@@ -49,38 +84,38 @@ object DedupOps {
     * shingles (maxDf) or switch to [[minHashLsh]]. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
                    n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
-    var sh = shingles(docs, n = n)
-    maxDf.foreach { m =>
-      val hot = sh.groupBy("shingle").count().filter(col("count") > m)
-        .select("shingle")
-      sh = sh.join(hot, Seq("shingle"), "left_anti")
+    // per-doc shingle count rides along with every exploded shingle, so
+    // the whole computation is TWO shuffles: group-by-shingle (inverted
+    // index) and group-by-pair. No self-join, no count-table joins.
+    val sh = shingleArrays(docs, n = n)
+      .select(col("doc_id"), size(col("shs")).as("n"),
+        explode(col("shs")).as("shingle"))
+    val byShingle = sh.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val capped = maxDf match {
+      case Some(m) => byShingle.filter(size(col("ds")) <= m)
+      case None => byShingle
     }
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val combos = capped
+      .select(sort_array(col("ds")).as("sds"))
+      .select(explode(expr(pairComboExpr("n"))).as("p"))
+    combos
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.p1").as("n1"), col("p.p2").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
-        (col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+        (col("inter") / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: k permutations approximated by k seeded xxhash64
-    * draws; one wide aggregate (k min() columns) = single shuffle with
-    * map-side combine — no per-position explode. */
+  /** MinHash signatures via the native MinHashAgg imperative aggregate:
+    * one shuffle, map-side combine, constant k-long state per doc. */
   def minHashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"_h$i"))
+    import graft.functions.MinHashAgg.minhash_agg
     sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+      .agg(minhash_agg(xxhash64(col("shingle")), k).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup candidates with estimated Jaccard
@@ -92,44 +127,47 @@ object DedupOps {
                  minEstJaccard: Double = 0.5, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minHashSignatures(shingles(docs, n = shingleN), k)
+    import graft.functions.MinHashAgg.minhash_agg
+    val sig = shingleHashArrays(docs, n = shingleN)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(minhash_agg(col("sh"), k).as("sig"))
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(lit(j), expr(s"slice(sig, ${j * r + 1}, $r)")).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), col("sig"),
       explode(array(bandStructs: _*)).as("bk"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(first(col("a.sig")).as("s1"), first(col("b.sig")).as("s2"))
-    cand.select(col("d1"), col("d2"),
-        (aggregate(zip_with(col("s1"), col("s2"),
+    // signatures ride along into the buckets; candidate pairs are
+    // generated in-place per bucket (group-by-bucket + combos), then
+    // deduped per pair — two shuffles, no self-join of the bucket table
+    val combos = buckets.groupBy(col("bk"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(sort_array(col("ds")).as("sds"))
+      .select(explode(expr(pairComboExpr("sig"))).as("p"))
+    combos
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        (aggregate(zip_with(col("p.p1"), col("p.p2"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash per document over distinct word tokens, built from 64
-    * conditional-sum aggregate columns (one shuffle, map-side combine),
-    * then OR-folded into a single long. */
+  /** 64-bit SimHash per document over distinct word tokens, via the
+    * native SimHashAgg imperative aggregate (one shuffle, map-side
+    * combine, constant 64-counter state — no wide-codegen penalty). */
   def simHash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
+    import graft.functions.SimHashAgg.simhash_agg
+    graft.Tables.widen(docs)
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
-      .withColumn("_h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"_b$b")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val hashCol = (0 until 64)
-      .map(b => when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), hashCol.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(simhash_agg(xxhash64(col("tok"))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
@@ -143,12 +181,15 @@ object DedupOps {
     }
     val buckets = sh.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bk"))
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(first(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-        .as("hamming"))
+    buckets.groupBy(col("bk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(sort_array(col("ds")).as("sds"))
+      .select(explode(expr(pairComboExpr("simhash"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        bit_count(col("p.p1").bitwiseXOR(col("p.p2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }

@@ -50,7 +50,7 @@ object MultimodalOps {
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(fakeDecode))
+    graft.Tables.widen(media).as[MediaRow].mapPartitions(_.map(fakeDecode))
   }
 
   /** End-to-end: docs -> binary payload -> decoded features DataFrame. */

@@ -33,17 +33,11 @@ object SimilarityOps {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection bucket id (0..2^bits-1) for an embedding. */
-  private def bucketExpr(embCol: String, planes: Seq[Array[Double]]) = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(col(embCol), planeArr, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-random-projection bucket id (0..2^bits-1) for an embedding —
+    * one codegen'd matrix-dot expression (see SignRandomProjection). */
+  private def bucketExpr(embCol: String, planes: Seq[Array[Double]]) =
+    graft.functions.SignRandomProjection.srp_bucket(
+      col(embCol), planes.toArray)
 
   /** LSH-bucketed approximate top-k: bucket all vectors once (cacheable /
     * persistable as a bucketed table in production), then multi-probe —
