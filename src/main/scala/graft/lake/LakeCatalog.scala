@@ -1,0 +1,59 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Namespace -> table registry over a warehouse directory: the
+  * Spark-native stand-in for the reference's REST catalog client
+  * (iceberg_committer.go:40-51 + 84-119 in /root/reference — create
+  * namespace tolerant of exists, create table with format property).
+  * Layout: `<warehouse>/<namespace>/<table>/{data,metadata}`.
+  */
+class LakeCatalog(spark: SparkSession, warehouseDir: String) {
+
+  private def nsPath(ns: String) = Paths.get(warehouseDir, ns)
+  private def tablePath(ns: String, name: String) =
+    s"$warehouseDir/$ns/$name"
+
+  /** Idempotent, like the reference's exists-tolerant CreateNamespace. */
+  def createNamespace(ns: String): Unit =
+    Files.createDirectories(nsPath(ns))
+
+  def listNamespaces(): Seq[String] = {
+    val root = Paths.get(warehouseDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSeq.sorted
+  }
+
+  def listTables(ns: String): Seq[String] = {
+    if (!Files.isDirectory(nsPath(ns))) Seq.empty
+    else Files.list(nsPath(ns)).iterator().asScala
+      .filter(p => LakeTable.exists(p.toString))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def tableExists(ns: String, name: String): Boolean =
+    LakeTable.exists(tablePath(ns, name))
+
+  def createTable(ns: String, name: String, schema: StructType,
+                  properties: Map[String, String] = Map.empty): LakeTable = {
+    createNamespace(ns)
+    LakeTable.create(spark, tablePath(ns, name), schema, properties)
+  }
+
+  def createOrLoadTable(ns: String, name: String,
+                        schema: StructType): LakeTable = {
+    createNamespace(ns)
+    LakeTable.createOrLoad(spark, tablePath(ns, name), schema)
+  }
+
+  def table(ns: String, name: String): LakeTable =
+    LakeTable.load(spark, tablePath(ns, name))
+}
