@@ -56,19 +56,21 @@ object StreamingQueries {
       col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** Full pipeline slice: stream events -> transform -> exactly-once
-    * commits into a LakeTable (one snapshot per micro-batch) -> read the
-    * table back and aggregate. This is the reference's whole dataflow
+  /** Full pipeline slice THROUGH THE ENGINE FACADE: stream events ->
+    * transform -> MV registered in the catalog -> exactly-once commits
+    * into its LakeTable (one snapshot per micro-batch) -> read the table
+    * back and aggregate. This is the reference's whole dataflow
     * (source/write/commit, E1-E3) in one query. */
   def streamToLake(s: SparkSession, dir: String): DataFrame = {
+    import graft.{BatchingConfig, CatalogConfig, GraftConfig, GraftEngine, StorageConfig}
     val runId = UUID.randomUUID().toString.replace("-", "")
-    val base = s"/root/repo/target/lake/run-$runId"
+    val engine = new GraftEngine(s, GraftConfig(
+      StorageConfig(s"/root/repo/target/lake/run-$runId"),
+      CatalogConfig(namespace = "mv"),
+      BatchingConfig(availableNow = true)))
     val stream = eventsStream(s, dir)
       .withColumn("ingested_at", current_timestamp())
-    val table = LakeTable.create(s, s"$base/events_mv",
-      stream.schema)
-    val mgr = new MVManager(s, s"$base/ckpt")
-    val q = mgr.startToLake(s"events_mv_$runId", stream, table)
+    val (table, q) = engine.startMaterializedView("events_mv", stream)
     q.awaitTermination()
     table.read()
       .groupBy(col("event_type"))
