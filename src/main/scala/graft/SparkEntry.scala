@@ -41,6 +41,7 @@ object SparkEntry {
     "q21_string_funcs" -> (Relational.stringFuncs _),
     "q22_conditional_agg" -> (Relational.conditionalAgg _),
     "q23_udaf_geomean" -> (Relational.udafGeomean _),
+    "q24_approx_distinct" -> (Relational.approxDistinct _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),

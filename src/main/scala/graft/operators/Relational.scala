@@ -262,6 +262,17 @@ object Relational {
     def outputEncoder = Encoders.scalaDouble
   }
 
+  /** HLL++ approximate distinct counts next to cheap exact aggregates —
+    * the constant-memory path for distinct cardinality at 100 TB (no
+    * oracle: sketch estimates are engine-specific). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
+        count(lit(1)).as("n"))
+
   def udafGeomean(s: SparkSession, dir: String): DataFrame = {
     val gm = udaf(GeoMean)
     t(s, dir, "orders")

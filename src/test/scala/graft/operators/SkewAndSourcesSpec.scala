@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+import graft.{SparkSuite, Tables}
+
+class SkewAndSourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted join equals plain join under a hot key") {
+    val hot = (1 to 1000).map(i => (7L, s"row$i")) ++
+      (1 to 10).map(i => (i.toLong, s"cold$i"))
+    val left = hot.toDF("k", "payload")
+    val right = Seq((7L, "dim7"), (1L, "dim1"), (99L, "dimX"))
+      .toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"k", $"payload", $"name")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", factor = 8)
+      .select($"k", $"payload", $"name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.agg(countDistinct($"l_partkey")).as[Long].head()
+    val approx = li.agg(approx_count_distinct($"l_partkey", rsd = 0.02))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("csv and json sources round-trip the events table") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val base = tmpDir("formats")
+    ev.write.option("header", "true").csv(s"$base/csv")
+    ev.write.json(s"$base/json")
+    val csvBack = spark.read.option("header", "true").schema(ev.schema)
+      .csv(s"$base/csv")
+    val jsonBack = spark.read.schema(ev.schema).json(s"$base/json")
+    assert(csvBack.count() == ev.count())
+    assert(jsonBack.count() == ev.count())
+    assert(csvBack.agg(sum($"value")).as[Double].head() ===
+      ev.agg(sum($"value")).as[Double].head() +- 0.01)
+    assert(jsonBack.agg(sum($"value")).as[Double].head() ===
+      ev.agg(sum($"value")).as[Double].head() +- 0.01)
+  }
+}
