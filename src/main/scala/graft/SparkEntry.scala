@@ -56,6 +56,7 @@ object SparkEntry {
     "q36_token_count" -> (TextOps.tokenStats _),
     "q37_lang_id" -> (TextOps.languageId _),
     "q38_fingerprint" -> (TextOps.fingerprints _),
+    "q43_quality_score" -> (TextOps.quality _),
     "q39_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       SimilarityOps.bruteForceTopK(
@@ -77,6 +78,8 @@ object SparkEntry {
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
     "q52_lake_roundtrip" -> (graft.streaming.StreamingQueries.lakeRoundtrip _),
+    "q53_lake_partitioned" ->
+      (graft.streaming.StreamingQueries.lakePartitioned _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -269,6 +272,16 @@ object SparkEntry {
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
          FROM documents""",
+    "q43_quality_score" ->
+      """SELECT doc_id,
+         least(length(text) / 500.0, 1.0) * 0.4
+         + (CASE WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / (length(text) - length(replace(text, ' ', '')) + 1))
+              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.4
+         + (CASE WHEN len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','of','and','to','a','in','is'))) > 0
+              THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+         FROM documents""",
     "q39_cosine_topk" ->
       """SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
            q.embedding::DOUBLE[]) AS cos
@@ -293,5 +306,8 @@ object SparkEntry {
     "q52_lake_roundtrip" ->
       """SELECT event_type, count(*) AS n, avg(value) AS avg_value
          FROM events GROUP BY 1""",
+    "q53_lake_partitioned" ->
+      """SELECT user_id, count(*) AS n, sum(value) AS sum_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
   )
 }

@@ -66,7 +66,8 @@ object TextFunctions {
 
   /** Quality score in [0,1]: blend of length saturation, word-length
     * plausibility and stopword presence — the classic cheap pre-filter
-    * for LLM training corpora. */
+    * for LLM training corpora. Unrounded (engines disagree on rounding
+    * modes; consumers threshold anyway). */
   def qualityScore(textCol: String): Column = {
     val c = col(textCol)
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
@@ -74,6 +75,6 @@ object TextFunctions {
     val wordScore = when(awl.between(3.0, 10.0), 1.0).otherwise(0.3)
     val stopScore =
       when(stopwordHits(textCol, langMarkers.head._2) > 0, 1.0).otherwise(0.5)
-    round((lenScore * 0.4 + wordScore * 0.4 + stopScore * 0.2), 4)
+    lenScore * 0.4 + wordScore * 0.4 + stopScore * 0.2
   }
 }

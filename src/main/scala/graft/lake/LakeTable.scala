@@ -79,6 +79,12 @@ class LakeTable private (
     Option(m.get(key)).map(_.asText())
   }
 
+  def partitionBy: Seq[String] = {
+    val n = latest()._2.get("partitionBy")
+    if (n == null) Seq.empty
+    else n.elements().asScala.map(_.asText()).toSeq
+  }
+
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion).map { v =>
       val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
@@ -100,7 +106,14 @@ class LakeTable private (
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
-    else spark.read.schema(snapSchema).parquet(paths: _*)
+    else if (partitionBy.isEmpty)
+      spark.read.schema(snapSchema).parquet(paths: _*)
+    else
+      // hive-style partition dirs live directly under data/ — basePath
+      // lets Spark recover partition columns AND prune partitions from
+      // filters before touching any file
+      spark.read.option("basePath", s"$root/data")
+        .schema(snapSchema).parquet(paths: _*)
   }
 
   // ---- write ---------------------------------------------------------
@@ -124,27 +137,58 @@ class LakeTable private (
 
   /** Compaction: rewrite the current file set into `numFiles` files and
     * commit a REPLACE snapshot (logical content unchanged — asserted by
-    * the spec, not here, to keep commit cheap). */
+    * the spec, not here, to keep commit cheap). Partitioned tables stay
+    * partitioned (numFiles applies per partition directory). */
   def compact(numFiles: Int): Int = {
     val rewritten = read().repartition(numFiles)
     commit(writeData(rewritten), replace = true,
       Map("compaction" -> "true"))
   }
 
-  /** Write df as immutable parquet files; returns entries + df schema. */
+  /** Write df as immutable parquet files; returns entries + df schema.
+    * Unpartitioned: one immutable batch dir. Partitioned: write through
+    * a staging dir, then hard-rename each part file into its hive-style
+    * `data/<k=v>/...` slot under a fresh UUID name (renames are O(1)
+    * metadata ops; the partition dirs are shared across batches so
+    * basePath partition discovery sees one consistent layout). */
   private def writeData(df: DataFrame): PendingWrite = {
-    val batchDir = s"data/batch-${UUID.randomUUID()}"
     val rows = df.count()
-    df.write.mode("errorifexists").parquet(s"$root/$batchDir")
-    val parts = Files.list(Paths.get(root, batchDir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .toSeq.sorted
-    // rows recorded per-batch (cheap metadata; per-file split not needed)
-    val entries = parts.zipWithIndex.map { case (p, i) =>
-      FileEntry(s"$batchDir/$p", if (i == 0) rows else 0L)
+    val parts = partitionBy
+    if (parts.isEmpty) {
+      val batchDir = s"data/batch-${UUID.randomUUID()}"
+      df.write.mode("errorifexists").parquet(s"$root/$batchDir")
+      val names = Files.list(Paths.get(root, batchDir)).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .toSeq.sorted
+      // rows recorded per-batch (cheap metadata; per-file split not needed)
+      val entries = names.zipWithIndex.map { case (p, i) =>
+        FileEntry(s"$batchDir/$p", if (i == 0) rows else 0L)
+      }
+      PendingWrite(entries, df.schema)
+    } else {
+      val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
+      df.write.partitionBy(parts: _*).parquet(staging.toString)
+      val moved = Files.walk(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+        .map { p =>
+          val partRel = staging.relativize(p.getParent).toString
+          val destDir = Paths.get(root, "data", partRel)
+          Files.createDirectories(destDir)
+          val name = s"${UUID.randomUUID()}.parquet"
+          Files.move(p, destDir.resolve(name))
+          if (partRel.isEmpty) s"data/$name" else s"data/$partRel/$name"
+        }
+      // clear staging leftovers (_SUCCESS, empty partition dirs)
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      val entries = moved.zipWithIndex.map { case (p, i) =>
+        FileEntry(p, if (i == 0) rows else 0L)
+      }
+      PendingWrite(entries, df.schema)
     }
-    PendingWrite(entries, df.schema)
   }
 
   /** Optimistic-concurrency metadata commit. */
@@ -160,7 +204,8 @@ class LakeTable private (
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = cur.get("properties"),
-        files = baseFiles ++ pending.files, meta = meta)
+        files = baseFiles ++ pending.files, meta = meta,
+        partitionBy = partitionBy)
       if (tryCommit(metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
@@ -209,14 +254,18 @@ object LakeTable {
   /** Create an empty table (snapshot v0) with field IDs 1..n assigned in
     * declaration order. Fails if the table already exists. */
   def create(spark: SparkSession, root: String, schema: StructType,
-             properties: Map[String, String] = Map.empty): LakeTable = {
+             properties: Map[String, String] = Map.empty,
+             partitionBy: Seq[String] = Seq.empty): LakeTable = {
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val ids = schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
     val propsNode = mapper.createObjectNode()
     (Map("write.format.default" -> "parquet") ++ properties)
       .foreach { case (k, v) => propsNode.put(k, v) }
-    val node = snapshotJson(0, -1, schema, ids, propsNode, Nil, Map.empty)
+    val node = snapshotJson(0, -1, schema, ids, propsNode, Nil, Map.empty,
+      partitionBy)
     require(tryCommit(metaDir, 0, node), s"table already exists at $root")
     new LakeTable(spark, root)
   }
@@ -233,10 +282,13 @@ object LakeTable {
   private[lake] def snapshotJson(
       version: Int, parent: Int, schema: StructType,
       ids: Map[String, Int], props: JsonNode,
-      files: Seq[FileEntry], meta: Map[String, String]): JsonNode = {
+      files: Seq[FileEntry], meta: Map[String, String],
+      partitionBy: Seq[String] = Seq.empty): JsonNode = {
     val n = mapper.createObjectNode()
     n.put("version", version)
     n.put("parent", parent)
+    val pb = n.putArray("partitionBy")
+    partitionBy.foreach(pb.add)
     n.put("committedAtMs", System.currentTimeMillis())
     n.put("schemaJson", DataTypeBridge.toJson(schema))
     val idNode = n.putObject("fieldIds")

@@ -36,4 +36,8 @@ object TextOps {
   /** Normalized-text md5 fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Corpus quality pre-filter scores per document. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), qualityScore("text").as("quality"))
 }

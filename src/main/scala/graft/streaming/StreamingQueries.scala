@@ -78,6 +78,23 @@ object StreamingQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Partitioned LakeTable: hive-layout partitions by event_type, then a
+    * partition-pruned read (only the `purchase` directory is scanned). */
+  def lakePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val table = LakeTable.create(s,
+      s"/root/repo/target/lake/part-$runId/events", ev.schema,
+      partitionBy = Seq("event_type"))
+    table.append(ev)
+    table.read()
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
+
   /** Batch LakeTable roundtrip: create, two appends (two snapshots),
     * read back + aggregate — exercises create/append/read/commit-log. */
   def lakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
