@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_lang_id" -> (TextOps.languageId _),
     "q38_fingerprint" -> (TextOps.fingerprints _),
     "q43_quality_score" -> (TextOps.quality _),
+    "q44_rolling_fingerprint" -> (TextOps.rollingFingerprints _),
     "q39_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       SimilarityOps.bruteForceTopK(

@@ -64,6 +64,15 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text (hex string). */
   def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
 
+  /** Rolling polynomial (Rabin-Karp-style) fingerprint over word hashes,
+    * mod the Mersenne prime 2^31-1 so the accumulator never overflows
+    * under ANSI arithmetic (acc < 2^31, base 131 -> products < 2^39).
+    * Order-sensitive (unlike a bag-of-words hash); built-in array ops,
+    * no UDF. */
+  def rollingFingerprint(textCol: String): Column =
+    expr(s"aggregate(split($textCol, ' '), 0L, (acc, w) -> " +
+      "pmod(acc * 131L + pmod(xxhash64(w), 2147483647L), 2147483647L))")
+
   /** Quality score in [0,1]: blend of length saturation, word-length
     * plausibility and stopword presence — the classic cheap pre-filter
     * for LLM training corpora. Unrounded (engines disagree on rounding

@@ -56,4 +56,33 @@ object MultimodalOps {
   /** End-to-end: docs -> binary payload -> decoded features DataFrame. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(withBinaryPayload(docs)).toDF()
+
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          thumb: Array[Byte])
+
+  /** STUB resize: production would decode + scale pixels; the stub keeps
+    * the real contract (bounded output dims, byte payload out) by
+    * truncating/sampling bytes deterministically. */
+  def resizeStub(maxW: Int, maxH: Int)(m: MediaFeatures,
+                                       payload: Array[Byte]): ResizedMedia = {
+    val w = math.min(m.width, maxW); val h = math.min(m.height, maxH)
+    val stride = math.max(1, payload.length / math.max(1, w * h / 64))
+    ResizedMedia(m.doc_id, w, h,
+      payload.indices.by(stride).map(payload(_)).toArray)
+  }
+
+  /** Frame sampling for video-like payloads: split the byte stream into
+    * fixed-size "frames", keep every `everyN`-th — one row per sampled
+    * frame (the explode shape downstream feature extraction expects).
+    * Pure iterator pipeline: constant memory per partition. */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+                   everyN: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.Tables.widen(media).as[MediaRow].mapPartitions(_.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyN == 0)
+        .map { case (frame, idx) => (r.doc_id, idx, frame.length, frame) }
+    }).toDF("doc_id", "frame_idx", "n_bytes", "frame")
+  }
 }

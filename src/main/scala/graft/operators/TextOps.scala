@@ -37,6 +37,12 @@ object TextOps {
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Order-sensitive rolling-hash fingerprints (no oracle: xxhash64 is
+    * engine-specific). */
+  def rollingFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      rollingFingerprint("text").as("rolling_fp"))
+
   /** Corpus quality pre-filter scores per document. */
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), qualityScore("text").as("quality"))
