@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Per-ROW signature expressions over a pre-hashed token/shingle array.
+  *
+  * When the input already carries one array of element hashes per
+  * document (shingleHashArrays), the MinHash/SimHash signature is a pure
+  * scalar function of that row — no explode, no shuffle, no aggregation
+  * state. The grouped Agg variants (MinHashAgg/SimHashAgg) remain for
+  * streaming and SQL GROUP BY use; these are the batch fast path.
+  */
+
+/** k-permutation MinHash signature of an array<long> of element hashes.
+  * Same universal-hash family as MinHashAgg (a_i*x + b_i, unsigned min). */
+case class MinHashSig(child: Expression, k: Int = 64, seed: Long = 42L)
+    extends UnaryExpression {
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    (Array.fill(k)(rnd.nextLong() | 1L), Array.fill(k)(rnd.nextLong()))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"minhash_sig expects array<bigint>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(-1L)
+    var j = 0
+    while (j < a.numElements()) {
+      val h = a.getLong(j)
+      var i = 0
+      while (i < k) {
+        val hi = as(i) * h + bs(i)
+        if (java.lang.Long.compareUnsigned(hi, sig(i)) < 0) sig(i) = hi
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val hi = ctx.freshName("hi")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, -1L);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $hi = $asRef[$i] * $h + $bsRef[$i];
+         |    if (Long.compareUnsigned($hi, $sig[$i]) < 0) $sig[$i] = $hi;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash of an array<long> of token hashes (sign of per-bit
+  * +1/-1 votes; bit set iff counter >= 0, matching SimHashAgg). */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"simhash_sig expects array<bigint>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val counters = new Array[Long](64)
+    var j = 0
+    while (j < a.numElements()) {
+      val h = a.getLong(j)
+      var b = 0
+      while (b < 64) { counters(b) += (((h >>> b) & 1L) * 2L) - 1L; b += 1 }
+      j += 1
+    }
+    var r = 0L; var b = 0
+    while (b < 64) { if (counters(b) >= 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("counters"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      s"""
+         |long[] $c = new long[64];
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $c[$b] += ((($h >>> $b) & 1L) * 2L) - 1L;
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($c[$b] >= 0) $r |= (1L << $b);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash_sig"
+}
+
+object HashSig {
+  def minhash_sig(hashes: Column, k: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k, seed))
+  def simhash_sig(hashes: Column): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(hashes)))
+}

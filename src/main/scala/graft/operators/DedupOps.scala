@@ -87,7 +87,9 @@ object DedupOps {
     // per-doc shingle count rides along with every exploded shingle, so
     // the whole computation is TWO shuffles: group-by-shingle (inverted
     // index) and group-by-pair. No self-join, no count-table joins.
-    val sh = shingleArrays(docs, n = n)
+    // Shingles travel as 64-bit hashes (8B vs ~25B strings on the wire;
+    // collision odds ~n^2/2^64 leave the exact counts intact).
+    val sh = shingleHashArrays(docs, n = n)
       .select(col("doc_id"), size(col("shs")).as("n"),
         explode(col("shs")).as("shingle"))
     val byShingle = sh.groupBy(col("shingle"))
@@ -127,11 +129,12 @@ object DedupOps {
                  minEstJaccard: Double = 0.5, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    import graft.functions.MinHashAgg.minhash_agg
+    // signature computed per-row from the shingle-hash array: ZERO
+    // shuffles before banding (the grouped MinHashAgg variant serves
+    // streaming/SQL aggregation shapes)
     val sig = shingleHashArrays(docs, n = shingleN)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(minhash_agg(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(lit(j), expr(s"slice(sig, ${j * r + 1}, $r)")).as("bh"))
@@ -156,19 +159,17 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash per document over distinct word tokens, via the
-    * native SimHashAgg imperative aggregate (one shuffle, map-side
-    * combine, constant 64-counter state — no wide-codegen penalty). */
+  /** 64-bit SimHash per document over distinct word tokens, computed
+    * per-row from the token-hash array (shuffle-free; the grouped
+    * SimHashAgg variant serves streaming/SQL aggregation shapes). */
   def simHash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    import graft.functions.SimHashAgg.simhash_agg
+              idCol: String = "doc_id"): DataFrame =
     graft.Tables.widen(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-      .groupBy(col("doc_id"))
-      .agg(simhash_agg(xxhash64(col("tok"))).as("simhash"))
-  }
+      .select(col(idCol).as("doc_id"), expr(
+        s"transform(array_remove(array_distinct(split(lower($textCol), " +
+          s"' ')), ''), t -> xxhash64(t))").as("toks"))
+      .select(col("doc_id"),
+        graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
     * by 16-bit bands: distance <= 3 guarantees at least one of the 4 bands
