@@ -75,6 +75,14 @@ object SparkEntry {
     }),
     "q42_multimodal_features" -> ((s, d) =>
       MultimodalOps.documentFeatures(s, Tables.load(s, d, "documents"))),
+    "q45_ann_ivf" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.train(e, c = 16, iters = 2)
+      IvfIndex.search(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
+        model, k = 10, nprobe = 4)
+    }),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),

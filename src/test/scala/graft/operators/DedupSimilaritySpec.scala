@@ -63,6 +63,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"ANN recall@10 = $recall") // multi-probe, 8 bits
   }
 
+  test("IVF: clusters cover all vectors; search beats random recall") {
+    val model = IvfIndex.train(emb, c = 16, iters = 2)
+    assert(model.c == 16)
+    val assigned = IvfIndex.assign(emb, model)
+    assert(assigned.filter($"_cluster" < 0 || $"_cluster" >= 16).count() == 0)
+    assert(assigned.count() == emb.count())
+
+    val q = emb.filter($"vec_id" === 0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val brute = SimilarityOps.bruteForceTopK(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = IvfIndex.search(rest, q, model, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    // probing 4/16 clusters scans ~25% of vectors; correlated with the
+    // query's neighborhood, recall must beat the random-scan baseline
+    val recall = brute.count(ivf).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
   test("langId + text stats agree with hand computation") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
