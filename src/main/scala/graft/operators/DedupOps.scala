@@ -65,15 +65,7 @@ object DedupOps {
     shingleArrays(docs, textCol, idCol, n)
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
 
-  /** All ordered (d1 < d2) pairs from a sorted struct-array column `sds`
-    * of (doc_id, <payload>), payload field carried through both sides —
-    * generated in-place by nested array transforms (no self-join). */
-  private def pairComboExpr(payload: String): String =
-    s"""flatten(transform(sequence(1, size(sds)-1),
-       |  i -> transform(slice(sds, i+1, size(sds)-i),
-       |    y -> struct(sds[i-1].doc_id AS d1, sds[i-1].$payload AS p1,
-       |                y.doc_id AS d2, y.$payload AS p2))))"""
-      .stripMargin.replace("\n", " ")
+  import graft.functions.PairExplode.pair_explode
 
   /** EXACT n-gram Jaccard near-dup pairs via inverted-index self-join:
     * pairs sharing >= 1 shingle get their true Jaccard; keep >= minJaccard.
@@ -99,12 +91,10 @@ object DedupOps {
       case Some(m) => byShingle.filter(size(col("ds")) <= m)
       case None => byShingle
     }
-    val combos = capped
-      .select(sort_array(col("ds")).as("sds"))
-      .select(explode(expr(pairComboExpr("n"))).as("p"))
+    val combos = capped.select(
+      pair_explode(sort_array(col("ds"))).as(Seq("d1", "n1", "d2", "n2")))
     combos
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        col("p.p1").as("n1"), col("p.p2").as("n2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"), col("inter"),
         (col("inter") / (col("n1") + col("n2") - col("inter")))
@@ -147,11 +137,11 @@ object DedupOps {
     val combos = buckets.groupBy(col("bk"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(sort_array(col("ds")).as("sds"))
-      .select(explode(expr(pairComboExpr("sig"))).as("p"))
+      .select(pair_explode(sort_array(col("ds")))
+        .as(Seq("d1", "s1", "d2", "s2")))
     combos
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        (aggregate(zip_with(col("p.p1"), col("p.p2"),
+      .select(col("d1"), col("d2"),
+        (aggregate(zip_with(col("s1"), col("s2"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
       .groupBy(col("d1"), col("d2"))
@@ -185,10 +175,10 @@ object DedupOps {
     buckets.groupBy(col("bk"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(sort_array(col("ds")).as("sds"))
-      .select(explode(expr(pairComboExpr("simhash"))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        bit_count(col("p.p1").bitwiseXOR(col("p.p2"))).as("hamming"))
+      .select(pair_explode(sort_array(col("ds")))
+        .as(Seq("d1", "h1", "d2", "h2")))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("d1"), col("d2"))
       .agg(min(col("hamming")).as("hamming"))

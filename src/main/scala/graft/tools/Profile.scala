@@ -30,8 +30,8 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     (1 to 2).foreach { round =>
       println(s"--- round $round")
-      time("shingleArrays")(DedupOps.shingleArrays(docs).count())
-      val sh = DedupOps.shingleArrays(docs)
+      time("shingleHashArrays")(DedupOps.shingleHashArrays(docs).count())
+      val sh = DedupOps.shingleHashArrays(docs)
         .select(col("doc_id"), size(col("shs")).as("n"),
           explode(col("shs")).as("shingle"))
       time("explode")(sh.count())
@@ -39,9 +39,13 @@ object Profile {
         .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
         .filter(size(col("ds")) > 1)
       time("byShingle")(byShingle.count())
+      val combos = byShingle.select(
+        graft.functions.PairExplode.pair_explode(sort_array(col("ds")))
+          .as(Seq("d1", "n1", "d2", "n2")))
+      time("combos")(combos.count())
+      time("pairAgg")(combos.groupBy(col("d1"), col("d2"), col("n1"),
+        col("n2")).agg(count(lit(1))).count())
       time("full ngramJaccard")(DedupOps.ngramJaccard(docs).count())
-      time("minHashSignatures")(
-        DedupOps.minHashSignatures(DedupOps.shingles(docs)).count())
       time("full minHashLsh")(DedupOps.minHashLsh(docs).count())
       time("simHash")(DedupOps.simHash(docs).count())
       time("full simHashPairs")(DedupOps.simHashPairs(docs).count())
