@@ -213,6 +213,45 @@ class LakeTable private (
     -1 // unreachable
   }
 
+  /** Garbage-collect files no snapshot references: leftovers from
+    * crashed writers (written but never committed — the failure mode the
+    * reference silently leaks on every write/commit error) and staging
+    * dirs. Never touches referenced files, so it is safe concurrent with
+    * readers of any committed snapshot — but NOT with in-flight writers
+    * (their pre-commit files look orphaned; production would add an age
+    * threshold, as Iceberg's orphan-file removal does). Returns deleted
+    * file count. */
+  def vacuum(): Int = {
+    val referenced: Set[Path] =
+      (0 to currentVersion).flatMap { v =>
+        val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+        filesOf(n).map(f => Paths.get(root, f.path).normalize())
+      }.toSet
+    var deleted = 0
+    val dataDir = Paths.get(root, "data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+            && !referenced.contains(p.normalize())) {
+          Files.delete(p); deleted += 1
+        } else if (Files.isDirectory(p) &&
+            !Files.list(p).iterator().hasNext && p != dataDir) {
+          Files.delete(p)
+        }
+      }
+    }
+    // stale staging dirs from crashed partitioned writes
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".staging-"))
+      .toSeq.foreach { st =>
+        Files.walk(st).iterator().asScala.toSeq.reverse.foreach { p =>
+          if (Files.isRegularFile(p)) deleted += 1
+          Files.deleteIfExists(p)
+        }
+      }
+    deleted
+  }
+
   /** Additive evolution: union of table and incoming columns; incoming
     * types must match existing ones exactly; new columns become nullable
     * and get fresh, never-reused field IDs. */

@@ -31,6 +31,28 @@ class EngineSpec extends SparkSuite {
     engine.shutdown()
   }
 
+  test("multiple concurrent MVs ingest independently (reference's " +
+    "per-view reader parallelism)") {
+    implicit val sqlCtx = spark.sqlContext
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("engine-multi")),
+      CatalogConfig(namespace = "multi"),
+      BatchingConfig(triggerInterval = "50 milliseconds")))
+    val in1 = MemoryStream[Long]
+    val in2 = MemoryStream[Long]
+    val (t1, q1) = engine.startMaterializedView("mv_a",
+      in1.toDF().toDF("id"))
+    val (t2, q2) = engine.startMaterializedView("mv_b",
+      in2.toDF().toDF("id").withColumn("sq", col("id") * col("id")))
+    in1.addData(1L, 2L, 3L)
+    in2.addData(10L, 20L)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    assert(t1.read().count() == 3)
+    assert(t2.read().agg(sum("sq")).as[Long].head() == 500L)
+    assert(engine.catalog.listTables("multi") == Seq("mv_a", "mv_b"))
+    engine.shutdown()
+  }
+
   test("config wiring: availableNow trigger + namespace isolation") {
     implicit val sqlCtx = spark.sqlContext
     val engine = new GraftEngine(spark, GraftConfig(

@@ -94,6 +94,22 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().orderBy("a").collect().toSeq == before)
   }
 
+  test("vacuum removes orphaned files, keeps all snapshot-referenced ones") {
+    val t = freshTable("vac", abSchema)
+    t.append(Seq((1L, "x")).toDF("a", "b"))
+    t.append(Seq((2L, "y")).toDF("a", "b"))
+    // simulate a crashed writer: data written, commit never happened
+    val orphanDir = java.nio.file.Paths.get(t.root, "data", "batch-orphan")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.writeString(
+      orphanDir.resolve("part-00000-dead.parquet"), "not really parquet")
+    val before = t.read().orderBy("a").collect().toSeq
+    assert(t.vacuum() == 1)
+    assert(t.read().orderBy("a").collect().toSeq == before)
+    assert(t.readVersion(1).count() == 1) // time travel still intact
+    assert(t.vacuum() == 0) // idempotent
+  }
+
   test("create fails when table exists; load sees committed state") {
     val dir = tmpDir("dup")
     LakeTable.create(spark, dir, abSchema)
