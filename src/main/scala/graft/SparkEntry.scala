@@ -42,6 +42,9 @@ object SparkEntry {
     "q22_conditional_agg" -> (Relational.conditionalAgg _),
     "q23_udaf_geomean" -> (Relational.udafGeomean _),
     "q24_approx_distinct" -> (Relational.approxDistinct _),
+    "q25_fuzzy_levenshtein" -> (Relational.fuzzyLevenshtein _),
+    "q26_array_funcs" -> (Relational.arrayFuncs _),
+    "q27_except_all" -> (Relational.exceptAll _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
@@ -225,6 +228,22 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q25_fuzzy_levenshtein" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+         levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON substring(a.p_name, 1, 8) = substring(b.p_name, 1, 8)
+           AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 4""",
+    "q26_array_funcs" ->
+      """SELECT l_orderkey, CAST(len(qs) AS INTEGER) AS n_items,
+         qs[1] AS min_qty, qs[-1] AS max_qty, list_sum(qs) AS sum_qty
+         FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+               FROM lineitem GROUP BY l_orderkey)""",
+    "q27_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         EXCEPT ALL
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text""",

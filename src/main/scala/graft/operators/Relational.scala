@@ -273,6 +273,40 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
         count(lit(1)).as("n"))
 
+  /** Fuzzy matching: edit-distance pairs, blocked by name prefix so the
+    * candidate set stays linear (classic blocking for string joins). */
+  def fuzzyLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        substring(col("p_name"), 1, 8).as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= 4)
+  }
+
+  /** Array-function battery over grouped data: collect, sort, index,
+    * fold — scalar outputs only (stable across engines). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        element_at(col("qs"), 1).as("min_qty"),
+        element_at(col("qs"), -1).as("max_qty"),
+        aggregate(col("qs"), lit(0.0), (acc, x) => acc + x).as("sum_qty"))
+
+  /** EXCEPT ALL (multiset difference — keeps duplicate cardinality). */
+  def exceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey"))
+      .exceptAll(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey")))
+
   def udafGeomean(s: SparkSession, dir: String): DataFrame = {
     val gm = udaf(GeoMean)
     t(s, dir, "orders")

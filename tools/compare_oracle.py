@@ -19,18 +19,27 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(rows, cols):
+    """Column-name-sorted rows; floats kept raw but sorted by a rounded
+    key so ordering is stable across engines."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        cr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): cr.append("NaN")
-                else: cr.append(f"{v:.6g}")
-            else: cr.append(repr(v))
-        out.append(tuple(cr))
-    return sorted(out)
+    out = [tuple(r[i] for i in order) for r in rows]
+    def key(row):
+        return tuple(f"{v:.5g}" if isinstance(v, float) and not math.isnan(v)
+                     else repr(v) for v in row)
+    return sorted(out, key=key)
+
+def rows_equal(a, b):
+    if len(a) != len(b): return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb): return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb): continue
+                if not math.isclose(va, vb, rel_tol=1e-6, abs_tol=1e-9):
+                    return False
+            elif va != vb:
+                return False
+    return True
 
 fails, passes, noracle = [], [], []
 for qdir in sorted(glob.glob(f"{out_dir}/q*")):
@@ -48,12 +57,13 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         continue
     if sorted(got_rel.columns) != sorted(exp_rel.columns):
         fails.append((name, f"cols {sorted(got_rel.columns)} != {sorted(exp_rel.columns)}"))
-    elif got == exp:
+    elif rows_equal(got, exp):
         passes.append(name)
     else:
         diff = [f"rows {len(got)} vs {len(exp)}"]
-        onlyg = [r for r in got if r not in set(exp)][:3]
-        onlye = [r for r in exp if r not in set(got)][:3]
+        sg, se = set(map(repr, got)), set(map(repr, exp))
+        onlyg = [r for r in got if repr(r) not in se][:3]
+        onlye = [r for r in exp if repr(r) not in sg][:3]
         if onlyg: diff.append(f"ours-only: {onlyg}")
         if onlye: diff.append(f"oracle-only: {onlye}")
         fails.append((name, "; ".join(diff)))
