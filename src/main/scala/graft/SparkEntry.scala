@@ -45,6 +45,8 @@ object SparkEntry {
     "q25_fuzzy_levenshtein" -> (Relational.fuzzyLevenshtein _),
     "q26_array_funcs" -> (Relational.arrayFuncs _),
     "q27_except_all" -> (Relational.exceptAll _),
+    "q28_datetime_funcs" -> (Relational.datetimeFuncs _),
+    "q29_math_funcs" -> (Relational.mathFuncs _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
@@ -228,6 +230,21 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q28_datetime_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         count(*) AS n,
+         avg(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01'))
+           AS avg_days,
+         sum(o_totalprice) AS revenue
+         FROM orders GROUP BY 1, 2""",
+    "q29_math_funcs" ->
+      """SELECT l_returnflag,
+         avg(sqrt(l_quantity)) AS avg_sqrt_qty,
+         sum(ln(l_extendedprice)) AS sum_ln_price,
+         max(pow(l_discount, 2)) AS max_disc_sq,
+         min(abs(l_tax - 0.04)) AS min_tax_dev,
+         avg(greatest(l_quantity, 25.0)) AS avg_qty_floor25
+         FROM lineitem GROUP BY l_returnflag""",
     "q25_fuzzy_levenshtein" ->
       """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
          levenshtein(a.p_name, b.p_name) AS dist

@@ -299,6 +299,31 @@ object Relational {
         element_at(col("qs"), -1).as("max_qty"),
         aggregate(col("qs"), lit(0.0), (acc, x) => acc + x).as("sum_qty"))
 
+  /** Date/time function battery: extraction, day arithmetic, month
+    * arithmetic — grouped to scalar outputs. */
+  def datetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_totalprice"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("days_to_2002")).as("avg_days"),
+        sum(col("o_totalprice")).as("revenue"))
+
+  /** Math function battery. */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg(sqrt(col("l_quantity"))).as("avg_sqrt_qty"),
+        sum(log(col("l_extendedprice"))).as("sum_ln_price"),
+        max(pow(col("l_discount"), 2)).as("max_disc_sq"),
+        min(abs(col("l_tax") - 0.04)).as("min_tax_dev"),
+        avg(greatest(col("l_quantity"), lit(25.0))).as("avg_qty_floor25"))
+
   /** EXCEPT ALL (multiset difference — keeps duplicate cardinality). */
   def exceptAll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_totalprice") > 200000)
