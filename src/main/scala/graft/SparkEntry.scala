@@ -47,6 +47,7 @@ object SparkEntry {
     "q27_except_all" -> (Relational.exceptAll _),
     "q28_datetime_funcs" -> (Relational.datetimeFuncs _),
     "q29_math_funcs" -> (Relational.mathFuncs _),
+    "q46_window_stats" -> (Relational.windowStats _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
@@ -230,6 +231,20 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q46_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         first_value(o_totalprice) OVER wf AS cheapest,
+         last_value(o_totalprice) OVER wf AS priciest
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey),
+                wf AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)""",
     "q28_datetime_funcs" ->
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          count(*) AS n,

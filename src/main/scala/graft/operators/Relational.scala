@@ -92,6 +92,22 @@ object Relational {
       lead(col("o_totalprice"), 1).over(w).as("next_price"))
   }
 
+  /** Ranking/distribution window battery: ntile, percent_rank,
+    * cume_dist, first/last over an explicit full frame. */
+  def windowStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      first(col("o_totalprice")).over(full).as("cheapest"),
+      last(col("o_totalprice")).over(full).as("priciest"))
+  }
+
   /** ROLLUP hierarchy totals. */
   def rollupQty(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

@@ -24,6 +24,15 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(sim.forall(_.getSeq[Long](2).length == 16))
   }
 
+  test("plain Scala UDF registration (the escape hatch of last resort)") {
+    val slug = org.apache.spark.sql.functions.udf(
+      (s: String) => s.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+    spark.udf.register("slugify", slug)
+    val got = spark.sql("SELECT slugify('Hello, World! 42') AS s")
+      .as[String].head()
+    assert(got == "hello-world-42")
+  }
+
   test("GraftExtensions injects functions at session build") {
     val active = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.clearActiveSession()
