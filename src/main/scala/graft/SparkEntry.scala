@@ -261,12 +261,15 @@ object SparkEntry {
          avg(greatest(l_quantity, 25.0)) AS avg_qty_floor25
          FROM lineitem GROUP BY l_returnflag""",
     "q25_fuzzy_levenshtein" ->
-      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-         levenshtein(a.p_name, b.p_name) AS dist
-         FROM part a JOIN part b
-           ON substring(a.p_name, 1, 8) = substring(b.p_name, 1, 8)
-           AND a.p_partkey < b.p_partkey
-         WHERE levenshtein(a.p_name, b.p_name) <= 4""",
+      """SELECT name_prefix, count(*) AS n_pairs, avg(dist) AS avg_dist,
+         CAST(max(dist) AS INTEGER) AS max_dist
+         FROM (SELECT substring(a.p_name, 1, 8) AS name_prefix,
+                      levenshtein(a.p_name, b.p_name) AS dist
+               FROM part a JOIN part b
+                 ON substring(a.p_name, 1, 8) = substring(b.p_name, 1, 8)
+                 AND a.p_partkey < b.p_partkey
+               WHERE levenshtein(a.p_name, b.p_name) <= 4)
+         GROUP BY 1""",
     "q26_array_funcs" ->
       """SELECT l_orderkey, CAST(len(qs) AS INTEGER) AS n_items,
          qs[1] AS min_qty, qs[-1] AS max_qty, list_sum(qs) AS sum_qty

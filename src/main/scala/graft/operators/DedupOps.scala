@@ -47,17 +47,17 @@ object DedupOps {
         s"array_distinct(transform(sequence(0, size(w)-$n), " +
           s"i -> ${shingleConcat(n)}))").as("shs"))
 
-  /** Same, but shingles pre-hashed to 64-bit (xxhash64) — halves shuffle
-    * width and hash-agg cost for the MinHash path, where only hash
-    * identity matters (collision odds ~n^2/2^64, negligible). */
+  /** Same, but shingles as 64-bit hashes computed by the native one-pass
+    * ShingleHashes expression (the HoF formulation was interpreted
+    * per-shingle and dominated every dedup operator). Only hash identity
+    * matters downstream (collision odds ~n^2/2^64, negligible). */
   def shingleHashArrays(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3): DataFrame =
     graft.Tables.widen(docs)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(0, size(w)-$n), " +
-          s"i -> xxhash64(${shingleConcat(n)})))").as("shs"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
+          .as("shs"))
+      .filter(size(col("shs")) >= 1)
 
   /** Exploded form: (doc_id, shingle), distinct by construction. */
   def shingles(docs: DataFrame, textCol: String = "text",
@@ -66,6 +66,15 @@ object DedupOps {
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
 
   import graft.functions.PairExplode.pair_explode
+
+  /** Hash-repartition on `cols` pinned to defaultParallelism: the
+    * following groupBy reuses this partitioning (single shuffle), but
+    * AQE can no longer coalesce it below cluster parallelism — these
+    * stages are CPU-dense with few bytes per row, so byte-based
+    * coalescing would serialize them. */
+  private def pinned(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      cols.map(col): _*)
 
   /** EXACT n-gram Jaccard near-dup pairs via inverted-index self-join:
     * pairs sharing >= 1 shingle get their true Jaccard; keep >= minJaccard.
@@ -84,7 +93,7 @@ object DedupOps {
     val sh = shingleHashArrays(docs, n = n)
       .select(col("doc_id"), size(col("shs")).as("n"),
         explode(col("shs")).as("shingle"))
-    val byShingle = sh.groupBy(col("shingle"))
+    val byShingle = pinned(sh, "shingle").groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) > 1)
     val capped = maxDf match {
@@ -93,7 +102,7 @@ object DedupOps {
     }
     val combos = capped.select(
       pair_explode(sort_array(col("ds"))).as(Seq("d1", "n1", "d2", "n2")))
-    combos
+    pinned(combos, "d1", "d2")
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"), col("inter"),

@@ -289,18 +289,32 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
         count(lit(1)).as("n"))
 
-  /** Fuzzy matching: edit-distance pairs, blocked by name prefix so the
-    * candidate set stays linear (classic blocking for string joins). */
+  /** Fuzzy matching: edit-distance over name pairs, blocked by prefix so
+    * the candidate set stays linear (classic blocking for string joins);
+    * aggregated per block — the fixture names are low-entropy, so
+    * emitting raw pairs would return millions of dist-0 rows. */
   def fuzzyLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    // explicit repartition: the blocked self-join is CPU-dense but only
+    // ~1 MB of bytes, so AQE would coalesce it to one partition and
+    // serialize 6M edit-distance evaluations; pinning the partition
+    // count keeps it parallel (and the join reuses this partitioning —
+    // no further exchange)
     val p = t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"),
         substring(col("p_name"), 1, 8).as("blk"))
+      .repartition(32, col("blk"))
     p.as("a").join(p.as("b"),
         col("a.blk") === col("b.blk") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-      .filter(col("dist") <= 4)
+          col("a.p_partkey") < col("b.p_partkey") &&
+          // |len diff| > t implies dist > t: free exact-preserving prune
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 4)
+      .select(col("a.blk").as("name_prefix"),
+        // threshold variant early-exits the DP once distance exceeds 4
+        levenshtein(col("a.p_name"), col("b.p_name"), 4).as("dist"))
+      .filter(col("dist").between(0, 4))
+      .groupBy(col("name_prefix"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("dist")).as("avg_dist"),
+        max(col("dist")).as("max_dist"))
   }
 
   /** Array-function battery over grouped data: collect, sort, index,
