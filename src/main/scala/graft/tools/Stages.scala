@@ -22,10 +22,13 @@ object Stages {
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
-    println("=== q32 run 1")
-    DedupOps.ngramJaccard(docs).count()
-    println("=== q32 run 2")
-    DedupOps.ngramJaccard(docs).count()
+    Seq("q32" -> (() => DedupOps.ngramJaccard(docs).count()),
+        "q33" -> (() => DedupOps.minHashLsh(docs).count()),
+        "q34" -> (() => DedupOps.simHashPairs(docs).count())).foreach {
+      case (n, f) =>
+        println(s"=== $n run 1"); f()
+        println(s"=== $n run 2"); f()
+    }
     spark.stop()
   }
 }

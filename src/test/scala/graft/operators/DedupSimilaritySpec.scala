@@ -30,6 +30,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("hash-based jaccard equals string-shingle reference computation") {
+    // reference: string shingles via the kept shingleArrays path
+    val sh = DedupOps.shingleArrays(docs)
+      .select($"doc_id", explode($"shs").as("shingle"))
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ref = sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" &&
+        $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.as("ca"), $"d1" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"d2" === $"cb.doc_id")
+      .select($"d1", $"d2",
+        ($"inter" / ($"ca.n" + $"cb.n" - $"inter")).as("j"))
+      .filter($"j" >= 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val got = DedupOps.ngramJaccard(docs, minJaccard = 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(ref.nonEmpty && got == ref)
+  }
+
   test("simhash of identical docs collides at hamming 0") {
     val base = docs.select("doc_id", "text").limit(3)
     val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
