@@ -48,6 +48,7 @@ object SparkEntry {
     "q28_datetime_funcs" -> (Relational.datetimeFuncs _),
     "q29_math_funcs" -> (Relational.mathFuncs _),
     "q46_window_stats" -> (Relational.windowStats _),
+    "q47_sessionize" -> (Relational.sessionize _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
@@ -231,6 +232,20 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q47_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts FROM events),
+         s AS (SELECT *, CASE WHEN prev_ts IS NULL
+             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+             AS new_sess FROM g),
+         t AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS sess_id FROM s)
+         SELECT user_id, sess_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, sum(value) AS sum_value
+         FROM t GROUP BY 1, 2""",
     "q46_window_stats" ->
       """SELECT o_custkey, o_orderkey,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -116,6 +116,29 @@ class LakeTable private (
         .schema(snapSchema).parquet(paths: _*)
   }
 
+  /** Incremental read: only rows in files committed AFTER `fromVersion`
+    * (CDC-style append diff — the snapshot log makes this a file-list
+    * set difference, no data diffing). */
+  def changesSince(fromVersion: Int): DataFrame = {
+    val from =
+      if (fromVersion < 0) Set.empty[String]
+      else {
+        val node = mapper.readTree(
+          Files.readString(versionPath(metaDir, fromVersion)))
+        filesOf(node).map(_.path).toSet
+      }
+    val added = dataFiles.map(_.path).filterNot(from.contains)
+    val snapSchema = schema
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+    else if (partitionBy.isEmpty)
+      spark.read.schema(snapSchema).parquet(added.map(p => s"$root/$p"): _*)
+    else
+      spark.read.option("basePath", s"$root/data")
+        .schema(snapSchema).parquet(added.map(p => s"$root/$p"): _*)
+  }
+
   // ---- write ---------------------------------------------------------
 
   /** Transactional append. Returns the committed version. Thread/process

@@ -265,6 +265,27 @@ object Relational {
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
         avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
 
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * a >30min silence per user; one shuffle + window pass, then the
+    * session aggregate. The streaming twin is session_window
+    * (StatefulStreamingSpec). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL '30' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+
   /** Typed UDAF (Aggregator): geometric mean via log-space sum. */
   object GeoMean extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)
