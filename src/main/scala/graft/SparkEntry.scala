@@ -49,6 +49,8 @@ object SparkEntry {
     "q29_math_funcs" -> (Relational.mathFuncs _),
     "q46_window_stats" -> (Relational.windowStats _),
     "q47_sessionize" -> (Relational.sessionize _),
+    "q48_percentiles" -> (Relational.percentiles _),
+    "q49_stats_agg" -> (Relational.statsAgg _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
@@ -232,6 +234,19 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q48_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         quantile_cont(o_totalprice, 0.9) AS p90_price,
+         quantile_cont(o_totalprice, 0.99) AS p99_price,
+         count(*) AS n FROM orders GROUP BY 1""",
+    "q49_stats_agg" ->
+      """SELECT l_returnflag,
+         stddev_samp(l_extendedprice) AS sd_price,
+         var_samp(l_quantity) AS var_qty,
+         corr(l_quantity, l_extendedprice) AS qty_price_corr,
+         covar_samp(l_discount, l_tax) AS disc_tax_cov
+         FROM lineitem GROUP BY l_returnflag""",
     "q47_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, value,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -265,6 +265,27 @@ object Relational {
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
         avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
 
+  /** Exact interpolated percentiles (both engines use linear
+    * interpolation for continuous quantiles). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        expr("percentile(o_totalprice, 0.99)").as("p99_price"),
+        count(lit(1)).as("n"))
+
+  /** Statistical aggregates: dispersion + correlation. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_extendedprice")).as("sd_price"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        covar_samp(col("l_discount"), col("l_tax")).as("disc_tax_cov"))
+
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * a >30min silence per user; one shuffle + window pass, then the
     * session aggregate. The streaming twin is session_window

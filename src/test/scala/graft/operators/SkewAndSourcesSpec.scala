@@ -31,6 +31,19 @@ class SkewAndSourcesSpec extends SparkSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("orc source round-trips, and <=> (null-safe equality) works") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val base = tmpDir("orc")
+    ev.write.orc(base)
+    assert(spark.read.orc(base).count() == ev.count())
+
+    val withNulls = Seq((Some(1L), Some(1L)), (None, None),
+      (Some(2L), None)).toDF("a", "b")
+    assert(withNulls.filter($"a" <=> $"b").count() == 2) // 1=1 and null<=>null
+    assert(withNulls.filter($"a" === $"b").count() == 1)
+  }
+
   test("csv and json sources round-trip the events table") {
     val ev = Tables.load(spark, sf, "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
