@@ -94,6 +94,21 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().orderBy("a").collect().toSeq == before)
   }
 
+  test("edge cases: empty append, evolution mid-pipe, empty-table read") {
+    val t = freshTable("edge", abSchema)
+    assert(t.read().count() == 0) // empty table reads as empty df
+    t.append(Seq.empty[(Long, String)].toDF("a", "b")) // 0-row commit ok
+    assert(t.currentVersion == 1 && t.read().count() == 0)
+    // evolution through the incremental pipe: new column appears upstream
+    val dst = freshTable("edge-dst", abSchema)
+    t.append(Seq((1L, "x")).toDF("a", "b"))
+    IncrementalPipe.step(t, dst, identity)
+    t.append(Seq((2L, "y", 9.0)).toDF("a", "b", "c"))
+    IncrementalPipe.step(t, dst, identity)
+    assert(dst.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(dst.read().count() == 2)
+  }
+
   test("vacuum removes orphaned files, keeps all snapshot-referenced ones") {
     val t = freshTable("vac", abSchema)
     t.append(Seq((1L, "x")).toDF("a", "b"))

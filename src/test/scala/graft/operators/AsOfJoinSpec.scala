@@ -42,6 +42,16 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got.toSeq == Seq("same"))
   }
 
+  test("empty right side leaves all left rows with null payload") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val right = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("k2", "t2", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, "k", "t", "k2", "t2",
+        Seq("payload")).select("k", "payload")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, None)))
+  }
+
   test("multiple payload columns survive intact") {
     val left = Seq((7L, ts("2024-01-01 10:00:00"), "L"))
       .toDF("k", "t", "tag")
