@@ -50,6 +50,8 @@ object SparkEntry {
     "q46_window_stats" -> (Relational.windowStats _),
     "q47_sessionize" -> (Relational.sessionize _),
     "q48_percentiles" -> (Relational.percentiles _),
+    "q54_pivot" -> (Relational.pivotEvents _),
+    "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
     // --- LLM-data operators (dedup / text / similarity) ---
     "q30_dedup_exact" -> ((s, d) => DedupOps.exact(Tables.load(s, d, "documents"))),
@@ -234,6 +236,28 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q54_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+    "q55_unpivot" ->
+      """WITH p AS (SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, n FROM (
+           SELECT user_id, 'click' AS event_type, click AS n FROM p
+           UNION ALL SELECT user_id, 'error', error FROM p
+           UNION ALL SELECT user_id, 'purchase', purchase FROM p
+           UNION ALL SELECT user_id, 'signup', signup FROM p
+           UNION ALL SELECT user_id, 'view', view FROM p)""",
     "q48_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,

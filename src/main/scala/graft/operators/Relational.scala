@@ -265,6 +265,29 @@ object Relational {
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
         avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
 
+  /** PIVOT: events to one row per user with per-type counts (explicit
+    * value list -> stable schema; nulls coalesced to 0 to match SQL
+    * conditional-aggregation semantics). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+  }
+
+  /** UNPIVOT (melt): wide per-type counts back to long (type, n) rows. */
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEvents(s, dir).unpivot(
+      ids = Array(col("user_id")),
+      values = types.map(col).toArray,
+      variableColumnName = "event_type",
+      valueColumnName = "n")
+  }
+
   /** Exact interpolated percentiles (both engines use linear
     * interpolation for continuous quantiles). */
   def percentiles(s: SparkSession, dir: String): DataFrame =
