@@ -63,6 +63,14 @@ object SparkEntry {
         k = 64, bands = 16, minEstJaccard = 0.5)),
     "q34_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
+    "q56_neardup_clusters" -> ((s, d) => {
+      val pairs = DedupOps.ngramJaccard(
+        Tables.load(s, d, "documents"), minJaccard = 0.8)
+      DedupOps.nearDupClusters(pairs)
+        .groupBy(org.apache.spark.sql.functions.col("cluster_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+    }),
     "q35_text_stats" -> (TextOps.textStats _),
     "q36_token_count" -> (TextOps.tokenStats _),
     "q37_lang_id" -> (TextOps.languageId _),
@@ -355,6 +363,30 @@ object SparkEntry {
          FROM pairs JOIN cnt ca ON ca.doc_id = d1
          JOIN cnt cb ON cb.doc_id = d2
          WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
+    "q56_neardup_clusters" ->
+      """WITH RECURSIVE
+         words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                  AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM pr
+                   JOIN cnt ca ON ca.doc_id = d1
+                   JOIN cnt cb ON cb.doc_id = d2
+                   WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.8),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach AS (SELECT a AS node, b AS r FROM edges
+                   UNION
+                   SELECT re.node, e.b FROM reach re
+                   JOIN edges e ON re.r = e.a),
+         labels AS (SELECT node, least(node, min(r)) AS cluster_id
+                    FROM reach GROUP BY node)
+         SELECT cluster_id, count(*) AS n_docs FROM labels GROUP BY 1""",
     "q35_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

@@ -158,6 +158,43 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Connected components over a near-dup pair graph (label
+    * propagation): every doc in a pair gets the minimum doc_id reachable
+    * through pairs as its cluster id — the step that turns pairwise
+    * near-dup hits into dedup groups with one canonical survivor.
+    *
+    * Iterative min-label propagation: each round is one join + min-agg
+    * (shuffle-parallel); rounds needed = graph diameter, which for dup
+    * clusters is tiny. The driver only orchestrates (checks the
+    * converged flag); all data stays distributed.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prop = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      val next = labels.join(prop, labels("node") === prop("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document over distinct word tokens, computed
     * per-row from the token-hash array (shuffle-free; the grouped
     * SimHashAgg variant serves streaming/SQL aggregation shapes). */

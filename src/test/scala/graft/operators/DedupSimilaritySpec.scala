@@ -51,6 +51,16 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ref.nonEmpty && got == ref)
   }
 
+  test("near-dup clusters: transitive closure with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 9L), (3L, 9L))
+      .toDF("d1", "d2")
+    val got = DedupOps.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // {1,2,3,7,9} chain through (3,9) -> label 1; {4,5} -> label 4
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 4L))
+  }
+
   test("simhash of identical docs collides at hamming 0") {
     val base = docs.select("doc_id", "text").limit(3)
     val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
