@@ -51,6 +51,8 @@ object SparkEntry {
     "q47_sessionize" -> (Relational.sessionize _),
     "q48_percentiles" -> (Relational.percentiles _),
     "q54_pivot" -> (Relational.pivotEvents _),
+    "q57_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
     // --- LLM-data operators (dedup / text / similarity) ---
@@ -244,6 +246,18 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    "q57_correlated_subquery" ->
+      """WITH sq AS (SELECT s_suppkey, s_name,
+           (SELECT sum(l_quantity) FROM lineitem
+            WHERE l_suppkey = s_suppkey
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = 'Brand#1')) AS total_qty
+           FROM supplier)
+         SELECT s_suppkey, s_name, total_qty FROM sq
+         WHERE total_qty > (SELECT 1.1 * avg(total_qty) FROM sq)""",
+    "q58_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1""",
     "q54_pivot" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -265,6 +265,23 @@ object Relational {
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
         avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
 
+  /** Correlated scalar subquery + IN-subquery, written in SQL so
+    * Catalyst's decorrelation (rewrite to joins) is exercised as a user
+    * would hit it. */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH sq AS (SELECT s_suppkey, s_name,
+        |  (SELECT sum(l_quantity) FROM lineitem
+        |   WHERE l_suppkey = s_suppkey
+        |   AND l_partkey IN (SELECT p_partkey FROM part
+        |                     WHERE p_brand = 'Brand#1')) AS total_qty
+        |  FROM supplier)
+        |SELECT s_suppkey, s_name, total_qty FROM sq
+        |WHERE total_qty > (SELECT 1.1 * avg(total_qty) FROM sq)
+        |""".stripMargin)
+  }
+
   /** PIVOT: events to one row per user with per-type counts (explicit
     * value list -> stable schema; nulls coalesced to 0 to match SQL
     * conditional-aggregation semantics). */

@@ -78,6 +78,27 @@ object StreamingQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Streaming dedup: the events stream unioned with itself (every row
+    * duplicated) -> watermark -> dropDuplicatesWithinWatermark restores
+    * exactly one copy; aggregate of the deduped output must equal the
+    * plain batch aggregate. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val qname = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val doubled = eventsStream(s, dir)
+      .unionByName(eventsStream(s, dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = doubled.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
+
   /** Partitioned LakeTable: hive-layout partitions by event_type, then a
     * partition-pruned read (only the `purchase` directory is scanned). */
   def lakePartitioned(s: SparkSession, dir: String): DataFrame = {
