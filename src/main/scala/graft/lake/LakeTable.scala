@@ -79,6 +79,12 @@ class LakeTable private (
     Option(m.get(key)).map(_.asText())
   }
 
+  /** appMeta of a specific historical snapshot. */
+  def appMetaAt(version: Int, key: String): Option[String] = {
+    val n = mapper.readTree(Files.readString(versionPath(metaDir, version)))
+    Option(n.get("appMeta")).flatMap(m => Option(m.get(key))).map(_.asText())
+  }
+
   def partitionBy: Seq[String] = {
     val n = latest()._2.get("partitionBy")
     if (n == null) Seq.empty
