@@ -6,9 +6,12 @@ import graft.functions.TextFunctions
 
 /** Deduplication operators for LLM training-data pipelines: exact,
   * normalized-exact, exact n-gram Jaccard (inverted-index join), MinHash
-  * LSH and SimHash. Everything is groupBy/join-shaped — shuffle-parallel,
-  * no driver-side collection — so the same plans run on a 1000-executor
-  * cluster over 100 TB of documents.
+  * LSH, SimHash, and connected-component clustering. Everything is
+  * groupBy/join-shaped — shuffle-parallel, no driver-side collection —
+  * so the same plans run on a 1000-executor cluster over 100 TB of
+  * documents. (North-star ops beyond the reference's surface, per the
+  * build brief; the reference itself is ingestion-only,
+  * /root/reference README.md:3-19.)
   */
 object DedupOps {
 

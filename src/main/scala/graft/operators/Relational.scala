@@ -10,6 +10,12 @@ import graft.Tables
   * sets/distinct), window functions, sort/limit/top-k, set ops, scalar +
   * JSON functions, scalar subqueries, typed UDAF.
   *
+  * The reference delegates ALL of this to its upstream SQL engine
+  * (/root/reference README.md:3,13,64 — RisingWave materialized views;
+  * no expression/join/aggregate code exists in the repo, go.mod:5-11),
+  * so this file IS that delegated query capability, re-expressed on
+  * Spark SQL / Catalyst.
+  *
   * Every query is a declarative DataFrame plan — Catalyst gets predicate
   * pushdown, column pruning and join selection for free. Dimension tables
   * (region/nation) are explicitly broadcast; fact-fact joins shuffle on
