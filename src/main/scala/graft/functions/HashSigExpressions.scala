@@ -138,9 +138,75 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_sig"
 }
 
+/** LSH band hashes of a MinHash signature: splits the k-long signature
+  * into `bands` equal slices and hashes each (band index mixed in), as
+  * one native loop instead of `bands` separate slice+hash expression
+  * trees. Output index = band id (pair with posexplode). */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"band_hashes expects array<bigint>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val k = a.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < r) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(a.getLong(b * r + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      s"""
+         |int $r = $a.numElements() / $bands;
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = (long) $b;
+         |  for (int $j = 0; $j < $r; $j++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashLong($a.getLong($b * $r + $j), $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "band_hashes"
+}
+
 object HashSig {
   def minhash_sig(hashes: Column, k: Int = 64, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k, seed))
   def simhash_sig(hashes: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(hashes)))
+  def band_hashes(sig: Column, bands: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(sig), bands))
 }

@@ -130,19 +130,17 @@ object DedupOps {
   def minHashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
                  minEstJaccard: Double = 0.5, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // signature computed per-row from the shingle-hash array: ZERO
     // shuffles before banding (the grouped MinHashAgg variant serves
     // streaming/SQL aggregation shapes)
     val sig = shingleHashArrays(docs, n = shingleN)
       .select(col("doc_id"),
         graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
-    val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64(lit(j), expr(s"slice(sig, ${j * r + 1}, $r)")).as("bh"))
-    }
+    // one native band-hash loop + posexplode (band index, band hash)
     val buckets = sig.select(col("doc_id"), col("sig"),
-      explode(array(bandStructs: _*)).as("bk"))
+        posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))
+      .select(col("doc_id"), col("sig"),
+        struct(col("pos").as("band"), col("col").as("bh")).as("bk"))
     // signatures ride along into the buckets; candidate pairs are
     // generated in-place per bucket (group-by-bucket + combos), then
     // deduped per pair — two shuffles, no self-join of the bucket table
