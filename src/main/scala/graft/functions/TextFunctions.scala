@@ -61,6 +61,33 @@ object TextFunctions {
     }
   }
 
+  /** Character-n-gram language ID: score = count of occurrences of each
+    * language's characteristic bigrams/trigrams, argmax with declaration
+    * -order tie-break (complements the stopword-based [[langId]]; both
+    * are linear scans composed from codegen'd built-ins). */
+  val charNgramMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", " a ", "er"),
+    "de" -> Seq("ch", "ei", "sch", "und", "en "),
+    "es" -> Seq("os", "as", "ión", " de", "la "),
+    "fr" -> Seq("ou", "es", "ent", " le", "eu"))
+
+  def langIdNgram(textCol: String): Column = {
+    val scores = charNgramMarkers.map { case (lang, grams) =>
+      lang -> grams.map(g =>
+        // non-regex occurrence count via length arithmetic
+        (length(lower(col(textCol))) -
+          length(regexp_replace(lower(col(textCol)),
+            java.util.regex.Pattern.quote(g), ""))) / g.length)
+        .reduce(_ + _)
+    }
+    scores.init.foldRight(lit(scores.last._1): Column) {
+      case ((lang, s), elseCol) =>
+        val later = scores.drop(scores.indexWhere(_._1 == lang) + 1)
+        val geAll = later.map(ls => s >= ls._2).reduce(_ && _)
+        when(geAll, lit(lang)).otherwise(elseCol)
+    }
+  }
+
   /** Document fingerprint: md5 of the normalized text (hex string). */
   def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
 

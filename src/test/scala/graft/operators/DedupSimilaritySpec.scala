@@ -123,5 +123,13 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lang(1L) == "en" && lang(2L) == "de")
     val wc = df.select(wordCount($"text")).as[Long].collect().toSeq
     assert(wc == Seq(5L, 5L))
+
+    val ng = Seq(
+      (1L, "the thing he was doing there"),
+      (2L, "ich mochte schnell und einfach sprechen und singen"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", langIdNgram("text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(ng(1L) == "en" && ng(2L) == "de")
   }
 }
