@@ -52,6 +52,7 @@ object SparkEntry {
     "q48_percentiles" -> (Relational.percentiles _),
     "q54_pivot" -> (Relational.pivotEvents _),
     "q57_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "q59_shipping_priority" -> (Relational.shippingPriority _),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
@@ -258,6 +259,17 @@ object SparkEntry {
     "q58_stream_dedup" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
          FROM events GROUP BY 1""",
+    "q59_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q54_pivot" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -91,12 +91,15 @@ class LakeTable private (
     else n.elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Retained snapshots only (expired versions are absent). */
   def snapshots: Seq[SnapshotInfo] =
-    (0 to currentVersion).map { v =>
-      val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
-      SnapshotInfo(v, n.get("committedAtMs").asLong(),
-        filesOf(n).size, filesOf(n).map(_.rows).sum)
-    }
+    (0 to currentVersion)
+      .filter(v => Files.exists(versionPath(metaDir, v)))
+      .map { v =>
+        val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+        SnapshotInfo(v, n.get("committedAtMs").asLong(),
+          filesOf(n).size, filesOf(n).map(_.rows).sum)
+      }
 
   // ---- read ----------------------------------------------------------
 
@@ -242,6 +245,25 @@ class LakeTable private (
     -1 // unreachable
   }
 
+  /** Iceberg-style snapshot retention: delete snapshot metadata older
+    * than the newest `keepLast` versions, then vacuum data files that
+    * only those expired snapshots referenced. Time travel remains valid
+    * for every retained version; the contiguous version numbering the
+    * commit protocol relies on is preserved (only a lower bound moves).
+    * Returns (expired snapshots, deleted data files). */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion
+    val cutoff = cur - keepLast + 1
+    val expired = (0 until cutoff).filter(v =>
+      Files.exists(versionPath(metaDir, v)))
+    expired.foreach(v => Files.delete(versionPath(metaDir, v)))
+    val removedFiles = vacuumAgainst(
+      (math.max(0, cutoff) to cur).filter(v =>
+        Files.exists(versionPath(metaDir, v))))
+    (expired.size, removedFiles)
+  }
+
   /** Garbage-collect files no snapshot references: leftovers from
     * crashed writers (written but never committed — the failure mode the
     * reference silently leaks on every write/commit error) and staging
@@ -250,9 +272,13 @@ class LakeTable private (
     * (their pre-commit files look orphaned; production would add an age
     * threshold, as Iceberg's orphan-file removal does). Returns deleted
     * file count. */
-  def vacuum(): Int = {
+  def vacuum(): Int =
+    vacuumAgainst((0 to currentVersion).filter(v =>
+      Files.exists(versionPath(metaDir, v))))
+
+  private def vacuumAgainst(versions: Seq[Int]): Int = {
     val referenced: Set[Path] =
-      (0 to currentVersion).flatMap { v =>
+      versions.flatMap { v =>
         val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
         filesOf(n).map(f => Paths.get(root, f.path).normalize())
       }.toSet

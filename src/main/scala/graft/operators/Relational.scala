@@ -271,6 +271,25 @@ object Relational {
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
         avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
 
+  /** TPC-H Q3-style shipping-priority query: selective filters on both
+    * join sides, 3-way join, aggregation, top-k — the classic combined
+    * pipeline (filters pushed to scans, dims broadcast, TakeOrdered). */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Correlated scalar subquery + IN-subquery, written in SQL so
     * Catalyst's decorrelation (rewrite to joins) is exercised as a user
     * would hit it. */

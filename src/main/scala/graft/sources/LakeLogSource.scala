@@ -58,10 +58,13 @@ object LakeLogSource {
       : Seq[(Int, Long, Int, Long, String)] = {
     val t = LakeTable.load(null, path)
     val byVersion = t.snapshots.map(s => s.version -> s).toMap
-    ((from + 1) to to).map { v =>
-      val s = byVersion(v)
-      val batchId = t.appMetaAt(v, LakeTable.BatchIdKey).orNull
-      (v, s.committedAtMs, s.numFiles, s.rows, batchId)
+    // expired versions are skipped (consumers starting before the
+    // retention window only see retained snapshots)
+    ((from + 1) to to).flatMap { v =>
+      byVersion.get(v).map { s =>
+        val batchId = t.appMetaAt(v, LakeTable.BatchIdKey).orNull
+        (v, s.committedAtMs, s.numFiles, s.rows, batchId)
+      }
     }
   }
 }

@@ -125,6 +125,21 @@ class LakeTableSpec extends SparkSuite {
     assert(t.vacuum() == 0) // idempotent
   }
 
+  test("expireSnapshots drops old metadata + newly-orphaned files only") {
+    val t = freshTable("expire", abSchema)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("a", "b")))
+    t.compact(numFiles = 1) // v5 references ONLY the compacted file
+    val (expired, removed) = t.expireSnapshots(keepLast = 1)
+    assert(expired == 5)  // v0..v4 gone, only the compacted v5 retained
+    assert(removed == 4)  // the 4 pre-compaction batch files orphaned
+    assert(t.read().count() == 4) // current data intact
+    assert(t.snapshots.map(_.version) == Seq(5))
+    intercept[Exception](t.readVersion(1)) // expired version unreadable
+    // a further append still commits with contiguous versions
+    t.append(Seq((9L, "x")).toDF("a", "b"))
+    assert(t.currentVersion == 6 && t.read().count() == 5)
+  }
+
   test("create fails when table exists; load sees committed state") {
     val dir = tmpDir("dup")
     LakeTable.create(spark, dir, abSchema)
