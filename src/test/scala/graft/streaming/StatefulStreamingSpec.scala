@@ -53,6 +53,30 @@ class StatefulStreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("mapGroupsWithState emits one updated row per key per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val latest = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val mx = (rows.map(_._2) ++ state.getOption.iterator).max
+          state.update(mx)
+          (key, mx)
+      }.toDF("k", "max_seen")
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("mgws").start()
+    input.addData((1L, 5L), (1L, 3L), (2L, 7L))
+    q.processAllAvailable()
+    input.addData((1L, 4L)) // below running max; state must hold 5
+    q.processAllAvailable()
+    val last = spark.table("mgws").filter($"k" === 1)
+      .orderBy($"max_seen".desc).limit(1).as[(Long, Long)].head()
+    q.stop()
+    assert(last == (1L, 5L))
+  }
+
   test("flatMapGroupsWithState maintains running per-key counters") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
