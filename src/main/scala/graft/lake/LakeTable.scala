@@ -156,7 +156,7 @@ class LakeTable private (
     * (filled with null); new df columns are added to the table schema
     * (additive evolution) with fresh field IDs. */
   def append(df: DataFrame, appMeta: Map[String, String] = Map.empty): Int =
-    commit(writeData(df), replace = false, appMeta)
+    commit(writeData(df), replacedFiles = Set.empty, appMeta)
 
   /** Idempotent append keyed by a streaming micro-batch id: commits at
     * most once per distinct batchId (exactly-once sink contract for
@@ -167,13 +167,23 @@ class LakeTable private (
     else append(df, Map(BatchIdKey -> batchId.toString))
   }
 
-  /** Compaction: rewrite the current file set into `numFiles` files and
-    * commit a REPLACE snapshot (logical content unchanged — asserted by
-    * the spec, not here, to keep commit cheap). Partitioned tables stay
-    * partitioned (numFiles applies per partition directory). */
-  def compact(numFiles: Int): Int = {
-    val rewritten = read().repartition(numFiles)
-    commit(writeData(rewritten), replace = true,
+  /** Compaction: rewrite snapshot `currentVersion`'s file set into
+    * `numFiles` files and commit a snapshot where those files are
+    * REPLACED — but any files appended concurrently (after the
+    * compaction read) are rebased on top, so compaction never loses a
+    * racing append (see `compactFrom`). Partitioned tables stay
+    * partitioned. */
+  def compact(numFiles: Int): Int = compactFrom(currentVersion, numFiles)
+
+  /** Compact the file set of a specific snapshot; files added by commits
+    * after `baseVersion` survive untouched (append-vs-compact races are
+    * safe: replaced set = exactly the files the rewrite covered). */
+  def compactFrom(baseVersion: Int, numFiles: Int): Int = {
+    val baseNode = mapper.readTree(
+      Files.readString(versionPath(metaDir, baseVersion)))
+    val replaced = filesOf(baseNode).map(_.path).toSet
+    val rewritten = readVersion(baseVersion).repartition(numFiles)
+    commit(writeData(rewritten), replacedFiles = replaced,
       Map("compaction" -> "true"))
   }
 
@@ -223,8 +233,11 @@ class LakeTable private (
     }
   }
 
-  /** Optimistic-concurrency metadata commit. */
-  private def commit(pending: PendingWrite, replace: Boolean,
+  /** Optimistic-concurrency metadata commit. `replacedFiles` names the
+    * exact files this commit supersedes (empty for plain appends): on
+    * every retry the base is re-read, so files added by concurrent
+    * committers are carried forward instead of dropped. */
+  private def commit(pending: PendingWrite, replacedFiles: Set[String],
                      meta: Map[String, String]): Int = {
     var attempt = 0
     while (true) {
@@ -232,7 +245,7 @@ class LakeTable private (
       val curSchema = DataTypeBridge.fromJson(cur.get("schemaJson").asText())
       val curIds = fieldIds
       val (newSchema, newIds) = evolve(curSchema, curIds, pending.schema)
-      val baseFiles = if (replace) Nil else filesOf(cur)
+      val baseFiles = filesOf(cur).filterNot(f => replacedFiles.contains(f.path))
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = cur.get("properties"),

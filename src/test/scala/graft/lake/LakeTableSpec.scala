@@ -84,6 +84,18 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().agg(sum("a")).as[Long].head() == 36L)
   }
 
+  test("append racing a compaction survives the replace commit") {
+    val t = freshTable("race", abSchema)
+    (1 to 3).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("a", "b")))
+    val base = t.currentVersion
+    // the race: a new append lands between compaction's read and commit
+    t.append(Seq((99L, "racer")).toDF("a", "b"))
+    t.compactFrom(base, numFiles = 1)
+    val got = t.read().select("a").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 99L)) // racer NOT lost by the replace
+    assert(t.dataFiles.size == 2)       // compacted file + racer's file
+  }
+
   test("compaction rewrites files, preserves content") {
     val t = freshTable("compact", abSchema)
     (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("a", "b")))
