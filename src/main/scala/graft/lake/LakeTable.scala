@@ -160,11 +160,20 @@ class LakeTable private (
 
   /** Idempotent append keyed by a streaming micro-batch id: commits at
     * most once per distinct batchId (exactly-once sink contract for
-    * foreachBatch under retries/restarts). */
+    * foreachBatch under retries/restarts). The high-water mark is
+    * carried through EVERY snapshot (`lastBatchId`), so interleaved
+    * plain appends or compactions cannot blind the dedup check, and the
+    * check is re-evaluated inside the commit loop — atomic with the
+    * commit itself. */
   def appendExactlyOnce(df: DataFrame, batchId: Long): Int = {
-    val committed = appMeta(BatchIdKey).map(_.toLong).getOrElse(-1L)
-    if (batchId <= committed) currentVersion
+    if (batchId <= lastBatchId) currentVersion
     else append(df, Map(BatchIdKey -> batchId.toString))
+  }
+
+  /** Highest streaming batch id ever committed (-1 if none). */
+  def lastBatchId: Long = {
+    val n = latest()._2.get("lastBatchId")
+    if (n == null) -1L else n.asLong()
   }
 
   /** Compaction: rewrite snapshot `currentVersion`'s file set into
@@ -240,8 +249,14 @@ class LakeTable private (
   private def commit(pending: PendingWrite, replacedFiles: Set[String],
                      meta: Map[String, String]): Int = {
     var attempt = 0
+    val myBatchId = meta.get(BatchIdKey).map(_.toLong)
     while (true) {
       val (v, cur) = latest()
+      val curLastBatch = Option(cur.get("lastBatchId"))
+        .map(_.asLong()).getOrElse(-1L)
+      // a racer already committed this (or a later) micro-batch: the
+      // write becomes a no-op instead of a duplicate
+      if (myBatchId.exists(_ <= curLastBatch)) return v
       val curSchema = DataTypeBridge.fromJson(cur.get("schemaJson").asText())
       val curIds = fieldIds
       val (newSchema, newIds) = evolve(curSchema, curIds, pending.schema)
@@ -250,7 +265,8 @@ class LakeTable private (
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = cur.get("properties"),
         files = baseFiles ++ pending.files, meta = meta,
-        partitionBy = partitionBy)
+        partitionBy = partitionBy,
+        lastBatchId = math.max(curLastBatch, myBatchId.getOrElse(-1L)))
       if (tryCommit(metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
@@ -390,10 +406,12 @@ object LakeTable {
       version: Int, parent: Int, schema: StructType,
       ids: Map[String, Int], props: JsonNode,
       files: Seq[FileEntry], meta: Map[String, String],
-      partitionBy: Seq[String] = Seq.empty): JsonNode = {
+      partitionBy: Seq[String] = Seq.empty,
+      lastBatchId: Long = -1L): JsonNode = {
     val n = mapper.createObjectNode()
     n.put("version", version)
     n.put("parent", parent)
+    n.put("lastBatchId", lastBatchId)
     val pb = n.putArray("partitionBy")
     partitionBy.foreach(pb.add)
     n.put("committedAtMs", System.currentTimeMillis())

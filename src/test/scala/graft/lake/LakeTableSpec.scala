@@ -70,6 +70,21 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().count() == 2)
   }
 
+  test("exactly-once survives interleaved plain appends and compaction") {
+    val t = freshTable("eo-mix", abSchema)
+    t.appendExactlyOnce(Seq((1L, "b0")).toDF("a", "b"), batchId = 0)
+    t.append(Seq((50L, "manual")).toDF("a", "b")) // latest appMeta now empty
+    t.compact(numFiles = 1)                        // and again after compact
+    // replaying an old batch id must STILL be a no-op
+    val v = t.currentVersion
+    t.appendExactlyOnce(Seq((1L, "dup")).toDF("a", "b"), batchId = 0)
+    assert(t.currentVersion == v && t.read().count() == 2)
+    assert(t.lastBatchId == 0L)
+    // and the next batch id commits normally
+    t.appendExactlyOnce(Seq((2L, "b1")).toDF("a", "b"), batchId = 1)
+    assert(t.read().count() == 3 && t.lastBatchId == 1L)
+  }
+
   test("concurrent appends all commit (optimistic retry)") {
     val t = freshTable("conc", abSchema)
     val pool = Executors.newFixedThreadPool(4)
