@@ -23,21 +23,16 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   def createNamespace(ns: String): Unit =
     Files.createDirectories(nsPath(ns))
 
-  def listNamespaces(): Seq[String] = {
-    val root = Paths.get(warehouseDir)
-    if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala
+  def listNamespaces(): Seq[String] =
+    LakeTable.listDir(Paths.get(warehouseDir))
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
-      .filterNot(_.startsWith("_")).toSeq.sorted
-  }
+      .filterNot(_.startsWith("_")).sorted
 
-  def listTables(ns: String): Seq[String] = {
-    if (!Files.isDirectory(nsPath(ns))) Seq.empty
-    else Files.list(nsPath(ns)).iterator().asScala
+  def listTables(ns: String): Seq[String] =
+    LakeTable.listDir(nsPath(ns))
       .filter(p => LakeTable.exists(p.toString))
-      .map(_.getFileName.toString).toSeq.sorted
-  }
+      .map(_.getFileName.toString).sorted
 
   def tableExists(ns: String, name: String): Boolean =
     LakeTable.exists(tablePath(ns, name))

@@ -7,19 +7,19 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Iceberg-style transactional table: immutable parquet data files + an
   * atomically-committed JSON snapshot log.
   *
   * Supersedes the reference's committer/catalog/schema-conversion trio
   * (iceberg_committer.go:54-147, schema_conversion.go:11-254 in
-  * /root/reference) with three deliberate upgrades the reference lacks:
+  * /root/reference) with deliberate upgrades the reference lacks:
   * real field-ID assignment (globally unique, monotone — the reference
-  * hardcodes colliding positional IDs), additive schema evolution (the
-  * reference's "evolution handling" is a README claim with no code), and
-  * optimistic-concurrency commits (the reference loses batches on
-  * write/commit races).
+  * hardcodes colliding positional IDs), additive schema evolution with
+  * Iceberg-style type widening (the reference's "evolution handling" is
+  * a README claim with no code), and optimistic-concurrency commits
+  * (the reference loses batches on write/commit races).
   *
   * Layout under `root/`:
   *   data/batch-<uuid>/part-*.parquet   -- immutable data files
@@ -31,6 +31,16 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * re-read the latest snapshot, rebase their (already-written, immutable)
   * files on top, and retry. No locks, no coordinator; works on any
   * POSIX filesystem and maps to putIfAbsent on object stores.
+  *
+  * Exactly-once writers: every snapshot carries a `highWater` map of
+  * monotone offsets (per-writer streaming batch ids, pipe consumption
+  * offsets). Commits can be guarded on a key — either idempotent-replay
+  * (no-op when the offset was already reached; Delta's txn appId/version
+  * pattern) or compare-and-set (abort when another committer moved the
+  * offset). Because the map rides in EVERY snapshot and the guard is
+  * evaluated inside the optimistic commit loop, interleaved plain
+  * appends/compactions can never blind the check, and the offset update
+  * is atomic with the data commit.
   */
 class LakeTable private (
     val spark: SparkSession, val root: String) {
@@ -48,13 +58,11 @@ class LakeTable private (
     (v, mapper.readTree(Files.readString(versionPath(metaDir, v))))
   }
 
-  def currentVersion: Int = {
-    if (!Files.isDirectory(metaDir)) return -1
-    Files.list(metaDir).iterator().asScala
+  def currentVersion: Int =
+    listDir(metaDir)
       .map(_.getFileName.toString)
       .collect { case VersionRe(n) => n.toInt }
       .foldLeft(-1)(math.max)
-  }
 
   def schema: StructType =
     DataTypeBridge.fromJson(latest()._2.get("schemaJson").asText())
@@ -85,6 +93,27 @@ class LakeTable private (
     Option(n.get("appMeta")).flatMap(m => Option(m.get(key))).map(_.asText())
   }
 
+  /** Monotone offset map carried through every snapshot: per-writer
+    * streaming batch ids (`writer.<id>`), pipe offsets
+    * (`pipe.<id>.sourceVersion`). */
+  def highWaterMarks: Map[String, Long] = highWaterOf(latest()._2)
+
+  def highWater(key: String): Option[Long] = highWaterMarks.get(key)
+
+  private def highWaterOf(node: JsonNode): Map[String, Long] = {
+    val m = Option(node.get("highWater"))
+      .map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[String, Long])
+    // legacy snapshots (pre-highWater) recorded one table-global batch id
+    Option(node.get("lastBatchId")).map(_.asLong()).filter(_ >= 0) match {
+      case Some(b) =>
+        val k = writerKey(DefaultWriter)
+        m + (k -> math.max(b, m.getOrElse(k, -1L)))
+      case None => m
+    }
+  }
+
   def partitionBy: Seq[String] = {
     val n = latest()._2.get("partitionBy")
     if (n == null) Seq.empty
@@ -107,7 +136,9 @@ class LakeTable private (
 
   /** Time travel: read the file set of any committed snapshot, under the
     * CURRENT schema of that snapshot (old files missing later-added
-    * columns surface them as null — additive evolution semantics). */
+    * columns surface them as null; files written before a type widening
+    * are upcast by the parquet reader — verified int32->long and
+    * float->double on both the vectorized and row-based paths). */
   def readVersion(v: Int): DataFrame = {
     val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
     val snapSchema = DataTypeBridge.fromJson(node.get("schemaJson").asText())
@@ -152,29 +183,52 @@ class LakeTable private (
 
   /** Transactional append. Returns the committed version. Thread/process
     * safe via the optimistic hard-link protocol. Schema handling:
-    * df columns missing from the table must exist nullable in df's place
-    * (filled with null); new df columns are added to the table schema
-    * (additive evolution) with fresh field IDs. */
+    * existing columns may widen (byte/short/int->long, float->double,
+    * Iceberg's promotion rules); new df columns are added to the table
+    * schema (additive evolution) with fresh field IDs. */
   def append(df: DataFrame, appMeta: Map[String, String] = Map.empty): Int =
-    commit(writeData(df), replacedFiles = Set.empty, appMeta)
+    commit(writeData(df), replacedFiles = Set.empty, appMeta, guard = None)
 
-  /** Idempotent append keyed by a streaming micro-batch id: commits at
-    * most once per distinct batchId (exactly-once sink contract for
-    * foreachBatch under retries/restarts). The high-water mark is
-    * carried through EVERY snapshot (`lastBatchId`), so interleaved
-    * plain appends or compactions cannot blind the dedup check, and the
-    * check is re-evaluated inside the commit loop — atomic with the
-    * commit itself. */
-  def appendExactlyOnce(df: DataFrame, batchId: Long): Int = {
-    if (batchId <= lastBatchId) currentVersion
-    else append(df, Map(BatchIdKey -> batchId.toString))
+  /** Idempotent append keyed by (writerId, batchId): commits at most
+    * once per writer per batch id (exactly-once sink contract for
+    * foreachBatch under retries/restarts — Delta's txn appId/version
+    * pattern). Distinct writers have independent batch-id sequences, so
+    * two streaming queries feeding one table can't suppress each other,
+    * and a query restarted from a FRESH checkpoint gets a fresh writerId
+    * (its query id changes) instead of silently losing every batch. The
+    * per-writer high-water mark rides in EVERY snapshot and is
+    * re-checked inside the commit loop — atomic with the commit. */
+  def appendExactlyOnce(df: DataFrame, writerId: String,
+                        batchId: Long): Int = {
+    val key = writerKey(writerId)
+    // cheap pre-check saves the data write on obvious replays; the
+    // authoritative check is the guard inside the commit loop
+    if (highWater(key).exists(_ >= batchId)) currentVersion
+    else commit(writeData(df), Set.empty,
+      Map(BatchIdKey -> batchId.toString, WriterIdKey -> writerId),
+      Some(MonotoneGuard(key, batchId)))
   }
 
-  /** Highest streaming batch id ever committed (-1 if none). */
-  def lastBatchId: Long = {
-    val n = latest()._2.get("lastBatchId")
-    if (n == null) -1L else n.asLong()
-  }
+  def appendExactlyOnce(df: DataFrame, batchId: Long): Int =
+    appendExactlyOnce(df, DefaultWriter, batchId)
+
+  /** Highest streaming batch id committed by `writerId` (-1 if none). */
+  def lastBatchId(writerId: String): Long =
+    highWater(writerKey(writerId)).getOrElse(-1L)
+
+  def lastBatchId: Long = lastBatchId(DefaultWriter)
+
+  /** Append whose commit is guarded by a compare-and-set on a highWater
+    * offset: succeeds only if `key` still reads `expected`, recording
+    * `value` atomically with the data. Throws [[StaleOffsetException]]
+    * when a concurrent committer moved the offset — the caller re-reads
+    * and retries; the already-written data files are orphaned and
+    * reclaimed by `vacuum()`. */
+  private[lake] def appendCas(df: DataFrame, key: String, expected: Long,
+                              value: Long,
+                              appMeta: Map[String, String]): Int =
+    commit(writeData(df), Set.empty, appMeta,
+      Some(CasGuard(key, expected, value)))
 
   /** Compaction: rewrite snapshot `currentVersion`'s file set into
     * `numFiles` files and commit a snapshot where those files are
@@ -193,72 +247,101 @@ class LakeTable private (
     val replaced = filesOf(baseNode).map(_.path).toSet
     val rewritten = readVersion(baseVersion).repartition(numFiles)
     commit(writeData(rewritten), replacedFiles = replaced,
-      Map("compaction" -> "true"))
+      Map("compaction" -> "true"), guard = None)
+  }
+
+  private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+
+  /** Exact row count from the parquet footer — a driver-side metadata
+    * read of a few KB, no data scan. At many-files-per-commit scale the
+    * same numbers come from executor write-task metrics; either way the
+    * input is computed ONCE. */
+  private def footerRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Write df as immutable parquet files; returns entries + df schema.
+    * SINGLE evaluation of the input: per-file row counts come from the
+    * written parquet footers, not a separate count() job (which would
+    * double every MV micro-batch's and compaction's computation — and
+    * disagree with the written rows for non-deterministic inputs).
     * Unpartitioned: one immutable batch dir. Partitioned: write through
     * a staging dir, then hard-rename each part file into its hive-style
     * `data/<k=v>/...` slot under a fresh UUID name (renames are O(1)
     * metadata ops; the partition dirs are shared across batches so
     * basePath partition discovery sees one consistent layout). */
   private def writeData(df: DataFrame): PendingWrite = {
-    val rows = df.count()
     val parts = partitionBy
     if (parts.isEmpty) {
       val batchDir = s"data/batch-${UUID.randomUUID()}"
       df.write.mode("errorifexists").parquet(s"$root/$batchDir")
-      val names = Files.list(Paths.get(root, batchDir)).iterator().asScala
+      val entries = listDir(Paths.get(root, batchDir))
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .toSeq.sorted
-      // rows recorded per-batch (cheap metadata; per-file split not needed)
-      val entries = names.zipWithIndex.map { case (p, i) =>
-        FileEntry(s"$batchDir/$p", if (i == 0) rows else 0L)
-      }
+        .sorted
+        .map(p => FileEntry(s"$batchDir/$p",
+          footerRowCount(Paths.get(root, batchDir, p))))
       PendingWrite(entries, df.schema)
     } else {
       val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
       df.write.partitionBy(parts: _*).parquet(staging.toString)
-      val moved = Files.walk(staging).iterator().asScala
+      val moved = walkDir(staging)
         .filter(p => p.getFileName.toString.startsWith("part-") &&
           p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
+        .sortBy(_.toString)
         .map { p =>
           val partRel = staging.relativize(p.getParent).toString
           val destDir = Paths.get(root, "data", partRel)
           Files.createDirectories(destDir)
           val name = s"${UUID.randomUUID()}.parquet"
-          Files.move(p, destDir.resolve(name))
-          if (partRel.isEmpty) s"data/$name" else s"data/$partRel/$name"
+          val dest = destDir.resolve(name)
+          Files.move(p, dest)
+          val rel = if (partRel.isEmpty) s"data/$name"
+                    else s"data/$partRel/$name"
+          FileEntry(rel, footerRowCount(dest))
         }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
-      Files.walk(staging).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-      val entries = moved.zipWithIndex.map { case (p, i) =>
-        FileEntry(p, if (i == 0) rows else 0L)
-      }
-      PendingWrite(entries, df.schema)
+      walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
+      PendingWrite(moved, df.schema)
     }
   }
 
   /** Optimistic-concurrency metadata commit. `replacedFiles` names the
     * exact files this commit supersedes (empty for plain appends): on
     * every retry the base is re-read, so files added by concurrent
-    * committers are carried forward instead of dropped. */
+    * committers are carried forward instead of dropped. The optional
+    * guard is evaluated against the freshly-read snapshot on EVERY
+    * retry, making offset checks atomic with the commit. */
   private def commit(pending: PendingWrite, replacedFiles: Set[String],
-                     meta: Map[String, String]): Int = {
+                     meta: Map[String, String],
+                     guard: Option[CommitGuard]): Int = {
     var attempt = 0
-    val myBatchId = meta.get(BatchIdKey).map(_.toLong)
     while (true) {
       val (v, cur) = latest()
-      val curLastBatch = Option(cur.get("lastBatchId"))
-        .map(_.asLong()).getOrElse(-1L)
-      // a racer already committed this (or a later) micro-batch: the
-      // write becomes a no-op instead of a duplicate
-      if (myBatchId.exists(_ <= curLastBatch)) return v
+      val hw = highWaterOf(cur)
+      guard match {
+        case Some(MonotoneGuard(k, value)) if hw.getOrElse(k, -1L) >= value =>
+          // a racer already committed this (or a later) offset: the
+          // write becomes a no-op instead of a duplicate
+          return v
+        case Some(CasGuard(k, expected, _))
+            if hw.getOrElse(k, -1L) != expected =>
+          throw new StaleOffsetException(
+            s"offset $k moved to ${hw.getOrElse(k, -1L)} " +
+              s"(expected $expected) at $root")
+        case _ => ()
+      }
+      val newHw = guard match {
+        case Some(g) =>
+          hw + (g.key -> math.max(hw.getOrElse(g.key, -1L), g.value))
+        case None => hw
+      }
       val curSchema = DataTypeBridge.fromJson(cur.get("schemaJson").asText())
-      val curIds = fieldIds
+      val curIds = cur.get("fieldIds").properties().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap
       val (newSchema, newIds) = evolve(curSchema, curIds, pending.schema)
       val baseFiles = filesOf(cur).filterNot(f => replacedFiles.contains(f.path))
       val node = snapshotJson(
@@ -266,7 +349,7 @@ class LakeTable private (
         props = cur.get("properties"),
         files = baseFiles ++ pending.files, meta = meta,
         partitionBy = partitionBy,
-        lastBatchId = math.max(curLastBatch, myBatchId.getOrElse(-1L)))
+        highWater = newHw)
       if (tryCommit(metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
@@ -295,12 +378,12 @@ class LakeTable private (
 
   /** Garbage-collect files no snapshot references: leftovers from
     * crashed writers (written but never committed — the failure mode the
-    * reference silently leaks on every write/commit error) and staging
-    * dirs. Never touches referenced files, so it is safe concurrent with
-    * readers of any committed snapshot — but NOT with in-flight writers
-    * (their pre-commit files look orphaned; production would add an age
-    * threshold, as Iceberg's orphan-file removal does). Returns deleted
-    * file count. */
+    * reference silently leaks on every write/commit error), losers of
+    * compare-and-set commits, and staging dirs. Never touches referenced
+    * files, so it is safe concurrent with readers of any committed
+    * snapshot — but NOT with in-flight writers (their pre-commit files
+    * look orphaned; production would add an age threshold, as Iceberg's
+    * orphan-file removal does). Returns deleted file count. */
   def vacuum(): Int =
     vacuumAgainst((0 to currentVersion).filter(v =>
       Files.exists(versionPath(metaDir, v))))
@@ -313,22 +396,19 @@ class LakeTable private (
       }.toSet
     var deleted = 0
     val dataDir = Paths.get(root, "data")
-    if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
-        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
-            && !referenced.contains(p.normalize())) {
-          Files.delete(p); deleted += 1
-        } else if (Files.isDirectory(p) &&
-            !Files.list(p).iterator().hasNext && p != dataDir) {
-          Files.delete(p)
-        }
+    walkDir(dataDir).reverse.foreach { p =>
+      if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+          && !referenced.contains(p.normalize())) {
+        Files.delete(p); deleted += 1
+      } else if (Files.isDirectory(p) && listDir(p).isEmpty && p != dataDir) {
+        Files.delete(p)
       }
     }
     // stale staging dirs from crashed partitioned writes
-    Files.list(Paths.get(root)).iterator().asScala
+    listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
-      .toSeq.foreach { st =>
-        Files.walk(st).iterator().asScala.toSeq.reverse.foreach { p =>
+      .foreach { st =>
+        walkDir(st).reverse.foreach { p =>
           if (Files.isRegularFile(p)) deleted += 1
           Files.deleteIfExists(p)
         }
@@ -336,37 +416,93 @@ class LakeTable private (
     deleted
   }
 
-  /** Additive evolution: union of table and incoming columns; incoming
-    * types must match existing ones exactly; new columns become nullable
-    * and get fresh, never-reused field IDs. */
+  /** Additive evolution with Iceberg-style type widening: union of table
+    * and incoming columns; where both exist the resolved type is the
+    * wider of the two along the promotion chains byte<short<int<long and
+    * float<double (anything else is rejected); field IDs survive
+    * widening; new columns become nullable and get fresh, never-reused
+    * field IDs. Files written before a widening stay valid — the parquet
+    * reader upcasts their narrower physical type on scan. */
   private def evolve(cur: StructType, ids: Map[String, Int],
                      incoming: StructType): (StructType, Map[String, Int]) = {
-    val curByName = cur.fields.map(f => f.name -> f).toMap
-    incoming.fields.foreach { f =>
-      curByName.get(f.name).foreach { existing =>
-        require(existing.dataType == f.dataType,
-          s"type mismatch for ${f.name}: table ${existing.dataType} " +
-            s"vs append ${f.dataType} (promotion unsupported)")
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val resolved = cur.fields.map { existing =>
+      incomingByName.get(existing.name) match {
+        case Some(inc) =>
+          val t = widerOf(existing.dataType, inc.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"type mismatch for ${existing.name}: table " +
+                s"${existing.dataType} vs append ${inc.dataType} " +
+                "(no promotion path)"))
+          existing.copy(dataType = t)
+        case None => existing
       }
     }
-    val added = incoming.fields.filterNot(f => curByName.contains(f.name))
+    val curNames = cur.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => curNames.contains(f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true))
     var maxId = if (ids.isEmpty) 0 else ids.values.max
     val newIds = ids ++ added.map { f => maxId += 1; f.name -> maxId }
-    (StructType(cur.fields ++ added), newIds)
+    (StructType(resolved ++ added), newIds)
   }
 }
+
+/** A compare-and-set-guarded commit lost its race: the guarded offset
+  * was moved by a concurrent committer. Re-read and retry. */
+class StaleOffsetException(msg: String) extends RuntimeException(msg)
 
 object LakeTable {
   private[lake] val mapper = new ObjectMapper()
   private val VersionRe = "v(\\d{8})\\.json".r
   val BatchIdKey = "streaming.batchId"
+  val WriterIdKey = "streaming.writerId"
+  val DefaultWriter = "default"
+
+  private[lake] def writerKey(writerId: String) = s"writer.$writerId"
+
+  /** Guard on a highWater offset, evaluated inside the commit loop. */
+  private[lake] sealed trait CommitGuard { def key: String; def value: Long }
+  /** Idempotent replay: no-op when the offset already reached `value`. */
+  private[lake] case class MonotoneGuard(key: String, value: Long)
+      extends CommitGuard
+  /** Compare-and-set: abort ([[StaleOffsetException]]) unless the offset
+    * still reads `expected`; record `value` on success. */
+  private[lake] case class CasGuard(key: String, expected: Long, value: Long)
+      extends CommitGuard
 
   case class FileEntry(path: String, rows: Long)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
                                         schema: StructType)
+
+  /** Directory listing that closes the underlying stream (Files.list
+    * leaks a directory FD until GC otherwise — fatal for a long-running
+    * driver committing frequently). Empty for non-directories. */
+  private[lake] def listDir(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Recursive walk, stream closed; empty for non-directories. */
+  private[lake] def walkDir(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Least upper bound in the Iceberg promotion lattice; None when the
+    * two types are not on one chain. */
+  private[lake] def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    val intChain: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val floatChain: Seq[DataType] = Seq(FloatType, DoubleType)
+    def lub(chain: Seq[DataType]): Option[DataType] = {
+      val (ia, ib) = (chain.indexOf(a), chain.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(chain(math.max(ia, ib))) else None
+    }
+    if (a == b) Some(a) else lub(intChain).orElse(lub(floatChain))
+  }
 
   private def versionPath(metaDir: Path, v: Int): Path =
     metaDir.resolve(f"v$v%08d.json")
@@ -407,11 +543,12 @@ object LakeTable {
       ids: Map[String, Int], props: JsonNode,
       files: Seq[FileEntry], meta: Map[String, String],
       partitionBy: Seq[String] = Seq.empty,
-      lastBatchId: Long = -1L): JsonNode = {
+      highWater: Map[String, Long] = Map.empty): JsonNode = {
     val n = mapper.createObjectNode()
     n.put("version", version)
     n.put("parent", parent)
-    n.put("lastBatchId", lastBatchId)
+    val hwNode = n.putObject("highWater")
+    highWater.toSeq.sortBy(_._1).foreach { case (k, v) => hwNode.put(k, v) }
     val pb = n.putArray("partitionBy")
     partitionBy.foreach(pb.add)
     n.put("committedAtMs", System.currentTimeMillis())

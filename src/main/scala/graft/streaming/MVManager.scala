@@ -26,17 +26,33 @@ class MVManager(spark: SparkSession, checkpointRoot: String) {
   spark.streams.addListener(metrics)
 
   /** Start an MV that continuously appends micro-batches into a
-    * LakeTable. `transformed` must be a streaming DataFrame. */
+    * LakeTable. `transformed` must be a streaming DataFrame.
+    *
+    * The exactly-once writer identity is the query's checkpoint-stored
+    * id (stable across restarts from the same checkpoint; fresh when the
+    * checkpoint is wiped — so a restarted-from-scratch query whose batch
+    * ids reset to 0 starts a NEW idempotence sequence instead of having
+    * every batch silently dropped against the old high-water mark, and
+    * two queries feeding one table never suppress each other). The id is
+    * only known once start() returns, so the sink parks on a latch for
+    * the first micro-batch — a one-time, sub-ms handshake. */
   def startToLake(name: String, transformed: DataFrame, table: LakeTable,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
     val sink: (Dataset[Row], Long) => Unit =
-      (batch, id) => { table.appendExactlyOnce(batch, id); () }
+      (batch, id) => {
+        started.await()
+        table.appendExactlyOnce(batch, writerId.get(), id); ()
+      }
     val q = transformed.writeStream
       .queryName(name)
       .option("checkpointLocation", s"$checkpointRoot/$name")
       .foreachBatch(sink)
       .trigger(trigger)
       .start()
+    writerId.set(q.id.toString)
+    started.countDown()
     queries.put(name, q)
     q
   }

@@ -85,6 +85,61 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().count() == 3 && t.lastBatchId == 1L)
   }
 
+  test("exactly-once is per writer: two writers' batch ids are independent") {
+    val t = freshTable("eo-writers", abSchema)
+    t.appendExactlyOnce(Seq((1L, "w1b0")).toDF("a", "b"), "writerA", 0)
+    // a DIFFERENT writer's batch 0 must commit, not be suppressed
+    t.appendExactlyOnce(Seq((2L, "w2b0")).toDF("a", "b"), "writerB", 0)
+    assert(t.read().count() == 2)
+    // each writer's own replay is still a no-op
+    t.appendExactlyOnce(Seq((1L, "dup")).toDF("a", "b"), "writerA", 0)
+    t.appendExactlyOnce(Seq((2L, "dup")).toDF("a", "b"), "writerB", 0)
+    assert(t.read().count() == 2)
+    assert(t.lastBatchId("writerA") == 0 && t.lastBatchId("writerB") == 0)
+    // a restarted-from-fresh-checkpoint query = new writer id: its
+    // batch 0 is NOT dropped against the old writer's high-water mark
+    t.appendExactlyOnce(Seq((3L, "restart")).toDF("a", "b"), "writerA2", 0)
+    assert(t.read().count() == 3)
+  }
+
+  test("type widening on append: int->long and float->double, " +
+    "old narrow files stay readable") {
+    val t = freshTable("widen", StructType(Seq(
+      StructField("k", IntegerType), StructField("x", FloatType))))
+    t.append(Seq((1, 1.5f)).toDF("k", "x"))
+    // wider append widens the table schema, keeps field ids
+    t.append(Seq((2L, 2.5d)).toDF("k", "x"))
+    assert(t.schema("k").dataType == LongType)
+    assert(t.schema("x").dataType == DoubleType)
+    assert(t.fieldIds == Map("k" -> 1, "x" -> 2))
+    // both the pre-widening int32/float file and the new long/double
+    // file read back under the widened schema
+    val got = t.read().orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    // a later NARROW append is also fine (reader upcasts its file)
+    t.append(Seq((3, 3.5f)).toDF("k", "x"))
+    assert(t.read().count() == 3)
+    assert(t.read().agg(sum("k")).as[Long].head() == 6L)
+    // incompatible change still rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("oops", 1.0)).toDF("k", "x"))
+    }
+  }
+
+  test("append evaluates its input exactly once (no count double-pass)") {
+    val evals = spark.sparkContext.longAccumulator("evals")
+    val df = spark.range(100).mapPartitions { it =>
+      it.map { i => evals.add(1); i }
+    }.toDF("a").withColumn("b", lit("x"))
+    val t = freshTable("once", abSchema)
+    t.append(df)
+    assert(evals.value == 100L, s"input evaluated ${evals.value / 100.0}x")
+    // and the footer-derived per-file row counts are exact
+    assert(t.dataFiles.map(_.rows).sum == 100L)
+    assert(t.snapshots.last.rows == 100L)
+  }
+
   test("concurrent appends all commit (optimistic retry)") {
     val t = freshTable("conc", abSchema)
     val pool = Executors.newFixedThreadPool(4)

@@ -31,10 +31,16 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     assert(table.read().count() == 3)
 
-    // replaying an already-committed batch id must be a no-op
+    // replaying an already-committed batch id UNDER THE QUERY'S OWN
+    // writer identity must be a no-op...
     val v = table.currentVersion
-    table.appendExactlyOnce(Seq((9L, "dup", 9.0)).toDF("id", "kind", "v"), 0L)
+    table.appendExactlyOnce(
+      Seq((9L, "dup", 9.0)).toDF("id", "kind", "v"), q.id.toString, 0L)
     assert(table.currentVersion == v && table.read().count() == 3)
+    // ...while a different writer's batch 0 is an independent sequence
+    table.appendExactlyOnce(
+      Seq((10L, "other", 1.0)).toDF("id", "kind", "v"), "other-query", 0L)
+    assert(table.read().count() == 4)
 
     q.stop()
     // listener delivery is async; poll briefly
