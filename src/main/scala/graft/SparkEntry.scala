@@ -41,6 +41,11 @@ object SparkEntry {
     "q21_string_funcs" -> (Relational.stringFuncs _),
     "q22_conditional_agg" -> (Relational.conditionalAgg _),
     "q23_udaf_geomean" -> (Relational.udafGeomean _),
+    // no oracle possible: HLL++ sketch estimates are engine-specific by
+    // construction (DuckDB's approx_count_distinct uses a different
+    // sketch/hash). Validated in QueriesSmokeSpec ("approx distinct
+    // within rsd"): estimates within the configured rsd of the exact
+    // distinct counts (q10 is the exact twin).
     "q24_approx_distinct" -> (Relational.approxDistinct _),
     "q25_fuzzy_levenshtein" -> (Relational.fuzzyLevenshtein _),
     "q26_array_funcs" -> (Relational.arrayFuncs _),
@@ -61,9 +66,17 @@ object SparkEntry {
     "q31_dedup_norm" -> ((s, d) => DedupOps.normalized(Tables.load(s, d, "documents"))),
     "q32_neardup_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccard(Tables.load(s, d, "documents"), minJaccard = 0.5)),
+    // LSH bucketing + exact-Jaccard verification: output equals q32's
+    // exact pipeline, so the shared oracle doubles as an LSH recall
+    // proof (hash-seeded est-jaccard variant stays in DedupSimilaritySpec)
     "q33_neardup_minhash" -> ((s, d) =>
-      DedupOps.minHashLsh(Tables.load(s, d, "documents"),
-        k = 64, bands = 16, minEstJaccard = 0.5)),
+      DedupOps.minHashLshTrueJaccard(Tables.load(s, d, "documents"),
+        k = 64, bands = 16, minJaccard = 0.5)),
+    // no oracle possible: pairs are defined by hamming distance between
+    // xxhash64-seeded SimHash sketches — engine-specific bit patterns no
+    // other engine reproduces. Validated in DedupSimilaritySpec
+    // ("simhash banding finds exactly the brute-force pairs"): banded
+    // candidate generation reproduces the all-pairs hamming computation.
     "q34_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
     "q56_neardup_clusters" -> ((s, d) => {
@@ -79,6 +92,11 @@ object SparkEntry {
     "q37_lang_id" -> (TextOps.languageId _),
     "q38_fingerprint" -> (TextOps.fingerprints _),
     "q43_quality_score" -> (TextOps.quality _),
+    // no oracle possible: rolling (Rabin-Karp) window fingerprints are
+    // defined over our base/modulus constants; no other engine computes
+    // the same values. Validated in MultimodalSpec ("rolling fingerprint
+    // is order-sensitive, md5 fingerprint is not"). The md5 fingerprint
+    // twin (q38) IS oracle-checked.
     "q44_rolling_fingerprint" -> (TextOps.rollingFingerprints _),
     "q39_cosine_topk" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -89,6 +107,10 @@ object SparkEntry {
     "q40_embedding_neardup" -> ((s, d) =>
       SimilarityOps.embeddingNearDup(
         Tables.load(s, d, "embeddings"), threshold = 0.35)),
+    // no oracle possible: LSH buckets come from seeded random-projection
+    // hyperplanes — the candidate set is defined by our seed, not by the
+    // data alone. Validated in DedupSimilaritySpec: recall bound vs the
+    // exact brute-force top-k (q39, which IS oracle-checked).
     "q41_ann_lsh" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       SimilarityOps.lshTopK(
@@ -97,6 +119,10 @@ object SparkEntry {
     }),
     "q42_multimodal_features" -> ((s, d) =>
       MultimodalOps.documentFeatures(s, Tables.load(s, d, "documents"))),
+    // no oracle possible: IVF results depend on k-means centroids from
+    // seeded Lloyd's iterations — cluster assignments aren't reproducible
+    // across engines. Validated in DedupSimilaritySpec: recall bound vs
+    // exact brute-force top-k (q39, oracle-checked).
     "q45_ann_ivf" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val model = IvfIndex.train(e, c = 16, iters = 2)
@@ -112,6 +138,25 @@ object SparkEntry {
     "q53_lake_partitioned" ->
       (graft.streaming.StreamingQueries.lakePartitioned _),
   )
+
+  /** Exact n-gram Jaccard near-dup pairs at >= 0.5 — shared by q32
+    * (exact inverted-index pipeline) and q33 (LSH candidates + exact
+    * verification): both must produce this answer. */
+  private val trueJaccardOracle: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT d1, d2, inter,
+              inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+       FROM pairs JOIN cnt ca ON ca.doc_id = d1
+       JOIN cnt cb ON cb.doc_id = d2
+       WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -374,21 +419,34 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
          GROUP BY trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
-    "q32_neardup_jaccard" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
-             FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle
-                     AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT d1, d2, inter,
-                inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
-         FROM pairs JOIN cnt ca ON ca.doc_id = d1
-         JOIN cnt cb ON cb.doc_id = d2
-         WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
+    "q32_neardup_jaccard" -> trueJaccardOracle,
+    // identical oracle: LSH + exact verification must reproduce the
+    // exact pipeline's answer (recall 1 at the fixtures' separation)
+    "q33_neardup_minhash" -> trueJaccardOracle,
+    "q42_multimodal_features" ->
+      // replicates fakeDecode: h = first 15 hex chars of md5 (60 bits,
+      // parsed via list_reduce over hex digits), features/dims derived
+      // by shifts+mod — integer-exact in both engines
+      """WITH hx AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                md5(text) AS m FROM documents),
+         hh AS (SELECT doc_id, n_bytes,
+                list_reduce(list_transform(range(1, 16),
+                  i -> (strpos('0123456789abcdef', substring(m, i, 1))
+                        - 1)::BIGINT),
+                  (a, b) -> a * 16 + b) AS h
+                FROM hx)
+         SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           h AS content_hash,
+           (h % 1920) + 1 AS width, ((h >> 17) % 1080) + 1 AS height,
+           ((h >> 0) % 1000000) / 1000000.0 AS f0,
+           ((h >> 7) % 1000000) / 1000000.0 AS f1,
+           ((h >> 14) % 1000000) / 1000000.0 AS f2,
+           ((h >> 21) % 1000000) / 1000000.0 AS f3,
+           ((h >> 28) % 1000000) / 1000000.0 AS f4,
+           ((h >> 35) % 1000000) / 1000000.0 AS f5,
+           ((h >> 42) % 1000000) / 1000000.0 AS f6,
+           ((h >> 49) % 1000000) / 1000000.0 AS f7
+         FROM hh""",
     "q56_neardup_clusters" ->
       """WITH RECURSIVE
          words AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -145,6 +145,8 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 case class BandHashes(child: Expression, bands: Int)
     extends UnaryExpression {
 
+  require(bands >= 1, s"band_hashes: bands must be >= 1, got $bands")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
@@ -156,9 +158,19 @@ case class BandHashes(child: Expression, bands: Int)
         .TypeCheckFailure(s"band_hashes expects array<bigint>, got ${t.sql}")
     }
 
+  // signature length must split into equal bands: silently truncating a
+  // remainder would drop hash positions, and r=0 (bands > length) would
+  // collapse every row into the same `bands` buckets — a quadratic
+  // candidate-pair explosion, not a correctness-preserving degradation
+  private def checkLength(k: Int): Unit =
+    if (k == 0 || k % bands != 0) throw new IllegalArgumentException(
+      s"band_hashes: signature length $k is not a positive multiple " +
+        s"of bands=$bands")
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val k = a.numElements()
+    checkLength(k)
     val r = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -182,6 +194,11 @@ case class BandHashes(child: Expression, bands: Int)
       val j = ctx.freshName("j"); val h = ctx.freshName("h")
       val r = ctx.freshName("r")
       s"""
+         |if ($a.numElements() == 0 || $a.numElements() % $bands != 0) {
+         |  throw new IllegalArgumentException(
+         |    "band_hashes: signature length " + $a.numElements() +
+         |    " is not a positive multiple of bands=" + $bands);
+         |}
          |int $r = $a.numElements() / $bands;
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {

@@ -159,6 +159,46 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** MinHash-LSH candidates VERIFIED with the true n-gram Jaccard: the
+    * standard two-phase near-dup pipeline (bucket -> candidate pairs ->
+    * exact verification). Candidate generation is the banded equi-join
+    * of [[minHashLsh]]; each surviving pair then gets its exact Jaccard
+    * from one array_intersect over the two (row-local, pre-deduped)
+    * shingle-hash sets, fetched by two equi-joins on the SMALL candidate
+    * set — the full corpus is never self-joined and shingle arrays never
+    * ride through the 16x band explosion. Output matches the exact
+    * [[ngramJaccard]] (same columns, true values), so it shares its
+    * cross-engine oracle — which also turns the oracle check into a
+    * recall proof for the LSH phase. */
+  def minHashLshTrueJaccard(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                            minJaccard: Double = 0.5,
+                            shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = shingleHashArrays(docs, n = shingleN)
+    val sig = sh.select(col("doc_id"), size(col("shs")).as("n"),
+      graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
+    val buckets = sig.select(
+        posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)),
+        struct(col("doc_id"), col("n")).as("dn"))
+      .select(struct(col("pos").as("band"), col("col").as("bh")).as("bk"),
+        col("dn"))
+    val cands = buckets.groupBy(col("bk"))
+      .agg(collect_list(col("dn")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(pair_explode(sort_array(col("ds"))).as(Seq("d1", "n1", "d2", "n2")))
+      .distinct() // a pair colliding in several bands verifies once
+    val s1 = sh.select(col("doc_id").as("d1"), col("shs").as("shs1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shs").as("shs2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast("long").as("inter"),
+        col("n1"), col("n2"))
+      .withColumn("jaccard",
+        col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph (label
     * propagation): every doc in a pair gets the minimum doc_id reachable
     * through pairs as its cluster id — the step that turns pairwise

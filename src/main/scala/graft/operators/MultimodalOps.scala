@@ -23,18 +23,23 @@ object MultimodalOps {
       width: Int, height: Int, features: Array[Float])
 
   /** STUB decode: deterministic pseudo-metadata + 8-dim feature vector
-    * from raw bytes (stands in for image decode + embedding). */
+    * from raw bytes (stands in for image decode + embedding). The digest
+    * is the first 60 bits of md5(payload) — chosen because any engine
+    * can recompute it (md5 is universal and 60 bits stay inside a signed
+    * 64-bit int), which makes every derived column cross-engine
+    * oracle-checkable. All derived values use only shifts/mod/divide on
+    * the non-negative digest, so no engine-specific overflow or sign
+    * semantics leak into the output. */
   def fakeDecode(r: MediaRow): MediaFeatures = {
-    var h = 1125899906842597L // deterministic FNV-ish rolling hash
-    var i = 0
-    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, >= 0
     val feats = Array.tabulate(8) { j =>
-      val hj = h ^ (0x9e3779b97f4a7c15L * (j + 1))
-      ((hj >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      (((h >> (j * 7)) % 1000000L).toDouble / 1000000.0).toFloat
     }
     MediaFeatures(r.doc_id, r.payload.length.toLong, h,
-      width = (math.abs(h) % 1920).toInt + 1,
-      height = (math.abs(h >> 17) % 1080).toInt + 1,
+      width = (h % 1920L).toInt + 1,
+      height = ((h >> 17) % 1080L).toInt + 1,
       features = feats)
   }
 
@@ -53,9 +58,20 @@ object MultimodalOps {
     graft.Tables.widen(media).as[MediaRow].mapPartitions(_.map(fakeDecode))
   }
 
-  /** End-to-end: docs -> binary payload -> decoded features DataFrame. */
-  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
-    extractFeatures(withBinaryPayload(docs)).toDF()
+  /** End-to-end: docs -> binary payload -> decoded features, with the
+    * feature vector projected to scalar columns f0..f7 (doubles). The
+    * scalar projection is what makes the query oracle-checkable: array
+    * columns can't be canonicalized/hashed by cross-engine compare
+    * harnesses. Downstream similarity ops that want the array shape use
+    * [[extractFeatures]] directly. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val feats = extractFeatures(withBinaryPayload(docs)).toDF()
+    feats.select(
+      Seq(col("doc_id"), col("n_bytes"), col("content_hash"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height")) ++
+        (0 until 8).map(j => col("features")(j).cast("double").as(s"f$j")): _*)
+  }
 
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           thumb: Array[Byte])

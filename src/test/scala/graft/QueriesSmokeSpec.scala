@@ -21,4 +21,21 @@ class QueriesSmokeSpec extends SparkSuite {
       assert(fn(spark, sf).count() > 0)
     }
   }
+
+  test("approx distinct within rsd of exact counts (q24's no-oracle bound)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = operators.Relational.approxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rsd = 0.02 configured; allow 5 sigma
+    approx.foreach { case (k, (ap, as_)) =>
+      val (ep, es) = exact(k)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.1, s"$k parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es <= 0.1, s"$k supps: $as_ vs $es")
+    }
+  }
 }

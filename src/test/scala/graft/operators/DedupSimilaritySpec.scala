@@ -61,6 +61,33 @@ class DedupSimilaritySpec extends SparkSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("LSH + true-jaccard verification equals the exact pipeline (q33)") {
+    val exact = DedupOps.ngramJaccard(docs, minJaccard = 0.5)
+      .select($"d1", $"d2", $"inter").as[(Long, Long, Long)].collect().toSet
+    val viaLsh = DedupOps.minHashLshTrueJaccard(docs,
+        k = 64, bands = 16, minJaccard = 0.5)
+      .select($"d1", $"d2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty && viaLsh == exact)
+  }
+
+  test("simhash banding finds exactly the brute-force hamming pairs") {
+    val sample = docs.limit(200)
+    val sh = DedupOps.simHash(sample)
+    // all-pairs reference (fine at 200 docs; the operator exists so we
+    // never have to do this at scale)
+    val ref = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("h"))
+      .filter($"h" <= 3)
+      .select($"d1", $"d2", $"h").as[(Long, Long, Int)].collect().toSet
+    val got = DedupOps.simHashPairs(sample, maxHamming = 3)
+      .select($"d1", $"d2", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // pigeonhole: hamming <= 3 over 4 bands guarantees a matching band,
+    // so banding must find every reference pair (and nothing else)
+    assert(got == ref)
+  }
+
   test("simhash of identical docs collides at hamming 0") {
     val base = docs.select("doc_id", "text").limit(3)
     val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text")

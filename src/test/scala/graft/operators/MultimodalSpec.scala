@@ -14,14 +14,21 @@ class MultimodalSpec extends SparkSuite {
     val f1 = MultimodalOps.documentFeatures(spark, docs)
     val f2 = MultimodalOps.documentFeatures(spark, docs)
     assert(f1.schema.fieldNames.toSeq ==
-      Seq("doc_id", "n_bytes", "content_hash", "width", "height", "features"))
+      Seq("doc_id", "n_bytes", "content_hash", "width", "height") ++
+        (0 until 8).map(j => s"f$j"))
     assert(f1.count() == docs.count())
     val h1 = f1.orderBy("doc_id").select("content_hash").as[Long].collect()
     val h2 = f2.orderBy("doc_id").select("content_hash").as[Long].collect()
     assert(h1.sameElements(h2))
-    assert(f1.select(max(size($"features"))).as[Int].head() == 8)
+    assert(h1.forall(_ >= 0)) // 60-bit md5 prefix is non-negative
     assert(f1.filter($"width" < 1 || $"width" > 1920 ||
       $"height" < 1 || $"height" > 1080).count() == 0)
+    assert(f1.filter($"f0" < 0 || $"f0" >= 1 || $"f7" < 0 || $"f7" >= 1)
+      .count() == 0)
+    // the typed array shape (downstream similarity input) is intact
+    val arr = MultimodalOps.extractFeatures(
+      MultimodalOps.withBinaryPayload(docs)).toDF()
+    assert(arr.select(max(size($"features"))).as[Int].head() == 8)
   }
 
   test("frame sampling keeps every Nth fixed-size chunk") {
