@@ -34,18 +34,27 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    // a failed query is reported as -1 with its name in "failed" (and
+    // the stack trace on stderr) — never as a plausible-looking wall time
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+            None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

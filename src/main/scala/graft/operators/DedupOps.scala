@@ -210,26 +210,31 @@ object DedupOps {
     * converged flag); all data stays distributed.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
+      .persist(lvl)
+    var cached = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    var labels = cached
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
+      // one join + min-agg per round; the PREVIOUS label rides along in
+      // the result so convergence is read off the same materialization —
+      // no separate old-vs-new comparison join/action per round
       val prop = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nl"))
       val next = labels.join(prop, labels("node") === prop("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("_old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist()
-      labels = next
+        .persist(lvl)
+      converged = next.filter(col("label") =!= col("_old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
       iters += 1
     }
     edges.unpersist()

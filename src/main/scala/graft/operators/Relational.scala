@@ -401,17 +401,31 @@ object Relational {
     * aggregated per block — the fixture names are low-entropy, so
     * emitting raw pairs would return millions of dist-0 rows. */
   def fuzzyLevenshtein(s: SparkSession, dir: String): DataFrame = {
-    // explicit repartition: the blocked self-join is CPU-dense but only
-    // ~1 MB of bytes, so AQE would coalesce it to one partition and
-    // serialize 6M edit-distance evaluations; pinning the partition
-    // count keeps it parallel (and the join reuses this partitioning —
-    // no further exchange)
+    // Prefix blocking alone is skew-prone: a dominant prefix (and the
+    // fixture names ARE low-entropy) concentrates one block's entire
+    // quadratic pair set on a single reducer, which at 100x data
+    // serializes the whole query. Salting splits each block across
+    // `salts` reducers while preserving the exact pair set: the probe
+    // side keys each row by hash(partkey) % salts, the build side is
+    // replicated once per salt value, so every (a, b) pair meets exactly
+    // once — at (blk, salt(a)). Replicating a DIMENSION-sized table
+    // `salts`x is cheap; the join output (the candidate pairs) dominates
+    // regardless.
+    val salts = 16
     val p = t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"),
         substring(col("p_name"), 1, 8).as("blk"))
-      .repartition(32, col("blk"))
-    p.as("a").join(p.as("b"),
+    val probe = p.withColumn("_salt",
+      pmod(xxhash64(col("p_partkey")), lit(salts.toLong)))
+    val build = p.withColumn("_salt",
+      explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    // explicit repartition on the full (blk, salt) key: the join is
+    // CPU-dense but only ~1 MB of bytes, so AQE would otherwise coalesce
+    // it to a handful of partitions and serialize the edit-distance DP
+    probe.as("a").repartition(32, col("blk"), col("_salt"))
+      .join(build.as("b"),
         col("a.blk") === col("b.blk") &&
+          col("a._salt") === col("b._salt") &&
           col("a.p_partkey") < col("b.p_partkey") &&
           // |len diff| > t implies dist > t: free exact-preserving prune
           abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 4)
