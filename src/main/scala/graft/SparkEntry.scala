@@ -104,8 +104,14 @@ object SparkEntry {
         e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
         e.filter(org.apache.spark.sql.functions.col("vec_id") === 0), k = 10)
     }),
+    // LSH-blocked (bucket-then-verify) near-dup pairs; the oracle
+    // recomputes the seed-free axis-sign band predicate + exact cosine
+    // literally, so the hash match verifies BOTH the banded candidate
+    // join and the verification stage. The old within-label all-pairs
+    // join (quadratic in block size) survives as
+    // SimilarityOps.embeddingNearDup for bounded blocks only.
     "q40_embedding_neardup" -> ((s, d) =>
-      SimilarityOps.embeddingNearDup(
+      SimilarityOps.embeddingNearDupLsh(
         Tables.load(s, d, "embeddings"), threshold = 0.35)),
     // no oracle possible: LSH buckets come from seeded random-projection
     // hyperplanes — the candidate set is defined by our seed, not by the
@@ -521,13 +527,20 @@ object SparkEntry {
          FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10""",
+    // The band predicate is the literal SQL form of the Spark-side LSH
+    // candidate join (8 bands x 8 axis-sign bits, seed-free — DuckDB
+    // list indexing is 1-based), so the oracle checks candidate
+    // generation AND verification exactly.
     "q40_embedding_neardup" ->
-      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            AS cos
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${(0 until 8).map(k => (0 until 8).map { j =>
+           val i = k * 8 + j + 1
+           s"(a.embedding[$i] >= 0) = (b.embedding[$i] >= 0)"
+         }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
+         AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
     "q50_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -88,4 +88,70 @@ object SignRandomProjection {
   def srp_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(
       SignRandomProjection(ColumnBridge.expression(emb), planes))
+
+  def sign_bits(emb: Column): Column =
+    ColumnBridge.column(SignBits(ColumnBridge.expression(emb)))
+}
+
+/** Axis-aligned SRP signature: bit j (j < min(64, len)) is the sign of
+  * coordinate j — the SRP family with the coordinate axes as hyperplanes.
+  *
+  * Unlike the seeded Gaussian planes of [[SignRandomProjection]], this
+  * signature is defined by the data alone, so ANY engine can recompute it
+  * (`embedding[j] >= 0` in SQL) — which is what makes the LSH-blocked
+  * near-dup join (SimilarityOps.embeddingNearDupLsh) cross-engine
+  * oracle-checkable. Also 64 loads/row instead of a 64x64 plane
+  * multiply. */
+case class SignBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"sign_bits expects array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), 64)
+    var sig = 0L
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      if (x >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long $sig = 0L;
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (((double) $a.$getter($j)) >= 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sign_bits"
 }

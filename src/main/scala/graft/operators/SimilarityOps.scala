@@ -65,9 +65,13 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Exact embedding near-dup pairs within equal-`blockCol` blocks
-    * (block-nested join, cosine >= threshold). For unblocked corpora use
-    * LSH buckets as the block key. */
+  /** EXACT embedding near-dup pairs within equal-`blockCol` blocks
+    * (block-nested join, cosine >= threshold). Inherently quadratic in
+    * block size: exact threshold similarity join over dense vectors has
+    * no sub-quadratic algorithm in general (it embeds the closest-pair
+    * problem), so this variant is only for corpora whose blocks stay
+    * small. For unbounded corpora use [[embeddingNearDupLsh]], which
+    * trades a quantified recall curve for n^(1+rho) cost. */
   def embeddingNearDup(vectors: DataFrame, threshold: Double,
                        blockCol: String = "label",
                        idCol: String = "vec_id",
@@ -79,4 +83,67 @@ object SimilarityOps {
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
         cosine_sim(col(s"a.$embCol"), col(s"b.$embCol")).as("cos"))
       .filter(col("cos") >= threshold)
+
+  import graft.functions.PairExplode.pair_explode
+
+  /** LSH-blocked embedding near-dup pairs: banded sign-bit candidates +
+    * exact cosine verification — the bucket-then-verify shape of
+    * [[graft.operators.DedupOps.minHashLshTrueJaccard]] applied to
+    * vectors, replacing the all-pairs-within-block join of
+    * [[embeddingNearDup]].
+    *
+    * Candidate generation: the 64-bit axis-sign SRP signature (bit j =
+    * sign of coordinate j — seed-free, so any engine recomputes it; see
+    * [[graft.functions.SignBits]]) is split into `bands` bands of
+    * `bandBits` bits; two vectors are candidates iff some band matches
+    * exactly (an equi-join on (band, value) — never a self-join of the
+    * corpus). Each candidate pair is then verified with the exact
+    * cosine, so precision is 1 by construction and the whole operator is
+    * deterministic — the DuckDB oracle (SparkEntry q40) recomputes the
+    * band predicate and the cosine literally and must match bit-for-bit.
+    *
+    * Recall is the standard SRP S-curve: a pair at angle theta agrees
+    * per bit w.p. p = 1 - theta/pi, so P(candidate) = 1-(1-p^bandBits)^bands.
+    * At the defaults (8x8) that is ~1 for true near-dups (cos >= 0.95 =>
+    * p >= 0.90 => recall > 0.9998) while random pairs (p = 0.5) collide
+    * w.p. 0.031 — a 32x candidate cut that GROWS with dimension-
+    * independence of the corpus. NOTE the operating point is chosen for
+    * near-duplicates; at weak thresholds (cos ~ 0.35, i.e. 2.8 sigma of
+    * NOISE on 64-dim random data) no LSH family separates pairs from the
+    * background (rho = ln(1/0.61)/ln(2) = 0.70 at best), and the exact
+    * answer is provably Omega(n^2) — which is why q40's contract is
+    * "LSH-candidates, exactly verified", not "all pairs above 0.35".
+    *
+    * Cost shape at 100 TB: one narrow (id, band, value) explosion (8
+    * rows of 20 B per vector — embeddings do NOT ride through the
+    * explosion), one group-by-bucket shuffle, pair_explode inside each
+    * bucket, a distinct, and two equi-joins of the SMALL candidate set
+    * back to the corpus for verification (AQE broadcasts it). */
+  def embeddingNearDupLsh(vectors: DataFrame, threshold: Double,
+                          bandBits: Int = 8, bands: Int = 8,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
+      s"bandBits*bands must fit the 64-bit signature, got $bandBits x $bands")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = graft.functions.SignRandomProjection.sign_bits(col(embCol))
+    val bandStructs = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(sig, k * bandBits).bitwiseAND(mask).as("bv"))
+    }
+    val buckets = vectors
+      .select(col(idCol).as("_vid"), explode(array(bandStructs: _*)).as("bk"))
+    val cands = buckets.groupBy(col("bk"))
+      .agg(collect_list(struct(col("_vid"), lit(0).as("_z"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(pair_explode(sort_array(col("ds"))).as(Seq("v1", "_z1", "v2", "_z2")))
+      .select(col("v1"), col("v2"))
+      .distinct() // a pair colliding in several bands verifies once
+    val e1 = vectors.select(col(idCol).as("v1"), col(embCol).as("_e1"))
+    val e2 = vectors.select(col(idCol).as("v2"), col(embCol).as("_e2"))
+    cands.join(e1, "v1").join(e2, "v2")
+      .select(col("v1"), col("v2"),
+        cosine_sim(col("_e1"), col("_e2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -109,6 +109,62 @@ class DedupSimilaritySpec extends SparkSuite {
     got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
   }
 
+  test("sign_bits: bit j is the sign of coordinate j, capped at 64") {
+    import graft.functions.SignRandomProjection.sign_bits
+    val df = Seq(
+      (Array(1.0f, -1.0f, 0.5f, -0.5f), (1L << 0) | (1L << 2)),
+      (Array(-1.0f, -1.0f), 0L),
+      (Array.fill(70)(1.0f), -1L) // all 64 low bits set; tail ignored
+    ).toDF("e", "expected")
+    df.select(sign_bits($"e").as("s"), $"expected")
+      .as[(Long, Long)].collect()
+      .foreach { case (s, e) => assert(s == e) }
+  }
+
+  test("LSH-blocked embedding near-dup == banded brute-force reference") {
+    // reference: all-pairs with the band predicate recomputed from RAW
+    // coordinates (the same formula the DuckDB oracle runs), fine at
+    // fixture scale — the operator exists so we never do this at 100 TB
+    def bandEq(k: Int) = (0 until 8).map { j =>
+      val i = k * 8 + j + 1
+      (element_at($"a.embedding", i) >= 0) ===
+        (element_at($"b.embedding", i) >= 0)
+    }.reduce(_ && _)
+    val anyBand = (0 until 8).map(bandEq).reduce(_ || _)
+    val ref = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter(anyBand)
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        cosine_sim($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" >= 0.35)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val got = SimilarityOps.embeddingNearDupLsh(emb, threshold = 0.35)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    assert(ref.nonEmpty && got == ref)
+  }
+
+  test("LSH-blocked near-dup: recall 1 on planted near-duplicates") {
+    // true near-dups (cos >= 0.99 => per-bit agreement ~0.97, miss odds
+    // (1-0.97^8)^8 ~ 1e-5 per pair, and deterministic under this seed) —
+    // the regime the 8x8 operating point is designed for; weak-threshold
+    // noise pairs (cos ~ 0.35) are NOT recallable by any LSH family
+    // (see embeddingNearDupLsh scaladoc)
+    val rnd = new scala.util.Random(7)
+    val base = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().take(50)
+    val planted = base.map { case (id, e) =>
+      val n = math.sqrt(e.map(x => x.toDouble * x).sum)
+      (id + 100000L, e.map(x => (x + (rnd.nextGaussian() * 0.04 * n /
+        math.sqrt(e.length)).toFloat)))
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingNearDupLsh(all, threshold = 0.95)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    base.foreach { case (id, _) =>
+      assert(got.contains((id, id + 100000L)),
+        s"planted near-dup pair for $id missed")
+    }
+  }
+
   test("LSH ANN top-k overlaps brute-force top-k") {
     val q = emb.filter($"vec_id" === 0)
     val rest = emb.filter($"vec_id" =!= 0)
