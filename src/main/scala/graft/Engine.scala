@@ -19,26 +19,82 @@ import graft.streaming.MVManager
   */
 case class StorageConfig(
     warehouseDir: String,
-    format: String = "parquet")
+    format: String = "parquet",
+    kind: String = "local") // reference storage.type: local|s3 (config.go:33-38)
 
 case class CatalogConfig(
-    namespace: String = "default")
+    namespace: String = "default",
+    endpoint: Option[String] = None) // reference catalog.endpoint (config.go:46-51)
 
 case class BatchingConfig(
     triggerInterval: String = "500 milliseconds",
     maxFilesPerTrigger: Option[Int] = None,
-    availableNow: Boolean = false)
+    availableNow: Boolean = false,
+    // reference batching.maxRows (config.go:41-43) — wired as the
+    // DSv2 admission limit on the commit-log source (rows per micro-batch)
+    maxRowsPerBatch: Option[Long] = None)
 
-case class MetricsConfig(enabled: Boolean = true)
+case class MetricsConfig(
+    enabled: Boolean = true,
+    collectionPath: Option[String] = None) // reference metrics.collectionPath
+
+/** Reference flight.servers/port (config.go:22-25). In this engine the
+  * ingress stand-in is file-stream polling, so `servers` are the
+  * directories `GraftEngine.sourceStreams` polls; when a true Flight
+  * DSv2 source lands these become host:port endpoints unchanged. */
+case class FlightConfig(
+    servers: Seq[String] = Nil,
+    port: Int = 8815)
 
 case class GraftConfig(
     storage: StorageConfig,
     catalog: CatalogConfig = CatalogConfig(),
     batching: BatchingConfig = BatchingConfig(),
-    metrics: MetricsConfig = MetricsConfig()) {
+    metrics: MetricsConfig = MetricsConfig(),
+    flight: FlightConfig = FlightConfig()) {
   def trigger: Trigger =
     if (batching.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(batching.triggerInterval)
+}
+
+/** File-based configuration, mirroring the reference's YAML surface and
+  * defaulting rules (pkg/config/config.go:60-89 + configs/config.yaml):
+  * absent keys take the same defaults the Go loader applies
+  * (maxRows=1000, maxTimeWindow=60s, storage local/"data", namespace
+  * "default"). Key mapping: `iceberg.defaultNamespace` -> catalog
+  * namespace, `storage.localPath` -> warehouse dir, `batching
+  * .maxTimeWindow` -> trigger interval, `batching.maxRows` -> per-batch
+  * admission, `flight.servers` -> polled source dirs. */
+object GraftConfig {
+  def fromYaml(path: String): GraftConfig =
+    fromYamlString(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYamlString(text: String): GraftConfig = {
+    val root = ConfigYaml.root(ConfigYaml.parse(text))
+    val storage = root / "storage"
+    val batching = root / "batching"
+    val metrics = root / "metrics"
+    GraftConfig(
+      storage = StorageConfig(
+        warehouseDir = (storage / "localPath").str("data"), // config.go:83-85
+        kind = (storage / "type").str("local")),            // config.go:80-82
+      catalog = CatalogConfig(
+        namespace =
+          (root / "iceberg" / "defaultNamespace").str("default"), // :86-88
+        endpoint = (root / "catalog" / "endpoint").strOpt),
+      batching = BatchingConfig(
+        triggerInterval =
+          (batching / "maxTimeWindow").duration("60 seconds"), // :76-78
+        maxRowsPerBatch = Some((batching / "maxRows").long(1000L))), // :73-75
+      metrics = MetricsConfig(
+        enabled = (metrics / "enabled").bool(true),
+        collectionPath = (metrics / "collectionPath").strOpt),
+      flight = FlightConfig(
+        servers = (root / "flight" / "servers").list,
+        port = (root / "flight" / "port").int(8815)))
+  }
 }
 
 /** The engine facade: session + catalog + MV manager in one object —
@@ -53,7 +109,7 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
 
   val catalog = new LakeCatalog(spark, config.storage.warehouseDir)
   val mvs = new MVManager(
-    spark, s"${config.storage.warehouseDir}/_checkpoints")
+    spark, s"${config.storage.warehouseDir}/_checkpoints", config.metrics)
 
   def sql(query: String): DataFrame = spark.sql(query)
 
@@ -66,6 +122,26 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     config.batching.maxFilesPerTrigger
       .foreach(m => r.option("maxFilesPerTrigger", m))
     r.parquet(path)
+  }
+
+  /** All configured ingress streams unioned — one fileStream per
+    * `flight.servers` entry (the reference fans one reader goroutine per
+    * server, ingestor.go:58-80; here each is a file-poll directory and
+    * the union is a single streaming plan). */
+  def sourceStreams(schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(config.flight.servers.nonEmpty, "config: flight.servers is empty")
+    config.flight.servers.map(fileStream(_, schema)).reduce(_ unionAll _)
+  }
+
+  /** Commit-log stream of a lake table (DSv2 `graft-lake-log` source)
+    * with `batching.maxRows` applied as the per-micro-batch admission
+    * limit — the reference's maxRows knob (config.go:41-43) wired to a
+    * real rate limit instead of being read-and-ignored. */
+  def commitLogStream(name: String): DataFrame = {
+    val r = spark.readStream.format("graft-lake-log")
+    config.batching.maxRowsPerBatch
+      .foreach(m => r.option("maxRowsPerBatch", m))
+    r.load(table(name).root)
   }
 
   /** Register + run a materialized view: the streaming `transformed`

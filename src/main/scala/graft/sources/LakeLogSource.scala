@@ -80,7 +80,8 @@ class LakeLogTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = LakeLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream = new LakeLogMicroBatchStream(path)
+            : MicroBatchStream = new LakeLogMicroBatchStream(path,
+              Option(options.get("maxRowsPerBatch")).map(_.toLong))
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             val to = LakeTable.load(null, path).currentVersion
@@ -97,8 +98,10 @@ case class LakeLogOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
-class LakeLogMicroBatchStream(path: String)
+class LakeLogMicroBatchStream(path: String, maxRows: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   // AvailableNow contract: freeze the target offset at query start so
   // the run terminates even while commits keep landing
   @volatile private var frozen: Option[Int] = None
@@ -108,12 +111,28 @@ class LakeLogMicroBatchStream(path: String)
   override def latestOffset(): Offset =
     LakeLogOffset(frozen.getOrElse(
       LakeTable.load(null, path).currentVersion))
-  // SupportsAdmissionControl variant (ReadLimit unused: commit-log rows
-  // are tiny, one batch per trigger is always safe)
+
+  /** Admission control: `maxRowsPerBatch` (the reference's
+    * batching.maxRows, config.go:41-43) caps commit-log rows — i.e.
+    * snapshot versions — admitted per micro-batch. One log row per
+    * version, so capping the version advance caps the rows; under
+    * Trigger.AvailableNow Spark keeps issuing batches until the frozen
+    * target is reached, so nothing is dropped, just paced. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxRows.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val target = latestOffset().asInstanceOf[LakeLogOffset].version
+    limit match {
+      case mr: ReadMaxRows =>
+        val from = start.asInstanceOf[LakeLogOffset].version
+        LakeLogOffset(math.min(target, from + mr.maxRows().toInt))
+      case _ => LakeLogOffset(target)
+    }
+  }
   override def initialOffset(): Offset = LakeLogOffset(-1)
   override def deserializeOffset(json: String): Offset =
     LakeLogOffset(json.trim.toInt)

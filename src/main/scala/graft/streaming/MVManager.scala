@@ -19,11 +19,12 @@ import graft.lake.LakeTable
   * StreamingQueryListener, (c) errors-logged-and-dropped to fail-fast
   * queries restartable from checkpoint.
   */
-class MVManager(spark: SparkSession, checkpointRoot: String) {
+class MVManager(spark: SparkSession, checkpointRoot: String,
+                metricsConfig: graft.MetricsConfig = graft.MetricsConfig()) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
-  val metrics = new MVMetricsListener
-  spark.streams.addListener(metrics)
+  val metrics = new MVMetricsListener(metricsConfig.collectionPath)
+  if (metricsConfig.enabled) spark.streams.addListener(metrics)
 
   /** Start an MV that continuously appends micro-batches into a
     * LakeTable. `transformed` must be a streaming DataFrame.
@@ -63,8 +64,12 @@ class MVManager(spark: SparkSession, checkpointRoot: String) {
 }
 
 /** Wires the reference's dead `metrics` config block (config.go:54-57)
-  * to a live listener: rows/batches per query, queryable in-process. */
-class MVMetricsListener extends StreamingQueryListener {
+  * to a live listener: rows/batches per query, queryable in-process;
+  * with `collectionPath` set, a JSON stats file per query is flushed to
+  * that directory on every progress event (crash-safe: the file is
+  * always the latest complete snapshot, written atomically). */
+class MVMetricsListener(collectionPath: Option[String] = None)
+    extends StreamingQueryListener {
   case class QueryStats(batches: Long, inputRows: Long)
   private val stats = TrieMap.empty[String, QueryStats]
 
@@ -75,12 +80,25 @@ class MVMetricsListener extends StreamingQueryListener {
       e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
     val cur = stats.getOrElse(name, QueryStats(0, 0))
-    stats.put(name, QueryStats(cur.batches + 1,
-      cur.inputRows + e.progress.numInputRows))
+    val next = QueryStats(cur.batches + 1,
+      cur.inputRows + e.progress.numInputRows)
+    stats.put(name, next)
+    collectionPath.foreach(dir => persist(dir, name, next))
   }
 
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
   def apply(name: String): Option[QueryStats] = stats.get(name)
+
+  private def persist(dir: String, name: String, s: QueryStats): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = Files.createTempFile(d, s".$name", ".tmp")
+    Files.writeString(tmp,
+      s"""{"query":"$name","batches":${s.batches},"inputRows":${s.inputRows}}""")
+    Files.move(tmp, d.resolve(s"$name.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
 }

@@ -66,4 +66,48 @@ class EngineSpec extends SparkSuite {
     assert(engine.readTable("ids").count() == 3)
     assert(engine.catalog.listTables("other").isEmpty)
   }
+
+  test("YAML-configured engine: file config drives warehouse, namespace, " +
+    "source dirs, and metrics collection") {
+    val wh = tmpDir("engine-yaml-wh")
+    val srcA = tmpDir("engine-yaml-srcA")
+    val srcB = tmpDir("engine-yaml-srcB")
+    val metricsDir = s"$wh/_metrics"
+    val yaml =
+      s"""flight:
+         |  servers:
+         |    - $srcA
+         |    - $srcB
+         |iceberg:
+         |  defaultNamespace: yamlns
+         |storage:
+         |  localPath: $wh
+         |metrics:
+         |  enabled: true
+         |  collectionPath: $metricsDir
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    val engine = new GraftEngine(spark, cfg)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // two "servers" (poll dirs) feeding one unioned stream
+    Seq(1L, 2L).toDF("id").write.mode("overwrite").parquet(srcA)
+    Seq(3L).toDF("id").write.mode("overwrite").parquet(srcB)
+
+    val (_, q) = engine.startMaterializedView("ingest",
+      engine.sourceStreams(schema))
+    q.awaitTermination()
+    assert(engine.readTable("ingest").count() == 3)
+    assert(engine.catalog.listTables("yamlns") == Seq("ingest"))
+
+    // metrics.collectionPath produced a stats file for the query
+    val statsFile = java.nio.file.Paths.get(metricsDir, "ingest.json")
+    assert(java.nio.file.Files.exists(statsFile))
+    val json = java.nio.file.Files.readString(statsFile)
+    assert(json.contains(""""query":"ingest""""))
+    assert(json.contains(""""inputRows":3"""))
+  }
 }

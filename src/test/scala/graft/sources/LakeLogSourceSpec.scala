@@ -92,4 +92,29 @@ class LakeLogSourceSpec extends SparkSuite {
     assert(LakeLogSourceSpec.seen.toArray(Array.empty[Integer]).toSeq
       .map(_.toInt).sorted == Seq(0, 1, 2, 3))
   }
+
+  test("maxRowsPerBatch paces admission without dropping commits") {
+    val t = LakeTable.create(spark, tmpDir("log-paced"), schema)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, i.toDouble)).toDF("id", "v")))
+    // versions 0..5 committed (create + 5 appends) = 6 log rows
+
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
+      batchSizes.add(batch.count()); ()
+    }
+    val q = spark.readStream.format("graft-lake-log")
+      .option("maxRowsPerBatch", 2)
+      .load(t.root)
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", tmpDir("log-paced-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).toSeq
+      .map(_.toLong).filter(_ > 0)
+    assert(sizes.sum == 6, s"all commits delivered, got $sizes")
+    assert(sizes.forall(_ <= 2), s"each batch capped at maxRows, got $sizes")
+    assert(sizes.size >= 3, s"pacing split delivery across batches, got $sizes")
+  }
 }
