@@ -39,9 +39,20 @@ object Tables {
   /** Ensure at least `defaultParallelism` partitions before CPU-heavy
     * per-row work (shingling, hashing, decoding). Small single-file
     * inputs otherwise pin an expensive narrow stage to one task; on a
-    * many-partition production input this is a no-op. */
+    * many-partition production input this is a no-op.
+    *
+    * The decision uses only optimizer statistics — no physical plan or
+    * RDD is built. The file source packs splits to `maxPartitionBytes`,
+    * so an input of at least `target * maxPartitionBytes` bytes already
+    * scans as >= target partitions and must NOT be reshuffled (at 100 TB
+    * the repartition would dwarf the work it enables); anything smaller
+    * is cheap to shuffle by definition. */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val perPartition = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(target.toLong) * perPartition) df.repartition(target)
+    else df
   }
 }
