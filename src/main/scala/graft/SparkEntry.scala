@@ -137,6 +137,22 @@ object SparkEntry {
         e.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
         model, k = 10, nprobe = 4)
     }),
+    // no oracle possible (same seeded-centroid reason as q45). The
+    // persisted-index serving path: inverted lists written as _cluster
+    // partitions of a lake table, probes compiled to a static partition
+    // IN-filter — DedupSimilaritySpec proves the scan touches exactly
+    // nprobe partition dirs and results equal the q45 probe-join path.
+    "q60_ann_ivf_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.train(e, c = 16, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q60")
+      val index = IvfIndex.buildIndex(
+        s, e.filter(col("vec_id") =!= 0), model, dir.toString)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 4)
+    }),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),

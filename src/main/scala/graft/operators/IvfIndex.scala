@@ -37,13 +37,53 @@ object IvfIndex {
     out
   }
 
-  /** Deterministic training: first `c` vectors (by id) seed the
-    * centroids; `iters` Lloyd rounds refine them. */
-  def train(vectors: DataFrame, c: Int, iters: Int = 3,
-            embCol: String = "embedding", idCol: String = "vec_id"): Model = {
-    var cents: Array[Array[Double]] = vectors.orderBy(col(idCol)).limit(c)
+  /** k-means‖-style seeding (Bahmani et al., VLDB'12, adapted): a
+    * deterministic pseudo-random oversample of `5*c` vectors — ordered
+    * by xxhash64(id), which TakeOrderedAndProject serves from
+    * per-partition top-k heaps (no full sort, no shuffle of the corpus)
+    * — then driver-local farthest-point (maximin) selection of the
+    * final c centers from that sample. The expensive distributed phase
+    * touches each row once; the O(5c * c * dim) selection runs on a
+    * few-hundred-row sample on the driver. Deterministic by
+    * construction (hash order + maximin), so training is reproducible
+    * without a seed parameter. */
+  private def seedCentroids(vectors: DataFrame, c: Int, embCol: String,
+                            idCol: String): Array[Array[Double]] = {
+    val sample = vectors
+      .orderBy(xxhash64(col(idCol)), col(idCol)) // hash ties broken stably
+      .limit(5 * c)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sample.length <= c) return sample
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD2 = sample.map(d2(_, sample.head))
+    while (chosen.length < c) {
+      var best = 0; var i = 1
+      while (i < sample.length) {
+        if (minD2(i) > minD2(best)) best = i
+        i += 1
+      }
+      chosen += sample(best)
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), sample(best))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    chosen.toArray
+  }
+
+  /** Deterministic training: k-means‖-style sampled seed + `iters`
+    * Lloyd rounds. */
+  def train(vectors: DataFrame, c: Int, iters: Int = 3,
+            embCol: String = "embedding", idCol: String = "vec_id"): Model = {
+    var cents: Array[Array[Double]] = seedCentroids(vectors, c, embCol, idCol)
     (1 to iters).foreach { _ =>
       val assigned = vectors.select(col(embCol),
         nearest_centroid(col(embCol), cents).as("_cluster"))
@@ -58,6 +98,57 @@ object IvfIndex {
              embCol: String = "embedding"): DataFrame =
     vectors.withColumn("_cluster",
       nearest_centroid(col(embCol), model.centroids))
+
+  /** Persist the inverted lists as a lake table PARTITIONED by
+    * `_cluster` — the 100 TB serving shape promised above: each
+    * inverted list is a partition directory, so probing `nprobe`
+    * clusters compiles to a partition-pruned scan that never opens the
+    * other C - nprobe lists. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession,
+                 vectors: DataFrame, model: Model, path: String,
+                 embCol: String = "embedding"): graft.lake.LakeTable = {
+    val assigned = assign(vectors, model, embCol)
+    val t = graft.lake.LakeTable.create(spark, path, assigned.schema,
+      partitionBy = Seq("_cluster"))
+    t.append(assigned)
+    t
+  }
+
+  /** Driver-side probe selection: same cosine scoring as the
+    * TopCentroids expression, on the local KB-sized centroid matrix. */
+  def probeIds(q: Array[Float], model: Model, nprobe: Int): Seq[Int] = {
+    val scores = model.centroids.map { cent =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      val m = math.min(q.length, cent.length)
+      while (j < m) {
+        dot += q(j) * cent(j); na += q(j).toDouble * q(j); nb += cent(j) * cent(j)
+        j += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    scores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  /** Serve one query from the persisted index. Probes are computed
+    * driver-side from the local model, producing a static
+    * `_cluster IN (...)` predicate the planner prunes partitions with
+    * at PLANNING time (visible in the scan's selectedPartitions — no
+    * dynamic pruning machinery involved). This is the low-latency
+    * serving path; for query BATCHES use `search`, whose broadcast
+    * probe join covers many query vectors in one plan. */
+  def searchPersisted(index: graft.lake.LakeTable, queryVec: Array[Float],
+                      model: Model, k: Int, nprobe: Int,
+                      embCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val probes = probeIds(queryVec, model, nprobe)
+    index.read()
+      .filter(col("_cluster").isin(probes: _*))
+      .select(col(idCol),
+        cosine_sim(col(embCol), typedlit(queryVec.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Approximate top-k: probe the query's `nprobe` closest clusters and
     * brute-force only those inverted lists. */

@@ -197,6 +197,39 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("persisted IVF index: serving scan reads ONLY the probed " +
+    "partitions, results match the in-memory search") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val model = IvfIndex.train(emb, c = 16, iters = 2)
+    val index = IvfIndex.buildIndex(spark, emb.filter($"vec_id" =!= 0),
+      model, tmpDir("ivf-index"))
+
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val nprobe = 4
+    val served = IvfIndex.searchPersisted(index, queryVec, model,
+      k = 10, nprobe = nprobe)
+
+    // partition pruning is static: the planned scan touches exactly the
+    // probed inverted lists, never the other C - nprobe partition dirs
+    val scan = served.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    val total = index.read().queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get.selectedPartitions.partitionCount
+    assert(scan.selectedPartitions.partitionCount == nprobe,
+      s"scanned ${scan.selectedPartitions.partitionCount} of $total")
+    assert(total > nprobe)
+
+    // equivalence with the in-memory probe-join path on the same model
+    val inMem = IvfIndex.search(emb.filter($"vec_id" =!= 0),
+        emb.filter($"vec_id" === 0), model, k = 10, nprobe = nprobe)
+      .select("vec_id").as[Long].collect().toSeq
+    val persisted = served.select("vec_id").as[Long].collect().toSeq
+    assert(persisted == inMem)
+  }
+
   test("langId + text stats agree with hand computation") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
