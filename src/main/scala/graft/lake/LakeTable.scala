@@ -77,8 +77,22 @@ class LakeTable private (
 
   private def filesOf(node: JsonNode): Seq[FileEntry] =
     node.get("files").elements().asScala.map { f =>
-      FileEntry(f.get("path").asText(), f.get("rows").asLong())
+      val cols = Option(f.get("cols"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asInt()).toSeq)
+        .getOrElse(Nil)
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols)
     }.toSeq
+
+  private def fieldIdsOf(node: JsonNode): Map[String, Int] =
+    node.get("fieldIds").properties().asScala
+      .map(e => e.getKey -> e.getValue.asInt()).toMap
+
+  /** Monotone last-assigned field ID (Iceberg's last-column-id); legacy
+    * snapshots fall back to the max live ID. */
+  private def lastFieldIdOf(node: JsonNode): Int =
+    Option(node.get("lastFieldId")).map(_.asInt())
+      .getOrElse(fieldIdsOf(node).values.foldLeft(0)(math.max))
 
   def dataFiles: Seq[FileEntry] = filesOf(latest()._2)
 
@@ -138,22 +152,77 @@ class LakeTable private (
     * CURRENT schema of that snapshot (old files missing later-added
     * columns surface them as null; files written before a type widening
     * are upcast by the parquet reader — verified int32->long and
-    * float->double on both the vectorized and row-based paths). */
+    * float->double on both the vectorized and row-based paths; files
+    * written before a rename surface their data under the new name via
+    * field-ID resolution). */
   def readVersion(v: Int): DataFrame = {
     val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
     val snapSchema = DataTypeBridge.fromJson(node.get("schemaJson").asText())
-    val paths = filesOf(node).map(f => s"$root/${f.path}")
-    if (paths.isEmpty)
-      spark.createDataFrame(
+    readEntries(filesOf(node), snapSchema, fieldIdsOf(node))
+  }
+
+  /** Plan a read of `entries` under `snapSchema`, resolving each file's
+    * physical columns to current columns BY FIELD ID (Iceberg
+    * semantics). Files whose physical names already equal their current
+    * names — the overwhelmingly common case — share one scan, identical
+    * to the pre-rename plan; only files actually written before a
+    * rename (or carrying a retired ID whose name was reused) get a
+    * per-epoch scan with an aliasing projection, and the union of those
+    * scans stays fully distributed, prunable, and pushdown-friendly. */
+  private def readEntries(entries: Seq[FileEntry], snapSchema: StructType,
+                          ids: Map[String, Int]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
-    else if (partitionBy.isEmpty)
-      spark.read.schema(snapSchema).parquet(paths: _*)
-    else
-      // hive-style partition dirs live directly under data/ — basePath
-      // lets Spark recover partition columns AND prune partitions from
-      // filters before touching any file
-      spark.read.option("basePath", s"$root/data")
-        .schema(snapSchema).parquet(paths: _*)
+    val idToField: Map[Int, StructField] =
+      snapSchema.fields.flatMap(f => ids.get(f.name).map(_ -> f)).toMap
+    val currentNames = snapSchema.fieldNames.toSet
+
+    // a file reads correctly BY NAME iff every live column sits at its
+    // current name and no retired column's name shadows a current one
+    def nameCompatible(e: FileEntry): Boolean =
+      e.cols.isEmpty || e.cols.forall { case (physName, id) =>
+        idToField.get(id) match {
+          case Some(f) => f.name == physName        // live, un-renamed
+          case None    => !currentNames.contains(physName) // retired, no shadow
+        }
+      }
+
+    val (byName, byId) = entries.partition(nameCompatible)
+
+    def baseRead(paths: Seq[String], s: StructType): DataFrame =
+      if (partitionBy.isEmpty) spark.read.schema(s).parquet(paths: _*)
+      else
+        // hive-style partition dirs live directly under data/ — basePath
+        // lets Spark recover partition columns AND prune partitions from
+        // filters before touching any file
+        spark.read.option("basePath", s"$root/data")
+          .schema(s).parquet(paths: _*)
+
+    val nameScan =
+      if (byName.isEmpty) Nil
+      else Seq(baseRead(byName.map(e => s"$root/${e.path}"), snapSchema))
+
+    val idScans = byId.groupBy(_.cols).map { case (cols, es) =>
+      val live = cols.filter { case (_, id) => idToField.contains(id) }
+      // physical read schema: the file's own names, the CURRENT (possibly
+      // widened) types; retired columns are simply not read
+      val physSchema = StructType(live.map { case (physName, id) =>
+        StructField(physName, idToField(id).dataType, nullable = true)
+      })
+      val liveById = live.map { case (pn, id) => id -> pn }.toMap
+      import org.apache.spark.sql.functions.{col, lit}
+      val projection = snapSchema.fields.map { f =>
+        liveById.get(ids(f.name)) match {
+          case Some(physName) => col(physName).as(f.name)
+          case None           => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      baseRead(es.map(e => s"$root/${e.path}"), physSchema)
+        .select(projection.toSeq: _*)
+    }
+
+    (nameScan ++ idScans).reduce(_ unionByName _)
   }
 
   /** Incremental read: only rows in files committed AFTER `fromVersion`
@@ -167,16 +236,8 @@ class LakeTable private (
           Files.readString(versionPath(metaDir, fromVersion)))
         filesOf(node).map(_.path).toSet
       }
-    val added = dataFiles.map(_.path).filterNot(from.contains)
-    val snapSchema = schema
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
-    else if (partitionBy.isEmpty)
-      spark.read.schema(snapSchema).parquet(added.map(p => s"$root/$p"): _*)
-    else
-      spark.read.option("basePath", s"$root/data")
-        .schema(snapSchema).parquet(added.map(p => s"$root/$p"): _*)
+    val added = dataFiles.filterNot(f => from.contains(f.path))
+    readEntries(added, schema, fieldIds)
   }
 
   // ---- write ---------------------------------------------------------
@@ -317,7 +378,25 @@ class LakeTable private (
     * retry, making offset checks atomic with the commit. */
   private def commit(pending: PendingWrite, replacedFiles: Set[String],
                      meta: Map[String, String],
-                     guard: Option[CommitGuard]): Int = {
+                     guard: Option[CommitGuard]): Int =
+    commitWith(Some(pending), replacedFiles, meta, guard, alter = None)
+
+  /** Metadata-only schema change committed through the same optimistic
+    * loop as data (so it serializes correctly against racing appends —
+    * the transform is re-applied to the freshly-read schema on every
+    * retry). */
+  private def commitAlter(
+      meta: Map[String, String])(
+      alter: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
+      : Int =
+    commitWith(None, Set.empty, meta, guard = None, alter = Some(alter))
+
+  private def commitWith(pending: Option[PendingWrite],
+                         replacedFiles: Set[String],
+                         meta: Map[String, String],
+                         guard: Option[CommitGuard],
+                         alter: Option[(StructType, Map[String, Int]) =>
+                           (StructType, Map[String, Int])]): Int = {
     var attempt = 0
     while (true) {
       val (v, cur) = latest()
@@ -340,22 +419,61 @@ class LakeTable private (
         case None => hw
       }
       val curSchema = DataTypeBridge.fromJson(cur.get("schemaJson").asText())
-      val curIds = cur.get("fieldIds").properties().asScala
-        .map(e => e.getKey -> e.getValue.asInt()).toMap
-      val (newSchema, newIds) = evolve(curSchema, curIds, pending.schema)
+      val curIds = fieldIdsOf(cur)
+      val curLast = lastFieldIdOf(cur)
+      val (newSchema, newIds) = alter match {
+        case Some(t) => t(curSchema, curIds)
+        case None => evolve(curSchema, curIds, curLast, pending.get.schema)
+      }
+      // new files record physicalName -> fieldId as of THIS commit: the
+      // identity that later renames/drops resolve against
+      val stamped = pending.map(_.files.map(f =>
+        f.copy(cols = pending.get.schema.fieldNames.toSeq
+          .map(n => n -> newIds(n))))).getOrElse(Nil)
       val baseFiles = filesOf(cur).filterNot(f => replacedFiles.contains(f.path))
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = cur.get("properties"),
-        files = baseFiles ++ pending.files, meta = meta,
+        files = baseFiles ++ stamped, meta = meta,
         partitionBy = partitionBy,
-        highWater = newHw)
+        highWater = newHw,
+        lastFieldId = curLast)
       if (tryCommit(metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
     }
     -1 // unreachable
   }
+
+  // ---- schema evolution (rename/drop, Iceberg field-ID semantics) ----
+
+  /** Rename a column, KEEPING its field ID: files written under the old
+    * name keep serving their data under the new one (resolved by ID at
+    * read time) — a rename is never a drop+add. Partition columns can't
+    * be renamed (their name is the directory layout). */
+  def renameColumn(from: String, to: String): Int =
+    commitAlter(Map("alter" -> s"rename $from -> $to")) { (s, ids) =>
+      require(s.fieldNames.contains(from), s"no column $from at $root")
+      require(!s.fieldNames.contains(to), s"column $to already exists at $root")
+      require(!partitionBy.contains(from),
+        s"cannot rename partition column $from")
+      val ns = StructType(s.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      (ns, ids - from + (to -> ids(from)))
+    }
+
+  /** Drop a column: its field ID is RETIRED, never reused (lastFieldId
+    * is monotone). A later add of the same name mints a fresh ID, so
+    * data the dropped column left behind in old files can never
+    * resurface under the re-added column. */
+  def dropColumn(name: String): Int =
+    commitAlter(Map("alter" -> s"drop $name")) { (s, ids) =>
+      require(s.fieldNames.contains(name), s"no column $name at $root")
+      require(s.fields.length > 1, s"cannot drop the last column at $root")
+      require(!partitionBy.contains(name),
+        s"cannot drop partition column $name")
+      (StructType(s.fields.filterNot(_.name == name)), ids - name)
+    }
 
   /** Iceberg-style snapshot retention: delete snapshot metadata older
     * than the newest `keepLast` versions, then vacuum data files that
@@ -424,6 +542,7 @@ class LakeTable private (
     * field IDs. Files written before a widening stay valid — the parquet
     * reader upcasts their narrower physical type on scan. */
   private def evolve(cur: StructType, ids: Map[String, Int],
+                     lastFieldId: Int,
                      incoming: StructType): (StructType, Map[String, Int]) = {
     val incomingByName = incoming.fields.map(f => f.name -> f).toMap
     val resolved = cur.fields.map { existing =>
@@ -441,7 +560,10 @@ class LakeTable private (
     val curNames = cur.fieldNames.toSet
     val added = incoming.fields.filterNot(f => curNames.contains(f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    var maxId = if (ids.isEmpty) 0 else ids.values.max
+    // fresh IDs start above lastFieldId, not above max(live ids): a
+    // retired (dropped) column's ID must never be reassigned
+    var maxId = math.max(lastFieldId,
+      ids.values.foldLeft(0)(math.max))
     val newIds = ids ++ added.map { f => maxId += 1; f.name -> maxId }
     (StructType(resolved ++ added), newIds)
   }
@@ -470,7 +592,13 @@ object LakeTable {
   private[lake] case class CasGuard(key: String, expected: Long, value: Long)
       extends CommitGuard
 
-  case class FileEntry(path: String, rows: Long)
+  /** `cols` maps each PHYSICAL parquet column name in the file to the
+    * table field ID it was written under (Iceberg-style column identity:
+    * renames keep the ID, drops retire it, re-adds mint a fresh one).
+    * Empty for files committed before ID tracking — those read by name,
+    * the pre-ID behavior. */
+  case class FileEntry(path: String, rows: Long,
+                       cols: Seq[(String, Int)] = Nil)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
@@ -543,7 +671,8 @@ object LakeTable {
       ids: Map[String, Int], props: JsonNode,
       files: Seq[FileEntry], meta: Map[String, String],
       partitionBy: Seq[String] = Seq.empty,
-      highWater: Map[String, Long] = Map.empty): JsonNode = {
+      highWater: Map[String, Long] = Map.empty,
+      lastFieldId: Int = 0): JsonNode = {
     val n = mapper.createObjectNode()
     n.put("version", version)
     n.put("parent", parent)
@@ -555,10 +684,18 @@ object LakeTable {
     n.put("schemaJson", DataTypeBridge.toJson(schema))
     val idNode = n.putObject("fieldIds")
     ids.toSeq.sortBy(_._2).foreach { case (k, v) => idNode.put(k, v) }
+    // Iceberg's last-column-id: monotone, survives drops, so a retired
+    // field ID can never be reused by a later add
+    n.put("lastFieldId",
+      math.max(lastFieldId, ids.values.foldLeft(0)(math.max)))
     n.set[JsonNode]("properties", props)
     val fileArr = n.putArray("files")
     files.foreach { f =>
       val fn = fileArr.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
+      if (f.cols.nonEmpty) {
+        val cn = fn.putObject("cols")
+        f.cols.foreach { case (name, id) => cn.put(name, id) }
+      }
     }
     val metaNode = n.putObject("appMeta")
     meta.foreach { case (k, v) => metaNode.put(k, v) }

@@ -127,6 +127,69 @@ class LakeTableSpec extends SparkSuite {
     }
   }
 
+  test("rename keeps the field ID: old files serve data under the " +
+    "new name") {
+    val t = freshTable("rename", abSchema)
+    t.append(Seq((1L, "one"), (2L, "two")).toDF("a", "b"))
+    val idsBefore = t.fieldIds
+    t.renameColumn("b", "label")
+    assert(t.schema.fieldNames.toSeq == Seq("a", "label"))
+    // identity preserved: same ID under the new name — NOT drop+add
+    assert(t.fieldIds("label") == idsBefore("b"))
+    // the pre-rename file's data surfaces under the new name
+    assert(t.read().orderBy("a").select("label").as[String].collect().toSeq
+      == Seq("one", "two"))
+    // appends under the new name coexist with old files
+    t.append(Seq((3L, "three")).toDF("a", "label"))
+    assert(t.read().orderBy("a").select("label").as[String].collect().toSeq
+      == Seq("one", "two", "three"))
+    // time travel to the pre-rename snapshot still shows the old name
+    assert(t.readVersion(1).schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(t.readVersion(1).select("b").as[String].collect().sorted.toSeq
+      == Seq("one", "two"))
+    // guard rails
+    intercept[IllegalArgumentException] { t.renameColumn("missing", "x") }
+    intercept[IllegalArgumentException] { t.renameColumn("a", "label") }
+  }
+
+  test("drop retires the field ID: re-added same-named column never " +
+    "resurfaces old data") {
+    val t = freshTable("drop-readd", abSchema)
+    t.append(Seq((1L, "secret1"), (2L, "secret2")).toDF("a", "b"))
+    val droppedId = t.fieldIds("b")
+    t.dropColumn("b")
+    assert(t.schema.fieldNames.toSeq == Seq("a"))
+    assert(t.read().columns.toSeq == Seq("a"))
+    // re-add b: fresh ID (never reuses the retired one)
+    t.append(Seq((3L, "fresh")).toDF("a", "b"))
+    assert(t.fieldIds("b") > droppedId, s"${t.fieldIds("b")} vs $droppedId")
+    // old files must read b as NULL — their physical 'b' belongs to the
+    // retired ID, not the re-added column
+    val got = t.read().orderBy("a").select("b").as[Option[String]]
+      .collect().toSeq
+    assert(got == Seq(None, None, Some("fresh")))
+    intercept[IllegalArgumentException] { t.dropColumn("missing") }
+  }
+
+  test("rename after widening, then compaction migrates files to " +
+    "current naming") {
+    val t = freshTable("rename-widen", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", FloatType))))
+    t.append(Seq((1, 1.5f)).toDF("k", "v"))
+    t.append(Seq((2L, 2.5d)).toDF("k", "v")) // widen int->long float->double
+    t.renameColumn("v", "value")
+    // old narrow file upcast AND renamed by ID in one read
+    assert(t.read().orderBy("k").select("value").as[Double].collect().toSeq
+      == Seq(1.5, 2.5))
+    t.compact(numFiles = 1)
+    assert(t.read().orderBy("k").select("value").as[Double].collect().toSeq
+      == Seq(1.5, 2.5))
+    // compaction rewrote data under the current name: a subsequent
+    // rename back still resolves correctly by ID
+    t.renameColumn("value", "v2")
+    assert(t.read().agg(sum("v2")).as[Double].head() == 4.0)
+  }
+
   test("append evaluates its input exactly once (no count double-pass)") {
     val evals = spark.sparkContext.longAccumulator("evals")
     val df = spark.range(100).mapPartitions { it =>
