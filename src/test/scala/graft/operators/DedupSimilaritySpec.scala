@@ -61,6 +61,20 @@ class DedupSimilaritySpec extends SparkSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("star contraction converges in O(log diameter) rounds on a " +
+    "deep chain (one-hop propagation would need diameter rounds)") {
+    val n = 100 // path graph 0-1-2-...-100: diameter 100
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("d1", "d2")
+    val (labels, rounds) = DedupOps.starClusters(chain, maxIters = 20)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 0L), "every chain node labeled by the root")
+    // log2(100) ~ 6.6; one-hop min-label needs ~100 rounds and would
+    // not even converge within maxIters
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
   test("LSH + true-jaccard verification equals the exact pipeline (q33)") {
     val exact = DedupOps.ngramJaccard(docs, minJaccard = 0.5)
       .select($"d1", $"d2", $"inter").as[(Long, Long, Long)].collect().toSet
