@@ -153,6 +153,33 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 4)
     }),
+    // --- corpus hygiene (training-data pipeline ops) ---
+    // benchmark set := docs with doc_id % 97 == 0 (a deterministic
+    // fixture slice standing in for a held-out eval set); corpus = rest
+    "q61_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+      CorpusOps.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
+    // the fixture corpus carries no PII, so the query enriches each doc
+    // with deterministically derived email/phone/IP strings (pure
+    // function of doc_id — reproduced literally in the oracle SQL);
+    // the operator itself is corpus-agnostic
+    "q62_pii_redaction" -> ((s, d) =>
+      CorpusOps.redactPii(Tables.load(s, d, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+          "'@example.com or 555-', " +
+          "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+          "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7 end') " +
+          "AS text"))),
+    "q63_repetition_signals" -> ((s, d) =>
+      CorpusOps.repetitionSignals(Tables.load(s, d, "documents"))),
+    "q64_deterministic_split" -> ((s, d) =>
+      CorpusOps.splitSummary(Tables.load(s, d, "documents"))),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
@@ -359,6 +386,64 @@ object SparkEntry {
            UNION ALL SELECT user_id, 'purchase', purchase FROM p
            UNION ALL SELECT user_id, 'signup', signup FROM p
            UNION ALL SELECT user_id, 'view', view FROM p)""",
+    "q61_decontaminate" ->
+      // string shingles here, 64-bit shingle hashes in Spark: identity
+      // of the n-gram is what both sides count (collisions ~2^-64)
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, count(*) AS n_shared
+         FROM corp c JOIN bench b USING (shingle)
+         GROUP BY 1 HAVING count(*) >= 1""",
+    "q62_pii_redaction" ->
+      // same deterministic PII enrichment as the Spark query; DuckDB
+      // regexp_replace needs the 'g' flag for replace-all (Spark's
+      // default); patterns are RE2/Java-identical
+      """WITH enriched AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+             || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end' AS text
+           FROM documents)
+         SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text,
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         len(regexp_extract_all(text,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
+         FROM enriched""",
+    "q63_repetition_signals" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         wc AS (SELECT doc_id, unnest(w) AS word FROM words),
+         cnts AS (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2),
+         topw AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac
+                  FROM cnts GROUP BY 1),
+         bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+                FROM words, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+         bi AS (SELECT doc_id,
+                1.0 - count(DISTINCT b)::DOUBLE / count(*) AS dup_bigram_frac
+                FROM bg GROUP BY 1)
+         SELECT t.doc_id, t.top_word_frac, bi.dup_bigram_frac
+         FROM topw t JOIN bi USING (doc_id)""",
+    "q64_deterministic_split" ->
+      """SELECT source,
+         CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM (SELECT source, n_chars,
+           strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS b
+           FROM documents)
+         GROUP BY 1, 2""",
     "q48_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,

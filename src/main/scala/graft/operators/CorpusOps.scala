@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data pipelines: test-set
+  * decontamination, PII redaction, repetition-based quality signals,
+  * and deterministic train/val/test splitting. All are declarative
+  * DataFrame plans with the 100 TB shapes baked in: the benchmark side
+  * of decontamination broadcasts, redaction and bigram signals are
+  * shuffle-free per-row scans, word-level signals aggregate with
+  * map-side partials, and splitting is a pure hash projection.
+  */
+object CorpusOps {
+
+  /** Test-set decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with a held-out
+    * benchmark set — the standard guard against benchmark leakage into
+    * training data.
+    *
+    * Shape: benchmark eval sets are tiny next to a 100 TB corpus, so
+    * the benchmark's distinct shingle-hash set is BROADCAST and the
+    * corpus is never shuffled at all — the whole operator is one scan
+    * over the corpus plus a broadcast-hash semi-join + partial count
+    * aggregation. Shingles travel as 64-bit hashes (ShingleHashes'
+    * one-pass expression; collision odds ~n^2/2^64 leave counts
+    * intact).
+    *
+    * Returns (doc_id, n_shared) for contaminated docs only.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minShared: Long = 1,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val bench = DedupOps.shingleHashArrays(benchmark, textCol, idCol, n)
+      .select(explode(col("shs")).as("shingle")).distinct()
+    val corp = DedupOps.shingleHashArrays(corpus, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+    // per-doc shingles are already distinct (ShingleHashes dedups), so
+    // count(*) after the semi-ish join counts DISTINCT shared shingles
+    corp.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // conservative cross-engine patterns (identical semantics in Java
+  // regex and RE2): email, North-American-style phone, IPv4
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII redaction: replace emails / phone numbers / IPv4 addresses
+    * with typed placeholders and count what was removed, per document.
+    * Pure per-row projection — codegen'd regexes, zero shuffles, scales
+    * linearly with corpus bytes. */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(IpRe), lit(0)))
+        .cast("long").as("n_ips"))
+
+  /** Gopher-style repetition signals per document:
+    *  - top_word_frac: occurrences of the most frequent word / total
+    *    words (boilerplate and keyword-stuffing detector);
+    *  - dup_bigram_frac: 1 - distinct bigrams / total bigrams
+    *    (repeated-phrase detector).
+    *
+    * The bigram signal is computed row-locally (no shuffle). The word
+    * signal explodes to (doc, word) — two aggregations with map-side
+    * partial combine, the scale-safe alternative to per-row
+    * interpreted higher-order-function loops over long documents. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val words = graft.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val topWord = words
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")))
+        .as("top_word_frac"))
+    val bigrams = words.select(col("doc_id"),
+      (lit(1.0) - size(expr(
+        "array_distinct(transform(sequence(0, size(w)-2), " +
+          "i -> concat(w[i], ' ', w[i+1])))")).cast("double")
+        / (size(col("w")) - 1)).as("dup_bigram_frac"))
+    topWord.join(bigrams, "doc_id")
+  }
+
+  /** Deterministic, engine-portable train/val/test assignment: bucket
+    * 0..15 from the last hex digit of md5(text), split 13/2/1. Stable
+    * under reshuffling, reproducible anywhere md5 exists, and a pure
+    * projection — the standard alternative to rand()-based splits,
+    * which are neither restart- nor engine-stable. Content-keyed
+    * (md5 of TEXT, not id) so exact duplicates always land in the same
+    * split and can never leak across the boundary. */
+  def withSplit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bucket =
+      expr(s"locate(substr(md5($textCol), 32, 1), '0123456789abcdef') - 1")
+    docs.withColumn("split",
+      when(bucket < 13, "train").when(bucket < 15, "val").otherwise("test"))
+  }
+
+  /** Split audit: doc counts and char volume per (source, split). */
+  def splitSummary(docs: DataFrame): DataFrame =
+    withSplit(docs)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing shingles with " +
+    "the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // shares 'alpha beta gamma'
+      (2L, "epsilon zeta eta theta"),     // disjoint
+      (3L, "beta gamma delta alpha")      // shares 'beta gamma delta'
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, bench)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: shingles {a b g, b g d} both in bench -> 2 shared
+    // doc 3: {b g d, g d a, d a ...} only 'beta gamma delta' in bench
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate broadcast side is the benchmark (corpus never " +
+    "shuffled for the join)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = CorpusOps.decontaminate(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0))
+      .queryExecution.executedPlan
+    val hasBroadcastJoin = plan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcastJoin, "benchmark shingles must broadcast")
+  }
+
+  test("redactPii scrubs and counts emails, phones, IPs") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 555-123-4567 or 555-987-6543"),
+      (3L, "host 192.168.0.1 and 10.0.255.7 up"),
+      (4L, "clean text only")).toDF("doc_id", "text")
+    val got = CorpusOps.redactPii(df)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "mail <EMAIL> now" && got(1L)._3 == 1)
+    assert(got(2L)._2 == "call <PHONE> or <PHONE>" && got(2L)._4 == 2)
+    assert(got(3L)._2 == "host <IP> and <IP> up" && got(3L)._5 == 2)
+    assert(got(4L) == ((4L, "clean text only", 0L, 0L, 0L)))
+  }
+
+  test("repetitionSignals: hand-computed fractions") {
+    val df = Seq(
+      // 4 words, 'spam' 3/4; bigrams: 'spam spam' x2 (dup), 'spam ham'
+      (1L, "spam spam spam ham"),
+      // all distinct words and bigrams
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(df)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(got(1L)._2 - 0.75) < 1e-9)
+    assert(math.abs(got(1L)._3 - (1.0 - 2.0 / 3.0)) < 1e-9)
+    assert(math.abs(got(2L)._2 - 0.25) < 1e-9)
+    assert(got(2L)._3 == 0.0)
+  }
+
+  test("withSplit is deterministic, content-keyed, and ~13/2/1") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = CorpusOps.withSplit(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = CorpusOps.withSplit(docs.repartition(7)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "split assignment must survive reshuffling")
+    // duplicate text => same split (content-keyed): append a copy row
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val withDup = CorpusOps.withSplit(docs.limit(1).unionByName(dup))
+      .select("split").as[String].collect()
+    assert(withDup.distinct.length == 1)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+  }
+}
