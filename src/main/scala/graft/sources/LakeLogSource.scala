@@ -129,7 +129,8 @@ class LakeLogMicroBatchStream(path: String, maxRows: Option[Long] = None)
     limit match {
       case mr: ReadMaxRows =>
         val from = start.asInstanceOf[LakeLogOffset].version
-        LakeLogOffset(math.min(target, from + mr.maxRows().toInt))
+        // Long math: a huge maxRows must clamp to target, not overflow
+        LakeLogOffset(math.min(target.toLong, from + mr.maxRows()).toInt)
       case _ => LakeLogOffset(target)
     }
   }
