@@ -79,6 +79,7 @@ object GraftConfig {
     GraftConfig(
       storage = StorageConfig(
         warehouseDir = (storage / "localPath").str("data"), // config.go:83-85
+        format = (storage / "format").str("parquet"), // batch_writer.go:54
         kind = (storage / "type").str("local")),            // config.go:80-82
       catalog = CatalogConfig(
         namespace =
@@ -155,6 +156,23 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val q = mvs.startToLake(name, transformed, table, config.trigger)
     (table, q)
   }
+
+  /** Reference format-enum parity (batch_writer.go:24-32, default
+    * parquet): `storage.format` selects the MV sink. "parquet" commits
+    * micro-batches into the transactional lake table; "arrow" exports
+    * them as exactly-once Arrow IPC batch directories under
+    * `<warehouse>/<namespace>/<name>` (Spark can't re-read IPC, so
+    * arrow is an export format, not a lake format — same split the
+    * reference glosses over by committing .arrow files to Iceberg). */
+  def startExport(name: String, transformed: DataFrame): StreamingQuery =
+    config.storage.format match {
+      case "parquet" => startMaterializedView(name, transformed)._2
+      case "arrow" => mvs.startToArrow(name, transformed,
+        s"${config.storage.warehouseDir}/${config.catalog.namespace}/$name",
+        config.trigger)
+      case other => throw new IllegalArgumentException(
+        s"config: storage.format must be parquet|arrow, got '$other'")
+    }
 
   def table(name: String): LakeTable =
     catalog.table(config.catalog.namespace, name)

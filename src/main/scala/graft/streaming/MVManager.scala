@@ -58,6 +58,40 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** MV whose micro-batches are exported as Arrow IPC directories —
+    * the reference's alternate sink format (batch_writer.go:200-222),
+    * upgraded to exactly-once: each batch writes to a staging dir and
+    * atomically renames to `dir/batch-<id>`; a replayed batch finds the
+    * target already present and skips, so retries never duplicate. */
+  def startToArrow(name: String, transformed: DataFrame, dir: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val target = Paths.get(dir, s"batch-$id")
+      if (!Files.exists(target)) {
+        val staging = Paths.get(dir, s".staging-batch-$id-${java.util.UUID.randomUUID()}")
+        graft.sources.ArrowSink.write(batch, staging.toString)
+        try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent replay won the rename: ours is redundant
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val s = Files.walk(staging)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally s.close()
+        }
+      }
+    }
+    val q = transformed.writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    queries.put(name, q)
+    q
+  }
+
   def get(name: String): Option[StreamingQuery] = queries.get(name)
   def awaitAll(): Unit = queries.values.foreach(_.awaitTermination())
   def stopAll(): Unit = queries.values.foreach(_.stop())

@@ -67,6 +67,52 @@ class EngineSpec extends SparkSuite {
     assert(engine.catalog.listTables("other").isEmpty)
   }
 
+  test("storage.format=arrow: MV exports exactly-once Arrow batch dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpDir("engine-arrow-wh")
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(wh, format = "arrow"),
+      CatalogConfig(namespace = "exp"),
+      BatchingConfig(triggerInterval = "50 milliseconds")))
+    val input = MemoryStream[(Long, String)]
+    val q = engine.startExport("feed", input.toDF().toDF("id", "v"))
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val dir = java.nio.file.Paths.get(s"$wh/exp/feed")
+    val batches = java.nio.file.Files.list(dir).iterator()
+    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(batches)
+      .asScala.toList.map(_.getFileName.toString).sorted
+    assert(dirs == Seq("batch-0", "batch-1"), s"got $dirs")
+    assert(dirs.forall { d =>
+      val files = java.nio.file.Files.list(dir.resolve(d)).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .exists(_.toString.endsWith(".arrow"))
+    })
+    // replaying a batch id must be a no-op (exactly-once contract)
+    val before = java.nio.file.Files.list(dir.resolve("batch-0"))
+      .iterator()
+    val nBefore = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(before).asScala.size
+    val mv2 = new graft.streaming.MVManager(spark, tmpDir("arrow-ckpt2"))
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((9L, "dup"))
+    val q2 = mv2.startToArrow("feed", input2.toDF().toDF("id", "v"),
+      s"$wh/exp/feed")
+    q2.processAllAvailable(); q2.stop()
+    val after = java.nio.file.Files.list(dir.resolve("batch-0")).iterator()
+    val nAfter = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(after).asScala.size
+    assert(nAfter == nBefore, "replayed batch-0 must not be rewritten")
+    // invalid format fails loudly
+    intercept[IllegalArgumentException] {
+      new GraftEngine(spark, GraftConfig(StorageConfig(wh, format = "orc")))
+        .startExport("x", input.toDF().toDF("id", "v"))
+    }
+  }
+
   test("YAML-configured engine: file config drives warehouse, namespace, " +
     "source dirs, and metrics collection") {
     val wh = tmpDir("engine-yaml-wh")
