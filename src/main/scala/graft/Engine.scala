@@ -157,6 +157,20 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     (table, q)
   }
 
+  /** The reference main's whole job (cmd/ingestor/main.go:15-55 +
+    * ingestor.go:58-102): discover views on every configured server and
+    * continuously ingest each into its own table. Here each
+    * `flight.servers` entry is a polled directory; the view name is the
+    * directory basename, the schema is inferred from files already
+    * present, and each view becomes one exactly-once MV (or Arrow
+    * export, per storage.format). Returns (view, query) pairs. */
+  def startIngest(): Seq[(String, StreamingQuery)] =
+    config.flight.servers.map { dir =>
+      val name = java.nio.file.Paths.get(dir).getFileName.toString
+      val schema = spark.read.parquet(dir).schema
+      name -> startExport(name, fileStream(dir, schema))
+    }
+
   /** Reference format-enum parity (batch_writer.go:24-32, default
     * parquet): `storage.format` selects the MV sink. "parquet" commits
     * micro-batches into the transactional lake table; "arrow" exports

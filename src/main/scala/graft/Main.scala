@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Process entry point — the reference's `cmd/ingestor/main.go:15-55`
+  * re-expressed: load the YAML config, start continuous ingestion of
+  * every configured source, block until termination, shut down cleanly
+  * on SIGINT/SIGTERM. Unlike the reference (whose `Close()` is declared
+  * but never called from main), the shutdown hook actually stops every
+  * query so the final micro-batches commit before exit.
+  *
+  * Usage: `runMain graft.Main /path/to/config.yaml`
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <config.yaml>")
+    val config = GraftConfig.fromYaml(args(0))
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val engine = new GraftEngine(spark, config)
+    val started = engine.startIngest()
+    started.foreach { case (name, q) =>
+      println(s"[graft] ingesting '$name' (query ${q.id})")
+    }
+    sys.addShutdownHook {
+      println("[graft] shutting down")
+      engine.shutdown()
+    }
+    engine.awaitAnyTermination()
+  }
+}

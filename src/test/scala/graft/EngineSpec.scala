@@ -67,6 +67,30 @@ class EngineSpec extends SparkSuite {
     assert(engine.catalog.listTables("other").isEmpty)
   }
 
+  test("startIngest: every configured source dir becomes its own " +
+    "continuously-ingested table (the reference main's job)") {
+    val wh = tmpDir("ingest-wh")
+    val evDir = tmpDir("ingest-events")
+    val ordDir = tmpDir("ingest-orders")
+    Seq((1L, "click"), (2L, "view")).toDF("id", "kind")
+      .write.mode("overwrite").parquet(evDir)
+    Seq((10L, 99.5), (11L, 12.25)).toDF("oid", "total")
+      .write.mode("overwrite").parquet(ordDir)
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(wh),
+      CatalogConfig(namespace = "ing"),
+      BatchingConfig(availableNow = true),
+      flight = FlightConfig(servers = Seq(evDir, ordDir))))
+    val started = engine.startIngest()
+    assert(started.map(_._1).toSet ==
+      Set(evDir, ordDir).map(d => java.nio.file.Paths.get(d).getFileName.toString))
+    started.foreach(_._2.awaitTermination())
+    assert(engine.catalog.listTables("ing").size == 2)
+    started.foreach { case (name, _) =>
+      assert(engine.readTable(name).count() == 2)
+    }
+  }
+
   test("storage.format=arrow: MV exports exactly-once Arrow batch dirs") {
     implicit val sqlCtx = spark.sqlContext
     val wh = tmpDir("engine-arrow-wh")
