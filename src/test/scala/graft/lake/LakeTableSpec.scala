@@ -217,6 +217,33 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().agg(sum("a")).as[Long].head() == 36L)
   }
 
+  test("rename racing concurrent appends loses neither rows nor the " +
+    "alter (optimistic re-application)") {
+    val t = freshTable("alter-race", abSchema)
+    t.append(Seq((0L, "seed")).toDF("a", "b"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val appends = (1 to 6).map { i =>
+      Future(t.append(Seq((i.toLong, s"w$i")).toDF("a", "b")))
+    }
+    val alter = Future(t.renameColumn("b", "label"))
+    Await.result(Future.sequence(appends :+ alter), 120.seconds)
+    pool.shutdown()
+    assert(t.currentVersion == 8) // seed + 6 appends + 1 alter: none lost
+    // the alter survived the race regardless of interleaving...
+    assert(t.schema.fieldNames.contains("label"))
+    // ...and no append's rows or values were lost. Appends that
+    // serialized AFTER the rename legitimately re-introduce 'b' as a
+    // fresh-id column (name-based evolution), so each row's payload is
+    // in exactly one of label/b — never dropped, never duplicated.
+    val payload =
+      if (t.schema.fieldNames.contains("b")) "coalesce(label, b)"
+      else "label"
+    val got = t.read().selectExpr(s"$payload AS v").as[String].collect()
+    assert(got.sorted.toSeq ==
+      Seq("seed", "w1", "w2", "w3", "w4", "w5", "w6"))
+  }
+
   test("append racing a compaction survives the replace commit") {
     val t = freshTable("race", abSchema)
     (1 to 3).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("a", "b")))
