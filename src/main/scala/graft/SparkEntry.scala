@@ -180,6 +180,12 @@ object SparkEntry {
       CorpusOps.repetitionSignals(Tables.load(s, d, "documents"))),
     "q64_deterministic_split" -> ((s, d) =>
       CorpusOps.splitSummary(Tables.load(s, d, "documents"))),
+    "q65_domain_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      CorpusOps.mixCorpus(Tables.load(s, d, "documents"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    }),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
@@ -444,6 +450,16 @@ object SparkEntry {
            strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS b
            FROM documents)
          GROUP BY 1, 2""",
+    "q65_domain_mixture" ->
+      """SELECT source, count(*) AS n_docs
+         FROM (SELECT source,
+           (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) AS b
+           FROM documents)
+         WHERE b < CASE source WHEN 'src0' THEN 2048 WHEN 'src1' THEN 1024
+                   WHEN 'src2' THEN 0 ELSE 4096 END
+         GROUP BY 1""",
     "q48_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,

@@ -120,4 +120,32 @@ object CorpusOps {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
+
+  /** Training-mixture construction: deterministically downsample each
+    * domain to its target rate. A doc survives iff its content-keyed
+    * md5 bucket (12 bits, 4096 buckets) falls under
+    * floor(rate * 4096) — so the realized rate is exact to 1/4096,
+    * reproducible across engines and runs, and stable under
+    * repartitioning (rand()-per-row sampling is none of these).
+    * Domains absent from `rates` are kept whole. Pure filter: pushdown-
+    * friendly, zero shuffles, and composable with [[withSplit]]
+    * (independent hash bits: split uses hex digit 32, mixing 1-3). */
+  def mixCorpus(docs: DataFrame, rates: Map[String, Double],
+                textCol: String = "text", domainCol: String = "source")
+      : DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "mixture rates must be in [0,1]")
+    val bucket = expr(
+      s"""locate(substr(md5($textCol), 1, 1), '0123456789abcdef') - 1""")
+      .cast("long") * 256 +
+      expr(s"locate(substr(md5($textCol), 2, 1), '0123456789abcdef') - 1")
+        .cast("long") * 16 +
+      expr(s"locate(substr(md5($textCol), 3, 1), '0123456789abcdef') - 1")
+        .cast("long")
+    val threshold = rates.foldLeft(lit(4096L)) { case (acc, (dom, r)) =>
+      when(col(domainCol) === dom, lit(math.floor(r * 4096).toLong))
+        .otherwise(acc)
+    }
+    docs.filter(bucket < threshold)
+  }
 }

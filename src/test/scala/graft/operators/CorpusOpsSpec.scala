@@ -62,6 +62,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(2L)._3 == 0.0)
   }
 
+  test("mixCorpus: deterministic per-domain rates, untouched domains " +
+    "kept whole, rate 0 drops all") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0)
+    val mixed = CorpusOps.mixCorpus(docs, rates)
+    val bysrc = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bysrc.contains("src2"), "rate 0 must drop the domain")
+    // sampled rates land near targets (content-hash, small n => loose)
+    assert(bysrc("src0").toDouble / full("src0") > 0.2 &&
+      bysrc("src0").toDouble / full("src0") < 0.8)
+    assert(bysrc("src1") < bysrc("src0"))
+    // unlisted domains pass through whole
+    assert(bysrc("src5") == full("src5"))
+    // deterministic: same selection under repartitioning
+    val again = CorpusOps.mixCorpus(docs.repartition(5), rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixCorpus(docs, Map("src0" -> 1.5))
+    }
+  }
+
   test("withSplit is deterministic, content-keyed, and ~13/2/1") {
     val docs = Tables.load(spark, sf, "documents")
     val a = CorpusOps.withSplit(docs).select("doc_id", "split")
