@@ -135,7 +135,12 @@ object ConfigYaml {
     }
     def strOpt: Option[String] = scalar.filter(_.nonEmpty)
     def str(default: String): String = strOpt.getOrElse(default)
-    def int(default: Int): Int = long(default.toLong).toInt
+    def int(default: Int): Int = {
+      val v = long(default.toLong)
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"config: $path out of int range: $v")
+      v.toInt
+    }
     def long(default: Long): Long = scalar match {
       case None => default
       case Some(v) =>

@@ -107,4 +107,31 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(got == Map("10:00" -> 2L, "11:00" -> 1L))
   }
+
+  test("corpus hygiene composes with streaming: PII-redacting MV " +
+    "commits clean text exactly-once into the lake") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // redactPii is a stateless projection, so it lifts to a streaming
+    // DataFrame unchanged — the ingest-time scrubbing shape a training
+    // pipeline wants (raw PII never reaches storage)
+    val clean = graft.operators.CorpusOps.redactPii(
+      input.toDF().toDF("doc_id", "text"))
+
+    val table = LakeTable.create(spark, tmpDir("pii-lake"), clean.schema)
+    val mgr = new MVManager(spark, tmpDir("pii-ckpt"))
+    val q = mgr.startToLake("pii_mv", clean,
+      table, Trigger.ProcessingTime("50 milliseconds"))
+    input.addData(
+      (1L, "write to alice@example.com today"),
+      (2L, "server 10.1.2.3 dialed 555-123-4567"))
+    q.processAllAvailable()
+    q.stop()
+    val got = table.read().orderBy("doc_id")
+      .select("clean_text", "n_emails", "n_phones", "n_ips")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("write to <EMAIL> today", 1L, 0L, 0L),
+      ("server <IP> dialed <PHONE>", 0L, 1L, 1L)))
+  }
 }
