@@ -302,13 +302,40 @@ class LakeTable private (
   /** Compact the file set of a specific snapshot; files added by commits
     * after `baseVersion` survive untouched (append-vs-compact races are
     * safe: replaced set = exactly the files the rewrite covered). */
-  def compactFrom(baseVersion: Int, numFiles: Int): Int = {
+  def compactFrom(baseVersion: Int, numFiles: Int): Int =
+    compactFrom(baseVersion, numFiles, Seq.empty)
+
+  /** Compaction with range clustering: rows are range-partitioned and
+    * sorted within files on `sortBy` — Iceberg's sort-order rewrite.
+    * Afterwards each file (and each parquet row group inside it) covers
+    * a narrow, near-disjoint range of the sort key, so the reader's
+    * stats-based row-group skipping turns selective filters on that key
+    * into near-pruned scans. At 100 TB this is the difference between
+    * touching every file and touching the few that overlap the
+    * predicate — the layout half of data skipping, delivered with zero
+    * custom reader code. */
+  def compactSorted(numFiles: Int, sortBy: Seq[String]): Int =
+    compactFrom(currentVersion, numFiles, sortBy)
+
+  def compactFrom(baseVersion: Int, numFiles: Int,
+                  sortBy: Seq[String]): Int = {
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"sort column $c not in schema"))
     val baseNode = mapper.readTree(
       Files.readString(versionPath(metaDir, baseVersion)))
     val replaced = filesOf(baseNode).map(_.path).toSet
-    val rewritten = readVersion(baseVersion).repartition(numFiles)
+    val base = readVersion(baseVersion)
+    val rewritten =
+      if (sortBy.isEmpty) base.repartition(numFiles)
+      else base
+        .repartitionByRange(numFiles,
+          sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
     commit(writeData(rewritten), replacedFiles = replaced,
-      Map("compaction" -> "true"), guard = None)
+      Map("compaction" -> "true") ++
+        (if (sortBy.isEmpty) Map.empty
+         else Map("compaction.sortBy" -> sortBy.mkString(","))),
+      guard = None)
   }
 
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()

@@ -217,6 +217,45 @@ class LakeTableSpec extends SparkSuite {
     assert(t.read().agg(sum("a")).as[Long].head() == 36L)
   }
 
+  test("sorted compaction range-clusters files: per-file key ranges " +
+    "are disjoint, content preserved") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val t = freshTable("sorted-compact", abSchema)
+    // shuffled appends: every file initially spans the whole key range
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1L to 4000L).toVector)
+    ids.grouped(1000).foreach { chunk =>
+      t.append(chunk.map(i => (i, s"v$i")).toDF("a", "b").repartition(2))
+    }
+    t.compactSorted(numFiles = 4, sortBy = Seq("a"))
+    assert(t.read().count() == 4000)
+    assert(t.read().agg(sum("a")).as[Long].head() == 4000L * 4001 / 2)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val ranges = t.dataFiles.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"${t.root}/${f.path}"), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val stats = r.getFooter.getBlocks.asScala.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == "a").get
+            .getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toLong).min,
+         stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toLong).max)
+      } finally r.close()
+    }.sortBy(_._1)
+    assert(ranges.size == 4)
+    // range clustering: files cover disjoint key ranges, so stats-based
+    // skipping prunes selective filters to one file
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $ranges")
+    }
+    assert(t.read().filter($"a" === 2026L).select("b").as[String].head()
+      == "v2026")
+  }
+
   test("rename racing concurrent appends loses neither rows nor the " +
     "alter (optimistic re-application)") {
     val t = freshTable("alter-race", abSchema)
