@@ -65,6 +65,42 @@ class IncrementalPipeSpec extends SparkSuite {
     assert(dst.read().count() == 6)
   }
 
+  test("incremental corpus-hygiene pipeline: raw docs -> redact + " +
+    "quality-gate -> clean table, exactly-once per delta") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val rawSchema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("text", StringType)))
+    val raw = LakeTable.create(spark, tmpDir("hyg-raw"), rawSchema)
+    val clean = LakeTable.create(spark, tmpDir("hyg-clean"), StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("clean_text", StringType),
+      StructField("n_emails", org.apache.spark.sql.types.LongType),
+      StructField("n_phones", org.apache.spark.sql.types.LongType),
+      StructField("n_ips", org.apache.spark.sql.types.LongType))))
+    // the hygiene transform: scrub PII, then drop empty/short docs —
+    // stateless ops compose into one incremental step
+    val hygiene: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => graft.operators.CorpusOps.redactPii(df)
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("clean_text")) >= 10)
+
+    raw.append(Seq(
+      (1L, "reach me at a@b.io for details"),
+      (2L, "short")).toDF("doc_id", "text"))
+    IncrementalPipe.step(raw, clean, hygiene, pipeId = "hygiene")
+    assert(clean.read().count() == 1) // short doc gated out
+    assert(clean.read().select("clean_text").as[String].head()
+      == "reach me at <EMAIL> for details")
+
+    raw.append(Seq((3L, "call 555-000-1111 tonight")).toDF("doc_id", "text"))
+    IncrementalPipe.step(raw, clean, hygiene, pipeId = "hygiene")
+    IncrementalPipe.step(raw, clean, hygiene, pipeId = "hygiene") // no-op
+    assert(clean.read().count() == 2)
+    assert(clean.read().agg(org.apache.spark.sql.functions.sum("n_phones"))
+      .as[Long].head() == 1L)
+  }
+
   test("changesSince reads only the delta, full read sees everything") {
     val t = LakeTable.create(spark, tmpDir("delta"), schema)
     t.append(Seq((1L, 1.0)).toDF("id", "v"))
