@@ -321,21 +321,58 @@ class LakeTable private (
                   sortBy: Seq[String]): Int = {
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"sort column $c not in schema"))
+    rewriteFiles(baseVersion,
+      base =>
+        if (sortBy.isEmpty) base.repartition(numFiles)
+        else base
+          .repartitionByRange(numFiles,
+            sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.head, sortBy.tail: _*),
+      if (sortBy.isEmpty) Map.empty
+      else Map("compaction.sortBy" -> sortBy.mkString(",")))
+  }
+
+  /** Z-order compaction: files are clustered on the Morton interleave
+    * of 2-4 integer columns, so per-file min/max ranges are narrow in
+    * EVERY listed column at once — selective filters on ANY of them
+    * prune via row-group stats, where a lexicographic sort only serves
+    * its leading column. Each column is min/max-normalized into the
+    * key's bit domain first (one cheap agg over just those columns —
+    * the rewrite scans everything anyway), satisfying the ZOrderKey
+    * contract regardless of the data's actual range; the codegen'd key
+    * is computed on the fly and never stored. */
+  def compactZOrder(numFiles: Int, cols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"z-order column $c not in schema"))
+    val bitsPer = 64 / cols.size
+    val top = (1L << bitsPer) - 1
+    val base = readVersion(currentVersion)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = base.agg(aggs.head, aggs.tail: _*).head()
+    val normalized = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (stats.isNullAt(2 * i)) 0L else stats.getLong(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) 0L else stats.getLong(2 * i + 1)
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lo.toDouble) / (hi.toDouble - lo.toDouble)
+        * top.toDouble).cast("long")
+    }
+    val zkey = graft.functions.ZOrderKey.zorder_key(normalized: _*)
+    rewriteFiles(currentVersion,
+      b => b.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey),
+      Map("compaction.zorderBy" -> cols.mkString(",")))
+  }
+
+  private def rewriteFiles(baseVersion: Int,
+                           shape: DataFrame => DataFrame,
+                           extraMeta: Map[String, String]): Int = {
     val baseNode = mapper.readTree(
       Files.readString(versionPath(metaDir, baseVersion)))
     val replaced = filesOf(baseNode).map(_.path).toSet
-    val base = readVersion(baseVersion)
-    val rewritten =
-      if (sortBy.isEmpty) base.repartition(numFiles)
-      else base
-        .repartitionByRange(numFiles,
-          sortBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
-    commit(writeData(rewritten), replacedFiles = replaced,
-      Map("compaction" -> "true") ++
-        (if (sortBy.isEmpty) Map.empty
-         else Map("compaction.sortBy" -> sortBy.mkString(","))),
-      guard = None)
+    commit(writeData(shape(readVersion(baseVersion))),
+      replacedFiles = replaced,
+      Map("compaction" -> "true") ++ extraMeta, guard = None)
   }
 
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()

@@ -256,6 +256,55 @@ class LakeTableSpec extends SparkSuite {
       == "v2026")
   }
 
+  test("z-order compaction prunes on BOTH dimensions where " +
+    "lexicographic sort only serves its leading column") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val schema2 = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    def grid(): Seq[(Long, Long)] = {
+      val rnd = new scala.util.Random(11)
+      rnd.shuffle(for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+    }
+    def colRange(t: LakeTable, f: LakeTable.FileEntry, name: String)
+        : (Long, Long) = {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"${t.root}/${f.path}"), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val st = r.getFooter.getBlocks.asScala.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == name).get
+            .getStatistics)
+        (st.map(_.genericGetMin.asInstanceOf[java.lang.Long].toLong).min,
+         st.map(_.genericGetMax.asInstanceOf[java.lang.Long].toLong).max)
+      } finally r.close()
+    }
+    def filesMatching(t: LakeTable, name: String, lo: Long, hi: Long): Int =
+      t.dataFiles.count { f =>
+        val (mn, mx) = colRange(t, f, name); mx >= lo && mn <= hi
+      }
+
+    val lex = LakeTable.create(spark, tmpDir("lex-compact"), schema2)
+    lex.append(grid().toDF("x", "y").repartition(4))
+    lex.compactSorted(numFiles = 4, sortBy = Seq("x"))
+
+    val zo = LakeTable.create(spark, tmpDir("zo-compact"), schema2)
+    zo.append(grid().toDF("x", "y").repartition(4))
+    zo.compactZOrder(numFiles = 4, cols = Seq("x", "y"))
+    assert(zo.read().count() == 64 * 64)
+    assert(zo.read().distinct().count() == 64 * 64)
+
+    // a selective filter on the NON-leading dimension: every lex file
+    // spans the full y range, so none can be skipped; z-ordered files
+    // cover y sub-ranges, so stats skip at least one
+    assert(filesMatching(lex, "y", 0L, 7L) == 4)
+    assert(filesMatching(zo, "y", 0L, 7L) < 4)
+    // and both layouts still prune on x
+    assert(filesMatching(zo, "x", 0L, 7L) < 4)
+  }
+
   test("rename racing concurrent appends loses neither rows nor the " +
     "alter (optimistic re-application)") {
     val t = freshTable("alter-race", abSchema)
