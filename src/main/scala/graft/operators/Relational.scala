@@ -203,6 +203,25 @@ object Relational {
       .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"),
         max(col("k")).as("max_k"))
 
+  /** Map-typed column surface: parse the JSON props into a real
+    * map<string,long>, then drive the map function family — keys,
+    * lookup, membership, cardinality — per event, aggregated per type
+    * so the result is compact and stable. Single scan, one shuffle. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+      .select(col("event_type"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("kv"),
+        map_contains_key(col("m"), "missing").as("has_missing"),
+        size(col("m")).cast("long").as("n_entries"))
+      .groupBy(col("event_type"), col("keys"), col("has_missing"),
+        col("n_entries"))
+      .agg(count(lit(1)).as("n"), sum(col("kv")).as("sum_kv"))
+
   /** Tumbling time-bucket aggregation (batch form of a streaming MV). */
   def timeBucket(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
