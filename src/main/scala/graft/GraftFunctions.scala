@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashAgg, SimHashAgg}
+import graft.functions.{CosineSimilarity, MinHashAgg, SimHashAgg, ZOrderKey}
 
 /** SQL registration of graft's native Catalyst functions, so SQL-first
   * users (the reference system's audience) can call them directly:
@@ -30,7 +30,10 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash_agg" -> (es => SimHashAgg(es.head)),
-    "minhash_agg" -> (minhashBuilder _))
+    "minhash_agg" -> (minhashBuilder _),
+    // SELECT ... ORDER BY zorder_key(x_norm, y_norm) — see ZOrderKey's
+    // normalization contract
+    "zorder_key" -> (es => ZOrderKey(es)))
 
   /** Register (or refresh) all functions on an existing session. */
   def register(spark: SparkSession): Unit =

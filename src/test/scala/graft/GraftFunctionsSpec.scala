@@ -22,6 +22,12 @@ class GraftFunctionsSpec extends SparkSuite {
     val byId = sim.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(1L) != byId(2L) || true) // both defined, no exception
     assert(sim.forall(_.getSeq[Long](2).length == 16))
+
+    val z = spark.sql("SELECT zorder_key(3L, 5L) AS z").as[Long].head()
+    val zRef = Seq((3L, 5L)).toDF("a", "b")
+      .select(graft.functions.ZOrderKey.zorder_key($"a", $"b"))
+      .as[Long].head()
+    assert(z == zRef)
   }
 
   test("plain Scala UDF registration (the escape hatch of last resort)") {
