@@ -91,6 +91,34 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("commitLogStream: batching.maxRows from config paces the " +
+    "commit-log source") {
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("cls-wh")),
+      CatalogConfig(namespace = "cls"),
+      BatchingConfig(availableNow = true, maxRowsPerBatch = Some(2L))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val table = engine.catalog.createOrLoadTable("cls", "t", schema)
+    (1 to 5).foreach(i => table.append(Seq(i.toLong).toDF("id")))
+
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = engine.commitLogStream("t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.add(b.count()); ()
+      }
+      .option("checkpointLocation", tmpDir("cls-ckpt"))
+      .trigger(engine.config.trigger)
+      .start()
+    q.awaitTermination()
+    val got = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(sizes).asScala.toSeq.filter(_ > 0)
+    assert(got.sum == 6, s"create + 5 appends = 6 commit events, got $got")
+    assert(got.forall(_ <= 2), s"paced by config maxRows, got $got")
+  }
+
   test("storage.format=arrow: MV exports exactly-once Arrow batch dirs") {
     implicit val sqlCtx = spark.sqlContext
     val wh = tmpDir("engine-arrow-wh")
