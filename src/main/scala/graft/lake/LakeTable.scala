@@ -148,6 +148,18 @@ class LakeTable private (
 
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Time travel by timestamp (Iceberg's `TIMESTAMP AS OF`): read the
+    * latest snapshot committed at or before `tsMs`. Fails when the
+    * timestamp predates every retained snapshot (same contract as
+    * Iceberg after snapshot expiry). */
+  def readAsOf(tsMs: Long): DataFrame = {
+    val eligible = snapshots.filter(_.committedAtMs <= tsMs)
+    require(eligible.nonEmpty,
+      s"no snapshot at or before $tsMs at $root " +
+        s"(earliest retained: ${snapshots.headOption.map(_.committedAtMs)})")
+    readVersion(eligible.map(_.version).max)
+  }
+
   /** Time travel: read the file set of any committed snapshot, under the
     * CURRENT schema of that snapshot (old files missing later-added
     * columns surface them as null; files written before a type widening

@@ -33,11 +33,20 @@ class LakeTableSpec extends SparkSuite {
   test("time travel reads historical snapshots") {
     val t = freshTable("tt", abSchema)
     t.append(Seq((1L, "x")).toDF("a", "b"))
+    Thread.sleep(5) // distinct commit timestamps for the as-of checks
     t.append(Seq((2L, "y")).toDF("a", "b"))
     assert(t.readVersion(0).count() == 0)
     assert(t.readVersion(1).count() == 1)
     assert(t.readVersion(2).count() == 2)
     assert(t.snapshots.map(_.version) == Seq(0, 1, 2))
+
+    // timestamp time travel: as-of each commit's time sees that state
+    val snaps = t.snapshots
+    assert(t.readAsOf(snaps(1).committedAtMs).count() == 1)
+    assert(t.readAsOf(System.currentTimeMillis() + 1000).count() == 2)
+    intercept[IllegalArgumentException] {
+      t.readAsOf(snaps.head.committedAtMs - 1)
+    }
   }
 
   test("additive schema evolution: new column gets fresh field id, " +
