@@ -93,6 +93,7 @@ object SparkEntry {
     "q37_lang_id" -> (TextOps.languageId _),
     "q38_fingerprint" -> (TextOps.fingerprints _),
     "q43_quality_score" -> (TextOps.quality _),
+    "q67_top_words" -> ((s, d) => TextOps.topWords(s, d, k = 20)),
     // no oracle possible: rolling (Rabin-Karp) window fingerprints are
     // defined over our base/modulus constants; no other engine computes
     // the same values. Validated in MultimodalSpec ("rolling fingerprint
@@ -403,6 +404,12 @@ object SparkEntry {
            UNION ALL SELECT user_id, 'purchase', purchase FROM p
            UNION ALL SELECT user_id, 'signup', signup FROM p
            UNION ALL SELECT user_id, 'view', view FROM p)""",
+    "q67_top_words" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> ''
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "q61_decontaminate" ->
       // string shingles here, 64-bit shingle hashes in Spark: identity
       // of the n-gram is what both sides count (collisions ~2^-64)

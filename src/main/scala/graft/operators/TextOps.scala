@@ -46,4 +46,18 @@ object TextOps {
   /** Corpus quality pre-filter scores per document. */
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), qualityScore("text").as("quality"))
+
+  /** Corpus heavy hitters: the k most frequent words with counts.
+    * Explode + two-phase count (map-side partial combine collapses each
+    * partition to its vocabulary before the shuffle) + TakeOrdered for
+    * the top-k — shuffle width is the vocabulary, not the token stream.
+    * Ties broken by word so the result is deterministic. */
+  def topWords(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
 }
