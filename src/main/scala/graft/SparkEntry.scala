@@ -194,6 +194,8 @@ object SparkEntry {
     "q52_lake_roundtrip" -> (graft.streaming.StreamingQueries.lakeRoundtrip _),
     "q53_lake_partitioned" ->
       (graft.streaming.StreamingQueries.lakePartitioned _),
+    "q68_stream_hygiene" ->
+      (graft.streaming.StreamingQueries.streamHygiene _),
   )
 
   /** Exact n-gram Jaccard near-dup pairs at >= 0.5 — shared by q32
@@ -214,6 +216,30 @@ object SparkEntry {
        FROM pairs JOIN cnt ca ON ca.doc_id = d1
        JOIN cnt cb ON cb.doc_id = d2
        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""
+
+  /** q62's full redaction result — shared verbatim by q68's streaming
+    * aggregate. Same deterministic PII enrichment as the Spark queries;
+    * DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    * default); patterns are RE2/Java-identical. */
+  private val piiRedactionOracle: String =
+    """WITH enriched AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+             || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end' AS text
+           FROM documents)
+         SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text,
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+         len(regexp_extract_all(text,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
+         FROM enriched"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -423,28 +449,15 @@ object SparkEntry {
          SELECT c.doc_id, count(*) AS n_shared
          FROM corp c JOIN bench b USING (shingle)
          GROUP BY 1 HAVING count(*) >= 1""",
-    "q62_pii_redaction" ->
-      // same deterministic PII enrichment as the Spark query; DuckDB
-      // regexp_replace needs the 'g' flag for replace-all (Spark's
-      // default); patterns are RE2/Java-identical
-      """WITH enriched AS (SELECT doc_id,
-           text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
-             || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
-             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-             || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end' AS text
-           FROM documents)
-         SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
-         len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-         len(regexp_extract_all(text,
-           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-         len(regexp_extract_all(text,
-           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
-         FROM enriched""",
+    "q62_pii_redaction" -> piiRedactionOracle,
+    // streaming variant: the same redaction run as an exactly-once MV
+    // into the lake; the oracle aggregates the batch redaction — equal
+    // because AvailableNow drains everything exactly once
+    "q68_stream_hygiene" ->
+      s"""WITH red AS ($piiRedactionOracle)
+         SELECT count(*) AS n_docs, sum(n_emails) AS sum_emails,
+         sum(n_phones) AS sum_phones, sum(n_ips) AS sum_ips,
+         sum(length(clean_text)) AS sum_clean_chars FROM red""",
     "q63_repetition_signals" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE len(string_split(text, ' ')) >= 2),

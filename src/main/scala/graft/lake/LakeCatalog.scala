@@ -51,4 +51,15 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String) {
 
   def table(ns: String, name: String): LakeTable =
     LakeTable.load(spark, tablePath(ns, name))
+
+  /** Drop a table: data, metadata, and the catalog entry (the directory)
+    * are removed together — there is no half-dropped state a subsequent
+    * create could trip over. Fails if the table doesn't exist, like the
+    * reference catalog's delete. */
+  def dropTable(ns: String, name: String): Unit = {
+    require(tableExists(ns, name), s"no table $ns.$name")
+    LakeTable.walkDir(Paths.get(tablePath(ns, name))).reverse
+      .foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(Paths.get(tablePath(ns, name)))
+  }
 }

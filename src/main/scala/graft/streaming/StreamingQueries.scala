@@ -34,6 +34,50 @@ object StreamingQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** documents as a STREAMING DataFrame (same staged-symlink-dir trick
+    * as eventsStream: the file source needs a directory). */
+  def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      s"/root/repo/target/stream-src-docs/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  /** Streaming corpus hygiene end-to-end: stream the documents table
+    * through the q62 PII enrichment + redaction as an exactly-once MV
+    * into the lake, then summarize what was scrubbed. The stateless
+    * hygiene projection lifts to streaming unchanged — ingest-time
+    * scrubbing, so raw PII never reaches storage. */
+  def streamHygiene(s: SparkSession, dir: String): DataFrame = {
+    import graft.{BatchingConfig, CatalogConfig, GraftConfig, GraftEngine, StorageConfig}
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val engine = new GraftEngine(s, GraftConfig(
+      StorageConfig(s"/root/repo/target/lake/hyg-$runId"),
+      CatalogConfig(namespace = "hygiene"),
+      BatchingConfig(availableNow = true)))
+    val enriched = docsStream(s, dir).selectExpr(
+      "doc_id",
+      "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+        "'@example.com or 555-', " +
+        "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', " +
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+        "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7 end') AS text")
+    val clean = graft.operators.CorpusOps.redactPii(enriched)
+    val (table, q) = engine.startMaterializedView("clean_docs", clean)
+    q.awaitTermination()
+    table.read().agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_emails")).as("sum_emails"),
+      sum(col("n_phones")).as("sum_phones"),
+      sum(col("n_ips")).as("sum_ips"),
+      sum(length(col("clean_text"))).as("sum_clean_chars"))
+  }
+
   /** Tumbling-window MV driven as a real StreamingQuery (AvailableNow,
     * complete mode, memory sink), returned as a batch DataFrame. Matches
     * the plain GROUP BY date_trunc oracle because complete mode emits

@@ -91,6 +91,25 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("catalog dropTable removes the table and its files completely") {
+    val engine = GraftEngine(spark, tmpDir("drop-wh"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val t = engine.catalog.createTable("default", "tmp", schema)
+    t.append(Seq(1L, 2L).toDF("id"))
+    assert(engine.catalog.listTables("default") == Seq("tmp"))
+    engine.catalog.dropTable("default", "tmp")
+    assert(engine.catalog.listTables("default").isEmpty)
+    assert(!engine.catalog.tableExists("default", "tmp"))
+    // re-create after drop starts fresh
+    val t2 = engine.catalog.createTable("default", "tmp", schema)
+    assert(t2.read().count() == 0)
+    intercept[IllegalArgumentException] {
+      engine.catalog.dropTable("default", "missing")
+    }
+  }
+
   test("commitLogStream: batching.maxRows from config paces the " +
     "commit-log source") {
     val engine = new GraftEngine(spark, GraftConfig(
