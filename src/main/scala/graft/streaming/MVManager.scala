@@ -24,7 +24,13 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
 
   private val queries = TrieMap.empty[String, StreamingQuery]
   val metrics = new MVMetricsListener(metricsConfig.collectionPath)
-  if (metricsConfig.enabled) spark.streams.addListener(metrics)
+  // lazily registered on first query, removed on stopAll: session-level
+  // listeners outlive the manager otherwise, so a long-lived driver
+  // creating many managers would accumulate dead listeners
+  private val listenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureListener(): Unit =
+    if (metricsConfig.enabled && listenerOn.compareAndSet(false, true))
+      spark.streams.addListener(metrics)
 
   /** Start an MV that continuously appends micro-batches into a
     * LakeTable. `transformed` must be a streaming DataFrame.
@@ -39,6 +45,7 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     * the first micro-batch — a one-time, sub-ms handshake. */
   def startToLake(name: String, transformed: DataFrame, table: LakeTable,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    ensureListener()
     val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
     val started = new java.util.concurrent.CountDownLatch(1)
     val sink: (Dataset[Row], Long) => Unit =
@@ -66,6 +73,7 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
   def startToArrow(name: String, transformed: DataFrame, dir: String,
                    trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
+    ensureListener()
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
       val target = Paths.get(dir, s"batch-$id")
@@ -94,7 +102,11 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
 
   def get(name: String): Option[StreamingQuery] = queries.get(name)
   def awaitAll(): Unit = queries.values.foreach(_.awaitTermination())
-  def stopAll(): Unit = queries.values.foreach(_.stop())
+  def stopAll(): Unit = {
+    queries.values.foreach(_.stop())
+    if (listenerOn.compareAndSet(true, false))
+      spark.streams.removeListener(metrics)
+  }
 }
 
 /** Wires the reference's dead `metrics` config block (config.go:54-57)
