@@ -97,10 +97,24 @@ object ConfigYaml {
   private def stripComment(line: String): String = {
     var inSingle = false; var inDouble = false
     var i = 0
+    // a quote only OPENS a quoted scalar at a value-start position
+    // (line start / after whitespace, ':', ',', '[', '{'); a bare
+    // apostrophe inside an unquoted scalar (bob's) is literal and must
+    // not suppress trailing-comment stripping
+    def atValueStart(j: Int): Boolean =
+      j == 0 || {
+        val p = line.charAt(j - 1)
+        p.isWhitespace || p == ':' || p == ',' || p == '[' || p == '{'
+      }
     while (i < line.length) {
       line.charAt(i) match {
-        case '\'' if !inDouble => inSingle = !inSingle
-        case '"' if !inSingle  => inDouble = !inDouble
+        case '\'' if inSingle &&
+            i + 1 < line.length && line.charAt(i + 1) == '\'' =>
+          i += 1 // '' is an escaped quote inside a single-quoted scalar
+        case '\'' if inSingle                       => inSingle = false
+        case '\'' if !inDouble && atValueStart(i)   => inSingle = true
+        case '"' if inDouble                        => inDouble = false
+        case '"' if !inSingle && atValueStart(i)    => inDouble = true
         case '#' if !inSingle && !inDouble &&
             (i == 0 || line.charAt(i - 1).isWhitespace) =>
           return line.substring(0, i)
@@ -112,8 +126,9 @@ object ConfigYaml {
   }
 
   private def unquote(s: String): String =
-    if (s.length >= 2 &&
-        ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'") // YAML '' escape
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
       s.substring(1, s.length - 1)
     else s
 

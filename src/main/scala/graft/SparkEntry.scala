@@ -342,7 +342,8 @@ object SparkEntry {
          FALSE AS has_missing,
          CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
          count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_kv
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_kv
          FROM events GROUP BY 1, 2, 3, 4""",
     "q18_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -455,9 +456,12 @@ object SparkEntry {
     // because AvailableNow drains everything exactly once
     "q68_stream_hygiene" ->
       s"""WITH red AS ($piiRedactionOracle)
-         SELECT count(*) AS n_docs, sum(n_emails) AS sum_emails,
-         sum(n_phones) AS sum_phones, sum(n_ips) AS sum_ips,
-         sum(length(clean_text)) AS sum_clean_chars FROM red""",
+         SELECT count(*) AS n_docs,
+         CAST(sum(n_emails) AS BIGINT) AS sum_emails,
+         CAST(sum(n_phones) AS BIGINT) AS sum_phones,
+         CAST(sum(n_ips) AS BIGINT) AS sum_ips,
+         CAST(sum(length(clean_text)) AS BIGINT) AS sum_clean_chars
+         FROM red""",
     "q63_repetition_signals" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE len(string_split(text, ' ')) >= 2),
@@ -476,7 +480,7 @@ object SparkEntry {
       """SELECT source,
          CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val'
               ELSE 'test' END AS split,
-         count(*) AS n_docs, sum(n_chars) AS sum_chars
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM (SELECT source, n_chars,
            strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS b
            FROM documents)

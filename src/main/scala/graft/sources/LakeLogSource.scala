@@ -129,8 +129,12 @@ class LakeLogMicroBatchStream(path: String, maxRows: Option[Long] = None)
     limit match {
       case mr: ReadMaxRows =>
         val from = start.asInstanceOf[LakeLogOffset].version
-        // Long math: a huge maxRows must clamp to target, not overflow
-        LakeLogOffset(math.min(target.toLong, from + mr.maxRows()).toInt)
+        // saturating add: maxRows near Long.MaxValue must clamp to
+        // target, not wrap negative and regress behind start
+        val next =
+          if (mr.maxRows() >= target.toLong - from) target.toLong
+          else from + mr.maxRows()
+        LakeLogOffset(next.toInt)
       case _ => LakeLogOffset(target)
     }
   }

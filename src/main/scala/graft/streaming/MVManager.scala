@@ -74,20 +74,13 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                    trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     ensureListener()
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
       val target = Paths.get(dir, s"batch-$id")
-      if (!Files.exists(target)) {
+      if (!java.nio.file.Files.exists(target)) {
         val staging = Paths.get(dir, s".staging-batch-$id-${java.util.UUID.randomUUID()}")
         graft.sources.ArrowSink.write(batch, staging.toString)
-        try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { // a concurrent replay won the rename: ours is redundant
-          case _: java.nio.file.FileAlreadyExistsException =>
-            val s = Files.walk(staging)
-            try s.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-            finally s.close()
-        }
+        MVManager.publishStaging(staging, target)
       }
     }
     val q = transformed.writeStream
@@ -107,6 +100,28 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     if (listenerOn.compareAndSet(true, false))
       spark.streams.removeListener(metrics)
   }
+}
+
+object MVManager {
+  import java.nio.file.{Files, Path, StandardCopyOption}
+
+  /** Atomically publish a fully-written staging dir as `target`. If a
+    * concurrent replay of the same batch already published `target`,
+    * ours is redundant: delete the staging dir and return. Linux
+    * rename(2) onto an existing EMPTY dir raises FileAlreadyExists-
+    * Exception but onto a non-empty one raises ENOTEMPTY
+    * (DirectoryNotEmptyException), so accept any FileSystemException
+    * where the target verifiably exists — and never touch the winner's
+    * published files. */
+  private[streaming] def publishStaging(staging: Path, target: Path): Unit =
+    try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException if Files.exists(target) =>
+        val s = Files.walk(staging)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+    }
 }
 
 /** Wires the reference's dead `metrics` config block (config.go:54-57)

@@ -94,6 +94,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.catalog.namespace == "ns1")
   }
 
+  test("apostrophe in an unquoted scalar doesn't eat trailing comments") {
+    // regression: stripComment used to toggle quote state on ANY
+    // apostrophe, so "bob's data # note" kept the comment in the value
+    val c = GraftConfig.fromYamlString(
+      """storage:
+        |  localPath: bob's data # note
+        |""".stripMargin)
+    assert(c.storage.warehouseDir == "bob's data")
+  }
+
+  test("'' escapes a quote inside a single-quoted scalar") {
+    val c = GraftConfig.fromYamlString(
+      """storage:
+        |  localPath: 'bob''s # lake'  # comment
+        |""".stripMargin)
+    assert(c.storage.warehouseDir == "bob's # lake")
+  }
+
   test("fromYaml reads from a file") {
     val f = java.nio.file.Files.createTempFile("graft-cfg", ".yaml")
     java.nio.file.Files.writeString(f, referenceYaml)

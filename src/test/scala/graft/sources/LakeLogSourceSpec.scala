@@ -93,6 +93,19 @@ class LakeLogSourceSpec extends SparkSuite {
       .map(_.toInt).sorted == Seq(0, 1, 2, 3))
   }
 
+  test("admission offset math saturates for maxRows near Long.MaxValue") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val t = LakeTable.create(spark, tmpDir("log-sat"), schema)
+    t.append(Seq((1L, 1.0)).toDF("id", "v")) // versions 0, 1 exist
+    val stream = new LakeLogMicroBatchStream(t.root, Some(Long.MaxValue))
+    // regression: from + maxRows used to wrap negative and regress the
+    // offset behind start; it must clamp to the current target version
+    val next = stream.latestOffset(LakeLogOffset(1), ReadLimit.maxRows(Long.MaxValue))
+    assert(next == LakeLogOffset(1))
+    val fromZero = stream.latestOffset(LakeLogOffset(0), ReadLimit.maxRows(Long.MaxValue))
+    assert(fromZero == LakeLogOffset(1))
+  }
+
   test("maxRowsPerBatch paces admission without dropping commits") {
     val t = LakeTable.create(spark, tmpDir("log-paced"), schema)
     (1 to 5).foreach(i => t.append(Seq((i.toLong, i.toDouble)).toDF("id", "v")))

@@ -50,6 +50,35 @@ class StreamingSpec extends SparkSuite {
     assert(mgr.metrics("mv_test").exists(_.inputRows >= 3))
   }
 
+  test("Arrow-batch publish: losing a rename race to a NON-EMPTY winner is benign") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tmpDir("arrow-race"))
+    Files.createDirectories(root)
+    // the winner already published batch-0 with real content
+    val target = root.resolve("batch-0")
+    Files.createDirectories(target)
+    Files.writeString(target.resolve("data.arrow"), "winner")
+    // our replay finished writing its own staging copy
+    val staging = root.resolve(".staging-batch-0-x")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("data.arrow"), "loser")
+    // regression: rename onto a non-empty dir raises ENOTEMPTY
+    // (DirectoryNotEmptyException), not FileAlreadyExists; the catch
+    // must still treat it as "winner exists", clean staging, keep winner
+    MVManager.publishStaging(staging, target)
+    assert(!Files.exists(staging), "staging dir cleaned up")
+    assert(Files.readString(target.resolve("data.arrow")) == "winner")
+
+    // a genuine failure (no winner present) must still propagate
+    val badStaging = root.resolve(".staging-batch-1-x")
+    Files.createDirectories(badStaging)
+    val badTarget = root.resolve("no-such-parent").resolve("batch-1")
+    intercept[java.nio.file.FileSystemException] {
+      MVManager.publishStaging(badStaging, badTarget)
+    }
+    assert(Files.exists(badStaging), "staging preserved on real failure")
+  }
+
   test("restart from checkpoint: no duplicates, no loss (SURVEY §5.4)") {
     val srcDir = tmpDir("restart-src")
     val ckpt = tmpDir("restart-ckpt")
