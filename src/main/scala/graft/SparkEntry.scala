@@ -188,6 +188,39 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     }),
+    // budget-constrained selection: per source, the best docs by quality
+    // until 800 tokens are spent (histogram cutoff + sliver window — the
+    // oracle recomputes the same rule as one naive window, so the hash
+    // match proves the two-phase plan equals the per-domain total sort)
+    "q69_token_budget" -> ((s, d) =>
+      CorpusOps.tokenBudget(Tables.load(s, d, "documents"),
+        budgetTokens = 800L)),
+    // fixed-size per-domain sample: 10 docs per source by content hash
+    // (selection-tree plan; oracle = the naive row_number window)
+    "q70_domain_cap" -> ((s, d) =>
+      CorpusOps.domainCap(Tables.load(s, d, "documents"), k = 10)),
+    // incremental dedup against a persisted fingerprint index: docs with
+    // doc_id%3==0 are the already-accepted history (committed to a lake
+    // index), docs with doc_id%2==0 arrive as the new batch; the %6==0
+    // overlap must dedupe out. The fresh rows advance the index via an
+    // exactly-once commit before being returned.
+    "q71_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = Tables.load(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+      val index = graft.lake.LakeTable.create(s, dir.toString, StructType(Seq(
+        StructField("fp", StringType), StructField("doc_id", LongType))))
+      index.append(docs.filter(col("doc_id") % 3 === 0).select(
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        col("doc_id")))
+      // plan pins the index snapshot BEFORE the frontier advances, so
+      // re-evaluating `fresh` after the commit still yields this batch
+      val fresh = DedupOps.freshAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), index)
+      index.appendExactlyOnce(fresh, "q71", 1L)
+      fresh
+    }),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
@@ -495,6 +528,41 @@ object SparkEntry {
          WHERE b < CASE source WHEN 'src0' THEN 2048 WHEN 'src1' THEN 1024
                    WHEN 'src2' THEN 0 ELSE 4096 END
          GROUP BY 1""",
+    // naive single-window formulation of the q69 budget-prefix rule; a
+    // hash match proves the histogram-cutoff plan computes the same set
+    "q69_token_budget" ->
+      """WITH scored AS (SELECT source, doc_id,
+           least(length(text) / 500.0, 1.0) * 0.4
+           + (CASE WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / (length(text) - length(replace(text, ' ', '')) + 1))
+                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','of','and','to','a','in','is'))) > 0
+                THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+           len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, sum(n_tokens) OVER
+             (PARTITION BY source ORDER BY quality DESC, doc_id) AS cum
+           FROM scored)
+         SELECT source, doc_id FROM c WHERE cum <= 800""",
+    // naive row_number-window formulation of the q70 per-domain cap
+    "q70_domain_cap" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER
+             (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10""",
+    "q71_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         newb AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+           WHERE doc_id % 2 = 0 GROUP BY fp)
+         SELECT fp, doc_id FROM newb n
+         WHERE NOT EXISTS (SELECT 1 FROM fp o
+           WHERE o.doc_id % 3 = 0 AND o.fp = n.fp)""",
     "q48_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,

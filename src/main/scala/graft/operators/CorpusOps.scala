@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators for training-data pipelines: test-set
@@ -112,6 +113,112 @@ object CorpusOps {
       expr(s"locate(substr(md5($textCol), 32, 1), '0123456789abcdef') - 1")
     docs.withColumn("split",
       when(bucket < 13, "train").when(bucket < 15, "val").otherwise("test"))
+  }
+
+  /** Budget-constrained data selection: within each domain, order docs
+    * by (quality DESC, doc_id) and keep the longest prefix whose running
+    * token total stays within `budgetTokens` — "fill the mixture's token
+    * budget with the best documents", the step after scoring in
+    * training-data curation. Returns the kept (domainCol, idCol) pairs.
+    *
+    * 100 TB shape: the naive formulation is one running-sum window
+    * partitioned by domain — a TOTAL per-domain sort through a single
+    * reducer, linear in corpus size. Instead: (1) aggregate a
+    * (domain × quantized-quality-bin) token histogram, whose size is
+    * domains × `bins` regardless of corpus size; (2) derive each
+    * domain's cutoff bin and residual budget from that small table on
+    * the driver (bounded collect, same pattern as IVF centroids);
+    * (3) docs above the cutoff bin pass with a pure filter — no sort —
+    * and the exact prefix window runs only over the cutoff bin's
+    * ~1/bins sliver. Identical answer to the naive window because the
+    * bin order refines the quality order. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long, bins: Int = 1000,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  domainCol: String = "source"): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = graft.Tables.widen(docs).select(
+      col(domainCol).as("domain"), col(idCol).as("doc_id"),
+      TextFunctions.qualityScore(textCol).as("quality"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("qbin",
+        least(floor(col("quality") * bins), lit(bins - 1)).cast("int"))
+    // kept set is a PREFIX of the (quality DESC, doc_id) order: once the
+    // running total crosses the budget everything after is dropped, even
+    // if it would fit. So per domain, walking bins from best down, every
+    // bin before the crossing is admitted whole, the crossing bin gets
+    // the residual budget, and later bins are dropped wholesale.
+    val cuts = scored.groupBy("domain", "qbin")
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.map { case (dom, rows) =>
+        val desc = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(-_._1)
+        var remaining = budgetTokens
+        var cut = -1
+        var residual = 0L
+        val it = desc.iterator
+        var crossed = false
+        while (it.hasNext && !crossed) {
+          val (b, t) = it.next()
+          if (t <= remaining) remaining -= t
+          else { cut = b; residual = remaining; crossed = true }
+        }
+        (dom, cut, residual) // cut = -1: the whole domain fits
+      }
+    val cutsDf = scored.sparkSession.createDataFrame(cuts)
+      .toDF("domain", "cut", "residual")
+    val tagged = scored.join(broadcast(cutsDf), "domain")
+    val aboveCut = tagged.filter(col("qbin") > col("cut"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val borderKept = tagged.filter(col("qbin") === col("cut"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= col("residual"))
+    aboveCut.select(col("domain").as(domainCol), col("doc_id").as(idCol))
+      .unionByName(borderKept
+        .select(col("domain").as(domainCol), col("doc_id").as(idCol)))
+  }
+
+  /** Deterministic per-domain document cap: keep exactly `k` docs per
+    * domain (fewer if the domain is smaller), chosen by content hash —
+    * a reproducible, engine-portable uniform sample of fixed SIZE, the
+    * cap-based complement of [[mixCorpus]]'s rate-based sampling.
+    * Selection order is (md5(text), doc_id), stable under reshuffling
+    * and re-runs. Returns the kept (domainCol, idCol) pairs.
+    *
+    * 100 TB shape: NOT a row_number window partitioned by domain (that
+    * funnels each whole domain through one reducer). Selection-tree
+    * instead: phase 1 sorts WITHIN each input partition (spillable,
+    * zero shuffle) and streams out at most k docs per domain per
+    * partition with O(1) state; phase 2 re-selects the global top k per
+    * domain from the surviving ≤ partitions × k rows — small enough
+    * that a collect_list + slice aggregation is safe. Two-phase top-k
+    * is exact: the global top k of a union is contained in the union of
+    * per-part top ks. */
+  def domainCap(docs: DataFrame, k: Int, textCol: String = "text",
+                idCol: String = "doc_id", domainCol: String = "source")
+      : DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val keyed = graft.Tables.widen(docs).select(
+      col(domainCol).as("domain"),
+      md5(col(textCol).cast("binary")).as("rk"),
+      col(idCol).cast("long").as("doc_id"))
+    val partial = keyed.as[(String, String, Long)]
+      .sortWithinPartitions("domain", "rk", "doc_id")
+      .mapPartitions { it =>
+        var cur: String = null
+        var n = 0
+        it.flatMap { case row @ (dom, _, _) =>
+          if (dom != cur) { cur = dom; n = 0 }
+          n += 1
+          if (n <= k) Iterator.single(row) else Iterator.empty
+        }
+      }.toDF("domain", "rk", "doc_id")
+    partial.groupBy(col("domain"))
+      .agg(slice(sort_array(collect_list(struct(col("rk"), col("doc_id")))),
+        1, k).as("top"))
+      .select(col("domain").as(domainCol), explode(col("top")).as("t"))
+      .select(col(domainCol), col("t.doc_id").as(idCol))
   }
 
   /** Split audit: doc counts and char volume per (source, split). */

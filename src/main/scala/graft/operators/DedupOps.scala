@@ -32,6 +32,31 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Incremental exact dedup of a NEW batch against a persisted
+    * fingerprint index — the streaming-corpus shape where history is
+    * too large to re-scan per batch. The index is a LakeTable holding
+    * one (fp, doc_id) row per ACCEPTED document, fp =
+    * md5(normalized text) (the q38 fingerprint). Within-batch copies
+    * collapse to their min doc_id first, then one anti-join drops
+    * everything already committed. Returns the fresh (fp, doc_id)
+    * rows; callers append exactly those back to the index (via the
+    * lake's exactly-once batch-id commit) to advance the corpus
+    * frontier — so replayed batches can never re-admit or double-count.
+    *
+    * 100 TB shape: the index side of the anti-join scans ONE 32-byte
+    * column of a columnar table; the join shuffles by fingerprint
+    * (hash-uniform, skew-free). A small batch against a huge index is
+    * precisely the MERGE shape lakehouses are built for — at scale,
+    * keep the index written bucketed by fp so the anti-join co-locates
+    * instead of reshuffling history every batch. */
+  def freshAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    batch.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(index.read().select(col("fp")), Seq("fp"), "left_anti")
+
   /** Distinct word n-gram shingles per document as one array column —
     * dedup happens row-locally (array_distinct), so shingling costs ZERO
     * shuffles regardless of corpus size. */

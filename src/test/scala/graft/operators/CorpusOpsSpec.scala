@@ -87,6 +87,52 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("tokenBudget equals the naive per-domain prefix window") {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    // ground truth: one window, keep while running tokens <= budget
+    def naive(budget: Long): Set[(String, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy(TextFunctions.qualityScore("text").desc, $"doc_id")
+      docs.withColumn("cum",
+          sum(TextFunctions.tokenCount($"text")).over(w))
+        .filter($"cum" <= budget)
+        .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    }
+    for (budget <- Seq(0L, 120L, 800L, 1000000L)) {
+      val got = CorpusOps.tokenBudget(docs, budget)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive(budget), s"budget=$budget")
+    }
+    // coarse bins force many docs into the cutoff bin — same answer
+    val coarse = CorpusOps.tokenBudget(docs, 800L, bins = 4)
+      .as[(String, Long)].collect().toSet
+    assert(coarse == naive(800L), "bin quantization must not change the set")
+  }
+
+  test("domainCap keeps exactly min(k, domain size) content-hash-chosen docs") {
+    val docs = Tables.load(spark, sf, "documents")
+    // ground truth: naive row_number window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"text".cast("binary")), $"doc_id")
+    def naive(k: Int): Set[(String, Long)] =
+      docs.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    for (k <- Seq(1, 10, 1000)) { // 1000 > any domain: keeps everything
+      val got = CorpusOps.domainCap(docs, k)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive(k), s"k=$k")
+      assert(got.groupBy(_._1).values.forall(_.size <= k))
+    }
+    // deterministic under reshuffling (content-hash key, not partition
+    // order): the two-phase selection tree picks the same docs
+    val again = CorpusOps.domainCap(docs.repartition(7), 10)
+      .as[(String, Long)].collect().toSet
+    assert(again == naive(10))
+  }
+
   test("withSplit is deterministic, content-keyed, and ~13/2/1") {
     val docs = Tables.load(spark, sf, "documents")
     val a = CorpusOps.withSplit(docs).select("doc_id", "split")

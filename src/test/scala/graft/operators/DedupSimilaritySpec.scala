@@ -19,6 +19,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d.filter($"n_copies" === 2).count() == 5)
   }
 
+  test("incremental dedup vs a lake fingerprint index: batch dups " +
+    "collapse, history hits drop, replays are no-ops") {
+    import org.apache.spark.sql.types._
+    import graft.functions.TextFunctions.fingerprint
+    import graft.lake.LakeTable
+    val index = LakeTable.create(spark, tmpDir("dedup-idx"), StructType(Seq(
+      StructField("fp", StringType), StructField("doc_id", LongType))))
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    index.append(history.select(
+      fingerprint($"text").as("fp"), $"doc_id"))
+
+    val batch = Seq(
+      (10L, "brand new"),
+      (11L, "Seen BEFORE!"),   // normalizes to history doc 1 -> dropped
+      (12L, "brand new"),      // within-batch copy of 10 -> collapsed
+      (13L, "another fresh one")).toDF("doc_id", "text")
+    val fresh = DedupOps.freshAgainstIndex(batch, index)
+    val got = fresh.select("doc_id").as[Long].collect().toSet
+    assert(got == Set(10L, 13L))
+
+    // advancing the frontier: committed fresh rows dedupe the NEXT batch
+    index.appendExactlyOnce(fresh, "w1", 1L)
+    val next = Seq((20L, "brand NEW"), (21L, "truly unseen"))
+      .toDF("doc_id", "text")
+    val nextFresh = DedupOps.freshAgainstIndex(next, index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nextFresh == Set(21L))
+
+    // replaying batch 1 under the same writer is a no-op commit
+    val v = index.currentVersion
+    index.appendExactlyOnce(fresh, "w1", 1L)
+    assert(index.currentVersion == v)
+    assert(index.read().count() == 4) // 2 history + 2 fresh
+  }
+
   test("minhash LSH recalls high-jaccard pairs") {
     val truth = DedupOps.ngramJaccard(docs, minJaccard = 0.8)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
