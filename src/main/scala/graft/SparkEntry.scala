@@ -221,6 +221,24 @@ object SparkEntry {
       index.appendExactlyOnce(fresh, "q71", 1L)
       fresh
     }),
+    // Arrow IPC sink -> graft-arrow DSv2 source -> aggregate: the
+    // reference's native interchange format round-tripped end-to-end
+    // (its ingress is Arrow RecordBatches; batch_writer.go:200-222 is
+    // the file form). Oracle aggregates the original events table, so a
+    // hash match proves the sink+source preserve every row and type.
+    "q72_arrow_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft-arrow-q72")
+      graft.sources.ArrowSink.write(ev, dir.toString)
+      s.read.format("graft-arrow").load(dir.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+    }),
     // --- streaming + lake commit layer (SURVEY §7 steps 3-5) ---
     "q50_stream_tumbling" -> (graft.streaming.StreamingQueries.tumblingMv _),
     "q51_stream_to_lake" -> (graft.streaming.StreamingQueries.streamToLake _),
@@ -553,6 +571,11 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "q72_arrow_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+         count(DISTINCT user_id) AS n_users,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+         FROM events GROUP BY 1""",
     "q71_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text),
