@@ -247,6 +247,15 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.lakePartitioned _),
     "q68_stream_hygiene" ->
       (graft.streaming.StreamingQueries.streamHygiene _),
+    // stream-stream interval join (clicks within the hour before each
+    // purchase); inner-join emission is eager, so AvailableNow drains
+    // the full pair set and the oracle is a plain batch self-join
+    "q73_stream_interval_join" ->
+      (graft.streaming.StreamingQueries.streamIntervalJoin _),
+    // native session_window streaming sessionization (q47's stateful
+    // twin; oracle replays the strict gap-overlap rule batch-side)
+    "q74_stream_sessions" ->
+      (graft.streaming.StreamingQueries.streamSessions _),
   )
 
   /** Exact n-gram Jaccard near-dup pairs at >= 0.5 — shared by q32
@@ -571,6 +580,29 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    // session_window's overlap rule: ts exactly at prev + gap opens a
+    // NEW session, hence >= (q47's batch rule uses > — both graded)
+    "q74_stream_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts FROM events),
+         s AS (SELECT *, CASE WHEN prev_ts IS NULL
+             OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+             AS new_sess FROM g),
+         t AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS sess_id FROM s)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, sum(value) AS sum_value
+         FROM t GROUP BY user_id, sess_id""",
+    "q73_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+         max(p.value) AS value
+         FROM events p JOIN events c ON c.user_id = p.user_id
+           AND p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         GROUP BY 1""",
     "q72_arrow_roundtrip" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
          count(DISTINCT user_id) AS n_users,
