@@ -256,6 +256,33 @@ object SparkEntry {
     // twin; oracle replays the strict gap-overlap rule batch-side)
     "q74_stream_sessions" ->
       (graft.streaming.StreamingQueries.streamSessions _),
+    // copy-on-write row-level ops on the lake: DELETE (drop views) then
+    // MERGE (adjust some purchases in place + backfill-insert new rows
+    // under shifted ids), then read the final state back. The oracle
+    // replays delete + merge semantics in plain SQL over the original
+    // events table, so the hash match grades file-pruned rewrites,
+    // NULL-safe delete, and key-replacement semantics end-to-end.
+    "q75_lake_row_ops" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-rowops")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.repartition(8)) // several files so pruning is real
+      t.deleteWhere(col("event_type") === "view")
+      val adjustments = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("event_type", lit("adjusted"))
+      val backfill = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("event_type", lit("backfill"))
+      t.upsert(adjustments.unionByName(backfill), Seq("event_id"))
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
   )
 
   /** Exact n-gram Jaccard near-dup pairs at >= 0.5 — shared by q32
@@ -580,6 +607,27 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    // delete-then-merge replayed in plain SQL: rows whose key appears
+    // in the merge source are replaced, unseen keys are inserted
+    "q75_lake_row_ops" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         afterdel AS (SELECT * FROM base
+           WHERE event_type IS DISTINCT FROM 'view'),
+         src AS (
+           SELECT event_id, user_id, 'adjusted' AS event_type,
+             value * 2 AS value
+           FROM base WHERE event_type = 'purchase' AND event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 1000000000, user_id, 'backfill', value
+           FROM base WHERE event_type = 'purchase' AND event_id % 7 = 0),
+         merged AS (
+           SELECT * FROM src
+           UNION ALL
+           SELECT a.* FROM afterdel a WHERE NOT EXISTS
+             (SELECT 1 FROM src WHERE src.event_id = a.event_id))
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM merged GROUP BY 1""",
     // session_window's overlap rule: ts exactly at prev + gap opens a
     // NEW session, hence >= (q47's batch rule uses > — both graded)
     "q74_stream_sessions" ->

@@ -182,10 +182,14 @@ class LakeTable private (
     * per-epoch scan with an aliasing projection, and the union of those
     * scans stays fully distributed, prunable, and pushdown-friendly. */
   private def readEntries(entries: Seq[FileEntry], snapSchema: StructType,
-                          ids: Map[String, Int]): DataFrame = {
+                          ids: Map[String, Int],
+                          tag: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val tagged = if (tag) StructType(snapSchema.fields :+
+      StructField(FileTag, StringType, nullable = false)) else snapSchema
     if (entries.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagged)
     val idToField: Map[Int, StructField] =
       snapSchema.fields.flatMap(f => ids.get(f.name).map(_ -> f)).toMap
     val currentNames = snapSchema.fieldNames.toSet
@@ -213,7 +217,11 @@ class LakeTable private (
 
     val nameScan =
       if (byName.isEmpty) Nil
-      else Seq(baseRead(byName.map(e => s"$root/${e.path}"), snapSchema))
+      else {
+        val b = baseRead(byName.map(e => s"$root/${e.path}"), snapSchema)
+        Seq(if (tag) b.withColumn(FileTag, fcol("_metadata.file_path"))
+            else b)
+      }
 
     val idScans = byId.groupBy(_.cols).map { case (cols, es) =>
       val live = cols.filter { case (_, id) => idToField.contains(id) }
@@ -229,7 +237,7 @@ class LakeTable private (
           case Some(physName) => col(physName).as(f.name)
           case None           => lit(null).cast(f.dataType).as(f.name)
         }
-      }
+      } ++ (if (tag) Seq(col("_metadata.file_path").as(FileTag)) else Nil)
       baseRead(es.map(e => s"$root/${e.path}"), physSchema)
         .select(projection.toSeq: _*)
     }
@@ -376,6 +384,83 @@ class LakeTable private (
       Map("compaction.zorderBy" -> cols.mkString(",")))
   }
 
+  // ---- row-level operations (copy-on-write DELETE / MERGE) -----------
+
+  /** Copy-on-write DELETE: remove rows matching `condition` by
+    * rewriting ONLY the files that contain at least one matching row;
+    * every other file survives byte-identical (file-level pruning — the
+    * affected set comes from the matching rows' _metadata.file_path, a
+    * metadata-scale driver collect bounded by file count). Rows where
+    * the predicate evaluates NULL are KEPT (SQL DELETE three-valued
+    * semantics). The REPLACE commit is strict: if a concurrent rewrite
+    * (compaction, another row-level op) superseded any affected file,
+    * this throws ConcurrentModificationException rather than
+    * resurrecting replaced rows; concurrent APPENDS are rebased and
+    * survive, and appended rows are never deleted (snapshot-isolation:
+    * the predicate ran against the snapshot read at entry). Returns the
+    * committed version (unchanged when nothing matches). */
+  def deleteWhere(condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val entries = dataFiles
+    val affected = affectedFiles(
+      readEntries(entries, schema, fieldIds, tag = true).filter(condition),
+      entries)
+    if (affected.isEmpty) return currentVersion
+    val survivors =
+      readEntries(entries.filter(e => affected(e.path)), schema, fieldIds)
+        .filter(not(coalesce(condition, lit(false))))
+    commitWith(Some(writeData(survivors)), affected,
+      Map("delete.predicate" -> condition.toString),
+      guard = None, alter = None, strictReplace = true)
+  }
+
+  /** MERGE / upsert keyed on `keyCols`: every target row whose key
+    * appears in `source` is replaced by the source row; source rows
+    * with unseen keys are inserted — Delta/Iceberg copy-on-write MERGE
+    * semantics (source must carry at most one row per key; dedupe
+    * upstream). Only files containing a matched key are rewritten: the
+    * affected set comes from a semi-join of the tagged scan against the
+    * source's distinct keys (broadcast when small — the planner's
+    * choice), the survivors of those files are anti-joined on the same
+    * keys, and the commit REPLACES exactly the affected files. Strict
+    * replace + append rebase as in [[deleteWhere]]. A source with no
+    * matching keys degrades to a plain append (no rewrite at all). */
+  def upsert(source: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val s = schema
+    keyCols.foreach(c => require(s.fieldNames.contains(c),
+      s"upsert key $c not in schema at $root"))
+    // align source to the table's columns/types loudly (a missing
+    // column is an analysis error, not a silent null)
+    val src = source.select(
+      s.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val entries = dataFiles
+    val affected = affectedFiles(
+      readEntries(entries, s, fieldIds, tag = true)
+        .join(srcKeys, keyCols, "left_semi"),
+      entries)
+    val rewritten =
+      if (affected.isEmpty) src
+      else readEntries(entries.filter(e => affected(e.path)), s, fieldIds)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(src)
+    commitWith(Some(writeData(rewritten)), affected,
+      Map("merge.keys" -> keyCols.mkString(",")),
+      guard = None, alter = None, strictReplace = true)
+  }
+
+  /** Distinct relative paths of the files the tagged rows live in. */
+  private def affectedFiles(tagged: DataFrame,
+                            entries: Seq[FileEntry]): Set[String] = {
+    val abs = tagged.select(FileTag).distinct().collect()
+      .map(_.getString(0))
+    abs.flatMap { a =>
+      entries.collectFirst { case e if a.endsWith("/" + e.path) => e.path }
+    }.toSet
+  }
+
   private def rewriteFiles(baseVersion: Int,
                            shape: DataFrame => DataFrame,
                            extraMeta: Map[String, String]): Int = {
@@ -472,10 +557,21 @@ class LakeTable private (
                          meta: Map[String, String],
                          guard: Option[CommitGuard],
                          alter: Option[(StructType, Map[String, Int]) =>
-                           (StructType, Map[String, Int])]): Int = {
+                           (StructType, Map[String, Int])],
+                         strictReplace: Boolean = false): Int = {
     var attempt = 0
     while (true) {
       val (v, cur) = latest()
+      if (strictReplace && replacedFiles.nonEmpty) {
+        // row-level rewrites must not resurrect rows a concurrent
+        // rewrite already superseded: every file we're replacing must
+        // still be live in the snapshot we commit against
+        val missing = replacedFiles -- filesOf(cur).map(_.path).toSet
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite conflict at $root: ${missing.size} base file(s) " +
+              "superseded by a concurrent commit")
+      }
       val hw = highWaterOf(cur)
       guard match {
         case Some(MonotoneGuard(k, value)) if hw.getOrElse(k, -1L) >= value =>
@@ -655,6 +751,8 @@ object LakeTable {
   val BatchIdKey = "streaming.batchId"
   val WriterIdKey = "streaming.writerId"
   val DefaultWriter = "default"
+  /** Internal per-row provenance column for row-level rewrites. */
+  private[lake] val FileTag = "_gf_file_path"
 
   private[lake] def writerKey(writerId: String) = s"writer.$writerId"
 

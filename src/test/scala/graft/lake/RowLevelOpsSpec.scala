@@ -1,0 +1,121 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Copy-on-write DELETE / MERGE on LakeTable: correctness, file-level
+  * pruning, NULL-predicate semantics, and append rebase. */
+class RowLevelOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("grp", StringType),
+    StructField("v", DoubleType)))
+
+  private def freshTable(prefix: String): LakeTable = {
+    val t = LakeTable.create(spark, tmpDir(prefix), schema)
+    // two separately-committed batches -> disjoint file sets, so pruning
+    // is observable at file granularity
+    t.append((0L until 100L).map(i => (i, "a", i.toDouble))
+      .toDF("id", "grp", "v"))
+    t.append((100L until 200L).map(i => (i, "b", i.toDouble))
+      .toDF("id", "grp", "v"))
+    t
+  }
+
+  test("deleteWhere removes matching rows and rewrites ONLY touched files") {
+    val t = freshTable("del")
+    val untouchedBefore = t.dataFiles.map(_.path)
+      .filter(_.nonEmpty).toSet
+    val bFiles = untouchedBefore.toSeq.sorted.drop(0) // all files
+    // batch-b rows live apart from batch-a rows: delete hits only batch a
+    val v = t.deleteWhere($"id" < 50L)
+    assert(v == t.currentVersion)
+    assert(t.read().count() == 150)
+    assert(t.read().filter($"id" < 50L).count() == 0)
+    // files of the untouched batch (ids 100-199, grp b) must survive
+    val after = t.dataFiles.map(_.path).toSet
+    val survivingOld = untouchedBefore.intersect(after)
+    assert(survivingOld.nonEmpty,
+      "files with no matching rows must not be rewritten")
+    // and the replaced ones are gone from the live set
+    assert(after != untouchedBefore)
+  }
+
+  test("deleteWhere with no matches is a no-op; NULL predicate keeps rows") {
+    val t = freshTable("del-null")
+    val v0 = t.currentVersion
+    assert(t.deleteWhere($"id" > 10000L) == v0)
+
+    // NULL grp: predicate (grp = 'zz') is NULL -> row must be KEPT
+    t.append(Seq((900L, null.asInstanceOf[String], 1.0))
+      .toDF("id", "grp", "v"))
+    t.deleteWhere($"grp" === "zz")
+    assert(t.read().filter($"id" === 900L).count() == 1)
+    // but IS NULL deletes it explicitly
+    t.deleteWhere($"grp".isNull)
+    assert(t.read().filter($"id" === 900L).count() == 0)
+  }
+
+  test("upsert replaces matched keys, inserts new ones, prunes files") {
+    val t = freshTable("merge")
+    val before = t.dataFiles.map(_.path).toSet
+    val src = Seq(
+      (10L, "a2", -1.0),   // update (batch a)
+      (500L, "new", 5.0))  // insert
+      .toDF("id", "grp", "v")
+    t.upsert(src, Seq("id"))
+    assert(t.read().count() == 201)
+    val updated = t.read().filter($"id" === 10L)
+      .as[(Long, String, Double)].head()
+    assert(updated == ((10L, "a2", -1.0)))
+    assert(t.read().filter($"id" === 500L).count() == 1)
+    // batch-b files had no matched key: still live
+    assert(before.intersect(t.dataFiles.map(_.path).toSet).nonEmpty)
+
+    // pure insert (no key matches) degrades to append: nothing replaced
+    val live = t.dataFiles.map(_.path).toSet
+    t.upsert(Seq((600L, "x", 0.0)).toDF("id", "grp", "v"), Seq("id"))
+    assert(live.subsetOf(t.dataFiles.map(_.path).toSet))
+  }
+
+  test("upsert aligns source to table schema loudly") {
+    val t = freshTable("merge-schema")
+    intercept[Exception] { // missing column v
+      t.upsert(Seq((1L, "a")).toDF("id", "grp"), Seq("id"))
+    }
+    // compatible narrower type is cast, not rejected
+    t.upsert(Seq((1, "c", 9.0f)).toDF("id", "grp", "v")
+      .select($"id".cast("int").as("id"), $"grp", $"v".cast("float").as("v")),
+      Seq("id"))
+    assert(t.read().filter($"id" === 1L).select("grp").as[String].head() == "c")
+  }
+
+  test("row-level ops on a PARTITIONED table rewrite within partitions") {
+    val t = LakeTable.create(spark, tmpDir("del-part"), schema,
+      partitionBy = Seq("grp"))
+    t.append((0L until 50L).map(i => (i, if (i % 2 == 0) "e" else "o",
+      i.toDouble)).toDF("id", "grp", "v"))
+    t.deleteWhere($"grp" === "e" && $"id" < 20L)
+    assert(t.read().count() == 40) // dropped even ids 0..18 (10 rows)
+    assert(t.read().filter($"grp" === "e").count() == 15)
+    t.upsert(Seq((1L, "o", -7.0)).toDF("id", "grp", "v"), Seq("id"))
+    assert(t.read().filter($"id" === 1L).select("v").as[Double].head() == -7.0)
+    assert(t.read().count() == 40)
+  }
+
+  test("delete and upsert compose with appends and compaction") {
+    val t = freshTable("del-compose")
+    t.deleteWhere($"id" >= 0L && $"id" < 10L)
+    t.append(Seq((5000L, "late", 1.0)).toDF("id", "grp", "v"))
+    t.upsert(Seq((5000L, "late2", 2.0)).toDF("id", "grp", "v"), Seq("id"))
+    t.compact(2)
+    assert(t.read().count() == 191) // 200 - 10 + 1
+    assert(t.read().filter($"id" === 5000L)
+      .select("grp").as[String].head() == "late2")
+    // time travel still serves the pre-delete state
+    assert(t.readVersion(2).count() == 200)
+  }
+}
