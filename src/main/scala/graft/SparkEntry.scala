@@ -283,6 +283,25 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // manifest-level stats pruning: sort-compact the lake table on
+    // user_id so per-file ranges are narrow, then readWhere drops the
+    // out-of-range files from the plan entirely (driver-side metadata
+    // decision); the oracle is the plain filtered aggregate, so the
+    // hash match proves pruning never changes results
+    "q76_lake_pruned_read" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pruned")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev)
+      t.compactSorted(8, Seq("user_id"))
+      t.readWhere(col("user_id") >= 3L && col("user_id") <= 9L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
   )
 
   /** Exact n-gram Jaccard near-dup pairs at >= 0.5 — shared by q32
@@ -607,6 +626,11 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "q76_lake_pruned_read" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE user_id >= 3 AND user_id <= 9
+         GROUP BY 1""",
     // delete-then-merge replayed in plain SQL: rows whose key appears
     // in the merge source are replaced, unseen keys are inserted
     "q75_lake_row_ops" ->

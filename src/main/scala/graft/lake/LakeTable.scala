@@ -81,7 +81,18 @@ class LakeTable private (
         .map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asInt()).toSeq)
         .getOrElse(Nil)
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols)
+      def statOf(n: JsonNode): Any =
+        if (n.isIntegralNumber) n.asLong()
+        else if (n.isFloatingPointNumber) n.asDouble()
+        else if (n.isBoolean) n.asBoolean()
+        else n.asText()
+      val stats = Option(f.get("stats"))
+        .map(_.properties().asScala.map { e =>
+          e.getKey -> ColStat(statOf(e.getValue.get("lo")),
+            statOf(e.getValue.get("hi")))
+        }.toMap)
+        .getOrElse(Map.empty[String, ColStat])
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats)
     }.toSeq
 
   private def fieldIdsOf(node: JsonNode): Map[String, Int] =
@@ -260,6 +271,125 @@ class LakeTable private (
     readEntries(added, schema, fieldIds)
   }
 
+  /** Metadata-pruned read, Iceberg-manifest-style: every data file
+    * carries per-column [lo, hi] footer stats in the snapshot, so files
+    * whose ranges PROVE no row can match `condition` are dropped before
+    * any scan is planned — a driver-side metadata decision, no file is
+    * opened. At 100 TB this is the layer above parquet row-group
+    * skipping: the planner never even lists the files a selective
+    * predicate can't touch (pair with `compactSorted`/`compactZOrder`,
+    * which make per-file ranges narrow in the first place).
+    *
+    * Semantics are identical to `read().filter(condition)`: pruning
+    * only excludes provably-unmatchable files; conjuncts it can't
+    * analyze (functions, OR trees, IS NULL, columns without stats —
+    * e.g. after a rename) prune nothing and are enforced by the
+    * residual filter, which always runs in full. */
+  def readWhere(condition: org.apache.spark.sql.Column): DataFrame =
+    readEntries(pruneFiles(condition), schema, fieldIds).filter(condition)
+
+  /** The files a range analysis of `condition` cannot exclude. */
+  private[lake] def pruneFiles(condition: org.apache.spark.sql.Column)
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    def norm(v: Any): Option[Any] = v match {
+      case null => None
+      case x: Byte => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Int => Some(x.toLong)
+      case x: Long => Some(x)
+      case x: Float => if (x.isNaN) None else Some(x.toDouble)
+      case x: Double => if (x.isNaN) None else Some(x)
+      case x: Boolean => Some(x)
+      case x: String => Some(x)
+      case x: org.apache.spark.unsafe.types.UTF8String => Some(x.toString)
+      case _ => None // dates/decimals etc: no pruning, still correct
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => norm(v)
+      case _ => None
+    }
+    // comparisons arrive unresolved (UnresolvedFunction("<", …)) from
+    // the Column AST, or resolved (LessThan) from catalyst-built trees:
+    // normalize both to (op, left, right)
+    def binOp(e: Expression): Option[(String, Expression, Expression)] =
+      e match {
+        case f: UnresolvedFunction if f.arguments.size == 2 &&
+            f.nameParts.size == 1 &&
+            Set("<", "<=", ">", ">=", "=", "==")(f.nameParts.head) =>
+          val op = if (f.nameParts.head == "==") "=" else f.nameParts.head
+          Some((op, f.arguments(0), f.arguments(1)))
+        case LessThan(l, r)           => Some(("<", l, r))
+        case LessThanOrEqual(l, r)    => Some(("<=", l, r))
+        case GreaterThan(l, r)        => Some((">", l, r))
+        case GreaterThanOrEqual(l, r) => Some((">=", l, r))
+        case EqualTo(l, r)            => Some(("=", l, r))
+        case _ => None
+      }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="
+      case ">" => "<"; case ">=" => "<="; case o => o
+    }
+    def inList(e: Expression): Option[(Expression, Seq[Expression])] =
+      e match {
+        case f: UnresolvedFunction
+            if f.nameParts == Seq("in") && f.arguments.nonEmpty =>
+          Some((f.arguments.head, f.arguments.tail))
+        case In(a, vs) => Some((a, vs))
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction
+          if f.nameParts == Seq("and") && f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    // canonical "col OP literal" (literal-first comparisons flip)
+    def cano(e: Expression): Option[(String, String, Any)] =
+      binOp(e).flatMap {
+        case (op, a, l) if attrName(a).isDefined =>
+          litVal(l).map((attrName(a).get, op, _))
+        case (op, l, a) if attrName(a).isDefined =>
+          litVal(l).map((attrName(a).get, flip(op), _))
+        case _ => None
+      }
+    // can a file with range st possibly satisfy "col OP v"? Unknown
+    // comparisons (cross-type) answer true — never a wrong prune.
+    def possible(op: String, v: Any, st: ColStat): Boolean = op match {
+      case "=" => cmpStat(v, st.lo).forall(_ >= 0) &&
+        cmpStat(v, st.hi).forall(_ <= 0)
+      case ">"  => cmpStat(st.hi, v).forall(_ > 0)
+      case ">=" => cmpStat(st.hi, v).forall(_ >= 0)
+      case "<"  => cmpStat(st.lo, v).forall(_ < 0)
+      case "<=" => cmpStat(st.lo, v).forall(_ <= 0)
+    }
+    val cond =
+      org.apache.spark.sql.graft.ColumnBridge.catalystExpression(condition)
+    val checks: Seq[(String, ColStat => Boolean)] =
+      conjuncts(cond).flatMap { c =>
+        inList(c) match {
+          case Some((a, vs)) if attrName(a).isDefined =>
+            val lits = vs.flatMap(litVal)
+            if (lits.size != vs.size) None // an unusable literal: skip
+            else Some((attrName(a).get,
+              (st: ColStat) => lits.exists(v => possible("=", v, st))))
+          case _ => cano(c).map { case (n, op, v) =>
+            (n, (st: ColStat) => possible(op, v, st))
+          }
+        }
+      }
+    dataFiles.filter { f =>
+      checks.forall { case (name, ok) => f.stats.get(name).forall(ok) }
+    }
+  }
+
   // ---- write ---------------------------------------------------------
 
   /** Transactional append. Returns the committed version. Thread/process
@@ -402,8 +532,12 @@ class LakeTable private (
   def deleteWhere(condition: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val entries = dataFiles
+    // stats narrow the provenance scan before any file opens: only
+    // files whose ranges might match are even read to find matches
+    val candidates = pruneFiles(condition)
     val affected = affectedFiles(
-      readEntries(entries, schema, fieldIds, tag = true).filter(condition),
+      readEntries(candidates, schema, fieldIds, tag = true)
+        .filter(condition),
       entries)
     if (affected.isEmpty) return currentVersion
     val survivors =
@@ -474,16 +608,84 @@ class LakeTable private (
 
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()
 
-  /** Exact row count from the parquet footer — a driver-side metadata
-    * read of a few KB, no data scan. At many-files-per-commit scale the
-    * same numbers come from executor write-task metrics; either way the
-    * input is computed ONCE. */
-  private def footerRowCount(p: Path): Long = {
+  /** Exact row count + per-column [lo, hi] ranges from the parquet
+    * footer — a driver-side metadata read of a few KB, no data scan
+    * (Iceberg stores the same numbers in its manifests). At
+    * many-files-per-commit scale the same numbers come from executor
+    * write-task metrics; either way the input is computed ONCE. Stats
+    * are aggregated across row groups; a column is dropped (never
+    * prune) when any row group lacks stats, is all-null, or is a
+    * floating column whose range touches NaN (parquet NaN stats are
+    * unreliable by spec). */
+  private def footerMeta(p: Path, schema: StructType)
+      : (Long, Map[String, ColStat]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), hadoopConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val eligible: Map[String, DataType] = schema.fields.collect {
+        case f if statEligible(f.dataType) => f.name -> f.dataType
+      }.toMap
+      var agg = Map.empty[String, Option[ColStat]]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        eligible.get(name).foreach { dt =>
+          val s = c.getStatistics
+          val cur: Option[ColStat] =
+            if (s == null || !s.hasNonNullValue) None
+            else for {
+              lo <- statValue(s.genericGetMin, dt)
+              hi <- statValue(s.genericGetMax, dt)
+            } yield ColStat(lo, hi)
+          val merged = (agg.getOrElse(name, cur), cur) match {
+            case (Some(a), Some(b2)) => for {
+              lo <- minOf(a.lo, b2.lo); hi <- maxOf(a.hi, b2.hi)
+            } yield ColStat(lo, hi)
+            case _ => None // any statless row group poisons the column
+          }
+          agg += name -> merged
+        }
+      }
+      (r.getRecordCount,
+        agg.collect { case (k, Some(v)) => k -> v })
+    } finally r.close()
   }
+
+  private def statEligible(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Normalize a parquet footer min/max into the ColStat domain. */
+  private def statValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (n: java.lang.Integer, _) => Some(n.longValue())
+    case (n: java.lang.Long, _)    => Some(n.longValue())
+    case (n: java.lang.Float, _)   =>
+      if (n.isNaN) None else Some(n.doubleValue())
+    case (n: java.lang.Double, _)  =>
+      if (n.isNaN) None else Some(n.doubleValue())
+    case (b: java.lang.Boolean, _) => Some(b.booleanValue())
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+  private def minOf(a: Any, b: Any): Option[Any] =
+    cmpStat(a, b).map(c => if (c <= 0) a else b)
+  private def maxOf(a: Any, b: Any): Option[Any] =
+    cmpStat(a, b).map(c => if (c >= 0) a else b)
 
   /** Write df as immutable parquet files; returns entries + df schema.
     * SINGLE evaluation of the input: per-file row counts come from the
@@ -504,8 +706,10 @@ class LakeTable private (
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
-        .map(p => FileEntry(s"$batchDir/$p",
-          footerRowCount(Paths.get(root, batchDir, p))))
+        .map { p =>
+          val (rows, st) = footerMeta(Paths.get(root, batchDir, p), df.schema)
+          FileEntry(s"$batchDir/$p", rows, stats = st)
+        }
       PendingWrite(entries, df.schema)
     } else {
       val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
@@ -523,7 +727,8 @@ class LakeTable private (
           Files.move(p, dest)
           val rel = if (partRel.isEmpty) s"data/$name"
                     else s"data/$partRel/$name"
-          FileEntry(rel, footerRowCount(dest))
+          val (rows, st) = footerMeta(dest, df.schema)
+          FileEntry(rel, rows, stats = st)
         }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
       walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
@@ -771,8 +976,15 @@ object LakeTable {
     * renames keep the ID, drops retire it, re-adds mint a fresh one).
     * Empty for files committed before ID tracking — those read by name,
     * the pre-ID behavior. */
+  /** Per-column [lo, hi] range of one data file, from its parquet
+    * footer. Values are Long (all integral types, dates as days,
+    * timestamps as micros), Double, String, or Boolean. Absent columns
+    * mean "no usable stats" — never prune on them. */
+  case class ColStat(lo: Any, hi: Any)
+
   case class FileEntry(path: String, rows: Long,
-                       cols: Seq[(String, Int)] = Nil)
+                       cols: Seq[(String, Int)] = Nil,
+                       stats: Map[String, ColStat] = Map.empty)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
@@ -869,6 +1081,21 @@ object LakeTable {
       if (f.cols.nonEmpty) {
         val cn = fn.putObject("cols")
         f.cols.foreach { case (name, id) => cn.put(name, id) }
+      }
+      if (f.stats.nonEmpty) {
+        val sn = fn.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (name, st) =>
+          val c = sn.putObject(name)
+          def putV(key: String, v: Any): Unit = v match {
+            case x: Long    => c.put(key, x)
+            case x: Double  => c.put(key, x)
+            case x: Boolean => c.put(key, x)
+            case x: String  => c.put(key, x)
+            case other => throw new IllegalStateException(
+              s"unserializable stat $other")
+          }
+          putV("lo", st.lo); putV("hi", st.hi)
+        }
       }
     }
     val metaNode = n.putObject("appMeta")

@@ -127,15 +127,21 @@ class ArrowTable(path: String, tableSchema: StructType)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning: Arrow IPC is columnar, so a projection needs
+      // only its own vectors decoded into rows — the rest of the batch
+      // is skipped entirely
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             ArrowSource.listFiles(path)
               .map(f => ArrowFilePartition(f): InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new ArrowReaderFactory(tableSchema)
+            new ArrowReaderFactory(tableSchema, required)
         }
       }
     }
@@ -143,13 +149,15 @@ class ArrowTable(path: String, tableSchema: StructType)
 
 case class ArrowFilePartition(file: String) extends InputPartition
 
-class ArrowReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class ArrowReaderFactory(fileSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ArrowFilePartitionReader(
-      p.asInstanceOf[ArrowFilePartition].file, schema)
+      p.asInstanceOf[ArrowFilePartition].file, fileSchema, required)
 }
 
-class ArrowFilePartitionReader(file: String, schema: StructType)
+class ArrowFilePartitionReader(file: String, fileSchema: StructType,
+                               required: StructType)
     extends PartitionReader[InternalRow] {
   private val allocator = new RootAllocator()
   private val ch = FileChannel.open(Paths.get(file))
@@ -158,10 +166,13 @@ class ArrowFilePartitionReader(file: String, schema: StructType)
   locally { // names+types must match; nullability may be user-relaxed
     val got = ArrowSource.fromArrowSchema(root.getSchema)
     require(got.fields.toSeq.map(f => (f.name, f.dataType)) ==
-        schema.fields.toSeq.map(f => (f.name, f.dataType)),
+        fileSchema.fields.toSeq.map(f => (f.name, f.dataType)),
       s"graft-arrow: $file schema ${got.simpleString} does not match " +
-        s"table schema ${schema.simpleString}")
+        s"table schema ${fileSchema.simpleString}")
   }
+  // only the pruned columns' vectors are ever touched
+  private val vectors: Array[FieldVector] =
+    required.fields.map(f => root.getVector(f.name))
   private var idx = -1
   private var count = 0
 
@@ -177,10 +188,10 @@ class ArrowFilePartitionReader(file: String, schema: StructType)
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](schema.length)
+    val vals = new Array[Any](vectors.length)
     var c = 0
     while (c < vals.length) {
-      vals(c) = value(root.getVector(c), idx)
+      vals(c) = value(vectors(c), idx)
       c += 1
     }
     new GenericInternalRow(vals)

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER catalyst conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper whose children are ColumnNodes, so
+    * tree analysis (e.g. stats-pruning conjunct extraction) sees
+    * nothing; this runs the real converter, yielding an analyzable
+    * catalyst tree (comparisons surface as UnresolvedFunction("<", …)
+    * until the analyzer resolves them). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

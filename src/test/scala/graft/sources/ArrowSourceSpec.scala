@@ -67,6 +67,21 @@ class ArrowSourceSpec extends SparkSuite {
     assert(agg == Map("a" -> 4.0, "b" -> 2.0))
   }
 
+  test("column pruning reaches the scan (only projected vectors decoded)") {
+    val dir = tmpDir("arrow-prune")
+    ArrowSink.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "k", "v"), dir)
+    val df = spark.read.format("graft-arrow").load(dir).select("k")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("k"),
+      "projection must prune the scan schema")
+    assert(df.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // zero-column scans (count(*)) also work
+    assert(spark.read.format("graft-arrow").load(dir).count() == 2)
+  }
+
   test("schema mismatch between files fails loudly, empty dir explains") {
     val dir = tmpDir("arrow-mismatch")
     ArrowSink.write(Seq((1L, "x")).toDF("id", "v"), dir)
