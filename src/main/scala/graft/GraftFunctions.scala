@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashAgg, SimHashAgg, ZOrderKey}
+import graft.functions.{BandHashes, CosineSimilarity, MinHashAgg, MinHashSig, PairExplode, ShingleHashes, SignBits, SimHashAgg, SimHashSig, ZOrderKey}
 
 /** SQL registration of graft's native Catalyst functions, so SQL-first
   * users (the reference system's audience) can call them directly:
@@ -27,13 +27,35 @@ object GraftFunctions {
       "minhash_agg(hash[, k]) expects 1 or 2 args (k a literal int)")
   }
 
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $e")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash_agg" -> (es => SimHashAgg(es.head)),
     "minhash_agg" -> (minhashBuilder _),
     // SELECT ... ORDER BY zorder_key(x_norm, y_norm) — see ZOrderKey's
     // normalization contract
-    "zorder_key" -> (es => ZOrderKey(es)))
+    "zorder_key" -> (es => ZOrderKey(es)),
+    // the per-row dedup pipeline: shingle_hashes(text, n) ->
+    // minhash_sig(hashes[, k]) -> band_hashes(sig, bands); plus
+    // simhash_sig(token_hashes), sign_bits(embedding), and the
+    // pair_explode generator for in-bucket candidate pairs
+    "shingle_hashes" -> (es =>
+      ShingleHashes(es.head, litInt(es(1), "shingle_hashes"))),
+    "minhash_sig" -> (es => es match {
+      case Seq(e) => MinHashSig(e)
+      case Seq(e, k) => MinHashSig(e, litInt(k, "minhash_sig"))
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(hashes[, k]) expects 1 or 2 args")
+    }),
+    "simhash_sig" -> (es => SimHashSig(es.head)),
+    "band_hashes" -> (es => BandHashes(es.head, litInt(es(1), "band_hashes"))),
+    "sign_bits" -> (es => SignBits(es.head)),
+    "pair_explode" -> (es => PairExplode(es.head)))
 
   /** Register (or refresh) all functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,46 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(z == zRef)
   }
 
+  test("the whole SQL dedup pipeline runs on registered natives") {
+    GraftFunctions.register(spark)
+    // shingle -> minhash signature -> banded buckets, all in SQL
+    val sig = spark.sql(
+      """SELECT minhash_sig(shingle_hashes('a b c d e f', 3), 32) AS sig"""
+    ).head().getSeq[Long](0)
+    assert(sig.length == 32)
+    val bands = spark.sql(
+      """SELECT band_hashes(minhash_sig(shingle_hashes('a b c d e f', 3),
+        |  32), 8) AS b""".stripMargin).head().getSeq[Long](0)
+    assert(bands.length == 8)
+    // parity with the Column-API wrappers
+    val viaCols = Seq("a b c d e f").toDF("t")
+      .select(graft.functions.HashSig.band_hashes(
+        graft.functions.HashSig.minhash_sig(
+          graft.functions.ShingleHashes.shingle_hashes($"t", 3), 32), 8))
+      .head().getSeq[Long](0)
+    assert(bands == viaCols)
+
+    val sb = spark.sql(
+      """SELECT sign_bits(array(cast(0.5 as float), cast(-1.5 as float),
+        |  cast(2.0 as float))) AS s""".stripMargin).head().getLong(0)
+    assert(sb == 5L) // bits: +,-,+ -> 1,0,1
+
+    // pair_explode generates in-bucket candidate pairs in SQL
+    // (generator -> Hive-style LATERAL VIEW call)
+    val pairs = spark.sql(
+      """SELECT d1, d2 FROM (SELECT array(
+        |  named_struct('d', 1L, 'n', 10L), named_struct('d', 2L, 'n', 20L),
+        |  named_struct('d', 3L, 'n', 30L)) AS ds)
+        |LATERAL VIEW pair_explode(ds) t AS d1, n1, d2, n2""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // C(3,2)
+
+    // literal-int arg contract fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', 1 + 2)").collect()
+    }
+  }
+
   test("plain Scala UDF registration (the escape hatch of last resort)") {
     val slug = org.apache.spark.sql.functions.udf(
       (s: String) => s.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
