@@ -59,6 +59,7 @@ object SparkEntry {
     "q54_pivot" -> (Relational.pivotEvents _),
     "q57_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q59_shipping_priority" -> (Relational.shippingPriority _),
+    "q77_local_supplier_volume" -> (Relational.localSupplierVolume _),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
@@ -626,6 +627,17 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "q77_local_supplier_volume" ->
+      """SELECT n_name,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
     "q76_lake_pruned_read" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
          count(DISTINCT user_id) AS n_users

@@ -309,6 +309,34 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 (local supplier volume): the canonical 6-table star join.
+    * region→nation broadcast into the fact-side joins (both tiny at any
+    * scale); customer⋈orders⋈lineitem⋈supplier shuffle on their keys
+    * with AQE free to reorder; the c_nationkey = s_nationkey "local
+    * supplier" clause rides as a post-join filter on broadcast-joined
+    * columns. The shape every warehouse benchmark grades join planning
+    * on. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      t(s, dir, "nation").join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+  }
+
   /** Correlated scalar subquery + IN-subquery, written in SQL so
     * Catalyst's decorrelation (rewrite to joins) is exercised as a user
     * would hit it. */
