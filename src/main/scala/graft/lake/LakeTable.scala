@@ -876,24 +876,33 @@ class LakeTable private (
     * reference silently leaks on every write/commit error), losers of
     * compare-and-set commits, and staging dirs. Never touches referenced
     * files, so it is safe concurrent with readers of any committed
-    * snapshot — but NOT with in-flight writers (their pre-commit files
-    * look orphaned; production would add an age threshold, as Iceberg's
-    * orphan-file removal does). Returns deleted file count. */
-  def vacuum(): Int =
-    vacuumAgainst((0 to currentVersion).filter(v =>
-      Files.exists(versionPath(metaDir, v))))
+    * snapshot. `minAgeMs` makes it safe concurrent with in-flight
+    * WRITERS too (their pre-commit files look orphaned until their
+    * commit lands): only orphans older than the threshold are
+    * reclaimed — Iceberg's orphan-file age guard. The no-arg form
+    * reclaims everything immediately (single-writer maintenance).
+    * Returns deleted file count. */
+  def vacuum(): Int = vacuum(0L)
 
-  private def vacuumAgainst(versions: Seq[Int]): Int = {
+  def vacuum(minAgeMs: Long): Int =
+    vacuumAgainst((0 to currentVersion).filter(v =>
+      Files.exists(versionPath(metaDir, v))), minAgeMs)
+
+  private def vacuumAgainst(versions: Seq[Int],
+                            minAgeMs: Long = 0L): Int = {
     val referenced: Set[Path] =
       versions.flatMap { v =>
         val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
         filesOf(n).map(f => Paths.get(root, f.path).normalize())
       }.toSet
     var deleted = 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      minAgeMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     val dataDir = Paths.get(root, "data")
     walkDir(dataDir).reverse.foreach { p =>
       if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
-          && !referenced.contains(p.normalize())) {
+          && !referenced.contains(p.normalize()) && oldEnough(p)) {
         Files.delete(p); deleted += 1
       } else if (Files.isDirectory(p) && listDir(p).isEmpty && p != dataDir) {
         Files.delete(p)
@@ -902,6 +911,7 @@ class LakeTable private (
     // stale staging dirs from crashed partitioned writes
     listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
+      .filter(oldEnough)
       .foreach { st =>
         walkDir(st).reverse.foreach { p =>
           if (Files.isRegularFile(p)) deleted += 1

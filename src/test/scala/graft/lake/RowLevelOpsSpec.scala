@@ -106,6 +106,60 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(t.read().count() == 40)
   }
 
+  test("concurrent same-file upserts: strict replace never duplicates " +
+    "or resurrects rows (retry on conflict)") {
+    val t = freshTable("merge-race")
+    // 4 threads upsert the SAME key set with distinct values; the
+    // strict-replace guard forces losers to throw instead of
+    // re-committing stale base rows, and a retry then sees the
+    // winner's files. Invariant after all settle: exactly one row per
+    // key, carrying one of the competing values — never zero, never two.
+    val keys = (0L until 20L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        val src = keys.map(k => (k, s"w$w", w.toDouble))
+          .toDF("id", "grp", "v")
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 10) {
+          attempts += 1
+          try { t.upsert(src, Seq("id")); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException => // retry
+            case e: Throwable => errs.add(e); done = true
+          }
+        }
+        if (!done) errs.add(new IllegalStateException("retries exhausted"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failures: ${errs.toArray.toSeq}")
+    val rows = t.read().filter($"id" < 20L)
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(rows.length == 20, "exactly one row per key")
+    val winners = rows.map(_._2).toSet
+    assert(winners.forall(Set("w1", "w2", "w3", "w4")),
+      s"values must come from the competing writers, got $winners")
+    assert(t.read().count() == 200) // nothing else lost
+  }
+
+  test("vacuum age guard: young orphans survive, old ones are reclaimed") {
+    val t = freshTable("vac-age")
+    // orphan a file: write data, never commit it (simulate a crashed
+    // writer) by dropping a parquet straight into a batch dir
+    val orphanDir = java.nio.file.Paths.get(t.root, "data/batch-orphan")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-zzz.parquet")
+    java.nio.file.Files.writeString(orphan, "not yet committed")
+    assert(t.vacuum(minAgeMs = 3600 * 1000L) == 0,
+      "a young orphan may belong to an in-flight writer: keep it")
+    assert(java.nio.file.Files.exists(orphan))
+    assert(t.vacuum(minAgeMs = 0L) == 1, "past the age guard: reclaim")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(t.read().count() == 200, "referenced data untouched")
+  }
+
   test("delete and upsert compose with appends and compaction") {
     val t = freshTable("del-compose")
     t.deleteWhere($"id" >= 0L && $"id" < 10L)
