@@ -257,6 +257,10 @@ object SparkEntry {
     // twin; oracle replays the strict gap-overlap rule batch-side)
     "q74_stream_sessions" ->
       (graft.streaming.StreamingQueries.streamSessions _),
+    // custom state machine (flatMapGroupsWithState conversion funnel);
+    // oracle replays the transition rule with a lag window
+    "q78_stream_state_funnel" ->
+      (graft.streaming.StreamingQueries.streamStateFunnel _),
     // copy-on-write row-level ops on the lake: DELETE (drop views) then
     // MERGE (adjust some purchases in place + backfill-insert new rows
     // under shifted ids), then read the final state back. The oracle
@@ -627,6 +631,21 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "q78_stream_state_funnel" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type FROM events),
+         agg AS (SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+             AND prev_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conversions
+           FROM o GROUP BY 1),
+         lastt AS (SELECT user_id, event_type AS last_type FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1)
+         SELECT a.user_id, a.n_events, a.n_conversions, l.last_type
+         FROM agg a JOIN lastt l ON a.user_id = l.user_id""",
     "q77_local_supplier_volume" ->
       """SELECT n_name,
          sum(l_extendedprice * (1 - l_discount)) AS revenue

@@ -191,6 +191,56 @@ object StreamingQueries {
       col("n_events"), col("sum_value"))
   }
 
+  /** Custom per-key streaming state machine as a graded query: a
+    * click→purchase conversion funnel over flatMapGroupsWithState —
+    * the API for state Spark's built-ins can't express (the reference
+    * system's RisingWave MVs have no equivalent either). Per user the
+    * state carries (events seen, conversions, last event type) across
+    * micro-batches; a purchase converts iff the user's previous event
+    * by (ts, event_id) order was a click. Batch rows are sorted
+    * in-group (bounded by one user's per-batch volume); each batch
+    * appends a superseding snapshot row per active user, and the
+    * batch-side rollup keeps the latest via max_by on the monotone
+    * event count. The oracle replays the same rule with a lag window. */
+  def streamStateFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val qname = "fsm_" + UUID.randomUUID().toString.replace("-", "")
+    val ev = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val folded = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val (n0, c0, prev0) =
+            state.getOption.getOrElse((0L, 0L, null: String))
+          var n = n0; var c = c0; var prev = prev0
+          // micros-precision event-time order with event_id tie-break
+          rows.toSeq
+            .sortBy(r => (r._2.getTime / 1000, r._2.getNanos.toLong, r._3))
+            .foreach { r =>
+              n += 1
+              if (prev == "click" && r._4 == "purchase") c += 1
+              prev = r._4
+            }
+          state.update((n, c, prev))
+          Iterator((user, n, c, prev))
+      }
+    val q = folded.toDF("user_id", "n_events", "n_conversions", "last_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(n_conversions, n_events)").as("n_conversions"),
+        expr("max_by(last_type, n_events)").as("last_type"))
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val qname = "dedup_" + UUID.randomUUID().toString.replace("-", "")
     val doubled = eventsStream(s, dir)
