@@ -89,6 +89,13 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_docs"))
     }),
+    // no oracle possible: BPE training is an ITERATIVE argmax loop (each
+    // merge depends on all previous rounds) — not expressible as one
+    // SQL query. Deterministic by construction (no seeds, lexicographic
+    // tie-break); BpeSpec verifies the exact merge sequence against a
+    // hand-computed corpus and order-independence under repartitioning.
+    "q79_bpe_merges" -> ((s, d) =>
+      BpeOps.mergeTable(Tables.load(s, d, "documents"), numMerges = 20)),
     "q35_text_stats" -> (TextOps.textStats _),
     "q36_token_count" -> (TextOps.tokenStats _),
     "q37_lang_id" -> (TextOps.languageId _),

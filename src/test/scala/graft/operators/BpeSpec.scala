@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+
+/** Distributed BPE merge training: exact hand-computed sequence,
+  * determinism under reshuffling, early stop. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("learns the hand-computed merge sequence on the classic corpus") {
+    // weights: low x5, lower x2, newest x6, widest x3 (Sennrich-style)
+    val docs = Seq.fill(5)("low").mkString(" ") ::
+      Seq.fill(2)("lower").mkString(" ") ::
+      Seq.fill(6)("newest").mkString(" ") ::
+      Seq.fill(3)("widest").mkString(" ") :: Nil
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeOps.learnMerges(df, numMerges = 4)
+    // hand-computed: pair counts over {low:5, lower:2, newest:6, widest:3}
+    // round 1: (e,s)=9, (s,t)=9, (t,</w>)=9, (es? no)... tie on 9 ->
+    //   lexicographic: (e,s) wins -> "es"
+    // round 2: (es,t)=9, (t,</w>)=9 -> (es,t) vs (t,</w>):
+    //   "es" < "t" -> (es,t) -> "est"
+    // round 3: (est,</w>)=9 -> "est</w>"
+    // round 4: (l,o)=7 -> "lo"
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o")))
+  }
+
+  test("applyMerge is left-to-right and non-overlapping") {
+    assert(BpeOps.applyMerge(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(BpeOps.applyMerge(Seq("a", "b", "a", "b"), "a", "b") ==
+      Seq("ab", "ab"))
+    assert(BpeOps.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("merge list is identical under repartitioning (determinism)") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val a = BpeOps.learnMerges(docs, numMerges = 6)
+    val b = BpeOps.learnMerges(docs.repartition(7), numMerges = 6)
+    assert(a == b)
+    assert(a.size == 6)
+  }
+
+  test("stops early when no pair repeats") {
+    val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every adjacent pair occurs exactly once -> no rule is learnable
+    assert(BpeOps.learnMerges(df, numMerges = 10).isEmpty)
+  }
+}
