@@ -89,6 +89,31 @@ object BpeOps {
 
   val EndOfWord = "</w>"
 
+  /** Tokenize `docs` with a learned merge list: per doc, each word is
+    * split to characters (+ end-of-word marker) and the merges replay
+    * in learned order — the standard BPE apply step. Row-local
+    * Dataset.map with the (small) merge list broadcast in the closure:
+    * zero shuffles, scales linearly with corpus bytes. Returns
+    * (idCol, n_tokens, tokens) — drop `tokens` when only budgeting. */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)],
+               textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    graft.Tables.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"), lower(col(textCol)).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val toks = t.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          var syms: Seq[String] = w.map(_.toString).toSeq :+ EndOfWord
+          merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+          syms
+        }.toSeq
+        (id, toks.size.toLong, toks)
+      }
+      .toDF("doc_id", "n_tokens", "tokens")
+  }
+
   /** Left-to-right, non-overlapping replacement of adjacent (a, b)
     * with the merged symbol — the standard BPE apply step. */
   private[operators] def applyMerge(syms: Seq[String], a: String,

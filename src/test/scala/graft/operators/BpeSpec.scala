@@ -43,6 +43,21 @@ class BpeSpec extends SparkSuite {
     assert(a.size == 6)
   }
 
+  test("tokenize applies merges in learned order") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"))
+    val df = Seq((1L, "lowest")).toDF("doc_id", "text")
+    val got = BpeOps.tokenize(df, merges).as[(Long, Long, Seq[String])]
+      .head()
+    // l o w e s t</w> -> es -> est -> est</w> -> lo:
+    // ["lo", "w", "est</w>"]
+    assert(got == ((1L, 3L, Seq("lo", "w", "est</w>"))))
+    // with no merges, tokens = chars + end marker
+    val raw = BpeOps.tokenize(df, Nil).as[(Long, Long, Seq[String])].head()
+    assert(raw._2 == 7L)
+    // fewer merges can only shorten, never lengthen
+    assert(got._2 <= raw._2)
+  }
+
   test("stops early when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs exactly once -> no rule is learnable
