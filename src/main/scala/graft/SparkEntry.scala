@@ -295,6 +295,41 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // the end-to-end curation pipeline, composed from the graded
+    // pieces: inject exact duplicates (every 50th doc re-appears under
+    // a shifted id) + the q62 deterministic PII enrichment, then
+    // redact -> quality-filter on clean text -> exact-dedup (min
+    // doc_id survives; duplicates collapse because redaction strips
+    // the only id-dependent bytes) -> content-keyed split -> audit per
+    // (source, split). One oracle grades the whole composition.
+    "q80_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val raw = Tables.load(s, d, "documents")
+      val dups = raw.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("dupsrc"))
+      val docs = raw.unionByName(dups).withColumn("text", expr(
+        "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+          "'@example.com or 555-', " +
+          "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+          "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7 end')"))
+      val clean = CorpusOps.redactPii(docs)
+        .select(col("doc_id"), col("clean_text"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(clean, Seq("doc_id"))
+        .withColumn("q",
+          graft.functions.TextFunctions.qualityScore("clean_text"))
+      val deduped = scored.filter(col("q") >= 0.6)
+        .groupBy(col("clean_text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          expr("min_by(source, doc_id)").as("source"))
+      CorpusOps.withSplit(deduped, textCol = "clean_text")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("clean_text")))
+            .as("sum_tokens"))
+    }),
     // manifest-level stats pruning: sort-compact the lake table on
     // user_id so per-file ranges are narrow, then readWhere drops the
     // out-of-range files from the plan entirely (driver-side metadata
@@ -638,6 +673,47 @@ object SparkEntry {
              (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "q80_curation_pipeline" ->
+      """WITH dup AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, 'dupsrc' FROM documents
+           WHERE doc_id % 50 = 0),
+         enr AS (SELECT doc_id, source,
+           text || ' contact user' || doc_id::VARCHAR
+             || '@example.com or 555-'
+             || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end' AS text
+           FROM dup),
+         red AS (SELECT doc_id, source,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+           FROM enr),
+         kept AS (SELECT * FROM red WHERE
+           least(length(clean_text) / 500.0, 1.0) * 0.4
+           + (CASE WHEN (CAST(length(replace(clean_text, ' ', ''))
+                AS DOUBLE) / (length(clean_text)
+                - length(replace(clean_text, ' ', '')) + 1))
+                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN len(list_filter(string_split(clean_text, ' '),
+                w -> w IN ('the','of','and','to','a','in','is'))) > 0
+                THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.6),
+         ded AS (SELECT clean_text, min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source
+           FROM kept GROUP BY clean_text),
+         sp AS (SELECT source, clean_text,
+             CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT source, clean_text,
+             strpos('0123456789abcdef', substr(md5(clean_text), 32, 1)) - 1
+               AS b FROM ded))
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(clean_text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_tokens
+         FROM sp GROUP BY 1, 2""",
     "q78_stream_state_funnel" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id

@@ -80,6 +80,40 @@ class StatsPruningSpec extends SparkSuite {
       LakeTable.ColStat(1000L, 1099L)))
   }
 
+  test("pruning soundness property: random data, random range predicates") {
+    // randomized (fixed seed) adversarial check of the one invariant
+    // that matters: pruning NEVER changes results
+    val rnd = new scala.util.Random(42)
+    val t = LakeTable.create(spark, tmpDir("prop"), schema)
+    (1 to 6).foreach { _ =>
+      val base = rnd.nextInt(2000)
+      val rows = (0 until 50).map { _ =>
+        val id = (base + rnd.nextInt(500)).toLong
+        (id, "g" + rnd.nextInt(4), rnd.nextDouble() * 100 - 50)
+      }
+      t.append(rows.toDF("id", "grp", "v").coalesce(1))
+    }
+    val preds = (1 to 40).map { _ =>
+      val c = rnd.nextInt(6) match {
+        case 0 => $"id" < rnd.nextInt(2500).toLong
+        case 1 => $"id" >= rnd.nextInt(2500).toLong
+        case 2 => $"id" === rnd.nextInt(2500).toLong
+        case 3 => $"grp" === ("g" + rnd.nextInt(5))
+        case 4 => $"v" > (rnd.nextDouble() * 100 - 50)
+        case 5 => $"id" > rnd.nextInt(2500).toLong &&
+          $"v" <= (rnd.nextDouble() * 100 - 50)
+      }
+      c
+    }
+    for (p <- preds) {
+      val got = t.readWhere(p).select("id", "grp", "v")
+        .as[(Long, String, Double)].collect().sorted.toSeq
+      val want = t.read().filter(p).select("id", "grp", "v")
+        .as[(Long, String, Double)].collect().sorted.toSeq
+      assert(got == want, s"pruned read diverged for $p")
+    }
+  }
+
   test("stats survive the JSON snapshot round-trip on reload") {
     val t = twoBatchTable("stats-reload")
     val reloaded = LakeTable.load(spark, t.root)
