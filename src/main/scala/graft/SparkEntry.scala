@@ -207,6 +207,20 @@ object SparkEntry {
     // (selection-tree plan; oracle = the naive row_number window)
     "q70_domain_cap" -> ((s, d) =>
       CorpusOps.domainCap(Tables.load(s, d, "documents"), k = 10)),
+    // sequence packing: contiguous 512-token bins per source via the
+    // distributed prefix-sum (oracle = the naive per-source window, so
+    // the hash match proves the two-pass cumsum is exact)
+    "q81_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      CorpusOps.packSequences(Tables.load(s, d, "documents"),
+          budgetTokens = 512L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+    // overlapping character chunking (size 200, overlap 50)
+    "q82_doc_chunks" -> ((s, d) =>
+      CorpusOps.chunkDocs(Tables.load(s, d, "documents"),
+        size = 200, overlap = 50)),
     // incremental dedup against a persisted fingerprint index: docs with
     // doc_id%3==0 are the already-accepted history (committed to a lake
     // index), docs with doc_id%2==0 arrive as the new batch; the %6==0
@@ -794,6 +808,25 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users,
          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
          FROM events GROUP BY 1""",
+    // bin of a doc = floor(tokens-before-it / 512) in (source, doc_id)
+    // order — the naive window form of the distributed prefix-sum
+    "q81_sequence_packing" ->
+      """WITH tk AS (SELECT source, doc_id,
+           len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS t
+           FROM documents),
+         c AS (SELECT source, doc_id, t, sum(t) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
+         SELECT source, CAST((cum - t) // 512 AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2""",
+    "q82_doc_chunks" ->
+      """SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+           substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk_text
+         FROM documents, UNNEST(generate_series(0, length(text) - 1, 150))
+           AS g(s)
+         WHERE length(text) > 0""",
     "q71_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -221,6 +221,95 @@ object CorpusOps {
       .select(col(domainCol), col("t.doc_id").as(idCol))
   }
 
+  /** Sequence packing: assign documents, in (domain, doc_id) order, to
+    * contiguous fixed-token-budget bins — the batch-construction step
+    * before pretraining (each bin becomes one packed training
+    * sequence). A doc's bin is floor(tokens-before-it / budget), i.e.
+    * the bin its start position falls in.
+    *
+    * 100 TB shape: the rule needs an EXACT global running token sum per
+    * domain, but a per-domain window is a single-reducer sort. Classic
+    * distributed prefix-sum instead: range-partition by the order key
+    * and sort within partitions (spillable, parallel), aggregate one
+    * (partition × domain) token total — bounded by partition count, not
+    * rows — prefix those on the driver, then a partition-local cumsum
+    * plus broadcast base offsets reconstructs the exact global cumsum
+    * in one more pass. The partitioned stage is localCheckpoint-ed so
+    * both passes read the same materialized layout.
+    *
+    * Returns (domainCol, idCol, n_tokens, bin). */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    domainCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    import graft.functions.TextFunctions
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val n = ss.sparkContext.defaultParallelism
+    val staged = graft.Tables.widen(docs).select(
+        col(domainCol).as("domain"), col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).as("t"))
+      .repartitionByRange(n, col("domain"), col("doc_id"))
+      .sortWithinPartitions("domain", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (d, id, t) => (pid, d, id, t) }
+      }
+      .toDF("pid", "domain", "doc_id", "t")
+      .localCheckpoint()
+    // driver prefix over (partition, domain) totals: rows == partitions
+    // that contain the domain — metadata scale at any corpus size
+    val offsets: Map[(Int, String), Long] = staged
+      .groupBy(col("pid"), col("domain")).agg(sum(col("t")).as("pt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (dom, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).iterator.map { case (pid, _, pt) =>
+          val off = acc; acc += pt; ((pid, dom), off)
+        }
+      }.toMap
+    val bc = ss.sparkContext.broadcast(offsets)
+    val budget = budgetTokens
+    staged.as[(Int, String, Long, Long)]
+      .mapPartitions { it =>
+        var curDom: String = null
+        var cum = 0L
+        it.map { case (pid, dom, id, t) =>
+          if (dom != curDom) { curDom = dom; cum = bc.value((pid, dom)) }
+          val binOfStart = cum / budget
+          cum += t
+          (dom, id, t, binOfStart)
+        }
+      }
+      .toDF(domainCol, idCol, "n_tokens", "bin")
+  }
+
+  /** Fixed-size overlapping character chunking: one row per chunk,
+    * starts at 0, stride = size - overlap, final partial chunk kept.
+    * Pure projection + explode — shuffle-free, linear in corpus bytes,
+    * and engine-portable (chunk boundaries are pure arithmetic).
+    * Returns (idCol, chunk_id, chunk_text). */
+  def chunkDocs(docs: DataFrame, size: Int, overlap: Int,
+                textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    graft.Tables.widen(docs)
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        col(textCol).as("_t"),
+        explode(expr(s"sequence(0, length($textCol) - 1, $stride)"))
+          .as("_s"))
+      .select(col("doc_id"),
+        expr(s"CAST(_s div $stride AS BIGINT)").as("chunk_id"),
+        expr(s"substr(_t, _s + 1, $size)").as("chunk_text"))
+  }
+
   /** Split audit: doc counts and char volume per (source, split). */
   def splitSummary(docs: DataFrame): DataFrame =
     withSplit(docs)

@@ -133,6 +133,63 @@ class CorpusOpsSpec extends SparkSuite {
     assert(again == naive(10))
   }
 
+  test("packSequences equals the naive per-domain cumsum window") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def naive(budget: Long): Set[(String, Long, Long)] =
+      docs.select($"source", $"doc_id",
+          TextFunctions.tokenCount($"text").as("t"))
+        .withColumn("cum", sum($"t").over(w))
+        .select($"source", $"doc_id",
+          (($"cum" - $"t") / budget).cast("long").as("bin"))
+        .as[(String, Long, Long)].collect().toSet
+    for (budget <- Seq(128L, 512L, 100000L)) {
+      val got = CorpusOps.packSequences(docs, budget)
+        .select("source", "doc_id", "bin")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == naive(budget), s"budget=$budget")
+    }
+    // the distributed prefix-sum is layout-independent: same bins no
+    // matter how the input arrives
+    val again = CorpusOps.packSequences(docs.repartition(13), 512L)
+      .select("source", "doc_id", "bin")
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == naive(512L))
+    // bins are contiguous budget-sized windows: within (source, bin),
+    // token sums only exceed the budget when a single doc does
+    val over = CorpusOps.packSequences(docs, 128L)
+      .groupBy($"source", $"bin")
+      .agg(sum($"n_tokens").as("s"), max($"n_tokens").as("m"),
+        count(lit(1)).as("n"))
+      .filter($"s" > 2 * 128 && $"n" > 1 && $"m" < 128)
+    assert(over.isEmpty,
+      "a multi-doc bin of small docs can't overshoot a full budget")
+  }
+
+  test("chunkDocs: hand-computed boundaries, full coverage, portability") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocs(df, size = 4, overlap = 2)
+      .as[(Long, Long, String)].collect().toSet
+    // doc 1: stride 2, starts 0,2,4,6,8 -> abcd cdef efgh ghij ij
+    assert(got == Set(
+      (1L, 0L, "abcd"), (1L, 1L, "cdef"), (1L, 2L, "efgh"),
+      (1L, 3L, "ghij"), (1L, 4L, "ij"),
+      (2L, 0L, "xy")))
+    // every character position is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap { case (_, cid, c) =>
+      val start = cid.toInt * 2
+      start until (start + c.length)
+    }
+    assert(covered == (0 until 10).toSet)
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDocs(df, size = 4, overlap = 4)
+    }
+  }
+
   test("withSplit is deterministic, content-keyed, and ~13/2/1") {
     val docs = Tables.load(spark, sf, "documents")
     val a = CorpusOps.withSplit(docs).select("doc_id", "split")
