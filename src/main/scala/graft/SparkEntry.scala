@@ -282,6 +282,10 @@ object SparkEntry {
     // oracle replays the transition rule with a lag window
     "q78_stream_state_funnel" ->
       (graft.streaming.StreamingQueries.streamStateFunnel _),
+    // Arrow interchange loop: stream OUT as exactly-once batch dirs,
+    // stream back IN through the graft-arrow micro-batch source
+    "q83_arrow_stream_loop" ->
+      (graft.streaming.StreamingQueries.arrowStreamLoop _),
     // copy-on-write row-level ops on the lake: DELETE (drop views) then
     // MERGE (adjust some purchases in place + backfill-insert new rows
     // under shifted ids), then read the final state back. The oracle
@@ -803,6 +807,10 @@ object SparkEntry {
            AND p.event_type = 'purchase' AND c.event_type = 'click'
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          GROUP BY 1""",
+    "q83_arrow_stream_loop" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+         count(event_id) AS n_ids
+         FROM events GROUP BY 1""",
     "q72_arrow_roundtrip" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
          count(DISTINCT user_id) AS n_users,

@@ -124,7 +124,8 @@ class ArrowTable(path: String, tableSchema: StructType)
   override def name(): String = s"graft-arrow(`$path`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -143,8 +144,72 @@ class ArrowTable(path: String, tableSchema: StructType)
           override def createReaderFactory(): PartitionReaderFactory =
             new ArrowReaderFactory(tableSchema, required)
         }
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new ArrowBatchDirStream(path, tableSchema, required)
       }
     }
+}
+
+/** Streaming half of the Arrow loop: continuously ingest an
+  * [[graft.streaming.MVManager.startToArrow]]-shaped export tree
+  * (`dir/batch-<id>/…`, each dir published by atomic rename, ids
+  * contiguous from 0 — the exactly-once batch contract). Offsets are
+  * the highest CONTIGUOUS batch id present, so a batch becomes visible
+  * only when every predecessor is also complete, and each is delivered
+  * exactly once via the checkpoint. This closes the engine-to-engine
+  * handoff the reference performs over Flight: one engine streams
+  * Arrow batches out, another streams them in. */
+class ArrowBatchDirStream(path: String, fileSchema: StructType,
+                          required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def highestContiguous(): Int = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return -1
+    val s = Files.list(root)
+    val ids =
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("batch-") =>
+          n.stripPrefix("batch-").toIntOption
+        }.flatten.toSet
+      finally s.close()
+    Iterator.from(0).takeWhile(ids.contains).foldLeft(-1)((_, i) => i)
+  }
+
+  @volatile private var frozen: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozen = Some(highestContiguous())
+
+  override def latestOffset(): Offset =
+    LakeLogOffset(frozen.getOrElse(highestContiguous()))
+  // Spark 4: SupportsTriggerAvailableNow extends SupportsAdmissionControl
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+  override def initialOffset(): Offset = LakeLogOffset(-1)
+  override def deserializeOffset(json: String): Offset =
+    LakeLogOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeLogOffset].version
+    val e = end.asInstanceOf[LakeLogOffset].version
+    ((s + 1) to e).flatMap { id =>
+      ArrowSource.listFiles(s"$path/batch-$id")
+        .map(f => ArrowFilePartition(f): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(fileSchema, required)
 }
 
 case class ArrowFilePartition(file: String) extends InputPartition

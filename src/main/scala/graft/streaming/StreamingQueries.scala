@@ -241,6 +241,37 @@ object StreamingQueries {
         expr("max_by(last_type, n_events)").as("last_type"))
   }
 
+  /** The full Arrow interchange loop as a graded query — the
+    * engine-to-engine handoff the reference performs over Flight:
+    * events stream OUT as exactly-once per-batch Arrow IPC dirs
+    * (MVManager.startToArrow), then a second streaming query ingests
+    * the export tree through the graft-arrow micro-batch source
+    * (contiguous-batch offsets) and the drained rows aggregate. The
+    * oracle on the original parquet proves no row is lost, duplicated
+    * or corrupted across the double hop. */
+  def arrowStreamLoop(s: SparkSession, dir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.replace("-", "")
+    val outDir = s"/root/repo/target/arrow-loop/$runId"
+    val mgr = new MVManager(s, s"/root/repo/target/ckpt/arrow-out-$runId")
+    val ev = eventsStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    mgr.startToArrow(s"arrow_export_$runId", ev, outDir,
+      Trigger.AvailableNow())
+    mgr.awaitAll()
+    mgr.stopAll()
+    val qname = s"arrow_in_$runId"
+    val q = s.readStream.format("graft-arrow").load(outDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", s"/root/repo/target/ckpt/arrow-in-$runId")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        count(col("event_id")).as("n_ids"))
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val qname = "dedup_" + UUID.randomUUID().toString.replace("-", "")
     val doubled = eventsStream(s, dir)

@@ -82,6 +82,42 @@ class ArrowSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-arrow").load(dir).count() == 2)
   }
 
+  test("streaming ingestion of a batch-dir tree: exactly-once, gap-safe") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("arrow-stream-in")
+    ArrowSink.write(spark.range(0, 10).toDF("id"), s"$dir/batch-0")
+    ArrowSink.write(spark.range(10, 30).toDF("id"), s"$dir/batch-1")
+    val ckpt = tmpDir("arrow-stream-in-ckpt")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-arrow").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => seen.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    assert(seen.size == 30)
+    // batch-3 exists but batch-2 does not: the gap gates visibility
+    // (a racing writer's rename hasn't landed yet)
+    ArrowSink.write(spark.range(90, 95).toDF("id"), s"$dir/batch-3")
+    drain()
+    assert(seen.size == 30, "a gapped batch must stay invisible")
+    // the gap closes: both batches arrive, each exactly once
+    ArrowSink.write(spark.range(30, 40).toDF("id"), s"$dir/batch-2")
+    drain()
+    assert(seen.size == 45)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet ==
+      ((0L until 40L) ++ (90L until 95L)).toSet)
+  }
+
   test("schema mismatch between files fails loudly, empty dir explains") {
     val dir = tmpDir("arrow-mismatch")
     ArrowSink.write(Seq((1L, "x")).toDF("id", "v"), dir)
