@@ -131,7 +131,11 @@ object CorpusOps {
     * (3) docs above the cutoff bin pass with a pure filter — no sort —
     * and the exact prefix window runs only over the cutoff bin's
     * ~1/bins sliver. Identical answer to the naive window because the
-    * bin order refines the quality order. */
+    * bin order refines the quality order. Caveat: a degenerate score
+    * distribution (many docs sharing one bin — e.g. a constant
+    * quality) concentrates the sliver; raise `bins` to split it, since
+    * the sliver shrinks with bin width for any continuous component of
+    * the score. */
   def tokenBudget(docs: DataFrame, budgetTokens: Long, bins: Int = 1000,
                   textCol: String = "text", idCol: String = "doc_id",
                   domainCol: String = "source"): DataFrame = {

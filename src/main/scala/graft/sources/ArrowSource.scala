@@ -227,14 +227,21 @@ class ArrowFilePartitionReader(file: String, fileSchema: StructType,
   private val allocator = new RootAllocator()
   private val ch = FileChannel.open(Paths.get(file))
   private val reader = new ArrowFileReader(ch, allocator)
-  private val root = reader.getVectorSchemaRoot
-  locally { // names+types must match; nullability may be user-relaxed
-    val got = ArrowSource.fromArrowSchema(root.getSchema)
-    require(got.fields.toSeq.map(f => (f.name, f.dataType)) ==
-        fileSchema.fields.toSeq.map(f => (f.name, f.dataType)),
-      s"graft-arrow: $file schema ${got.simpleString} does not match " +
-        s"table schema ${fileSchema.simpleString}")
-  }
+  private val root =
+    try {
+      val r = reader.getVectorSchemaRoot
+      // names+types must match; nullability may be user-relaxed
+      val got = ArrowSource.fromArrowSchema(r.getSchema)
+      require(got.fields.toSeq.map(f => (f.name, f.dataType)) ==
+          fileSchema.fields.toSeq.map(f => (f.name, f.dataType)),
+        s"graft-arrow: $file schema ${got.simpleString} does not match " +
+          s"table schema ${fileSchema.simpleString}")
+      r
+    } catch { case e: Throwable =>
+      // constructor failure: Spark never calls close(), so release here
+      reader.close(); allocator.close(); ch.close()
+      throw e
+    }
   // only the pruned columns' vectors are ever touched
   private val vectors: Array[FieldVector] =
     required.fields.map(f => root.getVector(f.name))

@@ -27,9 +27,7 @@ class RowLevelOpsSpec extends SparkSuite {
 
   test("deleteWhere removes matching rows and rewrites ONLY touched files") {
     val t = freshTable("del")
-    val untouchedBefore = t.dataFiles.map(_.path)
-      .filter(_.nonEmpty).toSet
-    val bFiles = untouchedBefore.toSeq.sorted.drop(0) // all files
+    val untouchedBefore = t.dataFiles.map(_.path).toSet
     // batch-b rows live apart from batch-a rows: delete hits only batch a
     val v = t.deleteWhere($"id" < 50L)
     assert(v == t.currentVersion)
