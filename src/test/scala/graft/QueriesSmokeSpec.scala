@@ -16,6 +16,24 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("every query is oracled except the documented no-oracle set") {
+    // a typo'd or forgotten oracle key silently downgrades a query to
+    // the driver's weaker rows-only check — keep the exception list
+    // EXPLICIT so that can't happen unnoticed
+    val documentedNoOracle = Set(
+      "q24_approx_distinct",    // HLL sketch values are engine-specific
+      "q34_simhash_pairs",      // xxhash64-seeded sketch bits
+      "q41_ann_lsh",            // seeded random-projection buckets
+      "q44_rolling_fingerprint",// our base/modulus constants
+      "q45_ann_ivf",            // seeded k-means centroids
+      "q60_ann_ivf_persisted",  // same seeded centroids
+      "q79_bpe_merges")         // iterative argmax, not one SQL query
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == documentedNoOracle,
+      s"undocumented no-oracle queries: ${unoracled -- documentedNoOracle}; " +
+        s"stale exceptions: ${documentedNoOracle -- unoracled}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       assert(fn(spark, sf).count() > 0)
