@@ -125,6 +125,21 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     r.parquet(path)
   }
 
+  /** Arrow-batch ingress: continuously ingest another engine's
+    * exactly-once Arrow export tree (MVManager.startToArrow shape,
+    * batch-<id> dirs published by atomic rename) through the
+    * graft-arrow micro-batch source — the engine-to-engine handoff
+    * the reference performs over Flight, minus only the gRPC
+    * transport. Pass `schema` to start consuming before the first
+    * batch lands. */
+  def arrowStream(path: String,
+                  schema: Option[org.apache.spark.sql.types.StructType] =
+                    None): DataFrame = {
+    val r = spark.readStream.format("graft-arrow")
+    schema.foreach(r.schema)
+    r.load(path)
+  }
+
   /** All configured ingress streams unioned — one fileStream per
     * `flight.servers` entry (the reference fans one reader goroutine per
     * server, ingestor.go:58-80; here each is a file-poll directory and

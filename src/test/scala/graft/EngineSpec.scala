@@ -184,6 +184,32 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("arrowStream: one engine ingests another engine's Arrow export") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpDir("engine-arrow-loop")
+    val producer = new GraftEngine(spark, GraftConfig(
+      StorageConfig(wh, format = "arrow"), CatalogConfig(namespace = "exp")))
+    val input = MemoryStream[(Long, String)]
+    val q = producer.startExport("feed", input.toDF().toDF("id", "v"))
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val consumer = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("engine-arrow-consumer"))))
+    val qn = "loop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = consumer.arrowStream(s"$wh/exp/feed")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmpDir("engine-loop-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table(qn).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("YAML-configured engine: file config drives warehouse, namespace, " +
     "source dirs, and metrics collection") {
     val wh = tmpDir("engine-yaml-wh")
