@@ -221,6 +221,24 @@ object SparkEntry {
     "q82_doc_chunks" -> ((s, d) =>
       CorpusOps.chunkDocs(Tables.load(s, d, "documents"),
         size = 200, overlap = 50)),
+    // incremental NEAR-dup against a persisted signature index: the
+    // %3==0 slice is indexed (shingle sets + MinHash sigs committed to
+    // a lake table), the %2==0 slice arrives as the new batch; banded
+    // LSH candidates verify exactly, and the oracle computes the full
+    // cross-slice exact Jaccard — hash match = recall proof across the
+    // index boundary
+    "q84_neardup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-sigidx")
+      val rows = DedupOps.signatureIndexRows(
+        docs.filter(col("doc_id") % 3 === 0))
+      val index = graft.lake.LakeTable.create(
+        s, s"$dir/idx", rows.schema)
+      index.appendExactlyOnce(rows, "q84", 0L)
+      DedupOps.nearDupAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
+    }),
     // incremental dedup against a persisted fingerprint index: docs with
     // doc_id%3==0 are the already-accepted history (committed to a lake
     // index), docs with doc_id%2==0 arrive as the new batch; the %6==0
@@ -835,6 +853,25 @@ object SparkEntry {
          FROM documents, UNNEST(generate_series(0, length(text) - 1, 150))
            AS g(s)
          WHERE length(text) > 0""",
+    // full cross-slice exact Jaccard: every (new, indexed) pair at
+    // >= 0.5 — the LSH-bucketed incremental path must find them all
+    "q84_neardup_incremental" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d_new, b.doc_id AS d_idx,
+                   count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id % 2 = 0 AND b.doc_id % 3 = 0
+                   GROUP BY 1, 2)
+         SELECT d_new, d_idx, inter,
+                inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = d_new
+         JOIN cnt cb ON cb.doc_id = d_idx
+         WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
     "q71_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text),

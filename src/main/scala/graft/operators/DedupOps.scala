@@ -57,6 +57,56 @@ object DedupOps {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .join(index.read().select(col("fp")), Seq("fp"), "left_anti")
 
+  /** Signature-index rows for accepted documents: (doc_id, shs, sig) —
+    * the persisted state [[nearDupAgainstIndex]] compares new batches
+    * against. Shingle-hash sets and MinHash signatures are computed
+    * once here, committed to a lake table (exactly-once batch commits),
+    * and never recomputed from raw text again. */
+  def signatureIndexRows(docs: DataFrame, k: Int = 64,
+                         shingleN: Int = 3): DataFrame =
+    shingleHashArrays(docs, n = shingleN)
+      .select(col("doc_id"), col("shs"),
+        graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
+
+  /** Incremental NEAR-dup of a new batch against a PERSISTED signature
+    * index — the production crawl-ingest shape: history is indexed once
+    * (see [[signatureIndexRows]]) and each new batch compares only
+    * against the index through the banded LSH equi-join, never
+    * rescanning raw history text. Candidate (new, indexed) pairs are
+    * verified with the exact n-gram Jaccard from the stored (row-local,
+    * pre-deduped) shingle-hash sets, so the output matches a full
+    * cross-set exact comparison — the same bucket-then-verify contract
+    * as [[minHashLshTrueJaccard]], which makes the cross-engine oracle
+    * an LSH recall proof across the index boundary. Returns
+    * (d_new, d_idx, inter, jaccard) with jaccard >= minJaccard. */
+  def nearDupAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
+                          minJaccard: Double = 0.5, k: Int = 64,
+                          bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val newRows = signatureIndexRows(batch, k, shingleN)
+    val idxRows = index.read()
+    def buckets(df: DataFrame, side: String): DataFrame =
+      df.select(col("doc_id").as(side),
+          posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))
+        .select(col(side),
+          struct(col("pos").as("band"), col("col").as("bh")).as("bk"))
+    val cand = buckets(newRows, "d_new")
+      .join(buckets(idxRows, "d_idx"), "bk")
+      .select(col("d_new"), col("d_idx"))
+      .distinct() // a pair colliding in several bands verifies once
+    val s1 = newRows.select(col("doc_id").as("d_new"), col("shs").as("shs_new"))
+    val s2 = idxRows.select(col("doc_id").as("d_idx"), col("shs").as("shs_idx"))
+    cand.join(s1, "d_new").join(s2, "d_idx")
+      .select(col("d_new"), col("d_idx"),
+        size(array_intersect(col("shs_new"), col("shs_idx")))
+          .cast("long").as("inter"),
+        size(col("shs_new")).as("n1"), size(col("shs_idx")).as("n2"))
+      .withColumn("jaccard",
+        col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d_new"), col("d_idx"), col("inter"), col("jaccard"))
+  }
+
   /** Distinct word n-gram shingles per document as one array column —
     * dedup happens row-locally (array_distinct), so shingling costs ZERO
     * shuffles regardless of corpus size. */
