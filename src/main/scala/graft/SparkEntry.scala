@@ -234,10 +234,37 @@ object SparkEntry {
       val rows = DedupOps.signatureIndexRows(
         docs.filter(col("doc_id") % 3 === 0))
       val index = graft.lake.LakeTable.create(
-        s, s"$dir/idx", rows.schema)
+        s, s"$dir/idx", rows.schema, bucketBy = Some(("doc_id", 8)))
       index.appendExactlyOnce(rows, "q84", 0L)
       DedupOps.nearDupAgainstIndex(
         docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
+    }),
+    // the continuous-curation MV loop end to end: a lake-backed source
+    // receives two commits (the %3==0 slice, then the full table); a
+    // checkpointed streaming query watches the commit log, dedupes each
+    // micro-batch against the persisted fingerprint index with zero
+    // index-side shuffles, appends accepted docs to `out`, and advances
+    // the frontier — STOPPED and RESTARTED from the same checkpoint
+    // between the commits, so the oracle hash-match proves exactly-once
+    // curation across a restart (batch-2 copies of batch-1 docs must
+    // not be re-admitted).
+    "q85_curation_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-curation")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", docs.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        StructType(Seq(StructField("fp", StringType),
+          StructField("doc_id", LongType))),
+        bucketBy = Some(("fp", 8)))
+      val out = graft.lake.LakeTable.create(s, s"$dir/out", docs.schema)
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(docs.filter(col("doc_id") % 3 === 0))
+      mv.startCurationFromLake("curate", src, index, out).awaitTermination()
+      src.append(docs) // includes every batch-1 doc again
+      mv.startCurationFromLake("curate", src, index, out).awaitTermination()
+      out.read().select("doc_id")
     }),
     // incremental dedup against a persisted fingerprint index: docs with
     // doc_id%3==0 are the already-accepted history (committed to a lake
@@ -250,7 +277,8 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
       val index = graft.lake.LakeTable.create(s, dir.toString, StructType(Seq(
-        StructField("fp", StringType), StructField("doc_id", LongType))))
+        StructField("fp", StringType), StructField("doc_id", LongType))),
+        bucketBy = Some(("fp", 8)))
       index.append(docs.filter(col("doc_id") % 3 === 0).select(
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
         col("doc_id")))
@@ -872,6 +900,17 @@ object SparkEntry {
          FROM pairs JOIN cnt ca ON ca.doc_id = d_new
          JOIN cnt cb ON cb.doc_id = d_idx
          WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
+    // sequential-batch semantics: a fp seen in the %3==0 first commit
+    // keeps its batch-1 winner (min id within the slice); fps arriving
+    // only in the second commit take their global min id
+    "q85_curation_mv" ->
+      """WITH fp AS (SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents)
+         SELECT coalesce(min(doc_id) FILTER (WHERE doc_id % 3 = 0),
+                         min(doc_id)) AS doc_id
+         FROM fp GROUP BY fp""",
     "q71_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -145,6 +145,51 @@ class LakeTable private (
     else n.elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Hash-bucket layout, when declared at create time: (column, count).
+    * Rows land in hive partition `_bucket = pmod(xxhash64(col), count)`,
+    * computed by the writer — so equality/IN probes on the bucket
+    * column prune to the matching bucket directories at the MANIFEST
+    * level (partition values ride in each file's stats) before any
+    * file opens. This is the layout half of point lookups at 100 TB:
+    * a probe for k keys touches at most k of `count` buckets no matter
+    * how big history grows. */
+  def bucketSpec: Option[(String, Int)] =
+    for {
+      c <- properties.get("bucket.column")
+      n <- properties.get("bucket.count")
+    } yield (c, n.toInt)
+
+  /** The bucket a value of the bucket column lands in — driver-side
+    * evaluation of the exact expression the writer uses
+    * (`pmod(xxhash64(col), n)`, seed 42), so probe pruning and layout
+    * can never disagree. */
+  def bucketIdOf(value: Any): Int = {
+    val (c, n) = bucketSpec.getOrElse(
+      throw new IllegalStateException(s"table at $root is not bucketed"))
+    val dt = schema(c).dataType
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  /** Point-lookup read: rows whose `keyCol` is one of `values`, using
+    * every layout lever the table has — bucket-partition pruning (when
+    * `keyCol` is the bucket column), manifest range/IN pruning on the
+    * key itself, and parquet pushdown of the residual filter. The
+    * returned plan never shuffles: it is a pruned scan. */
+  def probe(keyCol: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (values.isEmpty) return read().filter(lit(false))
+    val base = col(keyCol).isin(values: _*)
+    val cond = bucketSpec match {
+      case Some((c, _)) if c == keyCol =>
+        col(BucketCol).isin(values.map(bucketIdOf).distinct: _*) && base
+      case _ => base
+    }
+    readWhere(cond)
+  }
+
   /** Retained snapshots only (expired versions are absent). */
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion)
@@ -269,6 +314,27 @@ class LakeTable private (
       }
     val added = dataFiles.filterNot(f => from.contains(f.path))
     readEntries(added, schema, fieldIds)
+  }
+
+  /** Rows in files committed in versions (from, to] — the bounded form
+    * of [[changesSince]] for consumers that must not read past an
+    * already-announced offset (e.g. a streaming curation MV whose
+    * micro-batch covers an exact version range; commits racing in
+    * after `to` belong to the NEXT batch, not this one). */
+  def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
+    val from =
+      if (fromVersion < 0) Set.empty[String]
+      else {
+        val node = mapper.readTree(
+          Files.readString(versionPath(metaDir, fromVersion)))
+        filesOf(node).map(_.path).toSet
+      }
+    val toNode = mapper.readTree(
+      Files.readString(versionPath(metaDir, toVersion)))
+    val added = filesOf(toNode).filterNot(f => from.contains(f.path))
+    readEntries(added,
+      DataTypeBridge.fromJson(toNode.get("schemaJson").asText()),
+      fieldIdsOf(toNode))
   }
 
   /** Metadata-pruned read, Iceberg-manifest-style: every data file
@@ -566,9 +632,19 @@ class LakeTable private (
     keyCols.foreach(c => require(s.fieldNames.contains(c),
       s"upsert key $c not in schema at $root"))
     // align source to the table's columns/types loudly (a missing
-    // column is an analysis error, not a silent null)
-    val src = source.select(
-      s.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    // column is an analysis error, not a silent null); the derived
+    // bucket column is the writer's job, never the caller's
+    val userFields = s.fields.filterNot(f =>
+      bucketSpec.isDefined && f.name == BucketCol)
+    val aligned = source.select(
+      userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val src = bucketSpec match {
+      case Some((c, n)) =>
+        import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+        aligned.withColumn(BucketCol,
+          pmod(xxhash64(col(c)), lit(n)).cast("int"))
+      case None => aligned
+    }
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val entries = dataFiles
     val affected = affectedFiles(
@@ -652,6 +728,29 @@ class LakeTable private (
     } finally r.close()
   }
 
+  /** ColStat entries for the hive partition values encoded in a file's
+    * relative partition path (`k1=v1/k2=v2`): each is an exact [v, v]
+    * range in the manifest. Null markers and unparseable values are
+    * skipped (no stat = never prune on it). */
+  private def partValueStats(partRel: String,
+                             schema: StructType): Map[String, ColStat] =
+    partRel.split("/").toSeq.filter(_.contains("=")).flatMap { seg =>
+      val Array(k, raw) = seg.split("=", 2)
+      val v = java.net.URLDecoder.decode(raw, "UTF-8")
+      if (v == "__HIVE_DEFAULT_PARTITION__") None
+      else schema.fields.find(_.name == k).flatMap { f =>
+        try f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(v.toLong)
+          case FloatType | DoubleType =>
+            val d = v.toDouble; if (d.isNaN) None else Some(d)
+          case StringType  => Some(v)
+          case BooleanType => Some(v.toBoolean)
+          case _ => None
+        } catch { case _: IllegalArgumentException => None }
+      }.map(x => k -> ColStat(x, x))
+    }.toMap
+
   private def statEligible(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType | BooleanType | DateType |
@@ -697,7 +796,16 @@ class LakeTable private (
     * `data/<k=v>/...` slot under a fresh UUID name (renames are O(1)
     * metadata ops; the partition dirs are shared across batches so
     * basePath partition discovery sees one consistent layout). */
-  private def writeData(df: DataFrame): PendingWrite = {
+  private def writeData(df0: DataFrame): PendingWrite = {
+    // bucketed layout: the writer owns the bucket column — callers
+    // append user rows and the hash lands them in their bucket dir.
+    // Reads/rewrites already carry _bucket, so injection is idempotent.
+    val df = bucketSpec match {
+      case Some((c, n)) if !df0.columns.contains(BucketCol) =>
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        df0.withColumn(BucketCol, pmod(xxhash64(col(c)), lit(n)).cast("int"))
+      case _ => df0
+    }
     val parts = partitionBy
     if (parts.isEmpty) {
       val batchDir = s"data/batch-${UUID.randomUUID()}"
@@ -728,7 +836,10 @@ class LakeTable private (
           val rel = if (partRel.isEmpty) s"data/$name"
                     else s"data/$partRel/$name"
           val (rows, st) = footerMeta(dest, df.schema)
-          FileEntry(rel, rows, stats = st)
+          // partition values are exact per-file constants: record them
+          // as [v, v] stats so manifest pruning (readWhere/probe) skips
+          // whole partition dirs without any directory listing
+          FileEntry(rel, rows, stats = st ++ partValueStats(partRel, df.schema))
         }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
       walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
@@ -968,6 +1079,8 @@ object LakeTable {
   val DefaultWriter = "default"
   /** Internal per-row provenance column for row-level rewrites. */
   private[lake] val FileTag = "_gf_file_path"
+  /** Derived hash-bucket partition column of bucketed tables. */
+  val BucketCol = "_bucket"
 
   private[lake] def writerKey(writerId: String) = s"writer.$writerId"
 
@@ -1035,20 +1148,41 @@ object LakeTable {
     Files.isDirectory(Paths.get(root, "metadata"))
 
   /** Create an empty table (snapshot v0) with field IDs 1..n assigned in
-    * declaration order. Fails if the table already exists. */
+    * declaration order. Fails if the table already exists. `bucketBy =
+    * Some((col, n))` declares a hash-bucket layout: a derived `_bucket`
+    * column (pmod(xxhash64(col), n)) is added to the schema, computed by
+    * every writer, and used as the trailing hive partition — the
+    * pay-once layout that makes key probes prune to O(keys) bucket dirs
+    * regardless of table size. */
   def create(spark: SparkSession, root: String, schema: StructType,
              properties: Map[String, String] = Map.empty,
-             partitionBy: Seq[String] = Seq.empty): LakeTable = {
+             partitionBy: Seq[String] = Seq.empty,
+             bucketBy: Option[(String, Int)] = None): LakeTable = {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
+    bucketBy.foreach { case (c, n) =>
+      require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
+      require(n > 0, s"bucket count must be positive, got $n")
+      require(!schema.fieldNames.contains(BucketCol),
+        s"$BucketCol is reserved for the bucket layout")
+    }
+    val fullSchema = bucketBy match {
+      case Some(_) => StructType(schema.fields :+
+        StructField(BucketCol, IntegerType, nullable = true))
+      case None => schema
+    }
+    val fullParts = partitionBy ++ bucketBy.map(_ => BucketCol)
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
-    val ids = schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val ids = fullSchema.fields.zipWithIndex
+      .map { case (f, i) => f.name -> (i + 1) }.toMap
     val propsNode = mapper.createObjectNode()
-    (Map("write.format.default" -> "parquet") ++ properties)
+    (Map("write.format.default" -> "parquet") ++ properties ++
+      bucketBy.map(b => Map("bucket.column" -> b._1,
+        "bucket.count" -> b._2.toString)).getOrElse(Map.empty))
       .foreach { case (k, v) => propsNode.put(k, v) }
-    val node = snapshotJson(0, -1, schema, ids, propsNode, Nil, Map.empty,
-      partitionBy)
+    val node = snapshotJson(0, -1, fullSchema, ids, propsNode, Nil, Map.empty,
+      fullParts)
     require(tryCommit(metaDir, 0, node), s"table already exists at $root")
     new LakeTable(spark, root)
   }

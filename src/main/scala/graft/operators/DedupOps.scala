@@ -43,19 +43,45 @@ object DedupOps {
     * lake's exactly-once batch-id commit) to advance the corpus
     * frontier — so replayed batches can never re-admit or double-count.
     *
-    * 100 TB shape: the index side of the anti-join scans ONE 32-byte
-    * column of a columnar table; the join shuffles by fingerprint
-    * (hash-uniform, skew-free). A small batch against a huge index is
-    * precisely the MERGE shape lakehouses are built for — at scale,
-    * keep the index written bucketed by fp so the anti-join co-locates
-    * instead of reshuffling history every batch. */
+    * 100 TB shape: the index side is NEVER shuffled. A batch small
+    * enough to enumerate (<= maxProbe distinct fps, the incremental
+    * case by definition) turns into a [[graft.lake.LakeTable.probe]]:
+    * bucket-partition pruning + manifest IN pruning + parquet pushdown
+    * reduce the index scan to the handful of bucket dirs the batch's
+    * fps hash into, and the matching fps come back through a broadcast
+    * semi-join — zero exchanges end to end on the index. Oversized
+    * batches degrade to one full index scan, still shuffle-free: the
+    * batch fps broadcast INTO the scan (broadcast semi-join), so index
+    * rows cross the network exactly never. Compare bucketed SMJ
+    * co-location, which still scans AND sort-merges 100% of history
+    * per batch — this plan scans a pruned subset and merges nothing. */
   def freshAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
-                        textCol: String = "text", idCol: String = "doc_id")
-      : DataFrame =
-    batch.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxProbe: Int = 10000): DataFrame = {
+    val batchFps = batch
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp"),
         col(idCol).as("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .join(index.read().select(col("fp")), Seq("fp"), "left_anti")
+    val hits = indexHits(index, batchFps.select("fp"), "fp", maxProbe)
+    batchFps.join(broadcast(hits), Seq("fp"), "left_anti")
+  }
+
+  /** The distinct `keyCol` values of `keys` that exist in `index`,
+    * computed without ever shuffling (or, when the key set is
+    * enumerable, even fully scanning) the index side. Driver traffic is
+    * bounded by maxProbe keys — metadata scale for incremental batches;
+    * beyond it the plan falls back to a full (but still shuffle-free,
+    * broadcast-probed) index scan. */
+  private[operators] def indexHits(index: graft.lake.LakeTable,
+                                   keys: DataFrame, keyCol: String,
+                                   maxProbe: Int): DataFrame = {
+    val sample = keys.distinct().limit(maxProbe + 1).collect().map(_.get(0))
+    val base =
+      if (sample.length <= maxProbe) index.probe(keyCol, sample.toSeq)
+      else index.read()
+    base.select(col(keyCol))
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+  }
 
   /** Signature-index rows for accepted documents: (doc_id, shs, sig) —
     * the persisted state [[nearDupAgainstIndex]] compares new batches
@@ -79,24 +105,49 @@ object DedupOps {
     * as [[minHashLshTrueJaccard]], which makes the cross-engine oracle
     * an LSH recall proof across the index boundary. Returns
     * (d_new, d_idx, inter, jaccard) with jaccard >= minJaccard. */
+  /** 100 TB shape: the index is scanned at most twice and shuffled
+    * never. Scan 1 reads only (doc_id, sig) — column-pruned — and
+    * streams through a broadcast hash join against the NEW batch's
+    * band buckets (batch-scale, always broadcastable), so LSH
+    * candidate generation moves zero index rows over the network.
+    * The candidate pairs (small by LSH design) are localCheckpointed
+    * once, then scan 2 fetches ONLY the candidate documents' shingle
+    * sets via [[graft.lake.LakeTable.probe]] on doc_id — manifest
+    * range pruning over the append-ordered index skips every file
+    * holding no candidate, and the exact-Jaccard verify joins run with
+    * both small sides broadcast. Degenerate candidate explosions
+    * (> maxProbe) fall back to a full-but-broadcast-joined scan 2. */
   def nearDupAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
                           minJaccard: Double = 0.5, k: Int = 64,
-                          bands: Int = 16, shingleN: Int = 3): DataFrame = {
+                          bands: Int = 16, shingleN: Int = 3,
+                          maxProbe: Int = 10000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val newRows = signatureIndexRows(batch, k, shingleN)
-    val idxRows = index.read()
     def buckets(df: DataFrame, side: String): DataFrame =
-      df.select(col("doc_id").as(side),
+      df.select(col(side),
           posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))
         .select(col(side),
           struct(col("pos").as("band"), col("col").as("bh")).as("bk"))
-    val cand = buckets(newRows, "d_new")
-      .join(buckets(idxRows, "d_idx"), "bk")
+    val newBk = buckets(
+      newRows.select(col("doc_id").as("d_new"), col("sig")), "d_new")
+    val idxBk = buckets(
+      index.read().select(col("doc_id").as("d_idx"), col("sig")), "d_idx")
+    // index side streams; only the tiny candidate set hits an exchange
+    // (the distinct), and localCheckpoint pins it so the two uses below
+    // don't rescan the index
+    val cand = idxBk.join(broadcast(newBk), "bk")
       .select(col("d_new"), col("d_idx"))
       .distinct() // a pair colliding in several bands verifies once
+      .localCheckpoint()
+    val candIds = cand.select(col("d_idx")).distinct()
+      .limit(maxProbe + 1).collect().map(_.get(0))
+    val idxDocs =
+      if (candIds.length <= maxProbe) index.probe("doc_id", candIds.toSeq)
+      else index.read()
+    val s2 = idxDocs.select(col("doc_id").as("d_idx"), col("shs").as("shs_idx"))
+      .join(broadcast(cand), Seq("d_idx"))
     val s1 = newRows.select(col("doc_id").as("d_new"), col("shs").as("shs_new"))
-    val s2 = idxRows.select(col("doc_id").as("d_idx"), col("shs").as("shs_idx"))
-    cand.join(s1, "d_new").join(s2, "d_idx")
+    s1.join(broadcast(s2), Seq("d_new"))
       .select(col("d_new"), col("d_idx"),
         size(array_intersect(col("shs_new"), col("shs_idx")))
           .cast("long").as("inter"),

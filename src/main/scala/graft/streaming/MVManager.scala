@@ -65,6 +65,53 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** Continuous incremental-curation MV — the reference's reason to
+    * exist (continuous ingestion, ingestor.go:58-102) running our
+    * flagship LLM operator: a restartable streaming pipeline that
+    * watches `source`'s commit log, and for every newly committed
+    * version range computes the batch's FRESH documents against the
+    * persisted fingerprint `index` (zero shuffles on the index side —
+    * see [[graft.operators.DedupOps.freshAgainstIndex]]), appends the
+    * accepted document rows to `out`, and advances the corpus frontier
+    * by committing the fresh fingerprints back to `index`.
+    *
+    * Exactly-once across crashes and restarts, with NO cross-table
+    * transaction needed, by commit ORDER (see [[MVManager.curateStep]]):
+    * both appends are idempotent per (writerId, batchId), and `out` is
+    * committed BEFORE `index` — so a replay after any crash point
+    * recomputes the same fresh set (the index only advances in the
+    * final step) and each commit lands exactly once. */
+  def startCurationFromLake(name: String, source: LakeTable,
+                            index: LakeTable, out: LakeTable,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    ensureListener()
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
+      started.await()
+      val versions = logBatch.select("version").collect().map(_.getInt(0))
+      if (versions.nonEmpty) {
+        val docs = source.changesBetween(versions.min - 1, versions.max)
+        MVManager.curateStep(docs, index, out, writerId.get(), id,
+          textCol, idCol)
+      }
+    }
+    val q = spark.readStream.format("graft-lake-log").load(source.root)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    writerId.set(q.id.toString)
+    started.countDown()
+    queries.put(name, q)
+    q
+  }
+
   /** MV whose micro-batches are exported as Arrow IPC directories —
     * the reference's alternate sink format (batch_writer.go:200-222),
     * upgraded to exactly-once: each batch writes to a staging dir and
@@ -104,6 +151,37 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
 
 object MVManager {
   import java.nio.file.{Files, Path, StandardCopyOption}
+
+  /** One exactly-once curation step: dedupe `docs` against `index`,
+    * append the accepted rows to `out`, then advance the frontier in
+    * `index` — both under the same (writerId, batchId) idempotence key.
+    *
+    * Crash-safety is pure commit ordering, no 2PC:
+    *  - fresh is computed against the index snapshot pinned BEFORE
+    *    either commit, and localCheckpointed so both commits write the
+    *    exact same row set;
+    *  - crash before the `out` commit: replay recomputes the identical
+    *    fresh set (index unmoved) and runs both commits;
+    *  - crash between the commits: replay recomputes the identical
+    *    fresh set, `out` no-ops on its batch id, `index` lands;
+    *  - crash after both: replay no-ops twice.
+    * The reverse order would lose rows: once the index advances, a
+    * replayed batch computes fresh = empty. */
+  def curateStep(docs: org.apache.spark.sql.DataFrame,
+                 index: LakeTable, out: LakeTable,
+                 writerId: String, batchId: Long,
+                 textCol: String = "text", idCol: String = "doc_id")
+      : Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fresh = graft.operators.DedupOps
+      .freshAgainstIndex(docs, index, textCol, idCol)
+      .localCheckpoint() // one evaluation; both commits see one row set
+    val accepted = docs.join(
+      broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
+      "left_semi")
+    out.appendExactlyOnce(accepted, writerId, batchId)
+    index.appendExactlyOnce(fresh, writerId, batchId)
+  }
 
   /** Atomically publish a fully-written staging dir as `target`. If a
     * concurrent replay of the same batch already published `target`,
