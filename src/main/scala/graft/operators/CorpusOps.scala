@@ -126,12 +126,15 @@ object CorpusOps {
     * reducer, linear in corpus size. Instead: (1) aggregate a
     * (domain × quantized-quality-bin) token histogram, whose size is
     * domains × `bins` regardless of corpus size; (2) derive each
-    * domain's cutoff bin and residual budget from that small table on
-    * the driver (bounded collect, same pattern as IVF centroids);
-    * (3) docs above the cutoff bin pass with a pure filter — no sort —
-    * and the exact prefix window runs only over the cutoff bin's
-    * ~1/bins sliver. Identical answer to the naive window because the
-    * bin order refines the quality order. Caveat: a degenerate score
+    * domain's cutoff bin and residual budget DISTRIBUTIVELY with a
+    * window over that histogram — per-domain groups are <= `bins`
+    * rows, and the domains themselves spread across the cluster, so
+    * the cutoff computation scales to web-level domain cardinality
+    * (millions of hosts) with no driver collect at all; (3) docs above
+    * the cutoff bin pass with a pure filter — no sort — and the exact
+    * prefix window runs only over the cutoff bin's ~1/bins sliver.
+    * Identical answer to the naive window because the bin order
+    * refines the quality order. Caveat: a degenerate score
     * distribution (many docs sharing one bin — e.g. a constant
     * quality) concentrates the sliver; raise `bins` to split it, since
     * the sliver shrinks with bin width for any continuous component of
@@ -150,27 +153,26 @@ object CorpusOps {
     // running total crosses the budget everything after is dropped, even
     // if it would fit. So per domain, walking bins from best down, every
     // bin before the crossing is admitted whole, the crossing bin gets
-    // the residual budget, and later bins are dropped wholesale.
-    val cuts = scored.groupBy("domain", "qbin")
+    // the residual budget, and later bins are dropped wholesale. The
+    // crossing bin is the FIRST (best-quality-first) whose preceding
+    // cumulative total plus its own exceeds the budget — a running-sum
+    // window over the histogram, never over documents. A domain that
+    // never crosses fits whole: the left join leaves it cut-free.
+    val wBins = Window.partitionBy(col("domain"))
+      .orderBy(col("qbin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutsDf = scored.groupBy("domain", "qbin")
       .agg(sum(col("n_tokens")).as("toks"))
-      .collect()
-      .groupBy(_.getString(0)).toSeq.map { case (dom, rows) =>
-        val desc = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(-_._1)
-        var remaining = budgetTokens
-        var cut = -1
-        var residual = 0L
-        val it = desc.iterator
-        var crossed = false
-        while (it.hasNext && !crossed) {
-          val (b, t) = it.next()
-          if (t <= remaining) remaining -= t
-          else { cut = b; residual = remaining; crossed = true }
-        }
-        (dom, cut, residual) // cut = -1: the whole domain fits
-      }
-    val cutsDf = scored.sparkSession.createDataFrame(cuts)
-      .toDF("domain", "cut", "residual")
-    val tagged = scored.join(broadcast(cutsDf), "domain")
+      .withColumn("before", coalesce(sum(col("toks")).over(wBins), lit(0L)))
+      .filter(col("before") + col("toks") > budgetTokens)
+      .groupBy("domain")
+      .agg(max(col("qbin")).as("cut"),
+        (lit(budgetTokens) - min(col("before"))).as("residual"))
+    // cutsDf has one row per OVER-budget domain — small next to the
+    // corpus; the planner broadcasts it when it fits, shuffles when a
+    // web-scale domain count doesn't
+    val tagged = scored.join(cutsDf, Seq("domain"), "left")
+      .na.fill(Map("cut" -> -1, "residual" -> 0L))
     val aboveCut = tagged.filter(col("qbin") > col("cut"))
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -235,16 +237,28 @@ object CorpusOps {
     * domain, but a per-domain window is a single-reducer sort. Classic
     * distributed prefix-sum instead: range-partition by the order key
     * and sort within partitions (spillable, parallel), aggregate one
-    * (partition × domain) token total — bounded by partition count, not
-    * rows — prefix those on the driver, then a partition-local cumsum
-    * plus broadcast base offsets reconstructs the exact global cumsum
-    * in one more pass. The partitioned stage is localCheckpoint-ed so
-    * both passes read the same materialized layout.
+    * (partition × domain) token total — bounded by partitions × live
+    * domains-per-partition, not rows — prefix those into per-slice base
+    * offsets, then a slice-local cumsum reconstructs the exact global
+    * cumsum in one more pass. The partitioned stage is
+    * localCheckpoint-ed so both passes read the same materialized
+    * layout.
+    *
+    * The base-offset prefix itself is ALWAYS computed distributively
+    * (a window over the tiny per-(partition, domain) aggregate — each
+    * domain's group is at most `partitions` rows). How it reaches the
+    * data pass adapts to domain cardinality: up to
+    * `maxBroadcastOffsets` offset rows ride a broadcast map into a
+    * zero-shuffle partition-local pass (mixture-style domain counts);
+    * beyond that — web-scale URL-host domains — they arrive by a join
+    * + windowed cumsum sharing one (pid, domain) exchange, never a
+    * driver collect.
     *
     * Returns (domainCol, idCol, n_tokens, bin). */
   def packSequences(docs: DataFrame, budgetTokens: Long,
                     textCol: String = "text", idCol: String = "doc_id",
-                    domainCol: String = "source"): DataFrame = {
+                    domainCol: String = "source",
+                    maxBroadcastOffsets: Int = 200000): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     import graft.functions.TextFunctions
     val ss = docs.sparkSession
@@ -262,34 +276,53 @@ object CorpusOps {
       }
       .toDF("pid", "domain", "doc_id", "t")
       .localCheckpoint()
-    // driver prefix over (partition, domain) totals: rows == partitions
-    // that contain the domain — metadata scale at any corpus size
-    val offsets: Map[(Int, String), Long] = staged
+    // base offset of each (partition, domain) slice = tokens of the
+    // SAME domain in earlier partitions: a running-sum window over the
+    // per-slice totals (each domain's group <= partition count, groups
+    // spread across the cluster — no driver involvement)
+    val wSlices = Window.partitionBy(col("domain")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsDf = staged
       .groupBy(col("pid"), col("domain")).agg(sum(col("t")).as("pt"))
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      .groupBy(_._2)
-      .iterator
-      .flatMap { case (dom, rows) =>
-        var acc = 0L
-        rows.sortBy(_._1).iterator.map { case (pid, _, pt) =>
-          val off = acc; acc += pt; ((pid, dom), off)
-        }
-      }.toMap
-    val bc = ss.sparkContext.broadcast(offsets)
+      .withColumn("off", coalesce(sum(col("pt")).over(wSlices), lit(0L)))
+      .select(col("pid"), col("domain"), col("off"))
+      .localCheckpoint()
     val budget = budgetTokens
-    staged.as[(Int, String, Long, Long)]
-      .mapPartitions { it =>
-        var curDom: String = null
-        var cum = 0L
-        it.map { case (pid, dom, id, t) =>
-          if (dom != curDom) { curDom = dom; cum = bc.value((pid, dom)) }
-          val binOfStart = cum / budget
-          cum += t
-          (dom, id, t, binOfStart)
+    if (offsetsDf.count() <= maxBroadcastOffsets) {
+      // mixture-scale domains: offsets ride a broadcast map, the data
+      // pass is partition-local over the already-sorted layout — zero
+      // further shuffles
+      val offsets: Map[(Int, String), Long] = offsetsDf
+        .as[(Int, String, Long)].collect()
+        .map { case (pid, dom, off) => ((pid, dom), off) }.toMap
+      val bc = ss.sparkContext.broadcast(offsets)
+      staged.as[(Int, String, Long, Long)]
+        .mapPartitions { it =>
+          var curDom: String = null
+          var cum = 0L
+          it.map { case (pid, dom, id, t) =>
+            if (dom != curDom) { curDom = dom; cum = bc.value((pid, dom)) }
+            val binOfStart = cum / budget
+            cum += t
+            (dom, id, t, binOfStart)
+          }
         }
-      }
-      .toDF(domainCol, idCol, "n_tokens", "bin")
+        .toDF(domainCol, idCol, "n_tokens", "bin")
+    } else {
+      // web-scale domains: same arithmetic, delivered by a join plus a
+      // slice-local cumsum window; both share one (pid, domain)
+      // exchange, and every window group is bounded by one partition's
+      // share of one domain — no single-reducer anywhere
+      val wInSlice = Window.partitionBy(col("pid"), col("domain"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      staged.join(offsetsDf, Seq("pid", "domain"))
+        .withColumn("before",
+          col("off") + coalesce(sum(col("t")).over(wInSlice), lit(0L)))
+        .select(col("domain").as(domainCol), col("doc_id").as(idCol),
+          col("t").as("n_tokens"),
+          expr(s"before div $budget").as("bin")) // exact integer division
+    }
   }
 
   /** Fixed-size overlapping character chunking: one row per chunk,
