@@ -92,7 +92,12 @@ class LakeTable private (
             statOf(e.getValue.get("hi")))
         }.toMap)
         .getOrElse(Map.empty[String, ColStat])
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats)
+      val nulls = Option(f.get("nulls"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long])
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats,
+        nulls)
     }.toSeq
 
   private def fieldIdsOf(node: JsonNode): Map[String, Int] =
@@ -348,9 +353,11 @@ class LakeTable private (
     *
     * Semantics are identical to `read().filter(condition)`: pruning
     * only excludes provably-unmatchable files; conjuncts it can't
-    * analyze (functions, OR trees, IS NULL, columns without stats —
-    * e.g. after a rename) prune nothing and are enforced by the
-    * residual filter, which always runs in full. */
+    * analyze (functions, OR trees, columns without stats — e.g. after
+    * a rename) prune nothing and are enforced by the residual filter,
+    * which always runs in full. IS NULL / IS NOT NULL conjuncts prune
+    * via exact per-file null counts (Iceberg manifest shape), and any
+    * value comparison additionally excludes all-null files. */
   def readWhere(condition: org.apache.spark.sql.Column): DataFrame =
     readEntries(pruneFiles(condition), schema, fieldIds).filter(condition)
 
@@ -436,24 +443,51 @@ class LakeTable private (
       case "<"  => cmpStat(st.lo, v).forall(_ < 0)
       case "<=" => cmpStat(st.lo, v).forall(_ <= 0)
     }
+    // IS NULL / IS NOT NULL, in both the unresolved Column-AST form and
+    // the resolved catalyst form; pruned via exact per-file null counts
+    def nullPred(e: Expression): Option[(String, Boolean)] = e match {
+      case IsNull(a)    => attrName(a).map(_ -> true)
+      case IsNotNull(a) => attrName(a).map(_ -> false)
+      case f: UnresolvedFunction if f.arguments.size == 1 &&
+          f.nameParts.size == 1 &&
+          Set("isnull", "isnotnull")(f.nameParts.head.toLowerCase) =>
+        attrName(f.arguments.head)
+          .map(_ -> (f.nameParts.head.toLowerCase == "isnull"))
+      case _ => None
+    }
     val cond =
       org.apache.spark.sql.graft.ColumnBridge.catalystExpression(condition)
-    val checks: Seq[(String, ColStat => Boolean)] =
+    // a value comparison is never true on NULL (three-valued logic):
+    // any `col OP lit` / `col IN (...)` conjunct also excludes files
+    // whose column is entirely null, range stats or not
+    def someNonNull(n: String)(f: FileEntry): Boolean =
+      f.nullCounts.get(n).forall(_ < f.rows)
+    val checks: Seq[FileEntry => Boolean] =
       conjuncts(cond).flatMap { c =>
         inList(c) match {
           case Some((a, vs)) if attrName(a).isDefined =>
             val lits = vs.flatMap(litVal)
             if (lits.size != vs.size) None // an unusable literal: skip
-            else Some((attrName(a).get,
-              (st: ColStat) => lits.exists(v => possible("=", v, st))))
-          case _ => cano(c).map { case (n, op, v) =>
-            (n, (st: ColStat) => possible(op, v, st))
+            else {
+              val n = attrName(a).get
+              Some((f: FileEntry) => someNonNull(n)(f) &&
+                f.stats.get(n).forall(st =>
+                  lits.exists(v => possible("=", v, st))))
+            }
+          case _ => nullPred(c) match {
+            case Some((n, wantNull)) =>
+              // IS NULL possible iff some null exists; IS NOT NULL
+              // possible iff some non-null exists; unknown never prunes
+              Some((f: FileEntry) => f.nullCounts.get(n).forall(nn =>
+                if (wantNull) nn > 0 else nn < f.rows))
+            case None => cano(c).map { case (n, op, v) =>
+              (f: FileEntry) => someNonNull(n)(f) &&
+                f.stats.get(n).forall(st => possible(op, v, st))
+            }
           }
         }
       }
-    dataFiles.filter { f =>
-      checks.forall { case (name, ok) => f.stats.get(name).forall(ok) }
-    }
+    dataFiles.filter(f => checks.forall(_(f)))
   }
 
   // ---- write ---------------------------------------------------------
@@ -539,14 +573,43 @@ class LakeTable private (
       s"sort column $c not in schema"))
     rewriteFiles(baseVersion,
       base =>
-        if (sortBy.isEmpty) base.repartition(numFiles)
-        else base
+        if (sortBy.nonEmpty) base
           .repartitionByRange(numFiles,
             sortBy.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(sortBy.head, sortBy.tail: _*),
+          .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+        else if (bucketSpec.isDefined)
+          // bucketed layout: cluster by bucket so each bucket dir
+          // collapses to ONE file (a plain repartition would spread
+          // every bucket across every task — numFiles x buckets output)
+          base.repartition(numFiles,
+            org.apache.spark.sql.functions.col(BucketCol))
+        else base.repartition(numFiles),
       if (sortBy.isEmpty) Map.empty
       else Map("compaction.sortBy" -> sortBy.mkString(",")))
   }
+
+  /** Table-property-driven compaction policy, for writers that commit
+    * many small batches (streaming MVs — the known failure mode of
+    * per-batch commits at scale): when the live file count exceeds
+    * `compaction.auto.maxFiles`, rewrite down to
+    * `compaction.auto.target` files (default maxFiles/8), optionally
+    * range-clustered on `compaction.auto.sortBy` (comma-separated).
+    * The policy rides in the table's own metadata so EVERY writer
+    * enforces the same layout contract; the check is O(1) against the
+    * snapshot. Returns the compaction commit's version, if one ran. */
+  def autoCompactIfNeeded(): Option[Int] =
+    properties.get("compaction.auto.maxFiles").map(_.toInt).flatMap {
+      maxF =>
+        if (dataFiles.size <= maxF) None
+        else {
+          val target = properties.get("compaction.auto.target")
+            .map(_.toInt).getOrElse(math.max(1, maxF / 8))
+          val sortBy = properties.get("compaction.auto.sortBy")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
+          Some(compactFrom(currentVersion, target, sortBy))
+        }
+    }
 
   /** Z-order compaction: files are clustered on the Morton interleave
     * of 2-4 integer columns, so per-file min/max ranges are narrow in
@@ -694,7 +757,7 @@ class LakeTable private (
     * floating column whose range touches NaN (parquet NaN stats are
     * unreliable by spec). */
   private def footerMeta(p: Path, schema: StructType)
-      : (Long, Map[String, ColStat]) = {
+      : (Long, Map[String, ColStat], Map[String, Long]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), hadoopConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -704,6 +767,9 @@ class LakeTable private (
         case f if statEligible(f.dataType) => f.name -> f.dataType
       }.toMap
       var agg = Map.empty[String, Option[ColStat]]
+      // exact null counts, summed across row groups; any row group
+      // without the count poisons the column (absent = unknown)
+      var nulls = Map.empty[String, Option[Long]]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         eligible.get(name).foreach { dt =>
@@ -721,22 +787,35 @@ class LakeTable private (
             case _ => None // any statless row group poisons the column
           }
           agg += name -> merged
+          val curN: Option[Long] =
+            if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None
+          val mergedN =
+            if (!nulls.contains(name)) curN
+            else (nulls(name), curN) match {
+              case (Some(a), Some(b2)) => Some(a + b2)
+              case _ => None
+            }
+          nulls += name -> mergedN
         }
       }
       (r.getRecordCount,
-        agg.collect { case (k, Some(v)) => k -> v })
+        agg.collect { case (k, Some(v)) => k -> v },
+        nulls.collect { case (k, Some(v)) => k -> v })
     } finally r.close()
   }
 
-  /** ColStat entries for the hive partition values encoded in a file's
-    * relative partition path (`k1=v1/k2=v2`): each is an exact [v, v]
-    * range in the manifest. Null markers and unparseable values are
-    * skipped (no stat = never prune on it). */
-  private def partValueStats(partRel: String,
-                             schema: StructType): Map[String, ColStat] =
-    partRel.split("/").toSeq.filter(_.contains("=")).flatMap { seg =>
-      val Array(k, raw) = seg.split("=", 2)
-      val v = java.net.URLDecoder.decode(raw, "UTF-8")
+  /** Manifest metadata for the hive partition values encoded in a
+    * file's relative partition path (`k1=v1/k2=v2`): each value is an
+    * exact [v, v] range with null count 0; the null marker records an
+    * all-null count and no range. Unparseable values are skipped (no
+    * stat = never prune on it). */
+  private def partValueMeta(partRel: String, schema: StructType,
+                            rows: Long)
+      : (Map[String, ColStat], Map[String, Long]) = {
+    val segs = partRel.split("/").toSeq.filter(_.contains("="))
+      .map { seg => val Array(k, raw) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(raw, "UTF-8") }
+    val stats = segs.flatMap { case (k, v) =>
       if (v == "__HIVE_DEFAULT_PARTITION__") None
       else schema.fields.find(_.name == k).flatMap { f =>
         try f.dataType match {
@@ -750,6 +829,11 @@ class LakeTable private (
         } catch { case _: IllegalArgumentException => None }
       }.map(x => k -> ColStat(x, x))
     }.toMap
+    val nulls = segs.map { case (k, v) =>
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") rows else 0L)
+    }.toMap
+    (stats, nulls)
+  }
 
   private def statEligible(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -815,8 +899,9 @@ class LakeTable private (
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
         .map { p =>
-          val (rows, st) = footerMeta(Paths.get(root, batchDir, p), df.schema)
-          FileEntry(s"$batchDir/$p", rows, stats = st)
+          val (rows, st, nc) =
+            footerMeta(Paths.get(root, batchDir, p), df.schema)
+          FileEntry(s"$batchDir/$p", rows, stats = st, nullCounts = nc)
         }
       PendingWrite(entries, df.schema)
     } else {
@@ -835,11 +920,14 @@ class LakeTable private (
           Files.move(p, dest)
           val rel = if (partRel.isEmpty) s"data/$name"
                     else s"data/$partRel/$name"
-          val (rows, st) = footerMeta(dest, df.schema)
+          val (rows, st, nc) = footerMeta(dest, df.schema)
           // partition values are exact per-file constants: record them
-          // as [v, v] stats so manifest pruning (readWhere/probe) skips
-          // whole partition dirs without any directory listing
-          FileEntry(rel, rows, stats = st ++ partValueStats(partRel, df.schema))
+          // as [v, v] stats (and 0 / all-null counts) so manifest
+          // pruning (readWhere/probe) skips whole partition dirs
+          // without any directory listing
+          val (pStats, pNulls) = partValueMeta(partRel, df.schema, rows)
+          FileEntry(rel, rows, stats = st ++ pStats,
+            nullCounts = nc ++ pNulls)
         }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
       walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
@@ -1105,9 +1193,15 @@ object LakeTable {
     * mean "no usable stats" — never prune on them. */
   case class ColStat(lo: Any, hi: Any)
 
+  /** `nullCounts` records the exact per-column null count of a file
+    * (Iceberg manifest shape) — independent of the [lo, hi] ranges so
+    * an ALL-null column (which has no range) still prunes `IS NOT
+    * NULL`, and a null-free one prunes `IS NULL`. Absent = unknown,
+    * never prune. */
   case class FileEntry(path: String, rows: Long,
                        cols: Seq[(String, Int)] = Nil,
-                       stats: Map[String, ColStat] = Map.empty)
+                       stats: Map[String, ColStat] = Map.empty,
+                       nullCounts: Map[String, Long] = Map.empty)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
@@ -1239,6 +1333,12 @@ object LakeTable {
               s"unserializable stat $other")
           }
           putV("lo", st.lo); putV("hi", st.hi)
+        }
+      }
+      if (f.nullCounts.nonEmpty) {
+        val nn = fn.putObject("nulls")
+        f.nullCounts.toSeq.sortBy(_._1).foreach { case (name, n) =>
+          nn.put(name, n)
         }
       }
     }

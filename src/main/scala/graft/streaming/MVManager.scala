@@ -51,7 +51,12 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     val sink: (Dataset[Row], Long) => Unit =
       (batch, id) => {
         started.await()
-        table.appendExactlyOnce(batch, writerId.get(), id); ()
+        table.appendExactlyOnce(batch, writerId.get(), id)
+        // per-batch commits accumulate small files; the table's own
+        // compaction policy (if declared) bounds the live-file count —
+        // append-vs-replace races with concurrent writers are safe
+        // (replace commits name exactly the files they supersede)
+        table.autoCompactIfNeeded(); ()
       }
     val q = transformed.writeStream
       .queryName(name)
@@ -181,6 +186,9 @@ object MVManager {
       "left_semi")
     out.appendExactlyOnce(accepted, writerId, batchId)
     index.appendExactlyOnce(fresh, writerId, batchId)
+    // keep both tables' layouts bounded under continuous tiny commits
+    out.autoCompactIfNeeded()
+    index.autoCompactIfNeeded()
   }
 
   /** Atomically publish a fully-written staging dir as `target`. If a
