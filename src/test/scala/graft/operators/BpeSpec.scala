@@ -63,4 +63,40 @@ class BpeSpec extends SparkSuite {
     // every adjacent pair occurs exactly once -> no rule is learnable
     assert(BpeOps.learnMerges(df, numMerges = 10).isEmpty)
   }
+
+  test("batched merges: same learned list as sequential, strictly " +
+    "fewer rounds (VERDICT r04 item 7)") {
+    // four disjoint-alphabet word families with distinct counts: the
+    // prefix-stop selection batches (family</w> merge, next family's
+    // internal merge) pairs, halving rounds without reordering anything
+    val words =
+      Seq.fill(128)("ab") ++ Seq.fill(64)("cd") ++
+      Seq.fill(32)("ef") ++ Seq.fill(16)("gh")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+    val (seqMerges, seqRounds) =
+      BpeOps.learnMergesBatched(df, numMerges = 8, maxBatch = 1)
+    val (batched, batchedRounds) =
+      BpeOps.learnMergesBatched(df, numMerges = 8, maxBatch = 4)
+    assert(seqMerges == batched,
+      s"batched diverged: $batched vs $seqMerges")
+    assert(seqRounds == 8)
+    assert(batchedRounds < seqRounds,
+      s"no round saving: $batchedRounds vs $seqRounds")
+    // the exact hand-derived order (prefix rule stops at </w> overlaps)
+    val eow = BpeOps.EndOfWord
+    assert(seqMerges == Seq(("a", "b"), ("ab", eow), ("c", "d"),
+      ("cd", eow), ("e", "f"), ("ef", eow), ("g", "h"), ("gh", eow)))
+  }
+
+  test("maxBatch = 1 reproduces learnMerges exactly on real documents " +
+    "(q79's surface is untouched)") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val viaDefault = BpeOps.learnMerges(docs, numMerges = 12)
+    val (viaBatched1, rounds) =
+      BpeOps.learnMergesBatched(docs, numMerges = 12, maxBatch = 1)
+    assert(viaDefault == viaBatched1)
+    assert(rounds == 12)
+  }
 }
