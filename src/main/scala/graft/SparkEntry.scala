@@ -239,6 +239,23 @@ object SparkEntry {
       DedupOps.nearDupAgainstIndex(
         docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
     }),
+    // bucketed point lookup through the whole layout stack: documents
+    // land in a hash-bucketed lake table (pmod(xxhash64(doc_id), 16)
+    // hive partitions), and probe() serves an id lookup via bucket-dir
+    // pruning + manifest IN pruning + parquet pushdown — the O(keys)
+    // crawl-index read no matter how big history grows. Oracle = plain
+    // IN query over the same rows, so the hash match proves the
+    // layout-routed read loses/duplicates nothing.
+    "q86_lake_point_lookup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory("graft-lookup")
+      val t = graft.lake.LakeTable.create(s, s"$dir/t", docs.schema,
+        bucketBy = Some(("doc_id", 16)))
+      t.append(docs)
+      t.probe("doc_id", Seq(7L, 123L, 321L, 444L))
+        .select("doc_id", "source", "n_chars")
+    }),
     // the continuous-curation MV loop end to end: a lake-backed source
     // receives two commits (the %3==0 slice, then the full table); a
     // checkpointed streaming query watches the commit log, dedupes each
@@ -900,6 +917,9 @@ object SparkEntry {
          FROM pairs JOIN cnt ca ON ca.doc_id = d_new
          JOIN cnt cb ON cb.doc_id = d_idx
          WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5""",
+    "q86_lake_point_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id IN (7, 123, 321, 444)""",
     // sequential-batch semantics: a fp seen in the %3==0 first commit
     // keeps its batch-1 winner (min id within the slice); fps arriving
     // only in the second commit take their global min id

@@ -38,9 +38,12 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     LakeTable.exists(tablePath(ns, name))
 
   def createTable(ns: String, name: String, schema: StructType,
-                  properties: Map[String, String] = Map.empty): LakeTable = {
+                  properties: Map[String, String] = Map.empty,
+                  partitionBy: Seq[String] = Seq.empty,
+                  bucketBy: Option[(String, Int)] = None): LakeTable = {
     createNamespace(ns)
-    LakeTable.create(spark, tablePath(ns, name), schema, properties)
+    LakeTable.create(spark, tablePath(ns, name), schema, properties,
+      partitionBy, bucketBy)
   }
 
   def createOrLoadTable(ns: String, name: String,

@@ -884,10 +884,15 @@ class LakeTable private (
     // bucketed layout: the writer owns the bucket column — callers
     // append user rows and the hash lands them in their bucket dir.
     // Reads/rewrites already carry _bucket, so injection is idempotent.
+    // ...and clustered on it, so every append lands ONE file per
+    // non-empty bucket dir instead of tasks x buckets shards (the
+    // shuffle is batch-sized; the layout payoff is probe reads over
+    // file counts proportional to buckets, not write history)
     val df = bucketSpec match {
       case Some((c, n)) if !df0.columns.contains(BucketCol) =>
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
         df0.withColumn(BucketCol, pmod(xxhash64(col(c)), lit(n)).cast("int"))
+          .repartition(n, col(BucketCol))
       case _ => df0
     }
     val parts = partitionBy
@@ -1033,6 +1038,9 @@ class LakeTable private (
       require(!s.fieldNames.contains(to), s"column $to already exists at $root")
       require(!partitionBy.contains(from),
         s"cannot rename partition column $from")
+      require(!bucketSpec.exists(_._1 == from),
+        s"cannot rename bucket column $from: every file's _bucket was " +
+          "derived from it")
       val ns = StructType(s.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       (ns, ids - from + (to -> ids(from)))
@@ -1048,6 +1056,8 @@ class LakeTable private (
       require(s.fields.length > 1, s"cannot drop the last column at $root")
       require(!partitionBy.contains(name),
         s"cannot drop partition column $name")
+      require(!bucketSpec.exists(_._1 == name),
+        s"cannot drop bucket column $name: the layout derives from it")
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
 

@@ -58,10 +58,15 @@ object DedupOps {
   def freshAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxProbe: Int = 10000): DataFrame = {
+    // fingerprinting (md5 over normalized text) is the expensive part
+    // of the batch side and feeds three consumers (the probe sample,
+    // the semi-join, the anti-join): materialize it once — (fp, id)
+    // rows, batch-scale — instead of re-running the regexes per use
     val batchFps = batch
       .select(TextFunctions.fingerprint(col(textCol)).as("fp"),
         col(idCol).as("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint()
     val hits = indexHits(index, batchFps.select("fp"), "fp", maxProbe)
     batchFps.join(broadcast(hits), Seq("fp"), "left_anti")
   }

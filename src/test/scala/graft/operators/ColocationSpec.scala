@@ -100,6 +100,28 @@ class ColocationSpec extends SparkSuite {
     assert(!Bucketing.hasShuffle(probed))
   }
 
+  test("bucketed layout contract: upsert routes through the hash, " +
+    "rename/drop of the bucket column are rejected") {
+    val t = LakeTable.create(spark, tmpDir("bucketed-evo"), StructType(Seq(
+      StructField("fp", StringType), StructField("doc_id", LongType))),
+      bucketBy = Some(("fp", 8)))
+    t.append(Seq(("k1", 1L), ("k2", 2L)).toDF("fp", "doc_id"))
+    // upsert callers never supply _bucket; the writer derives it
+    t.upsert(Seq(("k1", 10L), ("k3", 3L)).toDF("fp", "doc_id"), Seq("fp"))
+    assert(t.read().select("fp", "doc_id").as[(String, Long)]
+      .collect().toSet == Set(("k1", 10L), ("k2", 2L), ("k3", 3L)))
+    // and every row still sits in its declared bucket
+    assert(t.read().filter(col("_bucket") =!=
+      pmod(xxhash64(col("fp")), lit(8)).cast("int")).count() == 0)
+    assert(t.probe("fp", Seq("k3")).select("doc_id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // the layout derives from fp: renaming or dropping it would orphan
+    // every file's _bucket
+    intercept[IllegalArgumentException] { t.renameColumn("fp", "fp2") }
+    intercept[IllegalArgumentException] { t.dropColumn("fp") }
+    intercept[IllegalArgumentException] { t.renameColumn("_bucket", "b") }
+  }
+
   test("freshAgainstIndex: same answer as the naive anti-join, index " +
     "side pruned and never shuffled") {
     val index = LakeTable.create(spark, tmpDir("fresh-idx"), StructType(Seq(
