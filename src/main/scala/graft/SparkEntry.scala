@@ -256,6 +256,32 @@ object SparkEntry {
       t.probe("doc_id", Seq(7L, 123L, 321L, 444L))
         .select("doc_id", "source", "n_chars")
     }),
+    // the FULL curation MV: exact dedup AND near-dup filtering against
+    // one unified persisted index (fp + shingle sets + MinHash sigs),
+    // driven by the commit log across a stop/restart. Batch 1 admits
+    // the %3==0 slice; batch 2 (the full table) must drop exact copies
+    // via the fp frontier AND any doc whose jaccard vs an accepted
+    // batch-1 doc reaches 0.5 via the banded-LSH + exact-verify path.
+    // The oracle recomputes the whole two-batch evolution in SQL, so a
+    // hash match proves LSH recall + frontier semantics end to end.
+    "q87_curation_neardup_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-cur-nd")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", docs.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        graft.streaming.MVManager.curationIndexSchema,
+        bucketBy = Some(("fp", 8)))
+      val out = graft.lake.LakeTable.create(s, s"$dir/out", docs.schema)
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(docs.filter(col("doc_id") % 3 === 0))
+      mv.startCurationFromLake("cur", src, index, out,
+        nearDupMinJaccard = Some(0.5)).awaitTermination()
+      src.append(docs)
+      mv.startCurationFromLake("cur", src, index, out,
+        nearDupMinJaccard = Some(0.5)).awaitTermination()
+      out.read().select("doc_id")
+    }),
     // the continuous-curation MV loop end to end: a lake-backed source
     // receives two commits (the %3==0 slice, then the full table); a
     // checkpointed streaming query watches the commit log, dedupes each
@@ -920,6 +946,38 @@ object SparkEntry {
     "q86_lake_point_lookup" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id IN (7, 123, 321, 444)""",
+    // two-batch evolution of the near-dup curation MV: a1 = batch-1
+    // exact winners (empty index -> no near-dup drops); f2 = batch-2
+    // exact-fresh winners; nd = f2 docs whose exact shingle jaccard vs
+    // ANY a1 doc reaches 0.5 (the LSH path must find them all)
+    "q87_curation_neardup_mv" ->
+      """WITH fp AS (SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         a1 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+                WHERE doc_id % 3 = 0 GROUP BY fp),
+         f2 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+                WHERE fp NOT IN (SELECT fp FROM a1) GROUP BY fp),
+         words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         nd AS (SELECT a.doc_id AS d_new
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                JOIN cnt ca ON ca.doc_id = a.doc_id
+                JOIN cnt cb ON cb.doc_id = b.doc_id
+                WHERE a.doc_id IN (SELECT doc_id FROM f2)
+                  AND b.doc_id IN (SELECT doc_id FROM a1)
+                GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+                HAVING count(*)::DOUBLE / (ca.n + cb.n - count(*))
+                  >= 0.5)
+         SELECT doc_id FROM a1
+         UNION ALL
+         SELECT doc_id FROM f2
+         WHERE doc_id NOT IN (SELECT d_new FROM nd)""",
     // sequential-batch semantics: a fp seen in the %3==0 first commit
     // keeps its batch-1 winner (min id within the slice); fps arriving
     // only in the second commit take their global min id

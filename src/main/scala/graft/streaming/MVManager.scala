@@ -90,6 +90,7 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                             index: LakeTable, out: LakeTable,
                             textCol: String = "text",
                             idCol: String = "doc_id",
+                            nearDupMinJaccard: Option[Double] = None,
                             trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     ensureListener()
@@ -100,8 +101,12 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       val versions = logBatch.select("version").collect().map(_.getInt(0))
       if (versions.nonEmpty) {
         val docs = source.changesBetween(versions.min - 1, versions.max)
-        MVManager.curateStep(docs, index, out, writerId.get(), id,
-          textCol, idCol)
+        nearDupMinJaccard match {
+          case Some(j) => MVManager.curateStepNearDup(docs, index, out,
+            writerId.get(), id, j, textCol, idCol)
+          case None => MVManager.curateStep(docs, index, out,
+            writerId.get(), id, textCol, idCol)
+        }
       }
     }
     val q = spark.readStream.format("graft-lake-log").load(source.root)
@@ -187,6 +192,73 @@ object MVManager {
     out.appendExactlyOnce(accepted, writerId, batchId)
     index.appendExactlyOnce(fresh, writerId, batchId)
     // keep both tables' layouts bounded under continuous tiny commits
+    out.autoCompactIfNeeded()
+    index.autoCompactIfNeeded()
+  }
+
+  /** Schema of the UNIFIED curation index: exact-dedup fingerprint plus
+    * the near-dup signature state (shingle-hash set + MinHash sig) for
+    * every ACCEPTED document, in one lake table. One table means one
+    * frontier — the 2-commit crash protocol of [[curateStep]] carries
+    * over unchanged; split fp/sig indexes would need a cross-table
+    * transaction to replay correctly (a crash between their commits
+    * leaves the replay recomputing against a half-advanced state). */
+  def curationIndexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
+
+  /** Full curation step: EXACT dedup then NEAR-dup filtering, both
+    * against one persisted index, with the same exactly-once-by-order
+    * guarantee. A batch doc is accepted iff its fingerprint is unseen
+    * (within-batch copies collapse to the min id) AND no indexed
+    * document is a near-duplicate at `minJaccard` (banded LSH + exact
+    * verification from stored shingle sets — the index side never
+    * shuffles, see [[graft.operators.DedupOps.nearDupAgainstIndex]]).
+    * Near-dup relations WITHIN one batch are not collapsed (pre-clean
+    * a batch with `minHashLshTrueJaccard` when that matters); each
+    * accepted doc's signatures enter the index, so later batches
+    * dedupe against it. Crash analysis is [[curateStep]]'s: replay
+    * recomputes the identical accepted set until the single index
+    * commit lands last. */
+  def curateStepNearDup(docs: org.apache.spark.sql.DataFrame,
+                        index: LakeTable, out: LakeTable,
+                        writerId: String, batchId: Long,
+                        minJaccard: Double = 0.5,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.operators.DedupOps
+    val fresh = DedupOps.freshAgainstIndex(docs, index, textCol, idCol)
+      .localCheckpoint()
+    val freshDocs = docs.join(
+      broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
+      "left_semi")
+    val nearIds = DedupOps
+      .nearDupAgainstIndex(freshDocs, index, minJaccard)
+      .select(col("d_new").as(idCol)).distinct()
+    val accepted = freshDocs
+      .join(broadcast(nearIds), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // LEFT join from the accepted fingerprints: a doc too short to
+    // shingle still advances the fp frontier (null sig rows are inert
+    // on the LSH side — explode skips them), so an exact copy of it
+    // can never be re-admitted later
+    val idxRows = fresh
+      .join(broadcast(accepted.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .join(DedupOps.signatureIndexRows(accepted), Seq("doc_id"), "left")
+      .select(col("fp"), col("doc_id"), col("shs"), col("sig"))
+    out.appendExactlyOnce(accepted, writerId, batchId)
+    index.appendExactlyOnce(idxRows, writerId, batchId)
     out.autoCompactIfNeeded()
     index.autoCompactIfNeeded()
   }

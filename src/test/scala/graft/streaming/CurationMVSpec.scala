@@ -64,6 +64,83 @@ class CurationMVSpec extends SparkSuite {
     assert(out.currentVersion == vo && index.currentVersion == vi)
   }
 
+  test("near-dup curation MV across a restart: exact copies AND " +
+    "near-copies of accepted docs are rejected, fp frontier covers " +
+    "unshingleable docs") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = LakeTable.create(spark, tmpDir("nd-src"), docsSchema)
+    val index = LakeTable.create(spark, tmpDir("nd-idx"),
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 8)))
+    val out = LakeTable.create(spark, tmpDir("nd-out"), docsSchema)
+    val mv = new MVManager(spark, tmpDir("nd-ckpt"))
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    src.append(Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen"),
+      (3L, "tiny")). // a doc too short to shingle still gets a frontier
+      toDF("doc_id", "text"))
+    mv.startCurationFromLake("nd", src, index, out,
+      nearDupMinJaccard = Some(0.5)).awaitTermination()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+
+    // restart with: an exact copy (10), a NEAR copy of doc 1 — one
+    // word changed, jaccard >> 0.5 (11), an exact copy of the
+    // unshingleable doc (12), and something genuinely new (13)
+    src.append(Seq(
+      (10L, base),
+      (11L, base.replace("upsilon", "omega")),
+      (12L, "tiny"),
+      (13L, "completely different payload with nothing shared at all " +
+        "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text"))
+    mv.startCurationFromLake("nd", src, index, out,
+      nearDupMinJaccard = Some(0.5)).awaitTermination()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 13L))
+    // the index frontier has one row per accepted doc, with sigs
+    // present exactly where the doc was shingleable
+    assert(index.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 13L))
+    assert(index.read().filter($"sig".isNull).select("doc_id").as[Long]
+      .collect().toSet == Set(3L))
+
+    // replay of the whole second batch is a no-op
+    val (vo, vi) = (out.currentVersion, index.currentVersion)
+    mv.startCurationFromLake("nd", src, index, out,
+      nearDupMinJaccard = Some(0.5)).awaitTermination()
+    assert(out.currentVersion == vo && index.currentVersion == vi)
+  }
+
+  test("curateStepNearDup replay is exactly-once at the dangerous " +
+    "crash point (between the out and index commits)") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val index = LakeTable.create(spark, tmpDir("ndc-idx"),
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 8)))
+    val out = LakeTable.create(spark, tmpDir("ndc-out"), docsSchema)
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    MVManager.curateStepNearDup(b1, index, out, "w", 0L)
+    // crash between commits: only `out` has batch 1
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta thet"), // near of 1
+      (11L, "unrelated fresh words here nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    // simulate: run the step, then re-run it wholesale (as a replayed
+    // foreachBatch would after a crash at ANY point inside)
+    MVManager.curateStepNearDup(b2, index, out, "w", 1L)
+    MVManager.curateStepNearDup(b2, index, out, "w", 1L)
+    // doc 10 near-matches doc 1 (shingle jaccard 5/7): dropped; doc 11
+    // admitted exactly once despite the replay
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 11L))
+    assert(index.read().count() == 2)
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
