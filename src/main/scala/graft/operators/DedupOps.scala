@@ -127,7 +127,22 @@ object DedupOps {
                           bands: Int = 16, shingleN: Int = 3,
                           maxProbe: Int = 10000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val newRows = signatureIndexRows(batch, k, shingleN)
+    // shingling + MinHash is the batch side's whole cost and feeds two
+    // consumers (band buckets, exact verify): one materialization
+    nearDupSigsAgainstIndex(
+      signatureIndexRows(batch, k, shingleN).localCheckpoint(),
+      index, minJaccard, bands, maxProbe)
+  }
+
+  /** [[nearDupAgainstIndex]] over PRE-COMPUTED batch signature rows
+    * (doc_id, shs, sig) — for callers that already hold them (the
+    * curation MV computes them once and also commits them to the
+    * index; recomputing the shingling per consumer would triple the
+    * batch's dominant cost). */
+  def nearDupSigsAgainstIndex(newRows: DataFrame,
+                              index: graft.lake.LakeTable,
+                              minJaccard: Double = 0.5, bands: Int = 16,
+                              maxProbe: Int = 10000): DataFrame = {
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(side),
           posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))

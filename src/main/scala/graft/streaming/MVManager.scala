@@ -242,8 +242,12 @@ object MVManager {
     val freshDocs = docs.join(
       broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
+    // shingle + MinHash the fresh docs ONCE; the same rows feed the
+    // LSH probe and (filtered to accepted) the index commit
+    val sigRows = DedupOps.signatureIndexRows(freshDocs)
+      .localCheckpoint()
     val nearIds = DedupOps
-      .nearDupAgainstIndex(freshDocs, index, minJaccard)
+      .nearDupSigsAgainstIndex(sigRows, index, minJaccard)
       .select(col("d_new").as(idCol)).distinct()
     val accepted = freshDocs
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
@@ -255,7 +259,7 @@ object MVManager {
     val idxRows = fresh
       .join(broadcast(accepted.select(col(idCol).as("doc_id"))),
         Seq("doc_id"), "left_semi")
-      .join(DedupOps.signatureIndexRows(accepted), Seq("doc_id"), "left")
+      .join(sigRows, Seq("doc_id"), "left")
       .select(col("fp"), col("doc_id"), col("shs"), col("sig"))
     out.appendExactlyOnce(accepted, writerId, batchId)
     index.appendExactlyOnce(idxRows, writerId, batchId)
