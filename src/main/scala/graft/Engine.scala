@@ -203,6 +203,38 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
         s"config: storage.format must be parquet|arrow, got '$other'")
     }
 
+  /** The flagship LLM-data loop as a first-class engine MV (the
+    * reference exists to run continuous ingestion; ours runs continuous
+    * CURATION): watch `sourceTable`'s commit log, dedupe every newly
+    * committed version range against the persisted index
+    * `<name>_index` — exact fingerprints always, plus banded-LSH
+    * near-dup filtering when `minJaccard` is set — append accepted
+    * docs to `<name>`, and advance the frontier, exactly-once across
+    * crashes and restarts (MVManager.curateStep* protocol). Tables are
+    * catalog-managed and created on first use; the index is bucketed
+    * on fp so per-batch probes prune instead of scanning history. */
+  def startCuration(name: String, sourceTable: String,
+                    minJaccard: Option[Double] = None,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : (LakeTable, StreamingQuery) = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ns = config.catalog.namespace
+    val src = table(sourceTable)
+    val idxName = s"${name}_index"
+    val idxSchema =
+      if (minJaccard.isDefined) MVManager.curationIndexSchema
+      else StructType(Seq(StructField("fp", StringType),
+        StructField("doc_id", LongType)))
+    val index =
+      if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
+      else catalog.createTable(ns, idxName, idxSchema,
+        bucketBy = Some(("fp", 32)))
+    val out = catalog.createOrLoadTable(ns, name, src.schema)
+    val q = mvs.startCurationFromLake(name, src, index, out, textCol,
+      idCol, minJaccard, config.trigger)
+    (out, q)
+  }
+
   def table(name: String): LakeTable =
     catalog.table(config.catalog.namespace, name)
 

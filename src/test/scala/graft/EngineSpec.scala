@@ -253,4 +253,35 @@ class EngineSpec extends SparkSuite {
     assert(json.contains(""""query":"ingest""""))
     assert(json.contains(""""inputRows":3"""))
   }
+
+  test("startCuration: the curation loop as a catalog-managed engine " +
+    "MV — near-dups dropped continuously, tables created on first use") {
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("cur-wh")),
+      CatalogConfig(namespace = "corpus"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("corpus", "raw", docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src.append(Seq((1L, base), (2L, "something else entirely here now"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    src.append(Seq(
+      (10L, base),                                  // exact dup
+      (11L, base.replace("kappa", "sigma")),        // near dup of 1
+      (12L, "genuinely novel content for the corpus today"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    assert(engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 12L))
+    assert(engine.catalog.listTables("corpus").toSet ==
+      Set("raw", "curated", "curated_index"))
+    assert(engine.table("curated_index").bucketSpec == Some(("fp", 32)))
+  }
 }
