@@ -21,13 +21,26 @@ object Stages {
       }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
-    Seq("q32" -> (() => DedupOps.ngramJaccard(docs).count()),
-        "q33" -> (() => DedupOps.minHashLsh(docs).count()),
-        "q34" -> (() => DedupOps.simHashPairs(docs).count())).foreach {
-      case (n, f) =>
-        println(s"=== $n run 1"); f()
-        println(s"=== $n run 2"); f()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    // args: query-name prefixes from SparkEntry.queries; default = the
+    // dedup trio this tool was first built for
+    val wanted = if (args.nonEmpty) args.toSeq else Seq("q32", "q33", "q34")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val legacy = Map(
+      "q32" -> (() => DedupOps.ngramJaccard(docs).count()),
+      "q33" -> (() => DedupOps.minHashLsh(docs).count()),
+      "q34" -> (() => DedupOps.simHashPairs(docs).count()))
+    wanted.foreach { w =>
+      val f: () => Unit = legacy.get(w).map(g => () => { g(); () })
+        .getOrElse {
+          val (name, fn) = graft.SparkEntry.queries
+            .find(_._1.startsWith(w))
+            .getOrElse(sys.error(s"no query matching $w"))
+          () => { fn(spark, sfDir).count(); () }
+        }
+      println(s"=== $w run 1"); f()
+      println(s"=== $w run 2"); f()
     }
     spark.stop()
   }
