@@ -15,6 +15,22 @@ import graft.lake.LakeTable
   */
 object StreamingQueries {
 
+  /** Run `body` with the session shuffle-partition count pinned to `n`,
+    * restoring the previous value after. Stateful streaming operators
+    * materialize ONE state store per shuffle partition per operator,
+    * and that count is checkpoint-pinned at first run — so a query
+    * whose state is kilobytes should not pay 32 store
+    * create/commit/finalize cycles per micro-batch just because the
+    * session default suits terabyte batch shuffles. Sizing state-store
+    * parallelism to state volume is the standard Structured Streaming
+    * knob; at production state sizes this number goes UP, not down. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T)
+      : T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events as a STREAMING DataFrame (same nanos handling as
     * Tables.load, which the file-stream source needs schema-first).
     * The file source requires a *directory*, so the single fixture file
@@ -88,13 +104,15 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation",
-        s"/root/repo/target/ckpt/$qname")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation",
+          s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
       col("event_type"), col("n"), col("sum_value"))
@@ -150,12 +168,15 @@ object StreamingQueries {
     val joined = purchases.join(clicks, expr(
       """p_user = c_user AND
         |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // symmetric-hash-join state here is a few MB: 8 stores, not 32
+    withShufflePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_clicks"), max(col("value")).as("value"))
@@ -179,12 +200,14 @@ object StreamingQueries {
     val agg = eventsStream(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname).select(col("user_id"),
       date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("session_start"),
@@ -228,13 +251,15 @@ object StreamingQueries {
           state.update((n, c, prev))
           Iterator((user, n, c, prev))
       }
-    val q = folded.toDF("user_id", "n_events", "n_conversions", "last_type")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = folded.toDF("user_id", "n_events", "n_conversions", "last_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname).groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         expr("max_by(n_conversions, n_events)").as("n_conversions"),
@@ -278,12 +303,14 @@ object StreamingQueries {
       .unionByName(eventsStream(s, dir))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = doubled.writeStream.outputMode("append")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = doubled.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
