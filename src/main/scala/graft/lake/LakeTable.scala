@@ -607,7 +607,13 @@ class LakeTable private (
           val sortBy = properties.get("compaction.auto.sortBy")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Seq.empty)
-          Some(compactFrom(currentVersion, target, sortBy))
+          // best-effort: when several writers enforce the policy at
+          // once, the losers' strict-replace conflicts mean a racer
+          // already bounded the layout — nothing left to do
+          try Some(compactFrom(currentVersion, target, sortBy))
+          catch {
+            case _: java.util.ConcurrentModificationException => None
+          }
         }
     }
 
@@ -734,15 +740,22 @@ class LakeTable private (
     }.toSet
   }
 
+  /** Compaction rewrites are STRICT replaces: if any base file was
+    * already superseded by a racer (another compaction, a row-level
+    * op), commit aborts with ConcurrentModificationException instead
+    * of re-adding rows the racer rewrote (duplication) or deleted
+    * (resurrection). Concurrent plain APPENDS are unaffected — their
+    * files are not in the replaced set and are carried forward. */
   private def rewriteFiles(baseVersion: Int,
                            shape: DataFrame => DataFrame,
                            extraMeta: Map[String, String]): Int = {
     val baseNode = mapper.readTree(
       Files.readString(versionPath(metaDir, baseVersion)))
     val replaced = filesOf(baseNode).map(_.path).toSet
-    commit(writeData(shape(readVersion(baseVersion))),
+    commitWith(Some(writeData(shape(readVersion(baseVersion)))),
       replacedFiles = replaced,
-      Map("compaction" -> "true") ++ extraMeta, guard = None)
+      Map("compaction" -> "true") ++ extraMeta, guard = None,
+      alter = None, strictReplace = true)
   }
 
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()

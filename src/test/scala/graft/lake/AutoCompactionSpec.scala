@@ -60,6 +60,61 @@ class AutoCompactionSpec extends SparkSuite {
     assert(t.read().count() == 12)
   }
 
+  test("chaos: concurrent writers + auto-compaction on a bucketed " +
+    "table lose nothing and keep the layout invariant") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = LakeTable.create(spark, tmpDir("chaos-bkt"), StructType(Seq(
+      StructField("fp", StringType), StructField("doc_id", LongType))),
+      properties = Map("compaction.auto.maxFiles" -> "10"),
+      bucketBy = Some(("fp", 4)))
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          val base = (w * 100 + i * 10).toLong
+          t.append((base until base + 10)
+            .map(id => (s"fp-$id", id)).toDF("fp", "doc_id").coalesce(1))
+          // every writer enforces the shared policy; racing enforcers
+          // must never duplicate rows (strict-replace compactions —
+          // losers observe the winner and no-op)
+          t.autoCompactIfNeeded()
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // nothing lost, nothing duplicated
+    assert(t.read().select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0 until 4).flatMap(w => (0 until 5).flatMap(i =>
+        (w * 100 + i * 10).toLong until (w * 100 + i * 10 + 10).toLong))
+        .sorted)
+    // layout invariant holds for every surviving file
+    assert(t.read().filter(col("_bucket") =!=
+      pmod(xxhash64(col("fp")), lit(4)).cast("int")).count() == 0)
+    // and probes still route correctly
+    assert(t.probe("fp", Seq("fp-105")).select("doc_id").as[Long]
+      .collect().toSeq == Seq(105L))
+  }
+
+  test("a compaction whose base was superseded by a delete aborts " +
+    "instead of resurrecting the deleted rows") {
+    val t = LakeTable.create(spark, tmpDir("compact-vs-delete"), schema)
+    t.append((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    val base = t.currentVersion
+    t.deleteWhere($"id" < 5L) // supersedes the only base file
+    // a racer that planned its rewrite against the pre-delete snapshot
+    // must NOT be able to commit those rows back
+    intercept[java.util.ConcurrentModificationException] {
+      t.compactFrom(base, 1)
+    }
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      (5L until 10L).toSet)
+    // a fresh compaction against the current snapshot works fine
+    t.compact(1)
+    assert(t.read().count() == 5)
+  }
+
   test("streaming MV with a declared policy keeps the sink bounded " +
     "and exact (the commit-loop wiring)") {
     implicit val sqlCtx = spark.sqlContext
