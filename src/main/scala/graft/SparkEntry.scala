@@ -239,6 +239,23 @@ object SparkEntry {
       DedupOps.nearDupAgainstIndex(
         docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
     }),
+    // incremental EMBEDDING near-dup vs a persisted vector index — the
+    // third incremental-dedup modality (exact fp = q71, MinHash text
+    // sigs = q84, embeddings = q88). The %3==0 vectors are indexed in a
+    // bucketed lake table; the %2==0 slice arrives as the new batch;
+    // seed-free SRP band candidates verify with exact cosine, and the
+    // oracle recomputes band predicate + cosine literally across the
+    // slice boundary — hash match = recall proof over the index.
+    "q88_embedding_neardup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecidx")
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx", emb.schema,
+        bucketBy = Some(("vec_id", 8)))
+      index.appendExactlyOnce(emb.filter(col("vec_id") % 3 === 0), "q88", 0L)
+      SimilarityOps.embeddingNearDupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 0), index, threshold = 0.35)
+    }),
     // bucketed point lookup through the whole layout stack: documents
     // land in a hash-bucketed lake table (pmod(xxhash64(doc_id), 16)
     // hive partitions), and probe() serves an id lookup via bucket-dir
@@ -1192,6 +1209,20 @@ object SparkEntry {
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${(0 until 8).map(k => (0 until 8).map { j =>
+           val i = k * 8 + j + 1
+           s"(a.embedding[$i] >= 0) = (b.embedding[$i] >= 0)"
+         }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
+         AND list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.35""",
+    // cross-slice SRP-band candidates + exact cosine, with self-pairs
+    // (%6==0 vectors sit in both slices and match in every band)
+    "q88_embedding_neardup_incremental" ->
+      s"""SELECT a.vec_id AS v_new, b.vec_id AS v_idx,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 2 = 0 AND b.vec_id % 3 = 0
          WHERE ${(0 until 8).map(k => (0 until 8).map { j =>
            val i = k * 8 + j + 1
            s"(a.embedding[$i] >= 0) = (b.embedding[$i] >= 0)"

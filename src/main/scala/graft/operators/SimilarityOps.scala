@@ -119,6 +119,64 @@ object SimilarityOps {
     * explosion), one group-by-bucket shuffle, pair_explode inside each
     * bucket, a distinct, and two equi-joins of the SMALL candidate set
     * back to the corpus for verification (AQE broadcasts it). */
+  /** Incremental embedding near-dup of a new batch against a PERSISTED
+    * vector index — the third member of the incremental-dedup family
+    * ([[graft.operators.DedupOps.freshAgainstIndex]] = exact
+    * fingerprints, [[graft.operators.DedupOps.nearDupAgainstIndex]] =
+    * MinHash text signatures, this = embeddings). History lives in a
+    * lake table of (vec_id, embedding); each new batch generates
+    * candidates through the seed-free axis-sign SRP band join of
+    * [[embeddingNearDupLsh]] and verifies them with the exact cosine —
+    * so the cross-engine oracle (SparkEntry q88) checks candidate
+    * generation AND verification literally, across the index boundary.
+    *
+    * 100 TB shape mirrors the text twin: the index is scanned at most
+    * twice and shuffled never. Scan 1 computes band buckets from a
+    * column-pruned (vec_id, embedding) read and streams through a
+    * broadcast join against the batch's buckets (batch-scale, always
+    * broadcastable); candidate pairs localCheckpoint once; scan 2
+    * fetches ONLY the candidate vectors via
+    * [[graft.lake.LakeTable.probe]] (bucket-dir + manifest-range
+    * pruned), and both verify joins broadcast the small side. Returns
+    * (v_new, v_idx, cos) with cos >= threshold. */
+  def embeddingNearDupAgainstIndex(batch: DataFrame,
+                                   index: graft.lake.LakeTable,
+                                   threshold: Double, bandBits: Int = 8,
+                                   bands: Int = 8,
+                                   idCol: String = "vec_id",
+                                   embCol: String = "embedding",
+                                   maxProbe: Int = 10000): DataFrame = {
+    require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
+      s"bandBits*bands must fit the 64-bit signature, got $bandBits x $bands")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    def bandsOf(df: DataFrame, side: String): DataFrame = {
+      val sig = graft.functions.SignRandomProjection.sign_bits(col(embCol))
+      val bandStructs = (0 until bands).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(sig, k * bandBits).bitwiseAND(mask).as("bv"))
+      }
+      df.select(col(idCol).as(side),
+        explode(array(bandStructs: _*)).as("bk"))
+    }
+    val cand = bandsOf(index.read(), "v_idx")
+      .join(broadcast(bandsOf(batch, "v_new")), "bk")
+      .select(col("v_new"), col("v_idx"))
+      .distinct() // a pair colliding in several bands verifies once
+      .localCheckpoint()
+    val candIds = cand.select(col("v_idx")).distinct()
+      .limit(maxProbe + 1).collect().map(_.get(0))
+    val idxDocs =
+      if (candIds.length <= maxProbe) index.probe(idCol, candIds.toSeq)
+      else index.read()
+    val e2 = idxDocs.select(col(idCol).as("v_idx"), col(embCol).as("_e2"))
+      .join(broadcast(cand), Seq("v_idx"))
+    val e1 = batch.select(col(idCol).as("v_new"), col(embCol).as("_e1"))
+    e1.join(broadcast(e2), Seq("v_new"))
+      .select(col("v_new"), col("v_idx"),
+        cosine_sim(col("_e1"), col("_e2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDupLsh(vectors: DataFrame, threshold: Double,
                           bandBits: Int = 8, bands: Int = 8,
                           idCol: String = "vec_id",

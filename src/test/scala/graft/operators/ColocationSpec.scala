@@ -155,6 +155,44 @@ class ColocationSpec extends SparkSuite {
     assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
 
+  test("embeddingNearDupAgainstIndex: matches the brute-force " +
+    "cross-slice band+cosine reference, index never shuffled") {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val hist = emb.filter($"vec_id" % 3 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 0)
+    val index = LakeTable.create(spark, tmpDir("vec-idx"), emb.schema,
+      bucketBy = Some(("vec_id", 8)))
+    index.append(hist)
+
+    val got = SimilarityOps.embeddingNearDupAgainstIndex(
+      batch, index, threshold = 0.35)
+    val pairs = got.select("v_new", "v_idx").as[(Long, Long)]
+      .collect().toSet
+
+    // brute-force reference: every cross-slice pair agreeing in some
+    // 8-bit sign band, with exact cosine >= threshold
+    val mask = (1L << 8) - 1
+    def sig(c: org.apache.spark.sql.Column) =
+      graft.functions.SignRandomProjection.sign_bits(c)
+    val ref = batch.as("a").join(hist.as("b"),
+        (0 until 8).map(k =>
+          shiftright(sig($"a.embedding"), k * 8).bitwiseAND(mask) ===
+            shiftright(sig($"b.embedding"), k * 8).bitwiseAND(mask))
+          .reduce(_ || _))
+      .select($"a.vec_id".as("v_new"), $"b.vec_id".as("v_idx"),
+        cosine_sim($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" >= 0.35)
+      .select("v_new", "v_idx").as[(Long, Long)].collect().toSet
+    assert(pairs == ref)
+    assert(pairs.exists(p => p._1 == p._2), "self-pairs from %6 overlap")
+
+    val nodes = executedFlat(got)
+    assertIndexNeverShuffled(nodes, index.root)
+    assert(scansOf(nodes, index.root).nonEmpty)
+  }
+
   test("nearDupAgainstIndex: bucketed index, same pairs as exact " +
     "cross-comparison, index side never shuffled in the served plan") {
     val mk = (id: Long, base: String) => (id, base)
