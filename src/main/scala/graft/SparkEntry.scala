@@ -95,7 +95,11 @@ object SparkEntry {
     // tie-break); BpeSpec verifies the exact merge sequence against a
     // hand-computed corpus and order-independence under repartitioning.
     "q79_bpe_merges" -> ((s, d) =>
-      BpeOps.mergeTable(Tables.load(s, d, "documents"), numMerges = 20)),
+      // maxBatch=4: same learned list as sequential (spec-pinned at
+      // sf0.001; the prefix-stop rule preserves order), ~40% fewer
+      // rounds of per-round shuffle + checkpoint fixed cost
+      BpeOps.mergeTable(Tables.load(s, d, "documents"), numMerges = 20,
+        maxBatch = 4)),
     "q35_text_stats" -> (TextOps.textStats _),
     "q36_token_count" -> (TextOps.tokenStats _),
     "q37_lang_id" -> (TextOps.languageId _),

@@ -610,8 +610,20 @@ class LakeTable private (
           // best-effort: when several writers enforce the policy at
           // once, the losers' strict-replace conflicts mean a racer
           // already bounded the layout — nothing left to do
-          try Some(compactFrom(currentVersion, target, sortBy))
-          catch {
+          try {
+            val v = compactFrom(currentVersion, target, sortBy)
+            // optional companion policy: bound DISK too, not just the
+            // live-file count — expire history beyond keepLast
+            // snapshots and reclaim files only those referenced, with
+            // an age guard against racing in-flight writers
+            properties.get("snapshots.auto.keepLast").map(_.toInt)
+              .foreach { keep =>
+                val age = properties.get("vacuum.auto.minAgeMs")
+                  .map(_.toLong).getOrElse(600000L) // 10 min default
+                expireSnapshots(keep, age)
+              }
+            Some(v)
+          } catch {
             case _: java.util.ConcurrentModificationException => None
           }
         }
@@ -1080,7 +1092,14 @@ class LakeTable private (
     * for every retained version; the contiguous version numbering the
     * commit protocol relies on is preserved (only a lower bound moves).
     * Returns (expired snapshots, deleted data files). */
-  def expireSnapshots(keepLast: Int): (Int, Int) = {
+  def expireSnapshots(keepLast: Int): (Int, Int) =
+    expireSnapshots(keepLast, minAgeMs = 0L)
+
+  /** Aged variant for background/policy callers racing live writers:
+    * the vacuum half only reclaims files older than `minAgeMs`, so a
+    * concurrent appender's written-but-not-yet-committed batch can
+    * never be reaped out from under its commit. */
+  def expireSnapshots(keepLast: Int, minAgeMs: Long): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = currentVersion
     val cutoff = cur - keepLast + 1
@@ -1089,7 +1108,8 @@ class LakeTable private (
     expired.foreach(v => Files.delete(versionPath(metaDir, v)))
     val removedFiles = vacuumAgainst(
       (math.max(0, cutoff) to cur).filter(v =>
-        Files.exists(versionPath(metaDir, v))))
+        Files.exists(versionPath(metaDir, v))),
+      minAgeMs)
     (expired.size, removedFiles)
   }
 

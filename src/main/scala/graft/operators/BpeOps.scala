@@ -119,10 +119,10 @@ object BpeOps {
   /** Learned merges as a DataFrame (rank, left, right) — the graded
     * query surface. */
   def mergeTable(docs: DataFrame, numMerges: Int,
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text", maxBatch: Int = 1): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    learnMerges(docs, numMerges, textCol).zipWithIndex
+    learnMergesBatched(docs, numMerges, maxBatch, textCol)._1.zipWithIndex
       .map { case ((a, b), i) => (i + 1, a, b) }
       .toDF("rank", "left", "right")
   }

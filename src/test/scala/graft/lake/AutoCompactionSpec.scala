@@ -96,6 +96,32 @@ class AutoCompactionSpec extends SparkSuite {
       .collect().toSeq == Seq(105L))
   }
 
+  test("snapshots.auto.keepLast bounds DISK under the policy: " +
+    "expired history reclaimed, content + exactly-once marks intact") {
+    import LakeTable.walkDir
+    val t = LakeTable.create(spark, tmpDir("auto-expire"), schema,
+      properties = Map("compaction.auto.maxFiles" -> "4",
+        "compaction.auto.target" -> "1",
+        "snapshots.auto.keepLast" -> "3",
+        "vacuum.auto.minAgeMs" -> "0")) // test-only: reclaim immediately
+    (0 until 20).foreach { i =>
+      t.appendExactlyOnce(
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), "w", i.toLong)
+      t.autoCompactIfNeeded()
+    }
+    // expiry runs on compaction rounds: retained <= keepLast + the
+    // appends that accumulate before the next trigger (maxFiles)
+    assert(t.snapshots.size <= 8, s"history unbounded: ${t.snapshots.size}")
+    // on-disk parquet is bounded by what retained snapshots reference,
+    // not by write history (20 appends + ~5 compaction rewrites)
+    val onDisk = walkDir(java.nio.file.Paths.get(t.root, "data"))
+      .count(_.toString.endsWith(".parquet"))
+    assert(onDisk <= 12, s"disk unbounded: $onDisk parquet files")
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet)
+    assert(t.lastBatchId("w") == 19L) // frontier survived expiry
+  }
+
   test("a compaction whose base was superseded by a delete aborts " +
     "instead of resurrecting the deleted rows") {
     val t = LakeTable.create(spark, tmpDir("compact-vs-delete"), schema)

@@ -99,4 +99,13 @@ class BpeSpec extends SparkSuite {
     assert(viaDefault == viaBatched1)
     assert(rounds == 12)
   }
+
+  test("q79's batched training (maxBatch=4) learns the IDENTICAL " +
+    "20-merge list as sequential, in fewer rounds") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val seq = BpeOps.learnMergesBatched(docs, 20, maxBatch = 1)
+    val bat = BpeOps.learnMergesBatched(docs, 20, maxBatch = 4)
+    assert(bat._1 == seq._1, "batched list diverged from sequential")
+    assert(bat._2 < seq._2, s"no round saving: ${bat._2} vs ${seq._2}")
+  }
 }
