@@ -38,6 +38,18 @@ case class MetricsConfig(
     enabled: Boolean = true,
     collectionPath: Option[String] = None) // reference metrics.collectionPath
 
+/** Continuous-curation pipeline declared in config: watch lake table
+  * `source`, dedupe (exact; near-dup too when `minJaccard` is set)
+  * against the persisted `<target>_index`, append accepted docs to
+  * `<target>` — GraftEngine.startCuration driven from the same YAML
+  * surface that drives ingestion. */
+case class CurationConfig(
+    source: String,
+    target: String = "curated",
+    minJaccard: Option[Double] = None,
+    textCol: String = "text",
+    idCol: String = "doc_id")
+
 /** Reference flight.servers/port (config.go:22-25). In this engine the
   * ingress stand-in is file-stream polling, so `servers` are the
   * directories `GraftEngine.sourceStreams` polls; when a true Flight
@@ -51,7 +63,8 @@ case class GraftConfig(
     catalog: CatalogConfig = CatalogConfig(),
     batching: BatchingConfig = BatchingConfig(),
     metrics: MetricsConfig = MetricsConfig(),
-    flight: FlightConfig = FlightConfig()) {
+    flight: FlightConfig = FlightConfig(),
+    curation: Option[CurationConfig] = None) {
   def trigger: Trigger =
     if (batching.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(batching.triggerInterval)
@@ -94,7 +107,16 @@ object GraftConfig {
         collectionPath = (metrics / "collectionPath").strOpt),
       flight = FlightConfig(
         servers = (root / "flight" / "servers").list,
-        port = (root / "flight" / "port").int(8815)))
+        port = (root / "flight" / "port").int(8815)),
+      curation = (root / "curation" / "source").strOpt.map { src =>
+        CurationConfig(
+          source = src,
+          target = (root / "curation" / "target").str("curated"),
+          minJaccard = (root / "curation" / "minJaccard").strOpt
+            .map(_.toDouble),
+          textCol = (root / "curation" / "textCol").str("text"),
+          idCol = (root / "curation" / "idCol").str("doc_id"))
+      })
   }
 }
 

@@ -24,6 +24,12 @@ object Main {
     started.foreach { case (name, q) =>
       println(s"[graft] ingesting '$name' (query ${q.id})")
     }
+    config.curation.foreach { c =>
+      val (_, q) = engine.startCuration(c.target, c.source,
+        c.minJaccard, c.textCol, c.idCol)
+      println(s"[graft] curating '${c.source}' -> '${c.target}' " +
+        s"(near-dup: ${c.minJaccard.getOrElse("off")}, query ${q.id})")
+    }
     sys.addShutdownHook {
       println("[graft] shutting down")
       engine.shutdown()

@@ -254,6 +254,37 @@ class EngineSpec extends SparkSuite {
     assert(json.contains(""""inputRows":3"""))
   }
 
+  test("curation section parses from YAML and drives the loop") {
+    val yaml =
+      s"""storage:
+         |  localPath: ${tmpDir("ycur-wh")}
+         |iceberg:
+         |  defaultNamespace: ycorpus
+         |curation:
+         |  source: raw
+         |  target: clean
+         |  minJaccard: 0.5
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    assert(cfg.curation ==
+      Some(CurationConfig("raw", "clean", Some(0.5))))
+    val engine = new GraftEngine(spark, cfg)
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("ycorpus", "raw", docsSchema)
+    src.append(Seq((1L, "one doc here"), (2L, "one doc here"),
+      (3L, "another entirely")).toDF("doc_id", "text"))
+    val c = cfg.curation.get
+    engine.startCuration(c.target, c.source, c.minJaccard, c.textCol,
+      c.idCol)._2.awaitTermination()
+    assert(engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+  }
+
   test("startCuration: the curation loop as a catalog-managed engine " +
     "MV — near-dups dropped continuously, tables created on first use") {
     val engine = new GraftEngine(spark, GraftConfig(
