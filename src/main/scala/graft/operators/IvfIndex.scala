@@ -114,6 +114,20 @@ object IvfIndex {
     t
   }
 
+  /** Incremental index maintenance: assign a NEW batch to its nearest
+    * centroids (broadcast model, row-local) and append it into the
+    * existing `_cluster`-partitioned inverted lists — exactly-once per
+    * (writerId, batchId), so a crawl loop can grow the ANN index
+    * continuously without rebuilds. Centroids stay FROZEN (the standard
+    * serving-time IVF contract; retrain offline when drift matters), so
+    * previously-served probes remain valid and searchPersisted sees new
+    * vectors immediately with the same partition pruning. */
+  def appendToIndex(index: graft.lake.LakeTable, batch: DataFrame,
+                    model: Model, writerId: String, batchId: Long,
+                    embCol: String = "embedding"): Int =
+    index.appendExactlyOnce(assign(batch, model, embCol), writerId,
+      batchId)
+
   /** Driver-side probe selection: same cosine scoring as the
     * TopCentroids expression, on the local KB-sized centroid matrix. */
   def probeIds(q: Array[Float], model: Model, nprobe: Int): Seq[Int] = {

@@ -280,6 +280,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(persisted == inMem)
   }
 
+  test("IVF appendToIndex: incrementally-grown index serves the same " +
+    "results as a from-scratch rebuild, exactly-once on replay") {
+    val model = IvfIndex.train(emb, c = 16, iters = 2)
+    val slice1 = emb.filter($"vec_id" % 2 === 0 && $"vec_id" =!= 0)
+    val slice2 = emb.filter($"vec_id" % 2 === 1)
+    val grown = IvfIndex.buildIndex(spark, slice1, model,
+      tmpDir("ivf-grow"))
+    IvfIndex.appendToIndex(grown, slice2, model, "crawl", 0L)
+    IvfIndex.appendToIndex(grown, slice2, model, "crawl", 0L) // replay
+    val full = IvfIndex.buildIndex(spark,
+      emb.filter($"vec_id" =!= 0), model, tmpDir("ivf-full"))
+    assert(grown.read().count() == full.read().count())
+
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val servedGrown = IvfIndex.searchPersisted(grown, queryVec, model,
+      k = 10, nprobe = 4).select("vec_id").as[Long].collect().toSeq
+    val servedFull = IvfIndex.searchPersisted(full, queryVec, model,
+      k = 10, nprobe = 4).select("vec_id").as[Long].collect().toSeq
+    assert(servedGrown == servedFull)
+  }
+
   test("langId + text stats agree with hand computation") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
