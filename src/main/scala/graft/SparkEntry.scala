@@ -60,6 +60,7 @@ object SparkEntry {
     "q57_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q59_shipping_priority" -> (Relational.shippingPriority _),
     "q77_local_supplier_volume" -> (Relational.localSupplierVolume _),
+    "q89_returned_items" -> (Relational.returnedItemReport _),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
@@ -868,6 +869,17 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+    "q89_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         count(*) AS n_items
+         FROM lineitem, orders, customer, nation
+         WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q76_lake_pruned_read" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
          count(DISTINCT user_id) AS n_users

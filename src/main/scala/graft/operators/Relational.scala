@@ -309,6 +309,27 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q10 (returned-item reporting): which customers returned the
+    * most revenue in a quarter. lineitem filtered to returns shuffles
+    * on orderkey into the date-filtered orders, customers join on
+    * custkey, nation broadcasts; top-20 by lost revenue plans as
+    * TakeOrderedAndProject — no global sort ever materializes. */
+  def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q5 (local supplier volume): the canonical 6-table star join.
     * region→nation broadcast into the fact-side joins (both tiny at any
     * scale); customer⋈orders⋈lineitem⋈supplier shuffle on their keys
