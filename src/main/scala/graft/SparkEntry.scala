@@ -244,6 +244,36 @@ object SparkEntry {
       DedupOps.nearDupAgainstIndex(
         docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
     }),
+    // incrementally-MAINTAINED aggregate MV (the RisingWave half of the
+    // reference): events arrive in 3 micro-batches (6 files, paced 2
+    // per trigger); each update-mode batch merges ONLY the changed
+    // (event_type, uid_bucket) aggregates into the lake table by key.
+    // The final table state hash-matching the plain batch GROUP BY
+    // proves incremental maintenance converges exactly.
+    "q90_incremental_agg_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft-aggmv")
+      ev.repartition(6).write.parquet(s"$dir/src")
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$dir/src")
+        .groupBy(col("event_type"),
+          pmod(col("user_id"), lit(10)).as("uid_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val table = graft.lake.LakeTable.create(s, s"$dir/mv", StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("uid_bucket", LongType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType))))
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      mv.startAggregateToLake("agg_mv", stream, table,
+        Seq("event_type", "uid_bucket")).awaitTermination()
+      table.read()
+    }),
     // incremental EMBEDDING near-dup vs a persisted vector index — the
     // third incremental-dedup modality (exact fp = q71, MinHash text
     // sigs = q84, embeddings = q88). The %3==0 vectors are indexed in a
@@ -1231,6 +1261,10 @@ object SparkEntry {
          }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    "q90_incremental_agg_mv" ->
+      """SELECT event_type, user_id % 10 AS uid_bucket,
+         count(*) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
     // cross-slice SRP-band candidates + exact cosine, with self-pairs
     // (%6==0 vectors sit in both slices and match in every band)
     "q88_embedding_neardup_incremental" ->

@@ -122,6 +122,35 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** Incrementally-MAINTAINED aggregate MV — the reference system's
+    * upstream half (RisingWave keeps MV aggregates current per key;
+    * the reference only ships their output). `transformed` must be a
+    * streaming AGGREGATE in update output mode: each micro-batch emits
+    * only the keys whose aggregate changed, and those rows MERGE into
+    * the lake table by `keyCols` (copy-on-write upsert touching only
+    * the files holding updated keys). The table always holds the
+    * current aggregate per key — readers get the answer with no
+    * read-time re-aggregation, unlike append MVs. Replayed batches are
+    * naturally idempotent: re-upserting the same (key, value) rows
+    * reproduces the same table state. */
+  def startAggregateToLake(name: String, transformed: DataFrame,
+                           table: LakeTable, keyCols: Seq[String],
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    ensureListener()
+    val sink: (Dataset[Row], Long) => Unit =
+      (batch, _) => if (!batch.isEmpty) { table.upsert(batch, keyCols); () }
+    val q = transformed.writeStream
+      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    queries.put(name, q)
+    q
+  }
+
   /** MV whose micro-batches are exported as Arrow IPC directories —
     * the reference's alternate sink format (batch_writer.go:200-222),
     * upgraded to exactly-once: each batch writes to a staging dir and

@@ -50,6 +50,41 @@ class StreamingSpec extends SparkSuite {
     assert(mgr.metrics("mv_test").exists(_.inputRows >= 3))
   }
 
+  test("incrementally-maintained aggregate MV: table state converges " +
+    "to the exact batch aggregate after EVERY micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+    val table = LakeTable.create(spark, tmpDir("agg-mv"), StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType),
+      StructField("sum_v", DoubleType))))
+    val mgr = new MVManager(spark, tmpDir("agg-mv-ckpt"))
+    val q = mgr.startAggregateToLake("agg", agg, table, Seq("k"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+
+    var fed = Seq.empty[(String, Double)]
+    def check(): Unit = {
+      val got = table.read().select("k", "n", "sum_v")
+        .as[(String, Long, Double)].collect().toSet
+      val want = fed.groupBy(_._1).map { case (k, rows) =>
+        (k, rows.size.toLong, rows.map(_._2).sum) }.toSet
+      assert(got == want, s"diverged after ${fed.size} rows")
+    }
+    for (batch <- Seq(
+      Seq(("a", 1.0), ("b", 2.0)),
+      Seq(("a", 3.0)),              // only 'a' changes: merge, not append
+      Seq(("c", 5.0), ("b", 1.5)))) {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      fed ++= batch
+      check()
+    }
+    // the table holds ONE row per key (merged in place), not history
+    assert(table.read().count() == 3)
+    q.stop()
+  }
+
   test("Arrow-batch publish: losing a rename race to a NON-EMPTY winner is benign") {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(tmpDir("arrow-race"))
