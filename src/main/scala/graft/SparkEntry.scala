@@ -250,30 +250,8 @@ object SparkEntry {
     // (event_type, uid_bucket) aggregates into the lake table by key.
     // The final table state hash-matching the plain batch GROUP BY
     // proves incremental maintenance converges exactly.
-    "q90_incremental_agg_mv" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types._
-      val ev = Tables.load(s, d, "events")
-        .select("event_id", "user_id", "event_type", "value")
-      val dir = java.nio.file.Files.createTempDirectory("graft-aggmv")
-      ev.repartition(6).write.parquet(s"$dir/src")
-      val stream = s.readStream
-        .schema(ev.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(s"$dir/src")
-        .groupBy(col("event_type"),
-          pmod(col("user_id"), lit(10)).as("uid_bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      val table = graft.lake.LakeTable.create(s, s"$dir/mv", StructType(Seq(
-        StructField("event_type", StringType),
-        StructField("uid_bucket", LongType),
-        StructField("n", LongType),
-        StructField("sum_value", DoubleType))))
-      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
-      mv.startAggregateToLake("agg_mv", stream, table,
-        Seq("event_type", "uid_bucket")).awaitTermination()
-      table.read()
-    }),
+    "q90_incremental_agg_mv" ->
+      (graft.streaming.StreamingQueries.aggregateMv _),
     // incremental EMBEDDING near-dup vs a persisted vector index — the
     // third incremental-dedup modality (exact fp = q71, MinHash text
     // sigs = q84, embeddings = q88). The %3==0 vectors are indexed in a

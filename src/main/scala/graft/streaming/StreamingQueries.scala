@@ -94,6 +94,37 @@ object StreamingQueries {
       sum(length(col("clean_text"))).as("sum_clean_chars"))
   }
 
+  /** Incrementally-MAINTAINED aggregate MV (q90): events paced through
+    * 3 micro-batches; each update-mode batch merges only the changed
+    * (event_type, uid_bucket) aggregates into the lake table by key —
+    * the RisingWave half of the reference. Final state must hash-match
+    * the plain batch GROUP BY. */
+  def aggregateMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aggmv")
+    ev.repartition(6).write.parquet(s"$tmp/src")
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$tmp/src")
+      .groupBy(col("event_type"),
+        pmod(col("user_id"), lit(10)).as("uid_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val table = graft.lake.LakeTable.create(s, s"$tmp/mv", StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("uid_bucket", LongType),
+      StructField("n", LongType),
+      StructField("sum_value", DoubleType))))
+    val mv = new MVManager(s, s"$tmp/ckpt")
+    withShufflePartitions(s, 8) {
+      mv.startAggregateToLake("agg_mv", stream, table,
+        Seq("event_type", "uid_bucket")).awaitTermination()
+    }
+    table.read()
+  }
+
   /** Tumbling-window MV driven as a real StreamingQuery (AvailableNow,
     * complete mode, memory sink), returned as a batch DataFrame. Matches
     * the plain GROUP BY date_trunc oracle because complete mode emits
