@@ -837,9 +837,15 @@ class LakeTable private (
   private def partValueMeta(partRel: String, schema: StructType,
                             rows: Long)
       : (Map[String, ColStat], Map[String, Long]) = {
+    // Spark's hive-path writer escapes with ExternalCatalogUtils
+    // .escapePathName, which encodes only a fixed char set as %XX and
+    // leaves '+' literal — URLDecoder would turn '+' into a space and
+    // the resulting wrong [v, v] stat would silently prune files that
+    // DO hold matching rows. Decode with the exact inverse.
     val segs = partRel.split("/").toSeq.filter(_.contains("="))
       .map { seg => val Array(k, raw) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(raw, "UTF-8") }
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw) }
     val stats = segs.flatMap { case (k, v) =>
       if (v == "__HIVE_DEFAULT_PARTITION__") None
       else schema.fields.find(_.name == k).flatMap { f =>
