@@ -251,7 +251,11 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
         bucketBy = Some(("fp", 32)))
-    val out = catalog.createOrLoadTable(ns, name, src.schema)
+    // a bucketed source's schema carries its derived _bucket routing
+    // column — strip it so the curated table gets only document data
+    val out = catalog.createOrLoadTable(ns, name,
+      StructType(src.schema.fields.filterNot(
+        _.name == graft.lake.LakeTable.BucketCol)))
     val q = mvs.startCurationFromLake(name, src, index, out, textCol,
       idCol, minJaccard, config.trigger)
     (out, q)

@@ -96,8 +96,9 @@ object SparkEntry {
     // tie-break); BpeSpec verifies the exact merge sequence against a
     // hand-computed corpus and order-independence under repartitioning.
     "q79_bpe_merges" -> ((s, d) =>
-      // maxBatch=4: same learned list as sequential (spec-pinned at
-      // sf0.001; the prefix-stop rule preserves order), ~40% fewer
+      // maxBatch=4: same learned list as sequential for EVERY corpus —
+      // the prefix-stop rule preserves order and the tie guard closes
+      // the exact-count-tie corner (BpeSpec pins both) — at ~40% fewer
       // rounds of per-round shuffle + checkpoint fixed cost
       BpeOps.mergeTable(Tables.load(s, d, "documents"), numMerges = 20,
         maxBatch = 4)),

@@ -309,37 +309,87 @@ class LakeTable private (
   /** Incremental read: only rows in files committed AFTER `fromVersion`
     * (CDC-style append diff — the snapshot log makes this a file-list
     * set difference, no data diffing). */
-  def changesSince(fromVersion: Int): DataFrame = {
-    val from =
-      if (fromVersion < 0) Set.empty[String]
-      else {
-        val node = mapper.readTree(
-          Files.readString(versionPath(metaDir, fromVersion)))
-        filesOf(node).map(_.path).toSet
-      }
-    val added = dataFiles.filterNot(f => from.contains(f.path))
-    readEntries(added, schema, fieldIds)
-  }
+  def changesSince(fromVersion: Int): DataFrame =
+    changesBetween(fromVersion, currentVersion)
+
+  /** Fail an incremental read whose checkpoint lags the retention
+    * policy, instead of the raw NoSuchFileException a vacuumed
+    * snapshot would throw mid-plan. The contract: an incremental
+    * consumer must advance its offset faster than
+    * `snapshots.auto.keepLast` expires history; a consumer that
+    * paused past retention has no exact delta left and must resync
+    * from a full read. */
+  private def requireRetained(fromVersion: Int): Unit =
+    if (fromVersion >= 0 &&
+        !Files.exists(versionPath(metaDir, fromVersion)))
+      throw new IllegalStateException(
+        s"snapshot $fromVersion of table at $root has been expired by " +
+        "the retention policy (snapshots.auto.keepLast / " +
+        "expireSnapshots); the incremental consumer's checkpoint lags " +
+        "retention — resync from a full read or raise keepLast")
 
   /** Rows in files committed in versions (from, to] — the bounded form
     * of [[changesSince]] for consumers that must not read past an
     * already-announced offset (e.g. a streaming curation MV whose
     * micro-batch covers an exact version range; commits racing in
-    * after `to` belong to the NEXT batch, not this one). */
+    * after `to` belong to the NEXT batch, not this one).
+    *
+    * Compaction commits (appMeta `compaction=true`) are SKIPPED by a
+    * per-version walk: they rewrite existing rows into fewer files and
+    * add nothing, so re-presenting their output as "added" would
+    * reprocess the whole table in one micro-batch (correct under an
+    * idempotent consumer, but O(table) — the failure mode that turns a
+    * continuous curation loop quadratic once auto-compaction kicks
+    * in). The pre-compaction originals stay readable: retention keeps
+    * every file referenced by any retained snapshot, and the version
+    * they were added at is retained by [[requireRetained]]'s guard.
+    * When a NON-row-preserving rewrite (delete/upsert) sits in the
+    * range — or an intermediate snapshot is missing — per-version
+    * attribution is ambiguous, and the walk falls back to the plain
+    * set-difference superset (re-emission of rewritten survivors; an
+    * idempotent/fp-frontier consumer absorbs it). */
   def changesBetween(fromVersion: Int, toVersion: Int): DataFrame = {
-    val from =
-      if (fromVersion < 0) Set.empty[String]
-      else {
-        val node = mapper.readTree(
-          Files.readString(versionPath(metaDir, fromVersion)))
-        filesOf(node).map(_.path).toSet
-      }
+    requireRetained(fromVersion)
     val toNode = mapper.readTree(
       Files.readString(versionPath(metaDir, toVersion)))
-    val added = filesOf(toNode).filterNot(f => from.contains(f.path))
-    readEntries(added,
-      DataTypeBridge.fromJson(toNode.get("schemaJson").asText()),
-      fieldIdsOf(toNode))
+    val toSchema = DataTypeBridge.fromJson(toNode.get("schemaJson").asText())
+    val toFids = fieldIdsOf(toNode)
+    def setDiff(): DataFrame = {
+      val from =
+        if (fromVersion < 0) Set.empty[String]
+        else {
+          val node = mapper.readTree(
+            Files.readString(versionPath(metaDir, fromVersion)))
+          filesOf(node).map(_.path).toSet
+        }
+      readEntries(filesOf(toNode).filterNot(f => from.contains(f.path)),
+        toSchema, toFids)
+    }
+    val versions = (math.max(0, fromVersion + 1)) to toVersion
+    if (versions.exists(v => !Files.exists(versionPath(metaDir, v))) ||
+        (fromVersion >= 0 &&
+         !Files.exists(versionPath(metaDir, fromVersion))))
+      return setDiff()
+    var prevPaths: Set[String] =
+      if (fromVersion < 0) Set.empty
+      else filesOf(mapper.readTree(
+        Files.readString(versionPath(metaDir, fromVersion))))
+        .map(_.path).toSet
+    val newEntries = Seq.newBuilder[FileEntry]
+    for (v <- versions) {
+      val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+      val files = filesOf(node)
+      val paths = files.map(_.path).toSet
+      val isCompaction = Option(node.get("appMeta"))
+        .flatMap(m => Option(m.get("compaction")))
+        .exists(_.asText() == "true")
+      val removed = prevPaths.diff(paths)
+      if (!isCompaction && removed.nonEmpty) return setDiff()
+      if (!isCompaction)
+        newEntries ++= files.filterNot(f => prevPaths.contains(f.path))
+      prevPaths = paths
+    }
+    readEntries(newEntries.result(), toSchema, toFids)
   }
 
   /** Metadata-pruned read, Iceberg-manifest-style: every data file
@@ -706,7 +756,30 @@ class LakeTable private (
     * keys, and the commit REPLACES exactly the affected files. Strict
     * replace + append rebase as in [[deleteWhere]]. A source with no
     * matching keys degrades to a plain append (no rewrite at all). */
-  def upsert(source: DataFrame, keyCols: Seq[String]): Int = {
+  def upsert(source: DataFrame, keyCols: Seq[String]): Int =
+    upsertWith(source, keyCols, guard = None, extraMeta = Map.empty)
+
+  /** [[upsert]] with the (writerId, batchId) exactly-once guard of
+    * [[appendExactlyOnce]]. Deterministic update-mode aggregates are
+    * idempotent under re-upsert anyway (same deltas re-merge to the
+    * same state), but a NON-deterministic aggregate (first(), a
+    * sampled value) replayed after a crash would merge DIFFERENT rows
+    * the second time — the guard makes the replayed batch a no-op
+    * instead, so the table state is exactly the no-crash outcome
+    * regardless of the aggregate's determinism. */
+  def upsertExactlyOnce(source: DataFrame, keyCols: Seq[String],
+                        writerId: String, batchId: Long): Int = {
+    val key = writerKey(writerId)
+    if (highWater(key).exists(_ >= batchId)) currentVersion
+    else upsertWith(source, keyCols,
+      guard = Some(MonotoneGuard(key, batchId)),
+      extraMeta = Map(BatchIdKey -> batchId.toString,
+        WriterIdKey -> writerId))
+  }
+
+  private def upsertWith(source: DataFrame, keyCols: Seq[String],
+                         guard: Option[CommitGuard],
+                         extraMeta: Map[String, String]): Int = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val s = schema
@@ -738,8 +811,8 @@ class LakeTable private (
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src)
     commitWith(Some(writeData(rewritten)), affected,
-      Map("merge.keys" -> keyCols.mkString(",")),
-      guard = None, alter = None, strictReplace = true)
+      Map("merge.keys" -> keyCols.mkString(",")) ++ extraMeta,
+      guard = guard, alter = None, strictReplace = true)
   }
 
   /** Distinct relative paths of the files the tagged rows live in. */
@@ -1111,7 +1184,9 @@ class LakeTable private (
     val cutoff = cur - keepLast + 1
     val expired = (0 until cutoff).filter(v =>
       Files.exists(versionPath(metaDir, v)))
-    expired.foreach(v => Files.delete(versionPath(metaDir, v)))
+    // deleteIfExists: two policy enforcers racing to expire the same
+    // version must both succeed (the file being gone IS the goal)
+    expired.foreach(v => Files.deleteIfExists(versionPath(metaDir, v)))
     val removedFiles = vacuumAgainst(
       (math.max(0, cutoff) to cur).filter(v =>
         Files.exists(versionPath(metaDir, v))),
@@ -1149,11 +1224,17 @@ class LakeTable private (
       minAgeMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     val dataDir = Paths.get(root, "data")
     walkDir(dataDir).reverse.foreach { p =>
+      // deleteIfExists / tolerate non-empty: a concurrent policy
+      // enforcer may reclaim the same orphan first, and a concurrent
+      // writer may drop a new file into a dir between the emptiness
+      // check and the delete — neither race is an error here (the
+      // caller's append already committed; vacuum is best-effort)
       if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
           && !referenced.contains(p.normalize()) && oldEnough(p)) {
-        Files.delete(p); deleted += 1
+        if (Files.deleteIfExists(p)) deleted += 1
       } else if (Files.isDirectory(p) && listDir(p).isEmpty && p != dataDir) {
-        Files.delete(p)
+        try Files.deleteIfExists(p)
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }
     // stale staging dirs from crashed partitioned writes

@@ -46,10 +46,16 @@ object BpeOps {
     * one's count; (2) a merge can only create a new pair whose count
     * would outrank a later selection if a conflicting WITNESS pair of
     * at least that count already sat between them in the candidate
-    * order — which stops the selection first. (Exactness can still
-    * break on exact-count TIES between a newly created pair and a
-    * lex-smaller disjoint candidate — a measure-zero corner that
-    * `maxBatch = 1`, the default everywhere, avoids entirely.)
+    * order — which stops the selection first when the witness counts
+    * STRICTLY more; (3) the remaining corner — a witness whose count
+    * exactly TIES the candidate, whose merged successor could win the
+    * sequential argmax by lex order under its new symbol name — is
+    * closed by the tie guard: selection also stops before any
+    * candidate whose count equals that of a pool pair conflicting
+    * with an already-selected merge (or equals the truncated pool's
+    * boundary count, where unseen ties may hide). With the guard the
+    * batched learner is EXACTLY sequential BPE for every corpus and
+    * every maxBatch.
     *
     * Returns (merges in learned order, rounds executed). */
   def learnMergesBatched(docs: DataFrame, numMerges: Int, maxBatch: Int,
@@ -95,10 +101,41 @@ object BpeOps {
         val sel = ArrayBuffer.empty[(String, String)]
         val it = top.iterator
         var stopped = false
+        val limit = math.max(want * 4, want)
+        // TIE GUARD. An earlier merge (a,b)->"ab" in this batch can
+        // hand the sequential argmax a NEW pair only through a pool
+        // witness adjacent on the merging side: (l, a) -> (l, "ab") or
+        // (b, r) -> ("ab", r). count(new) <= count(witness); a witness
+        // counting STRICTLY more than candidate i sorts before i and
+        // stops the prefix by symbol conflict, so only an exact-count
+        // tie can slip through — and then the new pair beats candidate
+        // i only if its (computable) name is lex-smaller. When a
+        // witness symbol was itself merged, the true new-pair name is
+        // lex >= the branch's name (each merged name starts with the
+        // original symbol's first char... precisely: the branch name
+        // replaces only ONE side, and the replaced side's name "ab"
+        // extends "a" while the kept side is unchanged), so checking
+        // the branch names errs toward stopping — never toward a
+        // silent divergence. The truncated-pool boundary hides unseen
+        // ties, so a candidate tying the boundary count also stops.
+        def tieBeats(ca: String, cb: String, c: Long): Boolean = {
+          def lt(x1: String, x2: String) =
+            x1 < ca || (x1 == ca && x2 < cb)
+          top.exists { r2 =>
+            r2.getLong(2) == c && {
+              val (p, q) = (r2.getString(0), r2.getString(1))
+              sel.exists { case (a, b) =>
+                (q == a && lt(p, a + b)) || (p == b && lt(a + b, q))
+              }
+            }
+          } || (top.length == limit && top.last.getLong(2) == c)
+        }
         while (it.hasNext && !stopped && sel.size < want) {
           val r = it.next()
           val (a, b) = (r.getString(0), r.getString(1))
           if (used(a) || used(b)) stopped = true // prefix rule: STOP
+          else if (sel.nonEmpty && tieBeats(a, b, r.getLong(2)))
+            stopped = true // tie guard: sequential would reorder here
           else { sel += ((a, b)); used += a; used += b }
         }
         merges ++= sel

@@ -100,7 +100,11 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       started.await()
       val versions = logBatch.select("version").collect().map(_.getInt(0))
       if (versions.nonEmpty) {
+        // drop the source's derived bucket-layout column: it is the
+        // SOURCE's routing state, not document data, and must not leak
+        // into the curated table (whose own layout derives its own)
         val docs = source.changesBetween(versions.min - 1, versions.max)
+          .drop(LakeTable.BucketCol)
         nearDupMinJaccard match {
           case Some(j) => MVManager.curateStepNearDup(docs, index, out,
             writerId.get(), id, j, textCol, idCol)
@@ -130,16 +134,25 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     * the lake table by `keyCols` (copy-on-write upsert touching only
     * the files holding updated keys). The table always holds the
     * current aggregate per key — readers get the answer with no
-    * read-time re-aggregation, unlike append MVs. Replayed batches are
-    * naturally idempotent: re-upserting the same (key, value) rows
-    * reproduces the same table state. */
+    * read-time re-aggregation, unlike append MVs. Replayed batches
+    * are suppressed by the (writerId, batchId) guard — for
+    * deterministic aggregates re-upserting the same deltas would be
+    * idempotent anyway, but the guard also covers non-deterministic
+    * aggregates (first(), sampled values), whose replay would
+    * otherwise merge different rows the second time. */
   def startAggregateToLake(name: String, transformed: DataFrame,
                            table: LakeTable, keyCols: Seq[String],
                            trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     ensureListener()
-    val sink: (Dataset[Row], Long) => Unit =
-      (batch, _) => if (!batch.isEmpty) { table.upsert(batch, keyCols); () }
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
+      started.await()
+      if (!batch.isEmpty) {
+        table.upsertExactlyOnce(batch, keyCols, writerId.get(), id); ()
+      }
+    }
     val q = transformed.writeStream
       .queryName(name)
       .outputMode("update")
@@ -147,6 +160,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       .foreachBatch(sink)
       .trigger(trigger)
       .start()
+    writerId.set(q.id.toString)
+    started.countDown()
     queries.put(name, q)
     q
   }

@@ -79,6 +79,33 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(live.subsetOf(t.dataFiles.map(_.path).toSet))
   }
 
+  test("upsertExactlyOnce suppresses a replayed batch — even one that " +
+    "recomputed DIFFERENT rows (non-deterministic aggregate contract)") {
+    val t = freshTable("merge-eo")
+    t.upsertExactlyOnce(Seq((10L, "agg", 1.0)).toDF("id", "grp", "v"),
+      Seq("id"), "mv-writer", 0L)
+    assert(t.read().filter($"id" === 10L).select("v").as[Double].head()
+      == 1.0)
+    val v = t.currentVersion
+    // a crash-replay of batch 0 from a non-deterministic aggregate
+    // could emit a different value; the guard must no-op, leaving the
+    // first commit's state (exactly the no-crash outcome)
+    t.upsertExactlyOnce(Seq((10L, "agg", 99.0)).toDF("id", "grp", "v"),
+      Seq("id"), "mv-writer", 0L)
+    assert(t.currentVersion == v)
+    assert(t.read().filter($"id" === 10L).select("v").as[Double].head()
+      == 1.0)
+    // the NEXT batch id commits normally
+    t.upsertExactlyOnce(Seq((10L, "agg", 2.0)).toDF("id", "grp", "v"),
+      Seq("id"), "mv-writer", 1L)
+    assert(t.read().filter($"id" === 10L).select("v").as[Double].head()
+      == 2.0)
+    // an independent writer's batch ids don't interfere
+    t.upsertExactlyOnce(Seq((11L, "b", 7.0)).toDF("id", "grp", "v"),
+      Seq("id"), "other-writer", 0L)
+    assert(t.read().filter($"id" === 11L).count() == 1)
+  }
+
   test("upsert aligns source to table schema loudly") {
     val t = freshTable("merge-schema")
     intercept[Exception] { // missing column v

@@ -90,6 +90,28 @@ class BpeSpec extends SparkSuite {
       ("cd", eow), ("e", "f"), ("ef", eow), ("g", "h"), ("gh", eow)))
   }
 
+  test("tie guard: a tied witness whose merged successor lex-beats a " +
+    "disjoint candidate truncates the batch (exact sequential parity)") {
+    // "azr"x6 + "az"x4 + "cd"x6: round-1 pool is (a,z):10 then the
+    // count-6 tie group (c,d) < (d,</w>) < (r,</w>) < (z,r). An
+    // UNguarded batch would select [(a,z), (c,d)] — but sequentially,
+    // applying (a,z) turns witness (z,r) into the NEW pair (az,r),
+    // which ties (c,d) at 6 and wins the argmax by lex ("az" < "c").
+    // The guard must stop the prefix after (a,z) so every maxBatch
+    // learns the identical list.
+    val words = Seq.fill(6)("azr") ++ Seq.fill(4)("az") ++ Seq.fill(6)("cd")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (seqM, _) = BpeOps.learnMergesBatched(df, numMerges = 4, maxBatch = 1)
+    val eow = BpeOps.EndOfWord
+    assert(seqM == Seq(("a", "z"), ("az", "r"), ("azr", eow), ("c", "d")),
+      s"sequential baseline drifted: $seqM")
+    for (mb <- Seq(2, 3, 4)) {
+      val (batched, _) = BpeOps.learnMergesBatched(df, 4, maxBatch = mb)
+      assert(batched == seqM, s"maxBatch=$mb diverged: $batched vs $seqM")
+    }
+  }
+
   test("maxBatch = 1 reproduces learnMerges exactly on real documents " +
     "(q79's surface is untouched)") {
     val docs = graft.Tables.load(spark, sf, "documents")
