@@ -251,13 +251,26 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
         bucketBy = Some(("fp", 32)))
+    // band postings ride in their own pbh-bucketed table so the LSH
+    // probe is O(batch) — advisory-only, see curateStepNearDup
+    val postings = minJaccard.map { _ =>
+      val pName = s"${name}_postings"
+      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
+      else catalog.createTable(ns, pName,
+        graft.operators.DedupOps.bandPostingsSchema,
+        // compaction range-clusters pbh within each bucket dir, so
+        // long-running loops converge to manifest-range-prunable files
+        properties = Map("compaction.auto.maxFiles" -> "256",
+          "compaction.auto.sortBy" -> "pbh"),
+        bucketBy = Some(("pbh", 32)))
+    }
     // a bucketed source's schema carries its derived _bucket routing
     // column — strip it so the curated table gets only document data
     val out = catalog.createOrLoadTable(ns, name,
       StructType(src.schema.fields.filterNot(
         _.name == graft.lake.LakeTable.BucketCol)))
     val q = mvs.startCurationFromLake(name, src, index, out, textCol,
-      idCol, minJaccard, config.trigger)
+      idCol, minJaccard, config.trigger, postings)
     (out, q)
   }
 

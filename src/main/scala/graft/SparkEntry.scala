@@ -238,12 +238,19 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       val dir = java.nio.file.Files.createTempDirectory("graft-sigidx")
       val rows = DedupOps.signatureIndexRows(
-        docs.filter(col("doc_id") % 3 === 0))
+        docs.filter(col("doc_id") % 3 === 0)).localCheckpoint()
       val index = graft.lake.LakeTable.create(
         s, s"$dir/idx", rows.schema, bucketBy = Some(("doc_id", 8)))
       index.appendExactlyOnce(rows, "q84", 0L)
+      // band postings committed alongside: the probe path reads these
+      // pbh-bucketed rows instead of band-scanning the index per batch
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 16)))
+      postings.appendExactlyOnce(DedupOps.bandPostingsRows(rows),
+        "q84", 0L)
       DedupOps.nearDupAgainstIndex(
-        docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5)
+        docs.filter(col("doc_id") % 2 === 0), index, minJaccard = 0.5,
+        postings = Some(postings))
     }),
     // incrementally-MAINTAINED aggregate MV (the RisingWave half of the
     // reference): events arrive in 3 micro-batches (6 files, paced 2
@@ -264,11 +271,18 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
       val dir = java.nio.file.Files.createTempDirectory("graft-vecidx")
+      val hist = emb.filter(col("vec_id") % 3 === 0)
       val index = graft.lake.LakeTable.create(s, s"$dir/idx", emb.schema,
         bucketBy = Some(("vec_id", 8)))
-      index.appendExactlyOnce(emb.filter(col("vec_id") % 3 === 0), "q88", 0L)
+      index.appendExactlyOnce(hist, "q88", 0L)
+      // SRP band postings: the probe path's O(batch) candidate source
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+      postings.appendExactlyOnce(SimilarityOps.srpPostingsRows(hist),
+        "q88", 0L)
       SimilarityOps.embeddingNearDupAgainstIndex(
-        emb.filter(col("vec_id") % 2 === 0), index, threshold = 0.35)
+        emb.filter(col("vec_id") % 2 === 0), index, threshold = 0.35,
+        postings = Some(postings))
     }),
     // bucketed point lookup through the whole layout stack: documents
     // land in a hash-bucketed lake table (pmod(xxhash64(doc_id), 16)
@@ -303,14 +317,18 @@ object SparkEntry {
       val index = graft.lake.LakeTable.create(s, s"$dir/idx",
         graft.streaming.MVManager.curationIndexSchema,
         bucketBy = Some(("fp", 8)))
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 16)))
       val out = graft.lake.LakeTable.create(s, s"$dir/out", docs.schema)
       val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
       src.append(docs.filter(col("doc_id") % 3 === 0))
       mv.startCurationFromLake("cur", src, index, out,
-        nearDupMinJaccard = Some(0.5)).awaitTermination()
+        nearDupMinJaccard = Some(0.5), postings = Some(postings))
+        .awaitTermination()
       src.append(docs)
       mv.startCurationFromLake("cur", src, index, out,
-        nearDupMinJaccard = Some(0.5)).awaitTermination()
+        nearDupMinJaccard = Some(0.5), postings = Some(postings))
+        .awaitTermination()
       out.read().select("doc_id")
     }),
     // the continuous-curation MV loop end to end: a lake-backed source

@@ -110,39 +110,88 @@ object DedupOps {
     * as [[minHashLshTrueJaccard]], which makes the cross-engine oracle
     * an LSH recall proof across the index boundary. Returns
     * (d_new, d_idx, inter, jaccard) with jaccard >= minJaccard. */
-  /** 100 TB shape: the index is scanned at most twice and shuffled
-    * never. Scan 1 reads only (doc_id, sig) — column-pruned — and
-    * streams through a broadcast hash join against the NEW batch's
-    * band buckets (batch-scale, always broadcastable), so LSH
-    * candidate generation moves zero index rows over the network.
-    * The candidate pairs (small by LSH design) are localCheckpointed
-    * once, then scan 2 fetches ONLY the candidate documents' shingle
-    * sets via [[graft.lake.LakeTable.probe]] on doc_id — manifest
-    * range pruning over the append-ordered index skips every file
-    * holding no candidate, and the exact-Jaccard verify joins run with
-    * both small sides broadcast. Degenerate candidate explosions
-    * (> maxProbe) fall back to a full-but-broadcast-joined scan 2. */
+  /** 100 TB shape: the index is shuffled never and — given a
+    * `postings` table — scanned O(batch) per batch. Candidate
+    * generation probes the band-postings table on the batch's own
+    * posting keys (bucket-dir + manifest-IN pruned; the fp-probe
+    * shape applied to the LSH side), so per-batch cost tracks batch
+    * size while history grows unboundedly; without postings it falls
+    * back to ONE column-pruned (doc_id, sig) scan of the index
+    * streamed through a broadcast hash join against the batch's band
+    * buckets. The candidate pairs (small by LSH design) are
+    * localCheckpointed once, then the verify fetch reads ONLY the
+    * candidate documents' shingle sets via
+    * [[graft.lake.LakeTable.probe]] on doc_id — manifest range
+    * pruning over the append-ordered index skips every file holding
+    * no candidate, and the exact-Jaccard verify joins run with both
+    * small sides broadcast. Degenerate candidate explosions
+    * (> maxProbe) fall back to a full-but-broadcast-joined fetch. */
   def nearDupAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
                           minJaccard: Double = 0.5, k: Int = 64,
                           bands: Int = 16, shingleN: Int = 3,
-                          maxProbe: Int = 10000): DataFrame = {
+                          maxProbe: Int = 10000,
+                          postings: Option[graft.lake.LakeTable] = None)
+      : DataFrame = {
     require(k % bands == 0, "bands must divide k")
     // shingling + MinHash is the batch side's whole cost and feeds two
     // consumers (band buckets, exact verify): one materialization
     nearDupSigsAgainstIndex(
       signatureIndexRows(batch, k, shingleN).localCheckpoint(),
-      index, minJaccard, bands, maxProbe)
+      index, minJaccard, bands, maxProbe, postings)
   }
+
+  /** Schema of a BAND-POSTINGS table: one row per (band, band-hash,
+    * doc) of every indexed signature, with `pbh = xxhash64(band, bh)`
+    * as the single bucketable posting key. Create it
+    * `bucketBy = ("pbh", n)` so a batch's band lookups compile to
+    * bucket-dir + manifest-IN pruned probes — the O(batch) candidate
+    * generation that replaces the per-batch O(index) band-scan. */
+  def bandPostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("pbh", LongType),
+      StructField("band", IntegerType), StructField("bh", LongType),
+      StructField("doc_id", LongType)))
+  }
+
+  /** Posting rows (pbh, band, bh, doc_id) for signature-index rows —
+    * what a curation writer commits alongside each index commit.
+    * Derived 1:1 from the sig column (null-sig rows — docs too short
+    * to shingle — carry no postings and are inert on the LSH side).
+    * The exact (band, bh) ride along so probes re-join on the REAL
+    * band key: a pbh hash collision can only add a candidate that the
+    * exact-join (and then the exact-Jaccard verify) discards. */
+  def bandPostingsRows(sigRows: DataFrame, bands: Int = 16): DataFrame =
+    sigRows.filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))
+      .select(xxhash64(col("pos"), col("col")).as("pbh"),
+        col("pos").as("band"), col("col").as("bh"), col("doc_id"))
 
   /** [[nearDupAgainstIndex]] over PRE-COMPUTED batch signature rows
     * (doc_id, shs, sig) — for callers that already hold them (the
     * curation MV computes them once and also commits them to the
     * index; recomputing the shingling per consumer would triple the
-    * batch's dominant cost). */
+    * batch's dominant cost).
+    *
+    * With `postings` (a [[bandPostingsSchema]] lake table bucketed by
+    * pbh, maintained by the index's writer), candidate generation
+    * probes ONLY the bucket dirs the batch's own band hashes fall in —
+    * per-batch cost tracks the batch, not the index, so a crawl loop
+    * stays O(batch) as history grows. The postings are ADVISORY:
+    * correctness is anchored by the exact-verify fetch against the
+    * authoritative index (a posting with no index row yields a
+    * candidate pair that verifies against nothing and drops out), so a
+    * stale or over-complete postings table can never change results —
+    * only completeness matters, and the writer guarantees it by
+    * committing postings BEFORE the index rows they describe (see
+    * [[graft.streaming.MVManager.curateStepNearDup]]). Without
+    * `postings`, falls back to the one-pass band-scan of the index. */
   def nearDupSigsAgainstIndex(newRows: DataFrame,
                               index: graft.lake.LakeTable,
                               minJaccard: Double = 0.5, bands: Int = 16,
-                              maxProbe: Int = 10000): DataFrame = {
+                              maxProbe: Int = 10000,
+                              postings: Option[graft.lake.LakeTable] = None)
+      : DataFrame = {
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(side),
           posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)))
@@ -150,8 +199,23 @@ object DedupOps {
           struct(col("pos").as("band"), col("col").as("bh")).as("bk"))
     val newBk = buckets(
       newRows.select(col("doc_id").as("d_new"), col("sig")), "d_new")
-    val idxBk = buckets(
-      index.read().select(col("doc_id").as("d_idx"), col("sig")), "d_idx")
+    val idxBk = postings match {
+      case Some(p) =>
+        // the batch's own posting keys, enumerated driver-side (batch
+        // docs x bands values — the incremental case by definition);
+        // oversized batches degrade to one full postings scan, which
+        // is still far narrower than re-deriving bands from the sigs
+        val pbhs = newBk
+          .select(xxhash64(col("bk.band"), col("bk.bh")).as("pbh"))
+          .distinct().limit(maxProbe + 1).collect().map(_.get(0))
+        val rows =
+          if (pbhs.length <= maxProbe) p.probe("pbh", pbhs.toSeq)
+          else p.read()
+        rows.select(col("doc_id").as("d_idx"),
+          struct(col("band"), col("bh")).as("bk"))
+      case None => buckets(
+        index.read().select(col("doc_id").as("d_idx"), col("sig")), "d_idx")
+    }
     // index side streams; only the tiny candidate set hits an exchange
     // (the distinct), and localCheckpoint pins it so the two uses below
     // don't rescan the index

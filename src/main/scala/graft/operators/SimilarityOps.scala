@@ -130,22 +130,58 @@ object SimilarityOps {
     * so the cross-engine oracle (SparkEntry q88) checks candidate
     * generation AND verification literally, across the index boundary.
     *
-    * 100 TB shape mirrors the text twin: the index is scanned at most
-    * twice and shuffled never. Scan 1 computes band buckets from a
-    * column-pruned (vec_id, embedding) read and streams through a
-    * broadcast join against the batch's buckets (batch-scale, always
-    * broadcastable); candidate pairs localCheckpoint once; scan 2
-    * fetches ONLY the candidate vectors via
-    * [[graft.lake.LakeTable.probe]] (bucket-dir + manifest-range
-    * pruned), and both verify joins broadcast the small side. Returns
-    * (v_new, v_idx, cos) with cos >= threshold. */
+    * 100 TB shape mirrors the text twin: the index is shuffled never
+    * and — given a `postings` table ([[srpPostingsSchema]], bucketed
+    * by pbh) — scanned O(batch) per batch: candidate generation
+    * probes the postings on the batch's own band keys instead of
+    * recomputing bands over all of history. Without postings, ONE
+    * column-pruned (vec_id, embedding) scan streams through a
+    * broadcast join against the batch's buckets. Candidate pairs
+    * localCheckpoint once; the verify fetch reads ONLY the candidate
+    * vectors via [[graft.lake.LakeTable.probe]] (bucket-dir +
+    * manifest-range pruned), and both verify joins broadcast the
+    * small side. Returns (v_new, v_idx, cos) with cos >= threshold. */
+  /** Schema of an SRP BAND-POSTINGS table (the embedding twin of
+    * [[graft.operators.DedupOps.bandPostingsSchema]]): one row per
+    * (band, band-value, vector), `pbh = xxhash64(band, bv)` as the
+    * bucketable posting key. */
+  def srpPostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("pbh", LongType),
+      StructField("band", IntegerType), StructField("bv", LongType),
+      StructField("vec_id", LongType)))
+  }
+
+  /** Posting rows (pbh, band, bv, vec_id) for a vector index — commit
+    * alongside (BEFORE) each index commit, same advisory-candidates
+    * contract as the text twin: extra/stale postings only create
+    * candidates the exact-cosine verify discards. */
+  def srpPostingsRows(vectors: DataFrame, bandBits: Int = 8,
+                      bands: Int = 8, idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
+      s"bandBits*bands must fit the 64-bit signature, got $bandBits x $bands")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = graft.functions.SignRandomProjection.sign_bits(col(embCol))
+    val bandStructs = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(sig, k * bandBits).bitwiseAND(mask).as("bv"))
+    }
+    vectors.select(col(idCol).as("vec_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"), col("vec_id"))
+  }
+
   def embeddingNearDupAgainstIndex(batch: DataFrame,
                                    index: graft.lake.LakeTable,
                                    threshold: Double, bandBits: Int = 8,
                                    bands: Int = 8,
                                    idCol: String = "vec_id",
                                    embCol: String = "embedding",
-                                   maxProbe: Int = 10000): DataFrame = {
+                                   maxProbe: Int = 10000,
+                                   postings: Option[graft.lake.LakeTable] =
+                                     None): DataFrame = {
     require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
       s"bandBits*bands must fit the 64-bit signature, got $bandBits x $bands")
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
@@ -158,8 +194,24 @@ object SimilarityOps {
       df.select(col(idCol).as(side),
         explode(array(bandStructs: _*)).as("bk"))
     }
-    val cand = bandsOf(index.read(), "v_idx")
-      .join(broadcast(bandsOf(batch, "v_new")), "bk")
+    val newBk = bandsOf(batch, "v_new")
+    val idxBk = postings match {
+      case Some(p) =>
+        // probe the postings on the batch's own posting keys — the
+        // O(batch) candidate generation; oversized batches degrade to
+        // one full (narrow) postings scan
+        val pbhs = newBk
+          .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
+          .distinct().limit(maxProbe + 1).collect().map(_.get(0))
+        val rows =
+          if (pbhs.length <= maxProbe) p.probe("pbh", pbhs.toSeq)
+          else p.read()
+        rows.select(col("vec_id").as("v_idx"),
+          struct(col("band"), col("bv")).as("bk"))
+      case None => bandsOf(index.read(), "v_idx")
+    }
+    val cand = idxBk
+      .join(broadcast(newBk), "bk")
       .select(col("v_new"), col("v_idx"))
       .distinct() // a pair colliding in several bands verifies once
       .localCheckpoint()

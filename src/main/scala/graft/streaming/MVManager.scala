@@ -91,7 +91,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                             textCol: String = "text",
                             idCol: String = "doc_id",
                             nearDupMinJaccard: Option[Double] = None,
-                            trigger: Trigger = Trigger.AvailableNow())
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            postings: Option[LakeTable] = None)
       : StreamingQuery = {
     ensureListener()
     val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
@@ -107,7 +108,7 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
           .drop(LakeTable.BucketCol)
         nearDupMinJaccard match {
           case Some(j) => MVManager.curateStepNearDup(docs, index, out,
-            writerId.get(), id, j, textCol, idCol)
+            writerId.get(), id, j, textCol, idCol, postings)
           case None => MVManager.curateStep(docs, index, out,
             writerId.get(), id, textCol, idCol)
         }
@@ -272,13 +273,32 @@ object MVManager {
     * accepted doc's signatures enter the index, so later batches
     * dedupe against it. Crash analysis is [[curateStep]]'s: replay
     * recomputes the identical accepted set until the single index
-    * commit lands last. */
+    * commit lands last.
+    *
+    * With `postings` (a [[graft.operators.DedupOps.bandPostingsSchema]]
+    * table bucketed by pbh), each batch also commits its accepted
+    * docs' band postings, and the LSH probe reads THOSE instead of
+    * band-scanning the index — per-batch cost O(batch), not
+    * O(history). The third table does NOT reopen the cross-table
+    * transaction problem the unified index solved, because postings
+    * are advisory-only: the exact-verify fetch anchors every candidate
+    * to the authoritative index, so a posting whose index row never
+    * landed produces a candidate that verifies against nothing and
+    * drops out. Commit order is out -> postings -> index: the index
+    * commit stays LAST (it alone advances the fp frontier that replay
+    * determinism rests on), and postings land BEFORE the rows they
+    * describe, so no batch can ever probe an index row whose postings
+    * are missing. Crash between postings and index: replay recomputes
+    * the identical accepted set (frontier unmoved; its own pre-crash
+    * postings only generate self-candidates that verify-drop),
+    * postings no-ops on its batch id, index lands. */
   def curateStepNearDup(docs: org.apache.spark.sql.DataFrame,
                         index: LakeTable, out: LakeTable,
                         writerId: String, batchId: Long,
                         minJaccard: Double = 0.5,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): Unit = {
+                        idCol: String = "doc_id",
+                        postings: Option[LakeTable] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.DedupOps
     val fresh = DedupOps.freshAgainstIndex(docs, index, textCol, idCol)
@@ -291,7 +311,8 @@ object MVManager {
     val sigRows = DedupOps.signatureIndexRows(freshDocs)
       .localCheckpoint()
     val nearIds = DedupOps
-      .nearDupSigsAgainstIndex(sigRows, index, minJaccard)
+      .nearDupSigsAgainstIndex(sigRows, index, minJaccard,
+        postings = postings)
       .select(col("d_new").as(idCol)).distinct()
     val accepted = freshDocs
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
@@ -305,9 +326,13 @@ object MVManager {
         Seq("doc_id"), "left_semi")
       .join(sigRows, Seq("doc_id"), "left")
       .select(col("fp"), col("doc_id"), col("shs"), col("sig"))
+      .localCheckpoint() // two consumers: postings rows + index commit
     out.appendExactlyOnce(accepted, writerId, batchId)
+    postings.foreach(_.appendExactlyOnce(
+      DedupOps.bandPostingsRows(idxRows), writerId, batchId))
     index.appendExactlyOnce(idxRows, writerId, batchId)
     out.autoCompactIfNeeded()
+    postings.foreach(_.autoCompactIfNeeded())
     index.autoCompactIfNeeded()
   }
 

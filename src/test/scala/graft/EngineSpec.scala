@@ -312,7 +312,16 @@ class EngineSpec extends SparkSuite {
     assert(engine.readTable("curated").select("doc_id").as[Long]
       .collect().toSet == Set(1L, 2L, 12L))
     assert(engine.catalog.listTables("corpus").toSet ==
-      Set("raw", "curated", "curated_index"))
+      Set("raw", "curated", "curated_index", "curated_postings"))
     assert(engine.table("curated_index").bucketSpec == Some(("fp", 32)))
+    // the near-dup loop's band postings: pbh-bucketed, probe-ready
+    assert(engine.table("curated_postings").bucketSpec ==
+      Some(("pbh", 32)))
+    // every indexed sig row has its postings (commit-order invariant)
+    val idxDocs = engine.readTable("curated_index")
+      .filter($"sig".isNotNull).select("doc_id").as[Long].collect().toSet
+    val postDocs = engine.readTable("curated_postings")
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxDocs.subsetOf(postDocs))
   }
 }

@@ -229,4 +229,68 @@ class ColocationSpec extends SparkSuite {
     assertIndexNeverShuffled(nodes, index.root)
     assert(scansOf(nodes, index.root).nonEmpty)
   }
+
+  test("band postings probe: same pairs as the band-scan path, and a " +
+    "small batch reads a small FRACTION of postings + index files " +
+    "(the O(batch)-per-batch property)") {
+    // large index: 120 docs with disjoint 12-word vocabularies across
+    // 12 separate commits -> many files in both tables
+    def words(seed: Int) =
+      (0 until 12).map(j => s"w${seed}x$j").mkString(" ")
+    val history = (0 until 120).map(i => (i.toLong, words(i)))
+    val rows = DedupOps.signatureIndexRows(
+      history.toDF("doc_id", "text")).localCheckpoint()
+    val index = LakeTable.create(spark, tmpDir("post-idx"), rows.schema,
+      bucketBy = Some(("doc_id", 8)))
+    val postings = LakeTable.create(spark, tmpDir("post-post"),
+      DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 64)))
+    history.grouped(10).zipWithIndex.foreach { case (grp, i) =>
+      val r = DedupOps.signatureIndexRows(
+        grp.toDF("doc_id", "text")).localCheckpoint()
+      index.appendExactlyOnce(r, "w", i.toLong)
+      postings.appendExactlyOnce(DedupOps.bandPostingsRows(r), "w",
+        i.toLong)
+    }
+    // tiny batch: one dup of history doc 42, one genuinely fresh doc
+    val batch = Seq((1000L, words(42)), (1001L, words(9999)))
+      .toDF("doc_id", "text")
+
+    val got = DedupOps.nearDupAgainstIndex(batch, index,
+      minJaccard = 0.5, postings = Some(postings))
+    val pairs = got.select("d_new", "d_idx").as[(Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1000L, 42L)))
+    // semantics identical to the legacy band-scan path
+    val legacy = DedupOps.nearDupAgainstIndex(batch, index,
+      minJaccard = 0.5)
+    assert(legacy.select("d_new", "d_idx").as[(Long, Long)]
+      .collect().toSet == pairs)
+
+    val nodes = executedFlat(got)
+    assertIndexNeverShuffled(nodes, index.root)
+    assertIndexNeverShuffled(nodes, postings.root)
+    // the candidate stage is localCheckpointed inside the operator, so
+    // measure the EXACT probe it issues (same probe() code path, same
+    // keys): the batch's ~32 band keys (2 docs x 16 bands) over 64
+    // buckets touch only their bucket dirs — not all of history
+    val pbhs = DedupOps.bandPostingsRows(
+        DedupOps.signatureIndexRows(batch))
+      .select("pbh").distinct().as[Long].collect()
+    val probed = postings.probe("pbh", pbhs.toSeq)
+    val postTotal = postings.read().inputFiles.length
+    val postRead = probed.inputFiles.length
+    assert(postRead > 0 && postRead < postTotal / 2,
+      s"postings probe read $postRead of $postTotal files")
+    assert(!Bucketing.hasShuffle(probed))
+    // and the probe's rows suffice to regenerate the candidate: doc 42
+    // must collide with the batch dup in some band
+    assert(probed.select("doc_id").as[Long].collect().toSet
+      .contains(42L))
+    // the index is touched only by the verify fetch of candidate 42
+    val idxTotal = index.read().inputFiles.length
+    val idxRead = scansOf(nodes, index.root)
+      .map(_.relation.location.inputFiles.length).sum
+    assert(idxRead > 0 && idxRead < idxTotal / 2,
+      s"verify fetch read $idxRead of $idxTotal index files")
+  }
 }

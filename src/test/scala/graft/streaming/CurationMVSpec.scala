@@ -141,6 +141,66 @@ class CurationMVSpec extends SparkSuite {
     assert(index.read().count() == 2)
   }
 
+  test("curateStepNearDup with band postings: replay after a crash " +
+    "BETWEEN the postings and index commits still admits the batch " +
+    "(self-postings are advisory and verify-drop)") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val index = LakeTable.create(spark, tmpDir("ndp-idx"),
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 8)))
+    val out = LakeTable.create(spark, tmpDir("ndp-out"), docsSchema)
+    val postings = LakeTable.create(spark, tmpDir("ndp-post"),
+      graft.operators.DedupOps.bandPostingsSchema,
+      bucketBy = Some(("pbh", 16)))
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    MVManager.curateStepNearDup(b1, index, out, "w", 0L,
+      postings = Some(postings))
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta thet"), // near of 1
+      (11L, "unrelated fresh words here nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    // emulate a crashed attempt of batch 1 that died right AFTER the
+    // postings commit: out landed {11}, postings landed 11's bands,
+    // the index commit never ran
+    val accepted11 = b2.filter($"doc_id" === 11L)
+    out.appendExactlyOnce(accepted11, "w", 1L)
+    postings.appendExactlyOnce(
+      graft.operators.DedupOps.bandPostingsRows(
+        graft.operators.DedupOps.signatureIndexRows(accepted11)),
+      "w", 1L)
+    val (vo, vp) = (out.currentVersion, postings.currentVersion)
+    // the replayed step: its LSH probe now SEES doc 11's own postings,
+    // but the candidate (11, 11) verifies against an index that does
+    // not hold 11 — so 11 stays accepted; out and postings no-op on
+    // their batch ids; the index commit finally lands
+    MVManager.curateStepNearDup(b2, index, out, "w", 1L,
+      postings = Some(postings))
+    assert(out.currentVersion == vo && postings.currentVersion == vp,
+      "replayed out/postings commits must no-op")
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 11L))
+    assert(index.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 11L))
+    // invariant: every indexed sig row's postings are present (the
+    // commit order guarantees postings land no later than index rows)
+    val idxDocs = index.read().filter($"sig".isNotNull)
+      .select("doc_id").as[Long].collect().toSet
+    val postDocs = postings.read().select("doc_id").as[Long]
+      .collect().toSet
+    assert(idxDocs.subsetOf(postDocs),
+      s"index docs $idxDocs missing postings ${idxDocs.diff(postDocs)}")
+    // and a batch-3 near-copy of doc 11 is rejected THROUGH the
+    // postings probe
+    val b3 = Seq(
+      (20L, "unrelated fresh words here nine ten eleven twelv"))
+      .toDF("doc_id", "text")
+    MVManager.curateStepNearDup(b3, index, out, "w", 2L,
+      postings = Some(postings))
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 11L))
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
