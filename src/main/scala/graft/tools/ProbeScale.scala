@@ -143,6 +143,73 @@ object ProbeScale {
       val s = minOf(3)(wrun(idx, post))
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
     }
+
+    // ---- the q71 crossover: what the bucketed-index commit overhead
+    // buys. freshAgainstIndex probes a bucketed fp index vs scanning
+    // an unbucketed one, at 1x and 30x history with the same small
+    // batch: the probe must stay flat while the scan grows, and the
+    // one-time extra commit cost (bucket clustering) is measured too.
+    import graft.functions.TextFunctions
+    def fpRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(TextFunctions.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+    val fpSchema = fpRows(batch).schema
+    def fpBuild(tag: String, hist: org.apache.spark.sql.DataFrame,
+                bucketed: Boolean): LakeTable = {
+      val rows = fpRows(hist).localCheckpoint()
+      val t0 = System.nanoTime()
+      val t = LakeTable.create(spark, s"$dir/fp-$tag", fpSchema,
+        bucketBy = if (bucketed) Some(("fp", 32)) else None)
+      t.append(rows)
+      println(f"[probe-scale] fp commit $tag%-16s " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      t
+    }
+    val fb1 = fpBuild("bucketed-1x", hist1, bucketed = true)
+    val fb10 = fpBuild("bucketed-30x", hist10, bucketed = true)
+    val fu1 = fpBuild("flat-1x", hist1, bucketed = false)
+    val fu10 = fpBuild("flat-30x", hist10, bucketed = false)
+    for ((label, t) <- Seq(("fp probe bucketed 1x ", fb1),
+        ("fp probe bucketed 30x", fb10), ("fp probe flat 1x ", fu1),
+        ("fp probe flat 30x", fu10))) {
+      val s = minOf(3)(DedupOps.freshAgainstIndex(batch, t).count())
+      println(f"[probe-scale] $label min-of-3 $s%6.2f s")
+    }
+
+    // ---- and at REAL index scale: 10M synthetic fps. The bucketed
+    // probe touches ~|batch| of 256 bucket dirs; the flat layout has
+    // nothing to prune on (md5 ranges span every file) and rescans
+    // all 10M rows per batch — the crossover the q71 commit overhead
+    // buys.
+    val n10m = 10000000L
+    def synthFps(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(TextFunctions.fingerprint(
+        concat(lit("synthetic doc "), col("id"))).as("fp"),
+        col("id").as("doc_id"))
+    val bigRows = synthFps(spark.range(n10m).toDF("id"))
+    def bigBuild(tag: String, bucketed: Boolean): LakeTable = {
+      val t0 = System.nanoTime()
+      val t = LakeTable.create(spark, s"$dir/fp10m-$tag", fpSchema,
+        bucketBy = if (bucketed) Some(("fp", 256)) else None)
+      t.append(bigRows)
+      println(f"[probe-scale] fp 10M commit $tag%-9s " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      t
+    }
+    val bigifB = bigBuild("bucketed", bucketed = true)
+    val big10F = bigBuild("flat", bucketed = false)
+    // batch: 13 known dups + 12 fresh docs
+    val sbatch = spark.range(13).toDF("id")
+      .unionByName(spark.range(n10m, n10m + 12).toDF("id"))
+      .select(concat(lit("synthetic doc "), col("id")).as("text"),
+        col("id").as("doc_id")).localCheckpoint()
+    for ((label, t) <- Seq(("fp 10M probe bucketed", bigifB),
+        ("fp 10M probe flat    ", big10F))) {
+      val s = minOf(3) {
+        assert(DedupOps.freshAgainstIndex(sbatch, t).count() == 12)
+      }
+      println(f"[probe-scale] $label min-of-3 $s%6.2f s")
+    }
     spark.stop()
   }
 }
