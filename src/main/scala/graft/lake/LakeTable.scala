@@ -164,16 +164,33 @@ class LakeTable private (
       n <- properties.get("bucket.count")
     } yield (c, n.toInt)
 
-  /** The bucket a value of the bucket column lands in — driver-side
-    * evaluation of the exact expression the writer uses
+  /** The bucket key's columns: a COMPOSITE key is declared as a
+    * comma-separated `bucket.column` ("event_type,uid_bucket") and
+    * hashed as one multi-argument xxhash64 — the layout an
+    * aggregate MV keyed on several columns needs so a delta batch's
+    * rewrite touches only the buckets holding its changed keys. */
+  def bucketCols: Seq[String] =
+    bucketSpec.map(_._1.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+
+  /** The bucket a value of the (single-column) bucket key lands in —
+    * driver-side evaluation of the exact expression the writer uses
     * (`pmod(xxhash64(col), n)`, seed 42), so probe pruning and layout
     * can never disagree. */
-  def bucketIdOf(value: Any): Int = {
-    val (c, n) = bucketSpec.getOrElse(
+  def bucketIdOf(value: Any): Int = bucketIdOfKey(Seq(value))
+
+  /** Composite-key form: one value per [[bucketCols]] entry, hashed
+    * with the same multi-argument XxHash64 chain the writer codegens. */
+  def bucketIdOfKey(values: Seq[Any]): Int = {
+    val (_, n) = bucketSpec.getOrElse(
       throw new IllegalStateException(s"table at $root is not bucketed"))
-    val dt = schema(c).dataType
-    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)
-    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit), 42L)
+    val cols = bucketCols
+    require(values.length == cols.length,
+      s"bucket key has ${cols.length} columns, got ${values.length} values")
+    val lits = cols.zip(values).map { case (c, v) =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v, schema(c).dataType)
+    }
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
       .eval(null).asInstanceOf[Long]
     (((h % n) + n) % n).toInt
   }
@@ -188,7 +205,7 @@ class LakeTable private (
     if (values.isEmpty) return read().filter(lit(false))
     val base = col(keyCol).isin(values: _*)
     val cond = bucketSpec match {
-      case Some((c, _)) if c == keyCol =>
+      case Some((c, _)) if c == keyCol && !c.contains(",") =>
         col(BucketCol).isin(values.map(bucketIdOf).distinct: _*) && base
       case _ => base
     }
@@ -793,10 +810,10 @@ class LakeTable private (
     val aligned = source.select(
       userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val src = bucketSpec match {
-      case Some((c, n)) =>
+      case Some((_, n)) =>
         import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
         aligned.withColumn(BucketCol,
-          pmod(xxhash64(col(c)), lit(n)).cast("int"))
+          pmod(xxhash64(bucketCols.map(col): _*), lit(n)).cast("int"))
       case None => aligned
     }
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
@@ -993,9 +1010,10 @@ class LakeTable private (
     // shuffle is batch-sized; the layout payoff is probe reads over
     // file counts proportional to buckets, not write history)
     val df = bucketSpec match {
-      case Some((c, n)) if !df0.columns.contains(BucketCol) =>
+      case Some((_, n)) if !df0.columns.contains(BucketCol) =>
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        df0.withColumn(BucketCol, pmod(xxhash64(col(c)), lit(n)).cast("int"))
+        df0.withColumn(BucketCol,
+            pmod(xxhash64(bucketCols.map(col): _*), lit(n)).cast("int"))
           .repartition(n, col(BucketCol))
       case _ => df0
     }
@@ -1142,7 +1160,7 @@ class LakeTable private (
       require(!s.fieldNames.contains(to), s"column $to already exists at $root")
       require(!partitionBy.contains(from),
         s"cannot rename partition column $from")
-      require(!bucketSpec.exists(_._1 == from),
+      require(!bucketCols.contains(from),
         s"cannot rename bucket column $from: every file's _bucket was " +
           "derived from it")
       val ns = StructType(s.fields.map(f =>
@@ -1160,7 +1178,7 @@ class LakeTable private (
       require(s.fields.length > 1, s"cannot drop the last column at $root")
       require(!partitionBy.contains(name),
         s"cannot drop partition column $name")
-      require(!bucketSpec.exists(_._1 == name),
+      require(!bucketCols.contains(name),
         s"cannot drop bucket column $name: the layout derives from it")
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
@@ -1385,7 +1403,8 @@ object LakeTable {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     bucketBy.foreach { case (c, n) =>
-      require(schema.fieldNames.contains(c), s"bucket column $c not in schema")
+      c.split(",").map(_.trim).foreach(bc => require(
+        schema.fieldNames.contains(bc), s"bucket column $bc not in schema"))
       require(n > 0, s"bucket count must be positive, got $n")
       require(!schema.fieldNames.contains(BucketCol),
         s"$BucketCol is reserved for the bucket layout")

@@ -112,17 +112,22 @@ object StreamingQueries {
       .groupBy(col("event_type"),
         pmod(col("user_id"), lit(10)).as("uid_bucket"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    // bucketed by the COMPOSITE MV key: a delta batch's upsert rewrite
+    // touches only the bucket dirs holding its changed keys, so a
+    // hot-key micro-batch can't scatter a rewrite across the table
     val table = graft.lake.LakeTable.create(s, s"$tmp/mv", StructType(Seq(
       StructField("event_type", StringType),
       StructField("uid_bucket", LongType),
       StructField("n", LongType),
-      StructField("sum_value", DoubleType))))
+      StructField("sum_value", DoubleType))),
+      bucketBy = Some(("event_type,uid_bucket", 8)))
     val mv = new MVManager(s, s"$tmp/ckpt")
     withShufflePartitions(s, 8) {
       mv.startAggregateToLake("agg_mv", stream, table,
         Seq("event_type", "uid_bucket")).awaitTermination()
     }
     table.read()
+      .select("event_type", "uid_bucket", "n", "sum_value")
   }
 
   /** Tumbling-window MV driven as a real StreamingQuery (AvailableNow,

@@ -293,4 +293,49 @@ class ColocationSpec extends SparkSuite {
     assert(idxRead > 0 && idxRead < idxTotal / 2,
       s"verify fetch read $idxRead of $idxTotal index files")
   }
+
+  test("composite-key bucketing: an aggregate-MV upsert rewrites ONLY " +
+    "the buckets holding its changed keys; every other file survives " +
+    "byte-identical") {
+    import java.nio.file.{Files, Paths}
+    val t = LakeTable.create(spark, tmpDir("agg-mv-bucketed"),
+      StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("uid_bucket", LongType),
+        StructField("n", LongType))),
+      bucketBy = Some(("event_type,uid_bucket", 8)))
+    // the full key space: 4 types x 10 uid buckets
+    val types = Seq("click", "view", "purchase", "refund")
+    val full = (for (ty <- types; u <- 0L until 10L)
+      yield (ty, u, 1L)).toDF("event_type", "uid_bucket", "n")
+    t.append(full)
+    // stored layout must agree with the driver-side composite hash
+    t.read().select("event_type", "uid_bucket", "_bucket")
+      .as[(String, Long, Int)].collect().foreach { case (ty, u, b) =>
+        assert(t.bucketIdOfKey(Seq(ty, u)) == b,
+          s"layout/driver hash disagree for ($ty,$u)")
+      }
+    def snapshot(): Map[String, (Long, Long)] =
+      t.dataFiles.map { f =>
+        val p = Paths.get(t.root, f.path)
+        f.path -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+    val before = snapshot()
+    // one changed key -> exactly one bucket dir may be rewritten
+    val touched = t.bucketIdOfKey(Seq("purchase", 3L))
+    t.upsert(Seq(("purchase", 3L, 99L))
+      .toDF("event_type", "uid_bucket", "n"),
+      Seq("event_type", "uid_bucket"))
+    val after = snapshot()
+    val (gone, kept) = before.partition { case (p, _) => !after.contains(p) }
+    assert(gone.keySet.forall(_.contains(s"_bucket=$touched")),
+      s"files outside bucket $touched were rewritten: ${gone.keySet}")
+    kept.foreach { case (p, meta) =>
+      assert(after(p) == meta, s"surviving file $p changed: " +
+        s"$meta -> ${after(p)}")
+    }
+    assert(t.read().filter($"event_type" === "purchase" &&
+      $"uid_bucket" === 3L).select("n").as[Long].head() == 99L)
+    assert(t.read().count() == 40)
+  }
 }
