@@ -1010,33 +1010,77 @@ object SparkEntry {
     // exact winners (empty index -> no near-dup drops); f2 = batch-2
     // exact-fresh winners; nd = f2 docs whose exact shingle jaccard vs
     // ANY a1 doc reaches 0.5 (the LSH path must find them all)
+    // strengthened round-6 contract: near-dup clusters WITHIN each
+    // batch collapse to their min doc_id (recursive-CTE connected
+    // components over the exact-jaccard pair graph), the fp frontier
+    // advances with ACCEPTED docs only, and batch-2 survivors are
+    // checked against batch-1's accepted docs — the full two-batch
+    // evolution of curateStepNearDup in SQL
     "q87_curation_neardup_mv" ->
-      """WITH fp AS (SELECT doc_id,
+      """WITH RECURSIVE fp AS (SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
            FROM documents),
-         a1 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
-                WHERE doc_id % 3 = 0 GROUP BY fp),
-         f2 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
-                WHERE fp NOT IN (SELECT fp FROM a1) GROUP BY fp),
          words AS (SELECT doc_id, string_split(text, ' ') AS w
                    FROM documents),
          sh AS (SELECT DISTINCT doc_id,
                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
                 FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         nd AS (SELECT a.doc_id AS d_new
+         b1 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+                WHERE doc_id % 3 = 0 GROUP BY fp),
+         e1 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                JOIN cnt ca ON ca.doc_id = a.doc_id
+                JOIN cnt cb ON cb.doc_id = b.doc_id
+                WHERE a.doc_id IN (SELECT doc_id FROM b1)
+                  AND b.doc_id IN (SELECT doc_id FROM b1)
+                  AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+                HAVING count(*)::DOUBLE / (ca.n + cb.n - count(*))
+                  >= 0.5),
+         e1s AS (SELECT d1 AS a, d2 AS b FROM e1
+                 UNION ALL SELECT d2, d1 FROM e1),
+         cc1 AS (SELECT doc_id, doc_id AS lbl FROM b1
+                 UNION
+                 SELECT e.b, c.lbl FROM cc1 c JOIN e1s e
+                   ON e.a = c.doc_id),
+         acc1 AS (SELECT fp, doc_id FROM b1
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cc1
+                    WHERE lbl < doc_id)),
+         f2 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+                WHERE fp NOT IN (SELECT fp FROM acc1) GROUP BY fp),
+         e2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
                 FROM sh a JOIN sh b ON a.shingle = b.shingle
                 JOIN cnt ca ON ca.doc_id = a.doc_id
                 JOIN cnt cb ON cb.doc_id = b.doc_id
                 WHERE a.doc_id IN (SELECT doc_id FROM f2)
-                  AND b.doc_id IN (SELECT doc_id FROM a1)
+                  AND b.doc_id IN (SELECT doc_id FROM f2)
+                  AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+                HAVING count(*)::DOUBLE / (ca.n + cb.n - count(*))
+                  >= 0.5),
+         e2s AS (SELECT d1 AS a, d2 AS b FROM e2
+                 UNION ALL SELECT d2, d1 FROM e2),
+         cc2 AS (SELECT doc_id, doc_id AS lbl FROM f2
+                 UNION
+                 SELECT e.b, c.lbl FROM cc2 c JOIN e2s e
+                   ON e.a = c.doc_id),
+         sur2 AS (SELECT doc_id FROM f2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cc2
+                    WHERE lbl < doc_id)),
+         nd AS (SELECT a.doc_id AS d_new
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                JOIN cnt ca ON ca.doc_id = a.doc_id
+                JOIN cnt cb ON cb.doc_id = b.doc_id
+                WHERE a.doc_id IN (SELECT doc_id FROM sur2)
+                  AND b.doc_id IN (SELECT doc_id FROM acc1)
                 GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
                 HAVING count(*)::DOUBLE / (ca.n + cb.n - count(*))
                   >= 0.5)
-         SELECT doc_id FROM a1
+         SELECT doc_id FROM acc1
          UNION ALL
-         SELECT doc_id FROM f2
+         SELECT doc_id FROM sur2
          WHERE doc_id NOT IN (SELECT d_new FROM nd)""",
     // sequential-batch semantics: a fp seen in the %3==0 first commit
     // keeps its batch-1 winner (min id within the slice); fps arriving

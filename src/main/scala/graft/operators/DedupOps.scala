@@ -384,12 +384,23 @@ object DedupOps {
                             minJaccard: Double = 0.5,
                             shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sh = shingleHashArrays(docs, n = shingleN)
-    val sig = sh.select(col("doc_id"), size(col("shs")).as("n"),
-      graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
-    val buckets = sig.select(
+    trueJaccardFromSigRows(signatureIndexRows(docs, k, shingleN),
+      bands, minJaccard)
+  }
+
+  /** [[minHashLshTrueJaccard]] over PRE-COMPUTED signature rows
+    * (doc_id, shs, sig) — for callers that already hold them (the
+    * curation MV's within-batch collapse reuses the batch's one
+    * shingling pass). Returns (d1, d2, inter, jaccard), d1 < d2. */
+  def trueJaccardFromSigRows(sigRows: DataFrame, bands: Int = 16,
+                             minJaccard: Double = 0.5): DataFrame = {
+    val sh = sigRows.select(col("doc_id"), col("shs"))
+    val buckets = sigRows
+      .select(col("sig"), struct(col("doc_id"),
+        size(col("shs")).as("n")).as("dn"))
+      .select(
         posexplode(graft.functions.HashSig.band_hashes(col("sig"), bands)),
-        struct(col("doc_id"), col("n")).as("dn"))
+        col("dn"))
       .select(struct(col("pos").as("band"), col("col").as("bh")).as("bk"),
         col("dn"))
     val cands = buckets.groupBy(col("bk"))

@@ -268,12 +268,17 @@ object MVManager {
     * document is a near-duplicate at `minJaccard` (banded LSH + exact
     * verification from stored shingle sets — the index side never
     * shuffles, see [[graft.operators.DedupOps.nearDupAgainstIndex]]).
-    * Near-dup relations WITHIN one batch are not collapsed (pre-clean
-    * a batch with `minHashLshTrueJaccard` when that matters); each
-    * accepted doc's signatures enter the index, so later batches
-    * dedupe against it. Crash analysis is [[curateStep]]'s: replay
-    * recomputes the identical accepted set until the single index
-    * commit lands last.
+    * Near-dup relations WITHIN one batch collapse to ONE survivor per
+    * connected near-dup cluster (the min doc_id), reusing the batch's
+    * single shingling pass — so two near-identical docs arriving in
+    * the same micro-batch can no longer both slip past the
+    * index-vs-batch filter. A cluster's survivor is then still subject
+    * to the index probe (if IT is a near-dup of history it drops, and
+    * its collapsed siblings are NOT reconsidered — cluster semantics,
+    * not greedy re-admission); each accepted doc's signatures enter
+    * the index, so later batches dedupe against it. Crash analysis is
+    * [[curateStep]]'s: replay recomputes the identical accepted set
+    * until the single index commit lands last.
     *
     * With `postings` (a [[graft.operators.DedupOps.bandPostingsSchema]]
     * table bucketed by pbh), each batch also commits its accepted
@@ -307,14 +312,27 @@ object MVManager {
       broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
     // shingle + MinHash the fresh docs ONCE; the same rows feed the
-    // LSH probe and (filtered to accepted) the index commit
+    // within-batch collapse, the LSH probe, and (filtered to accepted)
+    // the index commit
     val sigRows = DedupOps.signatureIndexRows(freshDocs)
       .localCheckpoint()
+    // within-batch collapse: connected near-dup clusters keep their
+    // min doc_id (nearDupClusters' star contraction; pairs and labels
+    // are batch-scale)
+    val wbDrop = DedupOps
+      .nearDupClusters(DedupOps.trueJaccardFromSigRows(sigRows,
+        minJaccard = minJaccard))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    val survivorSigs = sigRows
+      .join(broadcast(wbDrop.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_anti")
     val nearIds = DedupOps
-      .nearDupSigsAgainstIndex(sigRows, index, minJaccard,
+      .nearDupSigsAgainstIndex(survivorSigs, index, minJaccard,
         postings = postings)
       .select(col("d_new").as(idCol)).distinct()
     val accepted = freshDocs
+      .join(broadcast(wbDrop), Seq(idCol), "left_anti")
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
       .localCheckpoint()
     // LEFT join from the accepted fingerprints: a doc too short to

@@ -201,6 +201,40 @@ class CurationMVSpec extends SparkSuite {
       Set(1L, 11L))
   }
 
+  test("within-batch near-dup clusters collapse to their min doc_id " +
+    "(round-6 strengthened contract)") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val index = LakeTable.create(spark, tmpDir("wb-idx"),
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 8)))
+    val out = LakeTable.create(spark, tmpDir("wb-out"), docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // ONE batch holding: a near-dup pair (1,2), a chain third (3, near
+    // 2 but then collapsed into the same cluster as 1 transitively),
+    // and an unrelated doc (4). Cluster {1,2,3} keeps only doc 1.
+    val b = Seq(
+      (1L, base),
+      (2L, base.replace("upsilon", "omega")),
+      (3L, base.replace("upsilon", "omega").replace("alpha", "psi")),
+      (4L, "completely different content with nothing shared at all " +
+        "aa bb cc dd ee ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    MVManager.curateStepNearDup(b, index, out, "w", 0L)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L))
+    // only survivors' signatures advance the frontier
+    assert(index.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L))
+    // a later exact copy of a COLLAPSED doc is fp-fresh (its fp never
+    // entered the index) but near-dup-drops against the survivor
+    val b2 = Seq((10L, base.replace("upsilon", "omega")))
+      .toDF("doc_id", "text")
+    MVManager.curateStepNearDup(b2, index, out, "w", 1L)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L))
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
