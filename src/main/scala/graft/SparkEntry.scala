@@ -169,6 +169,25 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 4)
     }),
+    // no oracle possible (same seeded-centroid reason as q45/q60). The
+    // BATCHED persisted-index serving path: a whole query batch scored
+    // against the _cluster-partitioned inverted lists in ONE plan —
+    // the probe-set union becomes a static partition IN-filter, each
+    // query joins only its own probed clusters, and a per-query window
+    // takes top-k. DedupSimilaritySpec proves per-query equality with
+    // searchPersisted and union-level partition pruning.
+    "q91_ann_ivf_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.train(e, c = 16, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q91")
+      val index = IvfIndex.buildIndex(
+        s, e.filter(col("vec_id") % 25 =!= 0), model, dir.toString)
+      val queries = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      IvfIndex.searchPersistedBatch(index, queries, model,
+        k = 10, nprobe = 4)
+    }),
     // --- corpus hygiene (training-data pipeline ops) ---
     // benchmark set := docs with doc_id % 97 == 0 (a deterministic
     // fixture slice standing in for a held-out eval set); corpus = rest

@@ -164,6 +164,45 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Batched serving from the PERSISTED index — the missing half of
+    * [[searchPersisted]] (which handles one vector) and [[search]]
+    * (which re-assigns the corpus instead of reading the lists): score
+    * a whole query batch against the stored `_cluster`-partitioned
+    * inverted lists, reading ONLY the union of the batch's probed
+    * clusters. Each query's probe set rides in a broadcast join, and
+    * the union (at most C ints — metadata-scale) becomes a static
+    * `_cluster IN (...)` predicate, so partition pruning happens at
+    * PLANNING time exactly as in the single-query path; rows of
+    * unprobed lists are never read, and each scored row joins only the
+    * queries that actually probed its cluster. Returns per-query top-k
+    * (queryIdCol, idCol, cos) — ties broken by idCol, identical to
+    * [[searchPersisted]]'s ordering, which the spec pins by equality. */
+  def searchPersistedBatch(index: graft.lake.LakeTable,
+                           queries: DataFrame, model: Model, k: Int,
+                           nprobe: Int, embCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.select(col(queryIdCol).as("_qid"),
+      col(embCol).as("_qv"),
+      explode(top_centroids(col(embCol), model.centroids, nprobe))
+        .as("_cluster"))
+    // the probed-cluster union is bounded by C (the centroid count),
+    // never by query or corpus size — a driver-safe collect
+    val probed = probes.select(col("_cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = index.read()
+      .filter(col("_cluster").isin(probed: _*))
+      .join(broadcast(probes), Seq("_cluster"))
+      .select(col("_qid"), col(idCol),
+        cosine_sim(col(embCol), col("_qv")).as("cos"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(queryIdCol), col(idCol), col("cos"))
+  }
+
   /** Approximate top-k: probe the query's `nprobe` closest clusters and
     * brute-force only those inverted lists. */
   def search(vectors: DataFrame, query: DataFrame, model: Model, k: Int,

@@ -280,6 +280,63 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(persisted == inMem)
   }
 
+  test("persisted IVF BATCH serving: per-query results equal " +
+    "searchPersisted, scan reads only the probe-set UNION") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val model = IvfIndex.train(emb, c = 16, iters = 2)
+    val index = IvfIndex.buildIndex(spark,
+      emb.filter($"vec_id" % 50 =!= 0), model, tmpDir("ivf-batch"))
+    // a 5-query batch: every %50==0 vector asks for its neighbors
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .limit(5).localCheckpoint()
+    val nprobe = 4
+    val served = IvfIndex.searchPersistedBatch(index, queries, model,
+      k = 10, nprobe = nprobe)
+    val got = served.select("query_id", "vec_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    // per-query equality with the single-vector serving path (same
+    // ordering contract: cos desc, vec_id)
+    val qs = queries.select("query_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    assert(got.keySet == qs.map(_._1).toSet)
+    for ((qid, qv) <- qs) {
+      val single = IvfIndex.searchPersisted(index, qv.toArray, model,
+        k = 10, nprobe = nprobe).select("vec_id").as[Long]
+        .collect().toSeq
+      assert(got(qid) == single, s"query $qid diverged from " +
+        s"searchPersisted: ${got(qid)} vs $single")
+    }
+
+    // the scan is pruned to the UNION of the 5 probe sets at planning
+    // time: more than one query's nprobe, fewer than all C lists (the
+    // windowed plan wraps the scan in adaptive stages — flatten them)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    served.collect()
+    val scan = flatten(served.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains(index.root))
+        => s
+    }.get
+    val total = index.read().queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get.selectedPartitions.partitionCount
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned >= nprobe && scanned < total,
+      s"scanned $scanned of $total partitions for 5 queries")
+  }
+
   test("IVF appendToIndex: incrementally-grown index serves the same " +
     "results as a from-scratch rebuild, exactly-once on replay") {
     val model = IvfIndex.train(emb, c = 16, iters = 2)
