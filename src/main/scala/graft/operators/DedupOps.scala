@@ -420,6 +420,33 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
   }
 
+  /** Driver-side union-find for SMALL pair sets (a micro-batch's
+    * within-batch near-dups — near-dup-sparse by nature): returns the
+    * doc_ids to DROP, i.e. every clustered doc except its component's
+    * minimum. Semantics identical to [[nearDupClusters]] filtered to
+    * `doc_id != cluster_id`; use the distributed contraction when the
+    * pair count can exceed driver bounds. */
+  def nearDupDropIds(pairs: Seq[(Long, Long)]): Seq[Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // root at the smaller id: cluster min wins
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    members.filter(m => find(m) != m)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise near-dup hits into dedup groups with one canonical
     * survivor. Every doc in a pair gets the minimum doc_id reachable

@@ -317,13 +317,26 @@ object MVManager {
     val sigRows = DedupOps.signatureIndexRows(freshDocs)
       .localCheckpoint()
     // within-batch collapse: connected near-dup clusters keep their
-    // min doc_id (nearDupClusters' star contraction; pairs and labels
-    // are batch-scale)
-    val wbDrop = DedupOps
-      .nearDupClusters(DedupOps.trueJaccardFromSigRows(sigRows,
-        minJaccard = minJaccard))
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as(idCol))
+    // min doc_id. Near-dup pairs are SPARSE relative to the batch, so
+    // the common case collects them (bounded) and union-finds on the
+    // driver — one job instead of the star contraction's per-round
+    // shuffle + sync loop; a pathological pair explosion falls back to
+    // the distributed O(log d) contraction unchanged
+    val maxWbPairs = 100000
+    val wbPairs = DedupOps.trueJaccardFromSigRows(sigRows,
+      minJaccard = minJaccard)
+    val somePairs = wbPairs.select(col("d1"), col("d2"))
+      .limit(maxWbPairs + 1).collect()
+    val wbDrop =
+      if (somePairs.length <= maxWbPairs) {
+        val dropIds = DedupOps.nearDupDropIds(
+          somePairs.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        val ss = docs.sparkSession
+        import ss.implicits._
+        dropIds.toDF(idCol)
+      } else DedupOps.nearDupClusters(wbPairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol))
     val survivorSigs = sigRows
       .join(broadcast(wbDrop.select(col(idCol).as("doc_id"))),
         Seq("doc_id"), "left_anti")
