@@ -303,6 +303,34 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0), index, threshold = 0.35,
         postings = Some(postings))
     }),
+    // the continuous EMBEDDING curation MV — the vector twin of q87,
+    // completing the loop story for the third incremental-dedup
+    // modality: batch 1 admits the %3==0 vectors (within-batch cosine
+    // clusters collapse to min vec_id), batch 2 (the full table) must
+    // drop every vector that band-collides AND cosine-matches an
+    // accepted batch-1 vector at 0.35 — across a stop/restart, with
+    // postings-probed candidate generation. The oracle recomputes the
+    // whole two-batch evolution (band predicate + exact cosine +
+    // recursive-CTE clusters) in SQL.
+    "q92_embedding_curation_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft-cur-emb")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", emb.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx", emb.schema,
+        bucketBy = Some(("vec_id", 8)))
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+      val out = graft.lake.LakeTable.create(s, s"$dir/out", emb.schema)
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(emb.filter(col("vec_id") % 3 === 0))
+      mv.startEmbeddingCurationFromLake("cur", src, index, out,
+        threshold = 0.35, postings = Some(postings)).awaitTermination()
+      src.append(emb)
+      mv.startEmbeddingCurationFromLake("cur", src, index, out,
+        threshold = 0.35, postings = Some(postings)).awaitTermination()
+      out.read().select("vec_id")
+    }),
     // bucketed point lookup through the whole layout stack: documents
     // land in a hash-bucketed lake table (pmod(xxhash64(doc_id), 16)
     // hive partitions), and probe() serves an id lookup via bucket-dir
@@ -568,6 +596,16 @@ object SparkEntry {
          len(regexp_extract_all(text,
            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
          FROM enriched"""
+
+  /** The seed-free axis-sign SRP band predicate, in DuckDB SQL: rows
+    * `a` and `b` agree in ALL 8 sign bits of SOME 8-bit band — the
+    * literal semantics of SignRandomProjection.sign_bits band joins,
+    * so oracles check LSH candidate generation exactly. */
+  private def srpBandPred(a: String, b: String): String =
+    (0 until 8).map(k => (0 until 8).map { j =>
+      val i = k * 8 + j + 1
+      s"($a.embedding[$i] >= 0) = ($b.embedding[$i] >= 0)"
+    }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1333,12 +1371,54 @@ object SparkEntry {
            AS cos
          FROM embeddings a JOIN embeddings b
            ON a.vec_id % 2 = 0 AND b.vec_id % 3 = 0
-         WHERE ${(0 until 8).map(k => (0 until 8).map { j =>
-           val i = k * 8 + j + 1
-           s"(a.embedding[$i] >= 0) = (b.embedding[$i] >= 0)"
-         }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
+         WHERE ${srpBandPred("a", "b")}
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    // the full two-batch embedding-curation evolution: within-batch
+    // cosine clusters (band predicate + exact cosine, recursive-CTE
+    // components) collapse to min vec_id, batch-2 survivors drop
+    // against batch-1's accepted vectors — exactly curateStepEmbedding
+    "q92_embedding_curation_mv" ->
+      s"""WITH RECURSIVE
+         b1 AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 3 = 0),
+         e1 AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                FROM b1 a JOIN b1 b ON a.vec_id < b.vec_id
+                WHERE ${srpBandPred("a", "b")}
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                    b.embedding::DOUBLE[]) >= 0.35),
+         e1s AS (SELECT d1 AS a, d2 AS b FROM e1
+                 UNION ALL SELECT d2, d1 FROM e1),
+         cc1 AS (SELECT vec_id, vec_id AS lbl FROM b1
+                 UNION
+                 SELECT e.b, c.lbl FROM cc1 c JOIN e1s e
+                   ON e.a = c.vec_id),
+         acc1 AS (SELECT vec_id, embedding FROM b1
+                  WHERE vec_id NOT IN (SELECT vec_id FROM cc1
+                    WHERE lbl < vec_id)),
+         f2 AS (SELECT vec_id, embedding FROM embeddings),
+         e2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                FROM f2 a JOIN f2 b ON a.vec_id < b.vec_id
+                WHERE ${srpBandPred("a", "b")}
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                    b.embedding::DOUBLE[]) >= 0.35),
+         e2s AS (SELECT d1 AS a, d2 AS b FROM e2
+                 UNION ALL SELECT d2, d1 FROM e2),
+         cc2 AS (SELECT vec_id, vec_id AS lbl FROM f2
+                 UNION
+                 SELECT e.b, c.lbl FROM cc2 c JOIN e2s e
+                   ON e.a = c.vec_id),
+         sur2 AS (SELECT vec_id, embedding FROM f2
+                  WHERE vec_id NOT IN (SELECT vec_id FROM cc2
+                    WHERE lbl < vec_id)),
+         nd AS (SELECT a.vec_id AS dn FROM sur2 a JOIN acc1 b
+                ON ${srpBandPred("a", "b")}
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                    b.embedding::DOUBLE[]) >= 0.35)
+         SELECT vec_id FROM acc1
+         UNION ALL
+         SELECT vec_id FROM sur2
+         WHERE vec_id NOT IN (SELECT dn FROM nd)""",
     "q50_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value

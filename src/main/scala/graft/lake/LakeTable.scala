@@ -1380,7 +1380,21 @@ object LakeTable {
       val (ia, ib) = (chain.indexOf(a), chain.indexOf(b))
       if (ia >= 0 && ib >= 0) Some(chain(math.max(ia, ib))) else None
     }
-    if (a == b) Some(a) else lub(intChain).orElse(lub(floatChain))
+    (a, b) match {
+      case _ if a == b => Some(a)
+      // container nullability is a lattice, not a mismatch: the
+      // resolved element/value nullability is the OR of the two
+      // (appending non-null elements into a nullable column — the
+      // DataFrame-literal vs parquet-read-back impedance — is safe;
+      // the reverse widens the TABLE, which existing files satisfy
+      // trivially)
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widerOf(ea, eb).map(e => ArrayType(e, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for { k <- widerOf(ka, kb); v <- widerOf(va, vb) }
+          yield MapType(k, v, na || nb)
+      case _ => lub(intChain).orElse(lub(floatChain))
+    }
   }
 
   private def versionPath(metaDir: Path, v: Int): Path =

@@ -127,6 +127,48 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** Continuous EMBEDDING curation MV — the commit-log-driven loop of
+    * [[startCurationFromLake]] running
+    * [[MVManager.curateStepEmbedding]] per version range: every newly
+    * committed batch of (id, embedding) rows is collapsed within-batch
+    * and deduped against the persisted vector index at `threshold`
+    * cosine, exactly-once across crashes and restarts. */
+  def startEmbeddingCurationFromLake(name: String, source: LakeTable,
+                                     index: LakeTable, out: LakeTable,
+                                     threshold: Double,
+                                     bandBits: Int = 8, bands: Int = 8,
+                                     idCol: String = "vec_id",
+                                     embCol: String = "embedding",
+                                     trigger: Trigger =
+                                       Trigger.AvailableNow(),
+                                     postings: Option[LakeTable] = None)
+      : StreamingQuery = {
+    ensureListener()
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
+      started.await()
+      val versions = logBatch.select("version").collect().map(_.getInt(0))
+      if (versions.nonEmpty) {
+        val vecs = source.changesBetween(versions.min - 1, versions.max)
+          .drop(LakeTable.BucketCol)
+        MVManager.curateStepEmbedding(vecs, index, out, writerId.get(),
+          id, threshold, bandBits, bands, idCol, embCol, postings)
+      }
+    }
+    val q = spark.readStream.format("graft-lake-log").load(source.root)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    writerId.set(q.id.toString)
+    started.countDown()
+    queries.put(name, q)
+    q
+  }
+
   /** Incrementally-MAINTAINED aggregate MV — the reference system's
     * upstream half (RisingWave keeps MV aggregates current per key;
     * the reference only ships their output). `transformed` must be a
@@ -362,6 +404,69 @@ object MVManager {
     postings.foreach(_.appendExactlyOnce(
       DedupOps.bandPostingsRows(idxRows), writerId, batchId))
     index.appendExactlyOnce(idxRows, writerId, batchId)
+    out.autoCompactIfNeeded()
+    postings.foreach(_.autoCompactIfNeeded())
+    index.autoCompactIfNeeded()
+  }
+
+  /** The EMBEDDING curation step — the vector twin of
+    * [[curateStepNearDup]], completing the continuous-loop story for
+    * the third incremental-dedup modality (exact fp = curateStep,
+    * MinHash text = curateStepNearDup, embeddings = this). A batch
+    * vector is accepted iff no within-batch cluster sibling has a
+    * smaller id (SRP-banded cosine pairs, min-id survivor per
+    * connected cluster) AND no indexed vector is cosine-similar at
+    * `threshold` through the seed-free SRP band join
+    * ([[graft.operators.SimilarityOps.embeddingNearDupAgainstIndex]] —
+    * zero index-side shuffles, postings-probed when given). There is
+    * no separate exact-dup frontier: an exact copy of an accepted
+    * vector has cosine 1.0 with its indexed original and always
+    * band-collides with it, so the near-dup filter subsumes it.
+    * Commit order and crash analysis are [[curateStepNearDup]]'s
+    * (out -> postings -> index; postings advisory, index last). */
+  def curateStepEmbedding(vecs: org.apache.spark.sql.DataFrame,
+                          index: LakeTable, out: LakeTable,
+                          writerId: String, batchId: Long,
+                          threshold: Double, bandBits: Int = 8,
+                          bands: Int = 8, idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          postings: Option[LakeTable] = None): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.operators.{DedupOps, SimilarityOps}
+    val batch = vecs.select(col(idCol), col(embCol)).localCheckpoint()
+    // within-batch collapse: min-id survivor per cosine cluster
+    // (bounded driver union-find, distributed contraction fallback)
+    val maxWbPairs = 100000
+    val wbPairs = SimilarityOps.embeddingNearDupLsh(batch, threshold,
+      bandBits, bands, idCol, embCol)
+    val somePairs = wbPairs.select(col("v1"), col("v2"))
+      .limit(maxWbPairs + 1).collect()
+    val wbDrop =
+      if (somePairs.length <= maxWbPairs) {
+        val dropIds = DedupOps.nearDupDropIds(
+          somePairs.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        val ss = vecs.sparkSession
+        import ss.implicits._
+        dropIds.toDF(idCol)
+      } else DedupOps.nearDupClusters(
+          wbPairs.select(col("v1").as("d1"), col("v2").as("d2")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol))
+    val survivors = batch
+      .join(broadcast(wbDrop), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val nearIds = SimilarityOps.embeddingNearDupAgainstIndex(
+        survivors, index, threshold, bandBits, bands, idCol, embCol,
+        postings = postings)
+      .select(col("v_new").as(idCol)).distinct()
+    val accepted = survivors
+      .join(broadcast(nearIds), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    out.appendExactlyOnce(accepted, writerId, batchId)
+    postings.foreach(_.appendExactlyOnce(
+      SimilarityOps.srpPostingsRows(accepted, bandBits, bands, idCol,
+        embCol), writerId, batchId))
+    index.appendExactlyOnce(accepted, writerId, batchId)
     out.autoCompactIfNeeded()
     postings.foreach(_.autoCompactIfNeeded())
     index.autoCompactIfNeeded()

@@ -136,6 +136,31 @@ class LakeTableSpec extends SparkSuite {
     }
   }
 
+  test("array-column nullability is a lattice, not a mismatch: " +
+    "non-null-element appends land in nullable-element tables and " +
+    "vice versa (the DataFrame-literal vs parquet-read-back impedance)") {
+    val t = freshTable("arr-nullability", StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false)))))
+    // toDF/Encoder arrays are containsNull=false; a parquet read-back
+    // is containsNull=true — both must append into the same table
+    t.append(Seq((1L, Seq(1f, 2f))).toDF("id", "v"))
+    val nullable = Seq((2L, Seq(3f, 4f))).toDF("id", "v")
+      .select(col("id"),
+        col("v").cast(ArrayType(FloatType, containsNull = true)).as("v"))
+    t.append(nullable) // widens the table's element nullability
+    assert(t.schema("v").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    t.append(Seq((3L, Seq(5f))).toDF("id", "v")) // narrow again: fine
+    assert(t.read().count() == 3)
+    // element TYPE widening composes with the nullability lattice
+    val doubles = Seq((4L, Seq(6.5d))).toDF("id", "v")
+    t.append(doubles)
+    assert(t.schema("v").dataType ==
+      ArrayType(DoubleType, containsNull = true))
+    assert(t.read().selectExpr("sum(v[0])").as[Double].head() == 15.5)
+  }
+
   test("rename keeps the field ID: old files serve data under the " +
     "new name") {
     val t = freshTable("rename", abSchema)

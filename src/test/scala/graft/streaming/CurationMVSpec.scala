@@ -201,6 +201,62 @@ class CurationMVSpec extends SparkSuite {
       Set(1L, 11L))
   }
 
+  test("embedding curation MV across a restart: cosine near-dups of " +
+    "accepted vectors (and exact copies) are rejected, within-batch " +
+    "clusters collapse, exactly-once on replay") {
+    import graft.operators.SimilarityOps
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val src = LakeTable.create(spark, tmpDir("emb-src"), embSchema)
+    val index = LakeTable.create(spark, tmpDir("emb-idx"), embSchema,
+      bucketBy = Some(("vec_id", 8)))
+    val postings = LakeTable.create(spark, tmpDir("emb-post"),
+      SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+    val out = LakeTable.create(spark, tmpDir("emb-out"), embSchema)
+    val mv = new MVManager(spark, tmpDir("emb-ckpt"))
+
+    // 64-dim vectors; base and base2 are orthogonal axis groups, so
+    // cross-group cosine is 0 while within-group near-copies are ~1
+    def vec(axes: Seq[Int], v: Float = 1f): Seq[Float] =
+      (0 until 64).map(i => if (axes.contains(i)) v else 0f)
+    val b1 = Seq(
+      (1L, vec(Seq(0, 1, 2))),
+      (2L, vec(Seq(0, 1, 2), 0.9f)),     // cosine 1.0 with vec 1 -> wb-collapsed
+      (5L, vec(Seq(40, 41))))            // unrelated
+      .toDF("vec_id", "embedding")
+    src.append(b1)
+    mv.startEmbeddingCurationFromLake("emb", src, index, out,
+      threshold = 0.35, postings = Some(postings)).awaitTermination()
+    assert(out.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 5L))
+
+    // restart with: an exact copy of an accepted vector (10), a near
+    // copy (11, shares axes 0,1 with vec 1 -> cos ~0.82), and a
+    // genuinely new direction (12)
+    src.append(Seq(
+      (10L, vec(Seq(0, 1, 2))),
+      (11L, vec(Seq(0, 1))),
+      (12L, vec(Seq(60, 61, 62))))
+      .toDF("vec_id", "embedding"))
+    mv.startEmbeddingCurationFromLake("emb", src, index, out,
+      threshold = 0.35, postings = Some(postings)).awaitTermination()
+    assert(out.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 5L, 12L))
+    assert(index.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 5L, 12L))
+    // postings invariant: every indexed vector's bands are present
+    assert(index.read().select("vec_id").as[Long].collect().toSet
+      .subsetOf(postings.read().select("vec_id").as[Long]
+        .collect().toSet))
+
+    // replay of the whole second batch is a no-op
+    val (vo, vi) = (out.currentVersion, index.currentVersion)
+    mv.startEmbeddingCurationFromLake("emb", src, index, out,
+      threshold = 0.35, postings = Some(postings)).awaitTermination()
+    assert(out.currentVersion == vo && index.currentVersion == vi)
+  }
+
   test("within-batch near-dup clusters collapse to their min doc_id " +
     "(round-6 strengthened contract)") {
     val docsSchema = StructType(Seq(
