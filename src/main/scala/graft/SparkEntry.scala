@@ -61,6 +61,8 @@ object SparkEntry {
     "q59_shipping_priority" -> (Relational.shippingPriority _),
     "q77_local_supplier_volume" -> (Relational.localSupplierVolume _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
+    "q93_ship_mode_priority" -> (Relational.shipModePriority _),
+    "q94_promo_revenue" -> (Relational.promoRevenue _),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
@@ -82,6 +84,29 @@ object SparkEntry {
     // candidate generation reproduces the all-pairs hamming computation.
     "q34_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
+    // no oracle possible (q34's xxhash64-sketch reason). The FOURTH
+    // incremental-dedup modality: the %3==0 slice's (doc_id, simhash)
+    // rows are indexed with band postings; the %2==0 slice probes
+    // them and verifies hamming <= 3 against doc_id-pruned sketch
+    // fetches. Pigeonhole recall is exact, so DedupSimilaritySpec
+    // proves equality with the brute-force cross-slice hamming scan.
+    "q95_simhash_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-shidx")
+      val rows = DedupOps.simHashIndexRows(
+        docs.filter(col("doc_id") % 3 === 0)).localCheckpoint()
+      val index = graft.lake.LakeTable.create(
+        s, s"$dir/idx", rows.schema, bucketBy = Some(("doc_id", 8)))
+      index.appendExactlyOnce(rows, "q95", 0L)
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.simHashPostingsSchema, bucketBy = Some(("pbh", 16)))
+      postings.appendExactlyOnce(DedupOps.simHashPostingsRows(rows),
+        "q95", 0L)
+      DedupOps.simHashAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), index, maxHamming = 3,
+        postings = Some(postings))
+    }),
     "q56_neardup_clusters" -> ((s, d) => {
       val pairs = DedupOps.ngramJaccard(
         Tables.load(s, d, "documents"), minJaccard = 0.8)
@@ -953,6 +978,26 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+    "q93_ship_mode_priority" ->
+      """SELECT l_linestatus,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+               OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           AS high_line_count,
+         sum(CASE WHEN o_orderpriority <> '1-URGENT'
+               AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+           AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate > o_orderdate
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q94_promo_revenue" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
     "q89_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
          sum(l_extendedprice * (1 - l_discount)) AS revenue,

@@ -544,6 +544,89 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
 
+  /** One (doc_id, simhash) row per document — what a SimHash index
+    * table persists (bucket by doc_id for the verify probe). */
+  def simHashIndexRows(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    simHash(docs, textCol, idCol)
+
+  /** Posting rows (pbh, band, bv, doc_id) for a SimHash index — the
+    * fourth member of the postings family. 4 x 16-bit bands; same
+    * advisory-candidates contract as the MinHash/SRP twins. */
+  def simHashPostingsRows(sigRows: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))
+    }
+    sigRows.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"), col("doc_id"))
+  }
+
+  /** Schema of a SimHash band-postings table (pbh, band, bv, doc_id). */
+  def simHashPostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("pbh", LongType),
+      StructField("band", IntegerType), StructField("bv", LongType),
+      StructField("doc_id", LongType)))
+  }
+
+  /** Incremental SimHash near-dup of a new batch against a PERSISTED
+    * (doc_id, simhash) index — completing the incremental family for
+    * all four modalities (exact fp, MinHash text, embeddings, SimHash).
+    * Pigeonhole recall is EXACT: hamming <= 3 over a 64-bit sketch
+    * forces at least one of the 4 16-bit bands to match, so the banded
+    * candidate join finds every qualifying cross-slice pair; the
+    * hamming verify reads only candidate docs' sketches through the
+    * doc_id probe. Same 100 TB shape as the text twin: postings-probed
+    * candidate generation is O(batch) per batch, the index never
+    * shuffles. Returns (d_new, d_idx, hamming). */
+  def simHashAgainstIndex(batch: DataFrame, index: graft.lake.LakeTable,
+                          maxHamming: Int = 3, maxProbe: Int = 10000,
+                          postings: Option[graft.lake.LakeTable] = None,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val newSh = simHash(batch, textCol, idCol).localCheckpoint()
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))
+    }
+    def bandsOf(df: DataFrame, side: String): DataFrame =
+      df.select(col("doc_id").as(side),
+        explode(array(bandStructs: _*)).as("bk"))
+    val newBk = bandsOf(newSh, "d_new")
+    val idxBk = postings match {
+      case Some(p) =>
+        val pbhs = newBk
+          .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
+          .distinct().limit(maxProbe + 1).collect().map(_.get(0))
+        val rows =
+          if (pbhs.length <= maxProbe) p.probe("pbh", pbhs.toSeq)
+          else p.read()
+        rows.select(col("doc_id").as("d_idx"),
+          struct(col("band"), col("bv")).as("bk"))
+      case None => bandsOf(index.read(), "d_idx")
+    }
+    val cand = idxBk.join(broadcast(newBk), "bk")
+      .select(col("d_new"), col("d_idx"))
+      .distinct() // a pair colliding in several bands verifies once
+      .localCheckpoint()
+    val candIds = cand.select(col("d_idx")).distinct()
+      .limit(maxProbe + 1).collect().map(_.get(0))
+    val idxDocs =
+      if (candIds.length <= maxProbe) index.probe("doc_id", candIds.toSeq)
+      else index.read()
+    val h2 = idxDocs.select(col("doc_id").as("d_idx"),
+        col("simhash").as("_h2"))
+      .join(broadcast(cand), Seq("d_idx"))
+    newSh.select(col("doc_id").as("d_new"), col("simhash").as("_h1"))
+      .join(broadcast(h2), Seq("d_new"))
+      .select(col("d_new"), col("d_idx"),
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
     * by 16-bit bands: distance <= 3 guarantees at least one of the 4 bands
     * matches exactly (pigeonhole), so candidates come from an equi-join. */

@@ -314,6 +314,45 @@ object Relational {
     * on orderkey into the date-filtered orders, customers join on
     * custkey, nation broadcasts; top-20 by lost revenue plans as
     * TakeOrderedAndProject — no global sort ever materializes. */
+  /** TPC-H Q12's shape (join + per-group conditional line counts)
+    * over the fixture's columns: late-shipped 1996 lines joined to
+    * their orders, split high/low priority per line status. The date
+    * predicate pushes to the parquet scan; the high/low split is a
+    * codegen'd CASE, no second pass; the join shuffles once on the
+    * order key with AQE free to pick the build side. */
+  def shipModePriority(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    li.join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 (promotion effect): one month of lineitem joined to
+    * part on the key; the promo share is a single conditional-sum
+    * pass — the part side shuffles once, the filter and both sums
+    * live in one whole-stage-codegen span. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(
+      col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0.0))) / sum(rev)).as("promo_revenue"))
+  }
+
   def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&

@@ -28,7 +28,8 @@ class QueriesSmokeSpec extends SparkSuite {
       "q45_ann_ivf",            // seeded k-means centroids
       "q60_ann_ivf_persisted",  // same seeded centroids
       "q79_bpe_merges",         // iterative argmax, not one SQL query
-      "q91_ann_ivf_batch")      // same seeded centroids as q45/q60
+      "q91_ann_ivf_batch",      // same seeded centroids as q45/q60
+      "q95_simhash_incremental")// q34's xxhash64-sketch reason
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == documentedNoOracle,
       s"undocumented no-oracle queries: ${unoracled -- documentedNoOracle}; " +

@@ -138,6 +138,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("simHashAgainstIndex equals the brute-force cross-slice " +
+    "hamming scan, through the postings probe (q95's contract)") {
+    val sample = docs.limit(300).localCheckpoint()
+    val hist = sample.filter($"doc_id" % 3 === 0)
+    val batch = sample.filter($"doc_id" % 2 === 0)
+    import graft.lake.LakeTable
+    val rows = DedupOps.simHashIndexRows(hist).localCheckpoint()
+    val index = LakeTable.create(spark, tmpDir("sh-idx"), rows.schema,
+      bucketBy = Some(("doc_id", 8)))
+    index.append(rows)
+    val postings = LakeTable.create(spark, tmpDir("sh-post"),
+      DedupOps.simHashPostingsSchema, bucketBy = Some(("pbh", 16)))
+    postings.append(DedupOps.simHashPostingsRows(rows))
+
+    val got = DedupOps.simHashAgainstIndex(batch, index, maxHamming = 3,
+        postings = Some(postings))
+      .select($"d_new", $"d_idx", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference over the same slices (includes the %6==0
+    // overlap as hamming-0 self-pairs — the incremental contract is
+    // "vs the index", not "vs others")
+    val a = DedupOps.simHash(batch)
+    val b = DedupOps.simHash(hist)
+    val ref = a.as("a").join(b.as("b"), lit(true))
+      .select($"a.doc_id".as("d_new"), $"b.doc_id".as("d_idx"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("h"))
+      .filter($"h" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref)
+    assert(got.exists(p => p._1 == p._2), "self-pairs from %6 overlap")
+    // same result without postings (the band-scan fallback)
+    val legacy = DedupOps.simHashAgainstIndex(batch, index,
+        maxHamming = 3)
+      .select($"d_new", $"d_idx", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(legacy == got)
+  }
+
   test("simhash of identical docs collides at hamming 0") {
     val base = docs.select("doc_id", "text").limit(3)
     val dups = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
