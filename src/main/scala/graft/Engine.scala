@@ -50,6 +50,17 @@ case class CurationConfig(
     textCol: String = "text",
     idCol: String = "doc_id")
 
+/** The vector twin: watch lake table `source` of (id, embedding)
+  * rows, drop cosine near-dups of the persisted `<target>_index` at
+  * `threshold` (SRP-banded, postings-probed), append accepted vectors
+  * to `<target>` — GraftEngine.startEmbeddingCuration from YAML. */
+case class EmbeddingCurationConfig(
+    source: String,
+    target: String = "curated_vectors",
+    threshold: Double = 0.35,
+    idCol: String = "vec_id",
+    embCol: String = "embedding")
+
 /** Reference flight.servers/port (config.go:22-25). In this engine the
   * ingress stand-in is file-stream polling, so `servers` are the
   * directories `GraftEngine.sourceStreams` polls; when a true Flight
@@ -64,7 +75,8 @@ case class GraftConfig(
     batching: BatchingConfig = BatchingConfig(),
     metrics: MetricsConfig = MetricsConfig(),
     flight: FlightConfig = FlightConfig(),
-    curation: Option[CurationConfig] = None) {
+    curation: Option[CurationConfig] = None,
+    embeddingCuration: Option[EmbeddingCurationConfig] = None) {
   def trigger: Trigger =
     if (batching.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(batching.triggerInterval)
@@ -116,7 +128,19 @@ object GraftConfig {
             .map(_.toDouble),
           textCol = (root / "curation" / "textCol").str("text"),
           idCol = (root / "curation" / "idCol").str("doc_id"))
-      })
+      },
+      embeddingCuration =
+        (root / "embeddingCuration" / "source").strOpt.map { src =>
+          EmbeddingCurationConfig(
+            source = src,
+            target = (root / "embeddingCuration" / "target")
+              .str("curated_vectors"),
+            threshold = (root / "embeddingCuration" / "threshold")
+              .strOpt.map(_.toDouble).getOrElse(0.35),
+            idCol = (root / "embeddingCuration" / "idCol").str("vec_id"),
+            embCol = (root / "embeddingCuration" / "embCol")
+              .str("embedding"))
+        })
   }
 }
 
@@ -271,6 +295,42 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
         _.name == graft.lake.LakeTable.BucketCol)))
     val q = mvs.startCurationFromLake(name, src, index, out, textCol,
       idCol, minJaccard, config.trigger, postings)
+    (out, q)
+  }
+
+  /** The vector twin of [[startCuration]]: watch `sourceTable`'s
+    * commit log of (id, embedding) rows, collapse within-batch cosine
+    * clusters, drop near-dups of the persisted `<name>_index` at
+    * `threshold` (SRP-banded candidates probed through
+    * `<name>_postings`), append accepted vectors to `<name>` —
+    * exactly-once across crashes and restarts. */
+  def startEmbeddingCuration(name: String, sourceTable: String,
+                             threshold: Double = 0.35,
+                             idCol: String = "vec_id",
+                             embCol: String = "embedding")
+      : (LakeTable, StreamingQuery) = {
+    import org.apache.spark.sql.types.StructType
+    val ns = config.catalog.namespace
+    val src = table(sourceTable)
+    val userSchema = StructType(src.schema.fields.filterNot(
+      _.name == graft.lake.LakeTable.BucketCol))
+    val idxName = s"${name}_index"
+    val index =
+      if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
+      else catalog.createTable(ns, idxName, userSchema,
+        bucketBy = Some((idCol, 32)))
+    val pName = s"${name}_postings"
+    val postings =
+      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
+      else catalog.createTable(ns, pName,
+        graft.operators.SimilarityOps.srpPostingsSchema,
+        properties = Map("compaction.auto.maxFiles" -> "256",
+          "compaction.auto.sortBy" -> "pbh"),
+        bucketBy = Some(("pbh", 32)))
+    val out = catalog.createOrLoadTable(ns, name, userSchema)
+    val q = mvs.startEmbeddingCurationFromLake(name, src, index, out,
+      threshold, idCol = idCol, embCol = embCol,
+      trigger = config.trigger, postings = Some(postings))
     (out, q)
   }
 

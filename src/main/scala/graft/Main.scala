@@ -30,6 +30,12 @@ object Main {
       println(s"[graft] curating '${c.source}' -> '${c.target}' " +
         s"(near-dup: ${c.minJaccard.getOrElse("off")}, query ${q.id})")
     }
+    config.embeddingCuration.foreach { c =>
+      val (_, q) = engine.startEmbeddingCuration(c.target, c.source,
+        c.threshold, c.idCol, c.embCol)
+      println(s"[graft] curating vectors '${c.source}' -> " +
+        s"'${c.target}' (cosine >= ${c.threshold}, query ${q.id})")
+    }
     sys.addShutdownHook {
       println("[graft] shutting down")
       engine.shutdown()

@@ -324,4 +324,52 @@ class EngineSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(idxDocs.subsetOf(postDocs))
   }
+
+  test("startEmbeddingCuration: the vector curation loop as a " +
+    "catalog-managed engine MV — cosine near-dups dropped, tables " +
+    "created on first use, YAML-configurable") {
+    import org.apache.spark.sql.types._
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("ecur-wh")),
+      CatalogConfig(namespace = "vectors"),
+      BatchingConfig(availableNow = true)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val src = engine.catalog.createTable("vectors", "raw_vec", embSchema)
+    def vec(axes: Seq[Int]): Seq[Float] =
+      (0 until 64).map(i => if (axes.contains(i)) 1f else 0f)
+    src.append(Seq(
+      (1L, vec(Seq(0, 1, 2))),
+      (2L, vec(Seq(0, 1, 2))),   // within-batch copy -> collapsed
+      (3L, vec(Seq(40, 41))))
+      .toDF("vec_id", "embedding"))
+    engine.startEmbeddingCuration("curated_vec", "raw_vec",
+      threshold = 0.35)._2.awaitTermination()
+    assert(engine.readTable("curated_vec").select("vec_id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    // a near-dup arriving later is dropped against the index
+    src.append(Seq((10L, vec(Seq(0, 1))), (11L, vec(Seq(60, 61))))
+      .toDF("vec_id", "embedding"))
+    engine.startEmbeddingCuration("curated_vec", "raw_vec",
+      threshold = 0.35)._2.awaitTermination()
+    assert(engine.readTable("curated_vec").select("vec_id").as[Long]
+      .collect().toSet == Set(1L, 3L, 11L))
+    assert(engine.catalog.listTables("vectors").toSet ==
+      Set("raw_vec", "curated_vec", "curated_vec_index",
+        "curated_vec_postings"))
+    assert(engine.table("curated_vec_index").bucketSpec ==
+      Some(("vec_id", 32)))
+    // the YAML surface drives the same loop
+    val cfg = GraftConfig.fromYamlString(
+      """storage:
+        |  localPath: /tmp/w
+        |embeddingCuration:
+        |  source: raw_vec
+        |  target: curated_vec
+        |  threshold: "0.5"
+        |""".stripMargin)
+    assert(cfg.embeddingCuration ==
+      Some(EmbeddingCurationConfig("raw_vec", "curated_vec", 0.5)))
+  }
 }
