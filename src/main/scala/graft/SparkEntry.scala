@@ -523,6 +523,28 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // snapshot ROLLBACK through the whole commit stack: a bad commit
+    // (the "view" events, standing in for a poisoned batch) is undone
+    // by rolling back to the good snapshot — a NEW commit restoring
+    // the old file set, history intact — and the table keeps moving
+    // (the purchase batch lands on top). The oracle recomputes the
+    // surviving state in SQL, so the hash match proves the restored
+    // file set is exactly the good snapshot's.
+    "q96_lake_rollback" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-rollback")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.filter(col("event_type") === "click"))
+      val good = t.currentVersion
+      t.append(ev.filter(col("event_type") === "view")) // the bad batch
+      t.rollbackTo(good)
+      t.append(ev.filter(col("event_type") === "purchase"))
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     // the end-to-end curation pipeline, composed from the graded
     // pieces: inject exact duplicates (every 50th doc re-appears under
     // a shifted id) + the q62 deterministic PII enrichment, then
@@ -1477,5 +1499,9 @@ object SparkEntry {
     "q53_lake_partitioned" ->
       """SELECT user_id, count(*) AS n, sum(value) AS sum_value
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q96_lake_rollback" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1""",
   )
 }

@@ -1183,6 +1183,43 @@ class LakeTable private (
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
 
+  /** Iceberg-style rollback: commit a NEW snapshot whose file set,
+    * schema, and field IDs are those of retained `version` — history
+    * is preserved (time travel still reads the undone snapshots until
+    * expiry), the restored files are live again and re-protected from
+    * vacuum by the new reference, and the table keeps moving forward
+    * (appends land on top of the restored state). Two states carry
+    * FORWARD rather than roll back: exactly-once high-water marks
+    * (replays of batches committed after `version` stay suppressed —
+    * rollback undoes DATA, not delivery-dedup state) and lastFieldId
+    * (a column added after `version` stays retired, its ID never
+    * reused). Table properties also stay current: maintenance policy
+    * is operational config, not data. */
+  def rollbackTo(version: Int): Int = {
+    requireRetained(version)
+    val target = mapper.readTree(
+      Files.readString(versionPath(metaDir, version)))
+    var attempt = 0
+    while (true) {
+      val (v, cur) = latest()
+      if (v == version) return v
+      val node = snapshotJson(
+        version = v + 1, parent = v,
+        schema = DataTypeBridge.fromJson(target.get("schemaJson").asText()),
+        ids = fieldIdsOf(target),
+        props = cur.get("properties"),
+        files = filesOf(target),
+        meta = Map("rollback.to" -> version.toString),
+        partitionBy = partitionBy,
+        highWater = highWaterOf(cur),
+        lastFieldId = lastFieldIdOf(cur))
+      if (tryCommit(metaDir, v + 1, node)) return v + 1
+      attempt += 1
+      require(attempt < 100, s"commit contention at $root, giving up")
+    }
+    -1 // unreachable
+  }
+
   /** Iceberg-style snapshot retention: delete snapshot metadata older
     * than the newest `keepLast` versions, then vacuum data files that
     * only those expired snapshots referenced. Time travel remains valid

@@ -136,6 +136,41 @@ class LakeTableSpec extends SparkSuite {
     }
   }
 
+  test("rollbackTo restores an old snapshot's state as a NEW commit: " +
+    "history preserved, exactly-once marks carried forward, restored " +
+    "files safe from vacuum") {
+    val t = freshTable("rollback", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    t.appendExactlyOnce(Seq((1L, 1.0)).toDF("id", "v"), "w", 0L)
+    val vGood = t.currentVersion
+    t.appendExactlyOnce(Seq((2L, 2.0)).toDF("id", "v"), "w", 1L)
+    val vBad = t.currentVersion
+    val rolled = t.rollbackTo(vGood)
+    assert(rolled > vBad, "rollback is a NEW commit, not a reset")
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    // history preserved: the undone snapshot still time-travels
+    assert(t.readVersion(vBad).count() == 2)
+    // delivery-dedup state carries FORWARD: a replay of the rolled-
+    // back batch stays suppressed (rollback undoes data, not dedup)
+    val v = t.currentVersion
+    t.appendExactlyOnce(Seq((2L, 2.0)).toDF("id", "v"), "w", 1L)
+    assert(t.currentVersion == v)
+    assert(t.read().count() == 1)
+    // the table keeps moving forward on the restored state
+    t.appendExactlyOnce(Seq((3L, 3.0)).toDF("id", "v"), "w", 2L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // vacuum keeps every retained-snapshot reference, restored or not
+    assert(t.vacuum() == 0)
+    assert(t.readVersion(vBad).count() == 2)
+    // rolling back to an EXPIRED snapshot fails with the retention
+    // contract
+    (1 to 6).foreach(i =>
+      t.append(Seq((100L + i, 0.0)).toDF("id", "v")))
+    t.expireSnapshots(keepLast = 2)
+    intercept[IllegalStateException](t.rollbackTo(vGood))
+  }
+
   test("array-column nullability is a lattice, not a mismatch: " +
     "non-null-element appends land in nullable-element tables and " +
     "vice versa (the DataFrame-literal vs parquet-read-back impedance)") {
