@@ -212,6 +212,25 @@ class LakeTable private (
     readWhere(cond)
   }
 
+  /** Bucket-dir-only point read: every row of the bucket dirs the
+    * `keyCol` values hash into, with NO per-value residual filter —
+    * for callers that re-join on the key anyway (LSH band probes), a
+    * mid-size key set would otherwise compile to a thousands-literal
+    * IN whose planning cost eats the pruning win. Degrades to a full
+    * read when the values cover every bucket or the table is
+    * unbucketed on `keyCol`. */
+  def probeBuckets(keyCol: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (values.isEmpty) return read().filter(lit(false))
+    bucketSpec match {
+      case Some((c, n)) if c == keyCol && !c.contains(",") =>
+        val ids = values.map(bucketIdOf).distinct
+        if (ids.size >= n) read()
+        else readWhere(col(BucketCol).isin(ids: _*))
+      case _ => read()
+    }
+  }
+
   /** Retained snapshots only (expired versions are absent). */
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion)

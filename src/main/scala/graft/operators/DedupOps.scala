@@ -208,8 +208,14 @@ object DedupOps {
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bh")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))
+        // small key sets: full probe (bucket dirs + manifest IN +
+        // pushdown); larger ones: bucket-dir pruning only — a
+        // thousands-literal IN costs more to plan/push than it prunes,
+        // and the exact band join below restores exactness either way
         val rows =
-          if (pbhs.length <= maxProbe) p.probe("pbh", pbhs.toSeq)
+          if (pbhs.length <= 2048) p.probe("pbh", pbhs.toSeq)
+          else if (pbhs.length <= maxProbe)
+            p.probeBuckets("pbh", pbhs.toSeq)
           else p.read()
         rows.select(col("doc_id").as("d_idx"),
           struct(col("band"), col("bh")).as("bk"))
@@ -601,8 +607,14 @@ object DedupOps {
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))
+        // small key sets: full probe (bucket dirs + manifest IN +
+        // pushdown); larger ones: bucket-dir pruning only — a
+        // thousands-literal IN costs more to plan/push than it prunes,
+        // and the exact band join below restores exactness either way
         val rows =
-          if (pbhs.length <= maxProbe) p.probe("pbh", pbhs.toSeq)
+          if (pbhs.length <= 2048) p.probe("pbh", pbhs.toSeq)
+          else if (pbhs.length <= maxProbe)
+            p.probeBuckets("pbh", pbhs.toSeq)
           else p.read()
         rows.select(col("doc_id").as("d_idx"),
           struct(col("band"), col("bv")).as("bk"))
