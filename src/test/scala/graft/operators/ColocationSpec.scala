@@ -294,6 +294,34 @@ class ColocationSpec extends SparkSuite {
       s"verify fetch read $idxRead of $idxTotal index files")
   }
 
+  test("probeBuckets: bucket-dir pruning with no residual filter, " +
+    "degrading to a full read at full coverage") {
+    val t = LakeTable.create(spark, tmpDir("probe-buckets"),
+      StructType(Seq(StructField("pbh", LongType),
+        StructField("doc_id", LongType))),
+      bucketBy = Some(("pbh", 64)))
+    t.append((0L until 4000L).map(i => (i * 7919L, i))
+      .toDF("pbh", "doc_id"))
+    val total = t.read().inputFiles.length
+    // a handful of keys: only their bucket dirs are planned, and ALL
+    // rows of those dirs come back (no per-value filter — callers
+    // re-join on the exact key)
+    val keys = Seq(7919L, 15838L, 23757L)
+    val probed = t.probeBuckets("pbh", keys)
+    assert(probed.inputFiles.length < total / 2,
+      s"read ${probed.inputFiles.length} of $total files")
+    assert(!Bucketing.hasShuffle(probed))
+    val got = probed.select("pbh").as[Long].collect().toSet
+    assert(keys.forall(got.contains), "probed keys' rows must be present")
+    // rows sharing the probed buckets ride along — that's the contract
+    assert(got.size >= keys.size)
+    // key sets covering every bucket degrade to a plain full read
+    val all = t.probeBuckets("pbh", (0L until 4000L).map(_ * 7919L))
+    assert(all.count() == 4000L)
+    // unbucketed-column fallback: full read, nothing lost
+    assert(t.probeBuckets("doc_id", Seq(1L)).count() == 4000L)
+  }
+
   test("composite-key bucketing: an aggregate-MV upsert rewrites ONLY " +
     "the buckets holding its changed keys; every other file survives " +
     "byte-identical") {

@@ -291,6 +291,41 @@ class CurationMVSpec extends SparkSuite {
       Set(1L, 4L))
   }
 
+  test("curation MV survives a ROLLBACK on its source: the rolled-back " +
+    "rows are not lost, restored history is not double-curated") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = LakeTable.create(spark, tmpDir("rb-src"), docsSchema)
+    val index = LakeTable.create(spark, tmpDir("rb-idx"), StructType(Seq(
+      StructField("fp", StringType), StructField("doc_id", LongType))),
+      bucketBy = Some(("fp", 8)))
+    val out = LakeTable.create(spark, tmpDir("rb-out"), docsSchema)
+    val mv = new MVManager(spark, tmpDir("rb-ckpt"))
+
+    src.append(Seq((1L, "first batch of documents here"))
+      .toDF("doc_id", "text"))
+    val good = src.currentVersion
+    src.append(Seq((2L, "a poisoned batch that will be rolled back"))
+      .toDF("doc_id", "text"))
+    mv.startCurationFromLake("rb", src, index, out).awaitTermination()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // the source rolls back the poisoned batch (a NEW commit restoring
+    // the good file set), then receives fresh data; the loop's next
+    // run must process the delta without failing, without losing doc 3,
+    // and without re-curating doc 1 (the rollback commit re-presents
+    // old files in its set-difference superset — the fp frontier
+    // absorbs the re-emission)
+    src.rollbackTo(good)
+    src.append(Seq((3L, "fresh material after the rollback"))
+      .toDF("doc_id", "text"))
+    mv.startCurationFromLake("rb", src, index, out).awaitTermination()
+    val ids = out.read().select("doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L),
+      s"expected exactly-once curation across the rollback, got $ids")
+    assert(out.read().count() == 3, "no doc curated twice")
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
