@@ -484,6 +484,13 @@ object SparkEntry {
     // the full pair set and the oracle is a plain batch self-join
     "q73_stream_interval_join" ->
       (graft.streaming.StreamingQueries.streamIntervalJoin _),
+    // the streaming JOIN MV persisted into the lake — RisingWave's
+    // third MV class (append = q51, aggregate = q90, join = this):
+    // q73's interval-join matches land in a lake table through
+    // exactly-once per-batch commits, and the oracle (the same batch
+    // self-join) hash-matches the TABLE's read-back state
+    "q97_stream_join_mv" ->
+      (graft.streaming.StreamingQueries.joinMv _),
     // native session_window streaming sessionization (q47's stateful
     // twin; oracle replays the strict gap-overlap rule batch-side)
     "q74_stream_sessions" ->
@@ -1074,6 +1081,13 @@ object SparkEntry {
            count(*) AS n_events, sum(value) AS sum_value
          FROM t GROUP BY user_id, sess_id""",
     "q73_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+         max(p.value) AS value
+         FROM events p JOIN events c ON c.user_id = p.user_id
+           AND p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         GROUP BY 1""",
+    "q97_stream_join_mv" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
          max(p.value) AS value
          FROM events p JOIN events c ON c.user_id = p.user_id

@@ -218,6 +218,47 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_clicks"), max(col("value")).as("value"))
   }
 
+  /** Streaming JOIN MV persisted into the lake — RisingWave's third MV
+    * class alongside the append MV (q51) and the incrementally-
+    * maintained aggregate MV (q90): the q73 stream-stream interval
+    * join's matches land in a lake table via exactly-once per-batch
+    * commits (one snapshot per micro-batch, replay-suppressed), so
+    * downstream readers join-free serve the purchase↔click pairs with
+    * full snapshot/time-travel semantics. INNER interval-join matches
+    * emit eagerly (watermarks bound state, never gate emission), so
+    * the AvailableNow drain is lossless and the batch-join oracle
+    * must hash-match the table's final state. */
+  def joinMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-joinmv")
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("value"), col("c_ts"))
+    val table = graft.lake.LakeTable.create(s, s"$tmp/mv", StructType(Seq(
+      StructField("purchase_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("c_ts", TimestampType))))
+    val mv = new MVManager(s, s"$tmp/ckpt")
+    withShufflePartitions(s, 8) {
+      mv.startToLake("join_mv", joined, table).awaitTermination()
+    }
+    table.read()
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("value")).as("value"))
+  }
+
   /** Native streaming sessionization: session_window(gap = 30 min) per
     * user with merging session state — the stateful-streaming twin of
     * the batch q47 sessionize. Gap semantics are session_window's
