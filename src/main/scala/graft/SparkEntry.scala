@@ -63,6 +63,20 @@ object SparkEntry {
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
+    // TPC-H Q6 (forecasting revenue change): the canonical
+    // pushdown-and-scan query — every predicate reaches the parquet
+    // reader (PushedFilters on shipdate/discount/quantity), one
+    // codegen'd conditional-sum pass, no shuffle beyond the final agg
+    "q99_forecast_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))
+    }),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
     "q55_unpivot" -> (Relational.unpivotEvents _),
     "q49_stats_agg" -> (Relational.statsAgg _),
@@ -537,6 +551,25 @@ object SparkEntry {
     // (the purchase batch lands on top). The oracle recomputes the
     // surviving state in SQL, so the hash match proves the restored
     // file set is exactly the good snapshot's.
+    // skew-handled join as a graded query: the events fact (user_id is
+    // Zipf-hot in the fixture) salted x8 against a per-user dimension
+    // built from customers — every hot key's rows scatter across 8
+    // reducers instead of serializing one. The oracle is the PLAIN
+    // join aggregate, so the hash match proves salting changes the
+    // schedule, never the result.
+    "q98_skew_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val dim = Tables.load(s, d, "customer")
+        .select(pmod(col("c_custkey"), lit(50L)).as("u_id"),
+          col("c_mktsegment"))
+        .groupBy(col("u_id"))
+        .agg(min(col("c_mktsegment")).as("segment"))
+      SkewJoin.saltedInnerJoin(ev, dim, "user_id", "u_id", factor = 8)
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -1027,6 +1060,13 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
            AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q99_forecast_revenue" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
     "q89_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
          sum(l_extendedprice * (1 - l_discount)) AS revenue,
@@ -1517,5 +1557,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1""",
+    "q98_skew_salted_join" ->
+      """WITH dim AS (SELECT c_custkey % 50 AS u_id,
+             min(c_mktsegment) AS segment
+           FROM customer GROUP BY 1)
+         SELECT segment, event_type, count(*) AS n,
+           sum(value) AS sum_value
+         FROM events e JOIN dim d ON e.user_id = d.u_id
+         GROUP BY 1, 2""",
   )
 }
