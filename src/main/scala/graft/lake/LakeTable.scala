@@ -1213,7 +1213,13 @@ class LakeTable private (
     * rollback undoes DATA, not delivery-dedup state) and lastFieldId
     * (a column added after `version` stays retired, its ID never
     * reused). Table properties also stay current: maintenance policy
-    * is operational config, not data. */
+    * is operational config, not data.
+    *
+    * A commit RACING the rollback loses its data from the live set by
+    * design — "restore state as of `version`" wins, exactly like
+    * Iceberg's rollback_to_snapshot. The racer's snapshot stays
+    * retained (its rows recoverable by rolling forward to it) until
+    * expiry; nothing is silently deleted from disk. */
   def rollbackTo(version: Int): Int = {
     requireRetained(version)
     val target = mapper.readTree(

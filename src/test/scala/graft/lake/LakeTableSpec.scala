@@ -171,6 +171,26 @@ class LakeTableSpec extends SparkSuite {
     intercept[IllegalStateException](t.rollbackTo(vGood))
   }
 
+  test("rollback racing an append: restore-wins semantics, the racer's " +
+    "rows stay recoverable through its retained snapshot") {
+    val t = freshTable("rollback-race", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    val good = t.currentVersion
+    // the racer lands BETWEEN the rollback decision and its commit
+    t.append(Seq((2L, 2.0)).toDF("id", "v"))
+    val racer = t.currentVersion
+    t.rollbackTo(good)
+    // restore wins: the racer's rows are out of the live set...
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    // ...but nothing is lost: its snapshot still time-travels, and
+    // rolling FORWARD to it restores its rows
+    assert(t.readVersion(racer).count() == 2)
+    t.rollbackTo(racer)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("array-column nullability is a lattice, not a mismatch: " +
     "non-null-element appends land in nullable-element tables and " +
     "vice versa (the DataFrame-literal vs parquet-read-back impedance)") {
