@@ -280,13 +280,26 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val postings = minJaccard.map { _ =>
       val pName = s"${name}_postings"
       if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
-      else catalog.createTable(ns, pName,
-        graft.operators.DedupOps.bandPostingsSchema,
-        // compaction range-clusters pbh within each bucket dir, so
-        // long-running loops converge to manifest-range-prunable files
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "pbh"),
-        bucketBy = Some(("pbh", 32)))
+      else {
+        val p = catalog.createTable(ns, pName,
+          graft.operators.DedupOps.bandPostingsSchema,
+          // compaction range-clusters pbh within each bucket dir, so
+          // long-running loops converge to manifest-range-prunable
+          // files; the recorded geometry fails a mismatched probe loud
+          properties = Map("compaction.auto.maxFiles" -> "256",
+            "compaction.auto.sortBy" -> "pbh",
+            "postings.kind" -> "minhash", "postings.bands" -> "16"),
+          bucketBy = Some(("pbh", 32)))
+        // BACKFILL: an index populated before this postings table
+        // existed (an older deployment, or direct MVManager use with
+        // postings=None) must have its bands present BEFORE any batch
+        // probes — the advisory-candidates contract rests on postings
+        // covering every indexed sig
+        if (index.dataFiles.nonEmpty)
+          p.append(graft.operators.DedupOps.bandPostingsRows(
+            index.read().select("doc_id", "sig")))
+        p
+      }
     }
     // a bucketed source's schema carries its derived _bucket routing
     // column — strip it so the curated table gets only document data
@@ -315,18 +328,31 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val userSchema = StructType(src.schema.fields.filterNot(
       _.name == graft.lake.LakeTable.BucketCol))
     val idxName = s"${name}_index"
+    // the index holds exactly the near-dup state (id, embedding);
+    // metadata columns stay in the curated OUT table's full rows
+    val idxSchema = StructType(Seq(userSchema(idCol), userSchema(embCol)))
     val index =
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
-      else catalog.createTable(ns, idxName, userSchema,
+      else catalog.createTable(ns, idxName, idxSchema,
         bucketBy = Some((idCol, 32)))
     val pName = s"${name}_postings"
     val postings =
       if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
-      else catalog.createTable(ns, pName,
-        graft.operators.SimilarityOps.srpPostingsSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "pbh"),
-        bucketBy = Some(("pbh", 32)))
+      else {
+        val p = catalog.createTable(ns, pName,
+          graft.operators.SimilarityOps.srpPostingsSchema,
+          properties = Map("compaction.auto.maxFiles" -> "256",
+            "compaction.auto.sortBy" -> "pbh",
+            "postings.kind" -> "srp", "postings.bands" -> "8",
+            "postings.bandBits" -> "8"),
+          bucketBy = Some(("pbh", 32)))
+        // backfill a pre-existing index's bands (see startCuration)
+        if (index.dataFiles.nonEmpty)
+          p.append(graft.operators.SimilarityOps.srpPostingsRows(
+            index.read().select(idCol, embCol),
+            idCol = idCol, embCol = embCol))
+        p
+      }
     val out = catalog.createOrLoadTable(ns, name, userSchema)
     val q = mvs.startEmbeddingCurationFromLake(name, src, index, out,
       threshold, idCol = idCol, embCol = embCol,

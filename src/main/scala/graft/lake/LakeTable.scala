@@ -231,6 +231,20 @@ class LakeTable private (
     }
   }
 
+  /** Tiered candidate-provisioning read, the one policy every LSH
+    * postings probe shares: small key sets take the full [[probe]]
+    * (bucket dirs + manifest IN + parquet pushdown), mid-size sets
+    * take [[probeBuckets]] (a thousands-literal IN costs more to
+    * plan/push than it prunes), and beyond `maxProbe` a plain full
+    * read (the batch is no longer "incremental" relative to the
+    * index). Callers re-join on the exact key, so the coarser tiers
+    * never change results — only how much gets read. */
+  def probeTiered(keyCol: String, values: Seq[Any], maxProbe: Int,
+                  inListCap: Int = 2048): DataFrame =
+    if (values.length <= inListCap) probe(keyCol, values)
+    else if (values.length <= maxProbe) probeBuckets(keyCol, values)
+    else read()
+
   /** Retained snapshots only (expired versions are absent). */
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion)

@@ -119,8 +119,25 @@ object BpeOps {
         // silent divergence. The truncated-pool boundary hides unseen
         // ties, so a candidate tying the boundary count also stops.
         def tieBeats(ca: String, cb: String, c: Long): Boolean = {
+          // compare in UTF-8 BINARY order — the order the candidate
+          // pool was sorted in (Spark's string ordering). Java's
+          // UTF-16 compareTo disagrees for supplementary-plane
+          // characters (surrogates sort below U+E000..U+FFFF), which
+          // would let the guard mis-rank an emoji-bearing successor
+          def u8lt(a: String, b: String): Boolean = {
+            val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val n = math.min(x.length, y.length)
+            var i = 0
+            while (i < n) {
+              val d = (x(i) & 0xff) - (y(i) & 0xff)
+              if (d != 0) return d < 0
+              i += 1
+            }
+            x.length < y.length
+          }
           def lt(x1: String, x2: String) =
-            x1 < ca || (x1 == ca && x2 < cb)
+            u8lt(x1, ca) || (x1 == ca && u8lt(x2, cb))
           top.exists { r2 =>
             r2.getLong(2) == c && {
               val (p, q) = (r2.getString(0), r2.getString(1))

@@ -201,6 +201,13 @@ object DedupOps {
       newRows.select(col("doc_id").as("d_new"), col("sig")), "d_new")
     val idxBk = postings match {
       case Some(p) =>
+        // a postings table built under a different band geometry would
+        // silently generate zero candidates — fail loud instead
+        p.properties.get("postings.kind").foreach(k => require(
+          k == "minhash", s"postings table at ${p.root} is '$k', not minhash"))
+        p.properties.get("postings.bands").foreach(b => require(
+          b.toInt == bands,
+          s"postings at ${p.root} were built with $b bands, probe uses $bands"))
         // the batch's own posting keys, enumerated driver-side (batch
         // docs x bands values — the incremental case by definition);
         // oversized batches degrade to one full postings scan, which
@@ -208,15 +215,7 @@ object DedupOps {
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bh")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))
-        // small key sets: full probe (bucket dirs + manifest IN +
-        // pushdown); larger ones: bucket-dir pruning only — a
-        // thousands-literal IN costs more to plan/push than it prunes,
-        // and the exact band join below restores exactness either way
-        val rows =
-          if (pbhs.length <= 2048) p.probe("pbh", pbhs.toSeq)
-          else if (pbhs.length <= maxProbe)
-            p.probeBuckets("pbh", pbhs.toSeq)
-          else p.read()
+        val rows = p.probeTiered("pbh", pbhs.toSeq, maxProbe)
         rows.select(col("doc_id").as("d_idx"),
           struct(col("band"), col("bh")).as("bk"))
       case None => buckets(
@@ -593,6 +592,11 @@ object DedupOps {
                           postings: Option[graft.lake.LakeTable] = None,
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
+    // the 4-band pigeonhole only guarantees a shared band for
+    // distances that can't place one differing bit in every band
+    require(maxHamming <= 3,
+      s"banded candidate generation is recall-exact only for " +
+        s"maxHamming <= 3 (4 bands), got $maxHamming")
     val newSh = simHash(batch, textCol, idCol).localCheckpoint()
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
@@ -604,18 +608,12 @@ object DedupOps {
     val newBk = bandsOf(newSh, "d_new")
     val idxBk = postings match {
       case Some(p) =>
+        p.properties.get("postings.kind").foreach(k => require(
+          k == "simhash", s"postings table at ${p.root} is '$k', not simhash"))
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))
-        // small key sets: full probe (bucket dirs + manifest IN +
-        // pushdown); larger ones: bucket-dir pruning only — a
-        // thousands-literal IN costs more to plan/push than it prunes,
-        // and the exact band join below restores exactness either way
-        val rows =
-          if (pbhs.length <= 2048) p.probe("pbh", pbhs.toSeq)
-          else if (pbhs.length <= maxProbe)
-            p.probeBuckets("pbh", pbhs.toSeq)
-          else p.read()
+        val rows = p.probeTiered("pbh", pbhs.toSeq, maxProbe)
         rows.select(col("doc_id").as("d_idx"),
           struct(col("band"), col("bv")).as("bk"))
       case None => bandsOf(index.read(), "d_idx")

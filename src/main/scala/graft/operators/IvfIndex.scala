@@ -183,10 +183,15 @@ object IvfIndex {
                            idCol: String = "vec_id",
                            queryIdCol: String = "query_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the probe set is both collected (for the static
+    // partition filter) and joined — one evaluation, so a
+    // non-deterministic query plan (sample, unordered limit) cannot
+    // produce a filter that disagrees with the joined rows
     val probes = queries.select(col(queryIdCol).as("_qid"),
       col(embCol).as("_qv"),
       explode(top_centroids(col(embCol), model.centroids, nprobe))
         .as("_cluster"))
+      .localCheckpoint()
     // the probed-cluster union is bounded by C (the centroid count),
     // never by query or corpus size — a driver-safe collect
     val probed = probes.select(col("_cluster")).distinct()

@@ -197,21 +197,21 @@ object SimilarityOps {
     val newBk = bandsOf(batch, "v_new")
     val idxBk = postings match {
       case Some(p) =>
+        p.properties.get("postings.kind").foreach(k => require(
+          k == "srp", s"postings table at ${p.root} is '$k', not srp"))
+        p.properties.get("postings.bands").foreach(b => require(
+          b.toInt == bands,
+          s"postings at ${p.root} were built with $b bands, probe uses $bands"))
+        p.properties.get("postings.bandBits").foreach(b => require(
+          b.toInt == bandBits,
+          s"postings at ${p.root} use $b band bits, probe uses $bandBits"))
         // probe the postings on the batch's own posting keys — the
         // O(batch) candidate generation; oversized batches degrade to
         // one full (narrow) postings scan
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))
-        // small key sets: full probe (bucket dirs + manifest IN +
-        // pushdown); larger ones: bucket-dir pruning only — a
-        // thousands-literal IN costs more to plan/push than it prunes,
-        // and the exact band join below restores exactness either way
-        val rows =
-          if (pbhs.length <= 2048) p.probe("pbh", pbhs.toSeq)
-          else if (pbhs.length <= maxProbe)
-            p.probeBuckets("pbh", pbhs.toSeq)
-          else p.read()
+        val rows = p.probeTiered("pbh", pbhs.toSeq, maxProbe)
         rows.select(col("vec_id").as("v_idx"),
           struct(col("band"), col("bv")).as("bk"))
       case None => bandsOf(index.read(), "v_idx")

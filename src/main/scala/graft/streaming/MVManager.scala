@@ -433,11 +433,14 @@ object MVManager {
                           postings: Option[LakeTable] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.{DedupOps, SimilarityOps}
-    val batch = vecs.select(col(idCol), col(embCol)).localCheckpoint()
+    // FULL rows ride to the curated output (metadata columns must not
+    // silently drop); the LSH machinery sees only (id, embedding)
+    val batch = vecs.localCheckpoint()
+    val batchVecs = batch.select(col(idCol), col(embCol))
     // within-batch collapse: min-id survivor per cosine cluster
     // (bounded driver union-find, distributed contraction fallback)
     val maxWbPairs = 100000
-    val wbPairs = SimilarityOps.embeddingNearDupLsh(batch, threshold,
+    val wbPairs = SimilarityOps.embeddingNearDupLsh(batchVecs, threshold,
       bandBits, bands, idCol, embCol)
     val somePairs = wbPairs.select(col("v1"), col("v2"))
       .limit(maxWbPairs + 1).collect()
@@ -456,17 +459,18 @@ object MVManager {
       .join(broadcast(wbDrop), Seq(idCol), "left_anti")
       .localCheckpoint()
     val nearIds = SimilarityOps.embeddingNearDupAgainstIndex(
-        survivors, index, threshold, bandBits, bands, idCol, embCol,
-        postings = postings)
+        survivors.select(col(idCol), col(embCol)), index, threshold,
+        bandBits, bands, idCol, embCol, postings = postings)
       .select(col("v_new").as(idCol)).distinct()
     val accepted = survivors
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
       .localCheckpoint()
+    val acceptedVecs = accepted.select(col(idCol), col(embCol))
     out.appendExactlyOnce(accepted, writerId, batchId)
     postings.foreach(_.appendExactlyOnce(
-      SimilarityOps.srpPostingsRows(accepted, bandBits, bands, idCol,
-        embCol), writerId, batchId))
-    index.appendExactlyOnce(accepted, writerId, batchId)
+      SimilarityOps.srpPostingsRows(acceptedVecs, bandBits, bands,
+        idCol, embCol), writerId, batchId))
+    index.appendExactlyOnce(acceptedVecs, writerId, batchId)
     out.autoCompactIfNeeded()
     postings.foreach(_.autoCompactIfNeeded())
     index.autoCompactIfNeeded()

@@ -325,6 +325,48 @@ class EngineSpec extends SparkSuite {
     assert(idxDocs.subsetOf(postDocs))
   }
 
+  test("startCuration BACKFILLS postings for a pre-existing index: " +
+    "near-dups of pre-postings history are still rejected") {
+    import graft.functions.TextFunctions.fingerprint
+    import graft.operators.DedupOps
+    import graft.streaming.MVManager
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("bf-wh")),
+      CatalogConfig(namespace = "corpus2"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("corpus2", "raw", docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // an index from an OLDER deployment: populated sig rows, NO
+    // postings table alongside
+    val hist = Seq((1L, base)).toDF("doc_id", "text")
+    val oldIdx = engine.catalog.createTable("corpus2", "curated_index",
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 32)))
+    oldIdx.append(
+      hist.select(fingerprint($"text").as("fp"), $"doc_id")
+        .join(DedupOps.signatureIndexRows(hist), Seq("doc_id"), "left")
+        .select("fp", "doc_id", "shs", "sig"))
+    // the new deployment starts the loop: the postings table is
+    // created AND backfilled from the existing index, so a near-dup
+    // of the pre-postings history must still be rejected
+    src.append(Seq(
+      (10L, base.replace("upsilon", "omega")), // near-dup of history 1
+      (11L, "genuinely new content with nothing shared at all"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    assert(engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet == Set(11L))
+    // the backfill covered history doc 1's bands
+    assert(engine.readTable("curated_postings").select("doc_id")
+      .as[Long].collect().toSet.contains(1L))
+  }
+
   test("startEmbeddingCuration: the vector curation loop as a " +
     "catalog-managed engine MV — cosine near-dups dropped, tables " +
     "created on first use, YAML-configurable") {
@@ -333,24 +375,31 @@ class EngineSpec extends SparkSuite {
       StorageConfig(tmpDir("ecur-wh")),
       CatalogConfig(namespace = "vectors"),
       BatchingConfig(availableNow = true)))
+    // a metadata column rides along: it must survive into the curated
+    // table's full rows (the index holds only (vec_id, embedding))
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("lang", StringType)))
     val src = engine.catalog.createTable("vectors", "raw_vec", embSchema)
     def vec(axes: Seq[Int]): Seq[Float] =
       (0 until 64).map(i => if (axes.contains(i)) 1f else 0f)
     src.append(Seq(
-      (1L, vec(Seq(0, 1, 2))),
-      (2L, vec(Seq(0, 1, 2))),   // within-batch copy -> collapsed
-      (3L, vec(Seq(40, 41))))
-      .toDF("vec_id", "embedding"))
+      (1L, vec(Seq(0, 1, 2)), "en"),
+      (2L, vec(Seq(0, 1, 2)), "de"),   // within-batch copy -> collapsed
+      (3L, vec(Seq(40, 41)), "fr"))
+      .toDF("vec_id", "embedding", "lang"))
     engine.startEmbeddingCuration("curated_vec", "raw_vec",
       threshold = 0.35)._2.awaitTermination()
-    assert(engine.readTable("curated_vec").select("vec_id").as[Long]
-      .collect().toSet == Set(1L, 3L))
+    assert(engine.readTable("curated_vec")
+      .select("vec_id", "lang").as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (3L, "fr")))
+    assert(engine.table("curated_vec_index").schema.fieldNames.toSet
+      .intersect(Set("lang")).isEmpty, "index carries no metadata")
     // a near-dup arriving later is dropped against the index
-    src.append(Seq((10L, vec(Seq(0, 1))), (11L, vec(Seq(60, 61))))
-      .toDF("vec_id", "embedding"))
+    src.append(Seq((10L, vec(Seq(0, 1)), "it"),
+        (11L, vec(Seq(60, 61)), "pt"))
+      .toDF("vec_id", "embedding", "lang"))
     engine.startEmbeddingCuration("curated_vec", "raw_vec",
       threshold = 0.35)._2.awaitTermination()
     assert(engine.readTable("curated_vec").select("vec_id").as[Long]
