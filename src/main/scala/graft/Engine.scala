@@ -279,27 +279,31 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     // probe is O(batch) — advisory-only, see curateStepNearDup
     val postings = minJaccard.map { _ =>
       val pName = s"${name}_postings"
-      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
-      else {
-        val p = catalog.createTable(ns, pName,
+      val p =
+        if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
+        else catalog.createTable(ns, pName,
           graft.operators.DedupOps.bandPostingsSchema,
           // compaction range-clusters pbh within each bucket dir, so
           // long-running loops converge to manifest-range-prunable
           // files; the recorded geometry fails a mismatched probe loud
           properties = Map("compaction.auto.maxFiles" -> "256",
-            "compaction.auto.sortBy" -> "pbh",
-            "postings.kind" -> "minhash", "postings.bands" -> "16"),
+            "compaction.auto.sortBy" -> "pbh") ++
+            graft.operators.DedupOps.bandPostingsProps(),
           bucketBy = Some(("pbh", 32)))
-        // BACKFILL: an index populated before this postings table
-        // existed (an older deployment, or direct MVManager use with
-        // postings=None) must have its bands present BEFORE any batch
-        // probes — the advisory-candidates contract rests on postings
-        // covering every indexed sig
-        if (index.dataFiles.nonEmpty)
-          p.append(graft.operators.DedupOps.bandPostingsRows(
-            index.read().select("doc_id", "sig")))
-        p
-      }
+      // BACKFILL: an index populated before this postings table existed
+      // (an older deployment, or direct MVManager use with
+      // postings=None) must have its bands present BEFORE any batch
+      // probes — the advisory-candidates contract rests on postings
+      // covering every indexed sig. Keyed exactly-once under a reserved
+      // writer, UNCONDITIONALLY on every start: a crash between
+      // createTable and the backfill commit is retried here until the
+      // marker lands (the fresh-deployment backfill is an empty commit
+      // that still records the marker), and once committed the replay
+      // short-circuits on the high-water mark before touching data.
+      p.appendExactlyOnce(graft.operators.DedupOps.bandPostingsRows(
+        index.read().select("doc_id", "sig")),
+        GraftEngine.PostingsBackfillWriter, 0L)
+      p
     }
     // a bucketed source's schema carries its derived _bucket routing
     // column — strip it so the curated table gets only document data
@@ -338,21 +342,19 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val pName = s"${name}_postings"
     val postings =
       if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
-      else {
-        val p = catalog.createTable(ns, pName,
-          graft.operators.SimilarityOps.srpPostingsSchema,
-          properties = Map("compaction.auto.maxFiles" -> "256",
-            "compaction.auto.sortBy" -> "pbh",
-            "postings.kind" -> "srp", "postings.bands" -> "8",
-            "postings.bandBits" -> "8"),
-          bucketBy = Some(("pbh", 32)))
-        // backfill a pre-existing index's bands (see startCuration)
-        if (index.dataFiles.nonEmpty)
-          p.append(graft.operators.SimilarityOps.srpPostingsRows(
-            index.read().select(idCol, embCol),
-            idCol = idCol, embCol = embCol))
-        p
-      }
+      else catalog.createTable(ns, pName,
+        graft.operators.SimilarityOps.srpPostingsSchema,
+        properties = Map("compaction.auto.maxFiles" -> "256",
+          "compaction.auto.sortBy" -> "pbh") ++
+          graft.operators.SimilarityOps.srpPostingsProps(),
+        bucketBy = Some(("pbh", 32)))
+    // keyed idempotent backfill of a pre-existing index's bands —
+    // crash-safe and replay-cheap, see startCuration
+    postings.appendExactlyOnce(
+      graft.operators.SimilarityOps.srpPostingsRows(
+        index.read().select(idCol, embCol),
+        idCol = idCol, embCol = embCol),
+      GraftEngine.PostingsBackfillWriter, 0L)
     val out = catalog.createOrLoadTable(ns, name, userSchema)
     val q = mvs.startEmbeddingCurationFromLake(name, src, index, out,
       threshold, idCol = idCol, embCol = embCol,
@@ -372,6 +374,13 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
 }
 
 object GraftEngine {
+  /** Reserved exactly-once writer id for the postings backfill commit
+    * (batch 0): retried on every curation start until it lands, so a
+    * crash between postings-table creation and the backfill can never
+    * strand a postings table that silently misses pre-postings index
+    * history. */
+  val PostingsBackfillWriter = "__postings_backfill"
+
   def apply(spark: SparkSession, warehouseDir: String): GraftEngine =
     new GraftEngine(spark, GraftConfig(StorageConfig(warehouseDir)))
 }

@@ -114,7 +114,9 @@ object SparkEntry {
         s, s"$dir/idx", rows.schema, bucketBy = Some(("doc_id", 8)))
       index.appendExactlyOnce(rows, "q95", 0L)
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
-        DedupOps.simHashPostingsSchema, bucketBy = Some(("pbh", 16)))
+        DedupOps.simHashPostingsSchema,
+        properties = DedupOps.simHashPostingsProps,
+        bucketBy = Some(("pbh", 16)))
       postings.appendExactlyOnce(DedupOps.simHashPostingsRows(rows),
         "q95", 0L)
       DedupOps.simHashAgainstIndex(
@@ -303,7 +305,9 @@ object SparkEntry {
       // band postings committed alongside: the probe path reads these
       // pbh-bucketed rows instead of band-scanning the index per batch
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
-        DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 16)))
+        DedupOps.bandPostingsSchema,
+        properties = DedupOps.bandPostingsProps(),
+        bucketBy = Some(("pbh", 16)))
       postings.appendExactlyOnce(DedupOps.bandPostingsRows(rows),
         "q84", 0L)
       DedupOps.nearDupAgainstIndex(
@@ -335,7 +339,9 @@ object SparkEntry {
       index.appendExactlyOnce(hist, "q88", 0L)
       // SRP band postings: the probe path's O(batch) candidate source
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
-        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+        SimilarityOps.srpPostingsSchema,
+        properties = SimilarityOps.srpPostingsProps(),
+        bucketBy = Some(("pbh", 16)))
       postings.appendExactlyOnce(SimilarityOps.srpPostingsRows(hist),
         "q88", 0L)
       SimilarityOps.embeddingNearDupAgainstIndex(
@@ -359,7 +365,9 @@ object SparkEntry {
       val index = graft.lake.LakeTable.create(s, s"$dir/idx", emb.schema,
         bucketBy = Some(("vec_id", 8)))
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
-        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+        SimilarityOps.srpPostingsSchema,
+        properties = SimilarityOps.srpPostingsProps(),
+        bucketBy = Some(("pbh", 16)))
       val out = graft.lake.LakeTable.create(s, s"$dir/out", emb.schema)
       val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
       src.append(emb.filter(col("vec_id") % 3 === 0))
@@ -404,7 +412,9 @@ object SparkEntry {
         graft.streaming.MVManager.curationIndexSchema,
         bucketBy = Some(("fp", 8)))
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
-        DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 16)))
+        DedupOps.bandPostingsSchema,
+        properties = DedupOps.bandPostingsProps(),
+        bucketBy = Some(("pbh", 16)))
       val out = graft.lake.LakeTable.create(s, s"$dir/out", docs.schema)
       val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
       src.append(docs.filter(col("doc_id") % 3 === 0))
@@ -708,9 +718,16 @@ object SparkEntry {
     * `a` and `b` agree in ALL 8 sign bits of SOME 8-bit band — the
     * literal semantics of SignRandomProjection.sign_bits band joins,
     * so oracles check LSH candidate generation exactly. */
-  private def srpBandPred(a: String, b: String): String =
-    (0 until 8).map(k => (0 until 8).map { j =>
-      val i = k * 8 + j + 1
+  /** Literal SQL form of the Spark-side SRP band-collision predicate,
+    * parameterized by the band geometry (defaults = the 4 x 16-bit
+    * index-modality geometry of SimilarityOps; q40's one-shot LSH
+    * keeps its inline 8 x 8 predicate). DuckDB list indexing is
+    * 1-based. */
+  private def srpBandPred(a: String, b: String,
+      bands: Int = SimilarityOps.DefaultIndexBands,
+      bandBits: Int = SimilarityOps.DefaultIndexBandBits): String =
+    (0 until bands).map(k => (0 until bandBits).map { j =>
+      val i = k * bandBits + j + 1
       s"($a.embedding[$i] >= 0) = ($b.embedding[$i] >= 0)"
     }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")
 
@@ -1062,11 +1079,11 @@ object SparkEntry {
          GROUP BY n_name""",
     "q93_ship_mode_priority" ->
       """SELECT l_linestatus,
-         sum(CASE WHEN o_orderpriority = '1-URGENT'
-               OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+               OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
            AS high_line_count,
-         sum(CASE WHEN o_orderpriority <> '1-URGENT'
-               AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+               AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
            AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            AND l_shipdate > o_orderdate

@@ -153,6 +153,32 @@ object DedupOps {
       StructField("doc_id", LongType)))
   }
 
+  /** The geometry properties every MinHash band-postings table MUST be
+    * created with — probes fail loudly on a table that lacks them
+    * (see [[requirePostingsProp]]), because a geometry-mismatched
+    * postings table silently generates zero candidates. */
+  def bandPostingsProps(bands: Int = 16): Map[String, String] =
+    Map("postings.kind" -> "minhash", "postings.bands" -> bands.toString)
+
+  /** Geometry properties for a SimHash postings table (the banding is
+    * fixed at 4 x 16 bits by the pigeonhole-recall argument in
+    * [[simHashAgainstIndex]]). */
+  def simHashPostingsProps: Map[String, String] =
+    Map("postings.kind" -> "simhash", "postings.bands" -> "4",
+      "postings.bandBits" -> "16")
+
+  /** Mandatory geometry-property read: a postings table created
+    * without its `postings.*` stamp cannot prove probe compatibility,
+    * and probing it under the wrong geometry yields zero candidates
+    * silently — the exact failure the stamp exists to surface. */
+  private[graft] def requirePostingsProp(p: graft.lake.LakeTable,
+                                         key: String): String =
+    p.properties.getOrElse(key, throw new IllegalStateException(
+      s"postings table at ${p.root} lacks the '$key' property — it was " +
+        "created without geometry stamping (use bandPostingsProps/" +
+        "simHashPostingsProps/srpPostingsProps at createTable), so probe " +
+        "compatibility cannot be verified"))
+
   /** Posting rows (pbh, band, bh, doc_id) for signature-index rows —
     * what a curation writer commits alongside each index commit.
     * Derived 1:1 from the sig column (null-sig rows — docs too short
@@ -202,12 +228,15 @@ object DedupOps {
     val idxBk = postings match {
       case Some(p) =>
         // a postings table built under a different band geometry would
-        // silently generate zero candidates — fail loud instead
-        p.properties.get("postings.kind").foreach(k => require(
-          k == "minhash", s"postings table at ${p.root} is '$k', not minhash"))
-        p.properties.get("postings.bands").foreach(b => require(
-          b.toInt == bands,
-          s"postings at ${p.root} were built with $b bands, probe uses $bands"))
+        // silently generate zero candidates — fail loud instead, and
+        // refuse tables that carry no geometry stamp at all
+        val kind = requirePostingsProp(p, "postings.kind")
+        require(kind == "minhash",
+          s"postings table at ${p.root} is '$kind', not minhash")
+        val pBands = requirePostingsProp(p, "postings.bands").toInt
+        require(pBands == bands,
+          s"postings at ${p.root} were built with $pBands bands, " +
+            s"probe uses $bands")
         // the batch's own posting keys, enumerated driver-side (batch
         // docs x bands values — the incremental case by definition);
         // oversized batches degrade to one full postings scan, which
@@ -608,8 +637,9 @@ object DedupOps {
     val newBk = bandsOf(newSh, "d_new")
     val idxBk = postings match {
       case Some(p) =>
-        p.properties.get("postings.kind").foreach(k => require(
-          k == "simhash", s"postings table at ${p.root} is '$k', not simhash"))
+        val kind = requirePostingsProp(p, "postings.kind")
+        require(kind == "simhash",
+          s"postings table at ${p.root} is '$kind', not simhash")
         val pbhs = newBk
           .select(xxhash64(col("bk.band"), col("bk.bv")).as("pbh"))
           .distinct().limit(maxProbe + 1).collect().map(_.get(0))

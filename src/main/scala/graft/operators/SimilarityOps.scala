@@ -14,6 +14,20 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object SimilarityOps {
 
+  /** Default SRP band geometry for the INDEX modality (persisted-index
+    * probes and the embedding curation loop): 4 bands x 16 bits over
+    * the 64-bit axis-sign signature. The selectivity choice is the
+    * scale story: with b-bit bands an index key collides with
+    * ~index/2^b posting rows on random data, so 8-bit bands make
+    * candidate volume grow O(index) per batch (each key drags in
+    * ~index/256 rows) while 16-bit bands keep the expected candidate
+    * set near-constant until the index reaches ~2^16 x batch rows.
+    * Within-BATCH LSH ([[embeddingNearDupLsh]] one-shots, q40) keeps
+    * the recall-friendlier 8 x 8 default — its cost is O(batch^2 /
+    * 2^b) regardless of any index, so the trade is different. */
+  val DefaultIndexBandBits = 16
+  val DefaultIndexBands = 4
+
   /** Brute-force cosine top-k against one query vector (given as a 1-row
     * DataFrame with column `embedding`). Broadcast of the query row +
     * one scan; `orderBy.limit` plans as TakeOrderedAndProject, so only k
@@ -152,12 +166,23 @@ object SimilarityOps {
       StructField("vec_id", LongType)))
   }
 
+  /** The geometry properties every SRP postings table MUST be created
+    * with — probes refuse unstamped tables (a geometry mismatch
+    * silently yields zero candidates). Defaults match the 4 x 16-bit
+    * index-modality geometry below. */
+  def srpPostingsProps(bandBits: Int = DefaultIndexBandBits,
+                       bands: Int = DefaultIndexBands): Map[String, String] =
+    Map("postings.kind" -> "srp", "postings.bands" -> bands.toString,
+      "postings.bandBits" -> bandBits.toString)
+
   /** Posting rows (pbh, band, bv, vec_id) for a vector index — commit
     * alongside (BEFORE) each index commit, same advisory-candidates
     * contract as the text twin: extra/stale postings only create
     * candidates the exact-cosine verify discards. */
-  def srpPostingsRows(vectors: DataFrame, bandBits: Int = 8,
-                      bands: Int = 8, idCol: String = "vec_id",
+  def srpPostingsRows(vectors: DataFrame,
+                      bandBits: Int = DefaultIndexBandBits,
+                      bands: Int = DefaultIndexBands,
+                      idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
       s"bandBits*bands must fit the 64-bit signature, got $bandBits x $bands")
@@ -175,8 +200,9 @@ object SimilarityOps {
 
   def embeddingNearDupAgainstIndex(batch: DataFrame,
                                    index: graft.lake.LakeTable,
-                                   threshold: Double, bandBits: Int = 8,
-                                   bands: Int = 8,
+                                   threshold: Double,
+                                   bandBits: Int = DefaultIndexBandBits,
+                                   bands: Int = DefaultIndexBands,
                                    idCol: String = "vec_id",
                                    embCol: String = "embedding",
                                    maxProbe: Int = 10000,
@@ -197,14 +223,20 @@ object SimilarityOps {
     val newBk = bandsOf(batch, "v_new")
     val idxBk = postings match {
       case Some(p) =>
-        p.properties.get("postings.kind").foreach(k => require(
-          k == "srp", s"postings table at ${p.root} is '$k', not srp"))
-        p.properties.get("postings.bands").foreach(b => require(
-          b.toInt == bands,
-          s"postings at ${p.root} were built with $b bands, probe uses $bands"))
-        p.properties.get("postings.bandBits").foreach(b => require(
-          b.toInt == bandBits,
-          s"postings at ${p.root} use $b band bits, probe uses $bandBits"))
+        val kind = graft.operators.DedupOps.requirePostingsProp(
+          p, "postings.kind")
+        require(kind == "srp",
+          s"postings table at ${p.root} is '$kind', not srp")
+        val pBands = graft.operators.DedupOps.requirePostingsProp(
+          p, "postings.bands").toInt
+        require(pBands == bands,
+          s"postings at ${p.root} were built with $pBands bands, " +
+            s"probe uses $bands")
+        val pBits = graft.operators.DedupOps.requirePostingsProp(
+          p, "postings.bandBits").toInt
+        require(pBits == bandBits,
+          s"postings at ${p.root} use $pBits band bits, " +
+            s"probe uses $bandBits")
         // probe the postings on the batch's own posting keys — the
         // O(batch) candidate generation; oversized batches degrade to
         // one full (narrow) postings scan

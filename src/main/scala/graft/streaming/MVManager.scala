@@ -136,7 +136,10 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
   def startEmbeddingCurationFromLake(name: String, source: LakeTable,
                                      index: LakeTable, out: LakeTable,
                                      threshold: Double,
-                                     bandBits: Int = 8, bands: Int = 8,
+                                     bandBits: Int = graft.operators
+                                       .SimilarityOps.DefaultIndexBandBits,
+                                     bands: Int = graft.operators
+                                       .SimilarityOps.DefaultIndexBands,
                                      idCol: String = "vec_id",
                                      embCol: String = "embedding",
                                      trigger: Trigger =
@@ -427,15 +430,29 @@ object MVManager {
   def curateStepEmbedding(vecs: org.apache.spark.sql.DataFrame,
                           index: LakeTable, out: LakeTable,
                           writerId: String, batchId: Long,
-                          threshold: Double, bandBits: Int = 8,
-                          bands: Int = 8, idCol: String = "vec_id",
+                          threshold: Double,
+                          bandBits: Int = graft.operators.SimilarityOps
+                            .DefaultIndexBandBits,
+                          bands: Int = graft.operators.SimilarityOps
+                            .DefaultIndexBands,
+                          idCol: String = "vec_id",
                           embCol: String = "embedding",
                           postings: Option[LakeTable] = None): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, exists, lit}
     import graft.operators.{DedupOps, SimilarityOps}
     // FULL rows ride to the curated output (metadata columns must not
-    // silently drop); the LSH machinery sees only (id, embedding)
-    val batch = vecs.localCheckpoint()
+    // silently drop); the LSH machinery sees only (id, embedding).
+    // Zero-norm vectors are REJECTED up front: cosine_sim is defined
+    // 0.0 when either norm is zero, so an all-zero vector can never
+    // match anything — not even an exact copy of itself — and without
+    // this guard identical degenerate vectors would be re-admitted on
+    // every batch, breaking the "exact copies are subsumed by the
+    // near-dup filter" contract. A direction-free vector carries no
+    // curatable signal, so dropping it is the semantically honest
+    // fast-path (the text modality's fp frontier has no such hole).
+    val batch = vecs
+      .filter(exists(col(embCol), v => v =!= lit(0.0f)))
+      .localCheckpoint()
     val batchVecs = batch.select(col(idCol), col(embCol))
     // within-batch collapse: min-id survivor per cosine cluster
     // (bounded driver union-find, distributed contraction fallback)

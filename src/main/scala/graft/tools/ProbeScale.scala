@@ -9,11 +9,15 @@ import graft.operators.{DedupOps, SimilarityOps}
 
 /** Measures the VERDICT r05 top item: incremental near-dup probe cost
   * must track BATCH size, not INDEX size. Builds the text signature
-  * index (and its band-postings twin) at 1x and ~10x history, then
-  * times the same small batch's `nearDupSigsAgainstIndex` against
-  * both — once through the postings probe, once through the legacy
-  * band-scan. Flat probe-path times across the 10x growth (vs the
-  * band-scan's linear growth) is the O(batch)-per-batch proof.
+  * index (and its band-postings twin) at 1x and 30x history (vectors:
+  * 1x and 10x), then times the same small batch's
+  * `nearDupSigsAgainstIndex` against both — once through the postings
+  * probe, once through the legacy band-scan. Flat probe-path times
+  * across the growth (vs the band-scan's linear growth) is the
+  * O(batch)-per-batch proof. The embedding modality is measured under
+  * BOTH geometries: the legacy 8x8 bands and the graded 4x16-bit
+  * default (SimilarityOps.DefaultIndexBand*), with the fetched
+  * candidate-postings volume printed alongside the times.
   * min-of-N within ONE session per the round-3 measurement rule. */
 object ProbeScale {
   def minOf(n: Int)(f: => Unit): Double =
@@ -39,7 +43,7 @@ object ProbeScale {
     val batch = docs.filter(col("doc_id") % 400 === 0).localCheckpoint()
     val hist1 = docs.filter(col("doc_id") % 200 =!= 0)
     val nDocs = docs.count()
-    val hist10 = (0 until 30).map { r =>
+    val hist30 = (0 until 30).map { r =>
       hist1.select((col("doc_id") + lit(r * nDocs * 10)).as("doc_id"),
         concat(col("text"), lit(s" rep$r")).as("text"))
     }.reduce(_ unionByName _)
@@ -54,16 +58,18 @@ object ProbeScale {
         bucketBy = Some(("doc_id", 16)))
       idx.append(rows)
       val post = LakeTable.create(spark, s"$dir/post-$tag",
-        DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 512)))
+        DedupOps.bandPostingsSchema,
+        properties = DedupOps.bandPostingsProps(),
+        bucketBy = Some(("pbh", 512)))
       post.append(DedupOps.bandPostingsRows(rows))
       (idx, post)
     }
     val (idx1, post1) = build("1x", hist1)
-    val (idx10, post10) = build("10x", hist10)
+    val (idx30, post30) = build("30x", hist30)
     println(s"[probe-scale] index 1x: ${idx1.read().count()} rows, " +
       s"${idx1.read().inputFiles.length} files; 30x: " +
-      s"${idx10.read().count()} rows, " +
-      s"${idx10.read().inputFiles.length} files; batch: " +
+      s"${idx30.read().count()} rows, " +
+      s"${idx30.read().inputFiles.length} files; batch: " +
       s"${batch.count()} docs")
 
     def run(idx: LakeTable, post: Option[LakeTable]): Unit = {
@@ -72,9 +78,9 @@ object ProbeScale {
     }
     for ((label, idx, post) <- Seq(
         ("postings 1x ", idx1, Some(post1)),
-        ("postings 30x", idx10, Some(post10)),
+        ("postings 30x", idx30, Some(post30)),
         ("bandscan 1x ", idx1, None),
-        ("bandscan 30x", idx10, None))) {
+        ("bandscan 30x", idx30, None))) {
       val s = minOf(3)(run(idx, post))
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
     }
@@ -89,21 +95,37 @@ object ProbeScale {
       vhist1.select((col("vec_id") + lit(r * nVec * 10)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionByName _)
+    // legacy 8x8 geometry, pinned explicitly (the graded default is
+    // now 4x16 — measured below): kept as the contrast that shows WHY
+    // low-selectivity bands are candidate-volume-bound at scale
     def vbuild(tag: String, hist: org.apache.spark.sql.DataFrame)
         : (LakeTable, LakeTable) = {
       val idx = LakeTable.create(spark, s"$dir/vidx-$tag", emb.schema,
         bucketBy = Some(("vec_id", 16)))
       idx.append(hist)
       val post = LakeTable.create(spark, s"$dir/vpost-$tag",
-        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 512)))
-      post.append(SimilarityOps.srpPostingsRows(hist))
+        SimilarityOps.srpPostingsSchema,
+        properties = SimilarityOps.srpPostingsProps(8, 8),
+        bucketBy = Some(("pbh", 512)))
+      post.append(SimilarityOps.srpPostingsRows(hist,
+        bandBits = 8, bands = 8))
       (idx, post)
     }
     val (vidx1, vpost1) = vbuild("1x", vhist1)
     val (vidx10, vpost10) = vbuild("10x", vhist10)
     def vrun(idx: LakeTable, post: Option[LakeTable]): Unit = {
       SimilarityOps.embeddingNearDupAgainstIndex(vbatch, idx,
-        threshold = 0.35, postings = post).count(); ()
+        threshold = 0.35, bandBits = 8, bands = 8,
+        postings = post).count(); ()
+    }
+    // fetched candidate-postings volume per geometry/scale: the rows
+    // the batch's band keys drag out of the postings table — the
+    // quantity that must stay flat for the probe to be O(batch)
+    def candVolume(post: LakeTable, bandBits: Int, bands: Int): Long = {
+      val pbhs = SimilarityOps.srpPostingsRows(vbatch,
+          bandBits = bandBits, bands = bands)
+        .select("pbh").distinct().collect().map(_.get(0))
+      post.probeTiered("pbh", pbhs.toSeq, 10000).count()
     }
     for ((label, idx, post) <- Seq(
         ("vec postings 1x ", vidx1, Some(vpost1)),
@@ -114,26 +136,34 @@ object ProbeScale {
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
     }
 
-    // high-selectivity SRP bands (16 bits x 4): candidate volume stays
-    // near the true near-dup count, so the postings probe's O(batch)
-    // shape is visible instead of being buried under candidate verify
+    for ((label, post, bits, bnds) <- Seq(
+        ("vec8  cand-volume 1x ", vpost1, 8, 8),
+        ("vec8  cand-volume 10x", vpost10, 8, 8))) {
+      println(f"[probe-scale] $label ${candVolume(post, bits, bnds)}%8d rows")
+    }
+
+    // high-selectivity SRP bands (16 bits x 4) — NOW THE GRADED
+    // DEFAULT (SimilarityOps.DefaultIndexBand*): candidate volume
+    // stays near the true near-dup count, so the postings probe's
+    // O(batch) shape is visible instead of being buried under
+    // candidate verify
     def vbuild16(tag: String, hist: org.apache.spark.sql.DataFrame)
         : (LakeTable, LakeTable) = {
       val idx = LakeTable.create(spark, s"$dir/vidx16-$tag", emb.schema,
         bucketBy = Some(("vec_id", 16)))
       idx.append(hist)
       val post = LakeTable.create(spark, s"$dir/vpost16-$tag",
-        SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 512)))
-      post.append(SimilarityOps.srpPostingsRows(hist,
-        bandBits = 16, bands = 4))
+        SimilarityOps.srpPostingsSchema,
+        properties = SimilarityOps.srpPostingsProps(),
+        bucketBy = Some(("pbh", 512)))
+      post.append(SimilarityOps.srpPostingsRows(hist))
       (idx, post)
     }
     val (widx1, wpost1) = vbuild16("1x", vhist1)
     val (widx10, wpost10) = vbuild16("10x", vhist10)
     def wrun(idx: LakeTable, post: Option[LakeTable]): Unit = {
       SimilarityOps.embeddingNearDupAgainstIndex(vbatch, idx,
-        threshold = 0.35, bandBits = 16, bands = 4,
-        postings = post).count(); ()
+        threshold = 0.35, postings = post).count(); ()
     }
     for ((label, idx, post) <- Seq(
         ("vec16 postings 1x ", widx1, Some(wpost1)),
@@ -142,6 +172,13 @@ object ProbeScale {
         ("vec16 bandscan 10x", widx10, None))) {
       val s = minOf(3)(wrun(idx, post))
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
+    }
+    for ((label, post) <- Seq(
+        ("vec16 cand-volume 1x ", wpost1),
+        ("vec16 cand-volume 10x", wpost10))) {
+      println(f"[probe-scale] $label ${candVolume(post,
+        SimilarityOps.DefaultIndexBandBits,
+        SimilarityOps.DefaultIndexBands)}%8d rows")
     }
 
     // ---- the q71 crossover: what the bucketed-index commit overhead
@@ -166,12 +203,12 @@ object ProbeScale {
       t
     }
     val fb1 = fpBuild("bucketed-1x", hist1, bucketed = true)
-    val fb10 = fpBuild("bucketed-30x", hist10, bucketed = true)
+    val fb30 = fpBuild("bucketed-30x", hist30, bucketed = true)
     val fu1 = fpBuild("flat-1x", hist1, bucketed = false)
-    val fu10 = fpBuild("flat-30x", hist10, bucketed = false)
+    val fu30 = fpBuild("flat-30x", hist30, bucketed = false)
     for ((label, t) <- Seq(("fp probe bucketed 1x ", fb1),
-        ("fp probe bucketed 30x", fb10), ("fp probe flat 1x ", fu1),
-        ("fp probe flat 30x", fu10))) {
+        ("fp probe bucketed 30x", fb30), ("fp probe flat 1x ", fu1),
+        ("fp probe flat 30x", fu30))) {
       val s = minOf(3)(DedupOps.freshAgainstIndex(batch, t).count())
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
     }

@@ -367,6 +367,63 @@ class EngineSpec extends SparkSuite {
       .as[Long].collect().toSet.contains(1L))
   }
 
+  test("postings backfill is crash-safe: a postings table stranded " +
+    "between createTable and the backfill commit is completed on the " +
+    "next start, and a completed backfill never replays") {
+    import graft.functions.TextFunctions.fingerprint
+    import graft.operators.DedupOps
+    import graft.streaming.MVManager
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("bfc-wh")),
+      CatalogConfig(namespace = "corpus3"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("corpus3", "raw", docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val hist = Seq((1L, base)).toDF("doc_id", "text")
+    val oldIdx = engine.catalog.createTable("corpus3", "curated_index",
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 32)))
+    oldIdx.append(
+      hist.select(fingerprint($"text").as("fp"), $"doc_id")
+        .join(DedupOps.signatureIndexRows(hist), Seq("doc_id"), "left")
+        .select("fp", "doc_id", "shs", "sig"))
+    // CRASH SIMULATION: the postings table was created but the process
+    // died before the backfill commit — the pre-fix code would see
+    // tableExists=true and skip the backfill forever
+    engine.catalog.createTable("corpus3", "curated_postings",
+      DedupOps.bandPostingsSchema,
+      properties = DedupOps.bandPostingsProps(),
+      bucketBy = Some(("pbh", 32)))
+    src.append(Seq(
+      (10L, base.replace("upsilon", "omega")), // near-dup of history 1
+      (11L, "genuinely new content with nothing shared at all"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    // the retried backfill landed: pre-postings history still rejects
+    // its near-dups
+    assert(engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet == Set(11L))
+    assert(engine.readTable("curated_postings").select("doc_id")
+      .as[Long].collect().toSet.contains(1L))
+    val p = engine.table("curated_postings")
+    assert(p.lastBatchId(GraftEngine.PostingsBackfillWriter) == 0L)
+    // a SECOND start replays the keyed backfill as a no-op: no
+    // duplicate posting rows, no new commit
+    val before = p.currentVersion
+    val n1 = p.read().count()
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    assert(p.currentVersion == before,
+      "completed backfill must not re-commit")
+    assert(p.read().count() == n1)
+  }
+
   test("startEmbeddingCuration: the vector curation loop as a " +
     "catalog-managed engine MV — cosine near-dups dropped, tables " +
     "created on first use, YAML-configurable") {

@@ -172,14 +172,16 @@ class ColocationSpec extends SparkSuite {
       .collect().toSet
 
     // brute-force reference: every cross-slice pair agreeing in some
-    // 8-bit sign band, with exact cosine >= threshold
-    val mask = (1L << 8) - 1
+    // sign band under the graded default geometry (4 x 16 bits), with
+    // exact cosine >= threshold
+    val bits = SimilarityOps.DefaultIndexBandBits
+    val mask = (1L << bits) - 1
     def sig(c: org.apache.spark.sql.Column) =
       graft.functions.SignRandomProjection.sign_bits(c)
     val ref = batch.as("a").join(hist.as("b"),
-        (0 until 8).map(k =>
-          shiftright(sig($"a.embedding"), k * 8).bitwiseAND(mask) ===
-            shiftright(sig($"b.embedding"), k * 8).bitwiseAND(mask))
+        (0 until SimilarityOps.DefaultIndexBands).map(k =>
+          shiftright(sig($"a.embedding"), k * bits).bitwiseAND(mask) ===
+            shiftright(sig($"b.embedding"), k * bits).bitwiseAND(mask))
           .reduce(_ || _))
       .select($"a.vec_id".as("v_new"), $"b.vec_id".as("v_idx"),
         cosine_sim($"a.embedding", $"b.embedding").as("cos"))
@@ -243,7 +245,9 @@ class ColocationSpec extends SparkSuite {
     val index = LakeTable.create(spark, tmpDir("post-idx"), rows.schema,
       bucketBy = Some(("doc_id", 8)))
     val postings = LakeTable.create(spark, tmpDir("post-post"),
-      DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 64)))
+      DedupOps.bandPostingsSchema,
+      properties = DedupOps.bandPostingsProps(),
+      bucketBy = Some(("pbh", 64)))
     history.grouped(10).zipWithIndex.foreach { case (grp, i) =>
       val r = DedupOps.signatureIndexRows(
         grp.toDF("doc_id", "text")).localCheckpoint()

@@ -138,6 +138,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("probes refuse a postings table without its geometry stamp, " +
+    "and refuse a mismatched geometry loudly") {
+    import graft.lake.LakeTable
+    val sample = docs.limit(30).localCheckpoint()
+    val rows = DedupOps.signatureIndexRows(sample).localCheckpoint()
+    val index = LakeTable.create(spark, tmpDir("gs-idx"), rows.schema,
+      bucketBy = Some(("doc_id", 8)))
+    index.append(rows)
+    // unstamped: created without bandPostingsProps — the probe must
+    // fail loudly instead of silently generating zero candidates
+    val bare = LakeTable.create(spark, tmpDir("gs-bare"),
+      DedupOps.bandPostingsSchema, bucketBy = Some(("pbh", 8)))
+    bare.append(DedupOps.bandPostingsRows(rows))
+    val ex = intercept[IllegalStateException] {
+      DedupOps.nearDupSigsAgainstIndex(rows, index, minJaccard = 0.5,
+        postings = Some(bare)).count()
+    }
+    assert(ex.getMessage.contains("geometry stamping"))
+    // mismatched band count: stamped, but a different geometry
+    val wrong = LakeTable.create(spark, tmpDir("gs-wrong"),
+      DedupOps.bandPostingsSchema,
+      properties = DedupOps.bandPostingsProps(bands = 8),
+      bucketBy = Some(("pbh", 8)))
+    wrong.append(DedupOps.bandPostingsRows(rows, bands = 8))
+    intercept[IllegalArgumentException] {
+      DedupOps.nearDupSigsAgainstIndex(rows, index, minJaccard = 0.5,
+        postings = Some(wrong)).count()
+    }
+  }
+
   test("simHashAgainstIndex equals the brute-force cross-slice " +
     "hamming scan, through the postings probe (q95's contract)") {
     val sample = docs.limit(300).localCheckpoint()
@@ -149,7 +179,9 @@ class DedupSimilaritySpec extends SparkSuite {
       bucketBy = Some(("doc_id", 8)))
     index.append(rows)
     val postings = LakeTable.create(spark, tmpDir("sh-post"),
-      DedupOps.simHashPostingsSchema, bucketBy = Some(("pbh", 16)))
+      DedupOps.simHashPostingsSchema,
+      properties = DedupOps.simHashPostingsProps,
+      bucketBy = Some(("pbh", 16)))
     postings.append(DedupOps.simHashPostingsRows(rows))
 
     val got = DedupOps.simHashAgainstIndex(batch, index, maxHamming = 3,

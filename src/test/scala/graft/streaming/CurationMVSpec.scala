@@ -151,6 +151,7 @@ class CurationMVSpec extends SparkSuite {
     val out = LakeTable.create(spark, tmpDir("ndp-out"), docsSchema)
     val postings = LakeTable.create(spark, tmpDir("ndp-post"),
       graft.operators.DedupOps.bandPostingsSchema,
+      properties = graft.operators.DedupOps.bandPostingsProps(),
       bucketBy = Some(("pbh", 16)))
     val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
@@ -212,7 +213,9 @@ class CurationMVSpec extends SparkSuite {
     val index = LakeTable.create(spark, tmpDir("emb-idx"), embSchema,
       bucketBy = Some(("vec_id", 8)))
     val postings = LakeTable.create(spark, tmpDir("emb-post"),
-      SimilarityOps.srpPostingsSchema, bucketBy = Some(("pbh", 16)))
+      SimilarityOps.srpPostingsSchema,
+      properties = SimilarityOps.srpPostingsProps(),
+      bucketBy = Some(("pbh", 16)))
     val out = LakeTable.create(spark, tmpDir("emb-out"), embSchema)
     val mv = new MVManager(spark, tmpDir("emb-ckpt"))
 
@@ -255,6 +258,37 @@ class CurationMVSpec extends SparkSuite {
     mv.startEmbeddingCurationFromLake("emb", src, index, out,
       threshold = 0.35, postings = Some(postings)).awaitTermination()
     assert(out.currentVersion == vo && index.currentVersion == vi)
+  }
+
+  test("embedding curation rejects zero-norm vectors: identical " +
+    "all-zero vectors cannot be re-admitted batch after batch") {
+    import graft.operators.SimilarityOps
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val index = LakeTable.create(spark, tmpDir("zn-idx"), embSchema,
+      bucketBy = Some(("vec_id", 8)))
+    val out = LakeTable.create(spark, tmpDir("zn-out"), embSchema)
+    def vec(axes: Seq[Int]): Seq[Float] =
+      (0 until 64).map(i => if (axes.contains(i)) 1f else 0f)
+    val zero = (0 until 64).map(_ => 0f)
+    // batch 1: a real vector and an all-zero vector. cosine_sim is
+    // 0.0 whenever a norm is zero, so without the guard the zero
+    // vector would be admitted here AND on every later batch
+    MVManager.curateStepEmbedding(
+      Seq((1L, vec(Seq(0, 1))), (2L, zero)).toDF("vec_id", "embedding"),
+      index, out, "w", 0L, threshold = 0.35)
+    assert(out.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L), "zero-norm vector must not be curated")
+    // batch 2: the SAME zero vector again (the re-admission loop the
+    // guard closes) plus a fresh real vector
+    MVManager.curateStepEmbedding(
+      Seq((3L, zero), (4L, vec(Seq(40, 41)))).toDF("vec_id", "embedding"),
+      index, out, "w", 1L, threshold = 0.35)
+    assert(out.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 4L), "zero-norm vectors must stay rejected on replay")
+    assert(index.read().select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 4L))
   }
 
   test("within-batch near-dup clusters collapse to their min doc_id " +
