@@ -60,6 +60,8 @@ object SparkEntry {
     "q57_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q59_shipping_priority" -> (Relational.shippingPriority _),
     "q77_local_supplier_volume" -> (Relational.localSupplierVolume _),
+    "q101_waiting_suppliers" -> (Relational.waitingSuppliers _),
+    "q102_top_customer_orders" -> (Relational.topCustomerOrders _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1090,6 +1092,31 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY l_linestatus ORDER BY l_linestatus""",
+    // Q21-shape: the EXISTS/NOT EXISTS pair decorrelates to the same
+    // semi/anti self-joins the engine plans explicitly
+    "q101_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name""",
+    // Q18-shape: IN over a grouped HAVING subquery
+    "q102_top_customer_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           sum(l_quantity) AS sum_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""",
     "q94_promo_revenue" ->
       """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
@@ -1485,6 +1512,21 @@ object SparkEntry {
     "q38_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents""",
+    // the literal Rabin-Karp fold of TextFunctions.rollingFingerprint:
+    // word-level base-131 over char-level base-31 word hashes, mod
+    // 2^31-1 — pure integer arithmetic, so the oracle recomputes the
+    // fingerprint bit-for-bit (list_reduce accumulates through VARCHAR
+    // because DuckDB lambdas unify accumulator/element types)
+    "q44_rolling_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend('0', string_split(text, ' ')),
+           (acc, w) -> ((acc::BIGINT * 131 + list_reduce(
+               list_prepend('0', list_transform(range(1, length(w)+1),
+                 i -> unicode(substr(w, i, 1))::VARCHAR)),
+               (a, c) -> ((a::BIGINT * 31 + c::BIGINT)
+                 % 2147483647)::VARCHAR)::BIGINT)
+             % 2147483647)::VARCHAR)::BIGINT AS rolling_fp
          FROM documents""",
     "q43_quality_score" ->
       """SELECT doc_id,

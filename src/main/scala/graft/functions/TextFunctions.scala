@@ -96,9 +96,20 @@ object TextFunctions {
     * under ANSI arithmetic (acc < 2^31, base 131 -> products < 2^39).
     * Order-sensitive (unlike a bag-of-words hash); built-in array ops,
     * no UDF. */
+  /** Order-sensitive Rabin-Karp rolling fingerprint: a word-level
+    * polynomial fold (base 131) over character-level polynomial word
+    * hashes (base 31), everything mod 2^31-1. Built from pure integer
+    * arithmetic + code points — NO engine-specific hash — so any SQL
+    * engine recomputes it exactly (the q44 DuckDB oracle does,
+    * verbatim), unlike the previous xxhash64-seeded variant which was
+    * oracle-proof by construction. Character indexing via
+    * sequence/substring, not split-by-empty-regex, because engines
+    * disagree on zero-width-split edge elements. */
   def rollingFingerprint(textCol: String): Column =
     expr(s"aggregate(split($textCol, ' '), 0L, (acc, w) -> " +
-      "pmod(acc * 131L + pmod(xxhash64(w), 2147483647L), 2147483647L))")
+      "pmod(acc * 131L + aggregate(sequence(1, length(w)), 0L, " +
+      "(a, i) -> pmod(a * 31L + ascii(substring(w, i, 1)), 2147483647L))" +
+      ", 2147483647L))")
 
   /** Quality score in [0,1]: blend of length saturation, word-length
     * plausibility and stopword presence — the classic cheap pre-filter

@@ -1,0 +1,47 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+
+/** The ONE primitive the commit protocol's atomicity rests on:
+  * conditional create of a fully-formed object at a path. Everything
+  * else in the protocol (optimistic rebase, guards, rollback, CDC) is
+  * plain reads of immutable objects plus retries around this call.
+  *
+  * Contract:
+  *   - `putIfAbsent(path, content)` publishes `content` at `path` IFF
+  *     nothing exists there, atomically, and returns whether THIS call
+  *     won the slot. Exactly one of any number of concurrent callers
+  *     for the same path wins.
+  *   - Visibility is all-or-nothing: a reader either sees the complete
+  *     content or no object — never a partial write.
+  *   - A lost slot stays lost: false is returned even if the winner's
+  *     content is not yet visible to readers (the protocol re-reads
+  *     and retries until it is).
+  *
+  * This is exactly the conditional-put object stores offer natively
+  * (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, Azure
+  * `If-None-Match: *`), so a cloud deployment implements this trait
+  * with one HTTP header and changes nothing else — the contract spec
+  * (CommitStoreContractSpec) drives the full chaos suite against a
+  * deliberately-racy non-POSIX implementation to keep the protocol
+  * honest about relying on nothing beyond this interface. */
+trait CommitStore {
+  def putIfAbsent(path: Path, content: String): Boolean
+}
+
+/** POSIX implementation: serialize to a temp sibling, then hard-link
+  * into the slot — link(2) fails atomically when the slot is taken,
+  * and the linked file is complete by construction. */
+object PosixCommitStore extends CommitStore {
+  def putIfAbsent(path: Path, content: String): Boolean = {
+    val tmp = path.getParent.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, content)
+    try {
+      Files.createLink(path, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+}

@@ -25,12 +25,18 @@ import org.apache.spark.sql.types._
   *   data/batch-<uuid>/part-*.parquet   -- immutable data files
   *   metadata/v%08d.json                -- snapshot log, one file per commit
   *
-  * Commit protocol: serialize the snapshot to a temp file, then
-  * hard-link it to its version slot — link(2) fails atomically if the
-  * version already exists, which is the whole concurrency story: losers
-  * re-read the latest snapshot, rebase their (already-written, immutable)
-  * files on top, and retry. No locks, no coordinator; works on any
-  * POSIX filesystem and maps to putIfAbsent on object stores.
+  * Commit protocol: conditionally create the snapshot at its version
+  * slot via [[CommitStore.putIfAbsent]] — the put fails atomically if
+  * the version already exists, which is the whole concurrency story:
+  * losers re-read the latest snapshot, rebase their (already-written,
+  * immutable) files on top, and retry. No locks, no coordinator. The
+  * store is a SEAM, not prose: [[PosixCommitStore]] (temp + link(2))
+  * is the default; an object-store deployment supplies the native
+  * conditional put (S3 `If-None-Match: *`, GCS
+  * `if-generation-match: 0`) and nothing else changes — the full
+  * chaos suite runs against a deliberately-racy non-POSIX store
+  * (CommitStoreContractSpec) to keep the protocol honest about
+  * depending on nothing beyond that interface.
   *
   * Exactly-once writers: every snapshot carries a `highWater` map of
   * monotone offsets (per-writer streaming batch ids, pipe consumption
@@ -43,7 +49,8 @@ import org.apache.spark.sql.types._
   * is atomic with the data commit.
   */
 class LakeTable private (
-    val spark: SparkSession, val root: String) {
+    val spark: SparkSession, val root: String,
+    private[lake] val commitStore: CommitStore) {
 
   import LakeTable._
 
@@ -97,7 +104,9 @@ class LakeTable private (
           .map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty[String, Long])
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats,
-        nulls)
+        nulls,
+        sizeBytes = Option(f.get("size")).map(_.asLong()).getOrElse(0L),
+        modTimeMs = Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
     }.toSeq
 
   private def fieldIdsOf(node: JsonNode): Map[String, Int] =
@@ -326,10 +335,71 @@ class LakeTable private (
         spark.read.option("basePath", s"$root/data")
           .schema(s).parquet(paths: _*)
 
+    // Manifest-served planning: when every entry carries its size (all
+    // post-upgrade commits), the scan is built from manifest metadata
+    // alone — ZERO driver-side filesystem listing (spark.read stats
+    // every path before planning; on an object store that is one HEAD
+    // per file, the dominant constant of a bucket-pruned probe).
+    // Partition values are decoded from the manifest paths with the
+    // same escape rules the writer used. Falls back to listing-based
+    // planning for pre-upgrade manifests or exotic partition types.
+    def manifestRead(es: Seq[FileEntry], s: StructType): Option[DataFrame] = {
+      if (es.exists(_.sizeBytes <= 0)) return None
+      val parts = partitionBy
+      if (!parts.forall(s.fieldNames.contains)) return None
+      val partSchema = StructType(parts.map(p => s(p)))
+      val dataSchema =
+        StructType(s.fields.filterNot(f => parts.contains(f.name)))
+      def partValues(e: FileEntry): Option[Seq[Any]] = {
+        val segs = e.path.split("/").filter(_.contains("=")).map { seg =>
+          val Array(k, raw) = seg.split("=", 2)
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw)
+        }.toMap
+        val vs = partSchema.fields.map { f =>
+          segs.get(f.name).map {
+            case "__HIVE_DEFAULT_PARTITION__" => Some(null)
+            case v => try f.dataType match {
+              case ByteType    => Some(v.toByte)
+              case ShortType   => Some(v.toShort)
+              case IntegerType => Some(v.toInt)
+              case LongType    => Some(v.toLong)
+              case FloatType   => Some(v.toFloat)
+              case DoubleType  => Some(v.toDouble)
+              case StringType  => Some(v)
+              case BooleanType => Some(v.toBoolean)
+              case _           => None // exotic type: fall back
+            } catch { case _: IllegalArgumentException => None }
+          }.getOrElse(None) // partition col absent from path: fall back
+        }
+        if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get).toSeq)
+      }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def qualified(e: FileEntry): String =
+        fs.makeQualified(new org.apache.hadoop.fs.Path(s"$root/${e.path}"))
+          .toString
+      val grouped = es.map(e => partValues(e).map(_ -> e))
+      if (grouped.exists(_.isEmpty)) return None
+      val partitions = grouped.flatten
+        .groupBy(_._1)
+        .map { case (vals, ges) =>
+          org.apache.spark.sql.graft.ManifestScan.ManifestPartition(vals,
+            ges.map { case (_, e) =>
+              (qualified(e), e.sizeBytes, e.modTimeMs)
+            })
+        }.toSeq
+      val df = org.apache.spark.sql.graft.ManifestScan.parquet(
+        spark, dataSchema, partSchema, partitions, s"$root/data")
+      // relation output is dataSchema ++ partSchema: restore s's order
+      Some(df.select(s.fieldNames.map(fcol).toSeq: _*))
+    }
+
     val nameScan =
       if (byName.isEmpty) Nil
       else {
-        val b = baseRead(byName.map(e => s"$root/${e.path}"), snapSchema)
+        val b = manifestRead(byName, snapSchema).getOrElse(
+          baseRead(byName.map(e => s"$root/${e.path}"), snapSchema))
         Seq(if (tag) b.withColumn(FileTag, fcol("_metadata.file_path"))
             else b)
       }
@@ -1059,9 +1129,11 @@ class LakeTable private (
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
         .map { p =>
-          val (rows, st, nc) =
-            footerMeta(Paths.get(root, batchDir, p), df.schema)
-          FileEntry(s"$batchDir/$p", rows, stats = st, nullCounts = nc)
+          val abs = Paths.get(root, batchDir, p)
+          val (rows, st, nc) = footerMeta(abs, df.schema)
+          FileEntry(s"$batchDir/$p", rows, stats = st, nullCounts = nc,
+            sizeBytes = Files.size(abs),
+            modTimeMs = Files.getLastModifiedTime(abs).toMillis)
         }
       PendingWrite(entries, df.schema)
     } else {
@@ -1087,7 +1159,9 @@ class LakeTable private (
           // without any directory listing
           val (pStats, pNulls) = partValueMeta(partRel, df.schema, rows)
           FileEntry(rel, rows, stats = st ++ pStats,
-            nullCounts = nc ++ pNulls)
+            nullCounts = nc ++ pNulls,
+            sizeBytes = Files.size(dest),
+            modTimeMs = Files.getLastModifiedTime(dest).toMillis)
         }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
       walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
@@ -1174,7 +1248,7 @@ class LakeTable private (
         partitionBy = partitionBy,
         highWater = newHw,
         lastFieldId = curLast)
-      if (tryCommit(metaDir, v + 1, node)) return v + 1
+      if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
     }
@@ -1252,7 +1326,7 @@ class LakeTable private (
         partitionBy = partitionBy,
         highWater = highWaterOf(cur),
         lastFieldId = lastFieldIdOf(cur))
-      if (tryCommit(metaDir, v + 1, node)) return v + 1
+      if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(attempt < 100, s"commit contention at $root, giving up")
     }
@@ -1422,10 +1496,15 @@ object LakeTable {
     * an ALL-null column (which has no range) still prunes `IS NOT
     * NULL`, and a null-free one prunes `IS NULL`. Absent = unknown,
     * never prune. */
+  /** `sizeBytes`/`modTimeMs` let reads be planned entirely from the
+    * manifest (see [[org.apache.spark.sql.graft.ManifestScan]]) — zero
+    * filesystem listing per scan. 0 = unknown (pre-upgrade manifests),
+    * which falls back to listing-based planning. */
   case class FileEntry(path: String, rows: Long,
                        cols: Seq[(String, Int)] = Nil,
                        stats: Map[String, ColStat] = Map.empty,
-                       nullCounts: Map[String, Long] = Map.empty)
+                       nullCounts: Map[String, Long] = Map.empty,
+                       sizeBytes: Long = 0L, modTimeMs: Long = 0L)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
@@ -1489,7 +1568,8 @@ object LakeTable {
   def create(spark: SparkSession, root: String, schema: StructType,
              properties: Map[String, String] = Map.empty,
              partitionBy: Seq[String] = Seq.empty,
-             bucketBy: Option[(String, Int)] = None): LakeTable = {
+             bucketBy: Option[(String, Int)] = None,
+             store: CommitStore = PosixCommitStore): LakeTable = {
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     bucketBy.foreach { case (c, n) =>
@@ -1516,13 +1596,15 @@ object LakeTable {
       .foreach { case (k, v) => propsNode.put(k, v) }
     val node = snapshotJson(0, -1, fullSchema, ids, propsNode, Nil, Map.empty,
       fullParts)
-    require(tryCommit(metaDir, 0, node), s"table already exists at $root")
-    new LakeTable(spark, root)
+    require(tryCommit(store, metaDir, 0, node),
+      s"table already exists at $root")
+    new LakeTable(spark, root, store)
   }
 
-  def load(spark: SparkSession, root: String): LakeTable = {
+  def load(spark: SparkSession, root: String,
+           store: CommitStore = PosixCommitStore): LakeTable = {
     require(exists(root), s"no lake table at $root")
-    new LakeTable(spark, root)
+    new LakeTable(spark, root, store)
   }
 
   def createOrLoad(spark: SparkSession, root: String,
@@ -1555,6 +1637,8 @@ object LakeTable {
     val fileArr = n.putArray("files")
     files.foreach { f =>
       val fn = fileArr.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
+      if (f.sizeBytes > 0) fn.put("size", f.sizeBytes)
+      if (f.modTimeMs > 0) fn.put("mtime", f.modTimeMs)
       if (f.cols.nonEmpty) {
         val cn = fn.putObject("cols")
         f.cols.foreach { case (name, id) => cn.put(name, id) }
@@ -1589,18 +1673,10 @@ object LakeTable {
   /** Atomic create-if-absent of a version file: write a temp sibling,
     * hard-link into the version slot (atomic, fails if present), unlink
     * the temp. Returns false when the version was taken by a racer. */
-  private[lake] def tryCommit(metaDir: Path, version: Int,
-                              node: JsonNode): Boolean = {
-    val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(node))
-    try {
-      Files.createLink(versionPath(metaDir, version), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
-  }
+  private[lake] def tryCommit(store: CommitStore, metaDir: Path,
+                              version: Int, node: JsonNode): Boolean =
+    store.putIfAbsent(versionPath(metaDir, version),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
 }
 
 /** StructType <-> JSON via Spark's own stable wire format. */

@@ -597,4 +597,60 @@ object Relational {
       .agg(gm(col("o_totalprice")).as("geomean_price"),
         count(lit(1)).as("n"))
   }
+
+  /** TPC-H Q21 shape (waiting suppliers), adapted to the fixture's
+    * columns (no receipt/commit dates): suppliers who shipped LAST on
+    * a multi-supplier 'F' order — the correlated EXISTS (semi) +
+    * NOT EXISTS (anti) self-join pair on lineitem that Q21's
+    * decorrelation produces, on shipdate ordering instead of
+    * receipt-vs-commit lateness.
+    *
+    * 100 TB shape: both self-joins are equi-joins on l_orderkey — the
+    * suppkey inequality and the shipdate comparison ride as residual
+    * join conditions, never a cartesian — so one hash partitioning of
+    * lineitem serves the semi join, the anti join, and the orders
+    * join; supplier is broadcast; the only full-width shuffle is the
+    * final small groupBy(s_name). */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val othersExist = l.as("l1").join(l.as("l2"),
+      col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    val shippedLast = othersExist.as("l1").join(l.as("l3"),
+      col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey") &&
+        col("l3.l_shipdate") > col("l1.l_shipdate"), "left_anti")
+    shippedLast
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): IN over a grouped
+    * HAVING subquery, written in SQL so Catalyst's rewrite of the IN
+    * into a left-semi join against the aggregated subquery is
+    * exercised exactly as a user hits it. 100 TB shape: the subquery
+    * is a partial-aggregated groupBy on l_orderkey (map-side combine),
+    * its >threshold survivors are a tiny relation the planner
+    * broadcast-semi-joins against orders; no correlated re-execution,
+    * no cartesian. */
+  def topCustomerOrders(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |  sum(l_quantity) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        |""".stripMargin)
+  }
 }

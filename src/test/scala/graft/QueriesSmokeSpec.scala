@@ -24,11 +24,16 @@ class QueriesSmokeSpec extends SparkSuite {
       "q24_approx_distinct",    // HLL sketch values are engine-specific
       "q34_simhash_pairs",      // xxhash64-seeded sketch bits
       "q41_ann_lsh",            // seeded random-projection buckets
-      "q44_rolling_fingerprint",// our base/modulus constants
       "q45_ann_ivf",            // seeded k-means centroids
       "q60_ann_ivf_persisted",  // same seeded centroids
       "q79_bpe_merges",         // iterative argmax, not one SQL query
       "q91_ann_ivf_batch",      // same seeded centroids as q45/q60
+      // q34/q95 stay xxhash64-pinned: SimHash NEEDS a well-mixed token
+      // hash (per-bit majorities inherit any bias), and this DuckDB
+      // (v1.0.0) has no xxhash64 — porting the oracle would mean
+      // degrading the operator's hash. Their banding + verify algebra
+      // is pinned by brute-force-equality specs instead. q44 LOST this
+      // exemption in round 7 by reformulating as pure Rabin-Karp.
       "q95_simhash_incremental")// q34's xxhash64-sketch reason
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == documentedNoOracle,

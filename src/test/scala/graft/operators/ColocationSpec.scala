@@ -98,6 +98,19 @@ class ColocationSpec extends SparkSuite {
     assert(dirs(probed.inputFiles).size <= 2)
     assert(dirs(t.read().inputFiles).size > 8) // 400 fps fill most buckets
     assert(!Bucketing.hasShuffle(probed))
+
+    // the scan is PLANNED FROM THE MANIFEST, not from filesystem
+    // listing: post-upgrade commits carry sizes, so both the probe and
+    // the full read must resolve to the manifest-served FileIndex
+    // (spark.read would stat every path on the driver — one HEAD per
+    // file on an object store, the planning bottleneck at scale)
+    for (df <- Seq(probed, t.read())) {
+      val scans = executedFlat(df).collect {
+        case s: FileSourceScanExec => s.relation.location.getClass.getName
+      }
+      assert(scans.nonEmpty && scans.forall(_.contains("ManifestScan")),
+        s"expected manifest-served planning, got $scans")
+    }
   }
 
   test("bucketed layout contract: upsert routes through the hash, " +

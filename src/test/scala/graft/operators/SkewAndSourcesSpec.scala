@@ -60,4 +60,40 @@ class SkewAndSourcesSpec extends SparkSuite {
     assert(jsonBack.agg(sum($"value")).as[Double].head() ===
       ev.agg(sum($"value")).as[Double].head() +- 0.01)
   }
+
+  test("Q21-shape waiting suppliers: plans the EXISTS/NOT EXISTS pair " +
+    "as semi + anti equi-joins, no cartesian product anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    def flat(pl: SparkPlan): Seq[SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      (pl +: kids.flatMap(flat)) ++ pl.subqueries.flatMap(flat)
+    }
+    for (df <- Seq(Relational.waitingSuppliers(spark, sf),
+                   Relational.topCustomerOrders(spark, sf))) {
+      assert(df.count() > 0)
+      val nodes = flat(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "correlated-exists shapes must never plan a cartesian")
+      val joinTypes = nodes.collect {
+        case j: BaseJoinExec => j.joinType.toString.toLowerCase
+      }
+      assert(joinTypes.exists(_.contains("semi")),
+        s"expected a semi join in $joinTypes")
+    }
+    // the anti side is specific to the Q21 shape
+    val nodes = flat(Relational.waitingSuppliers(spark, sf)
+      .queryExecution.executedPlan)
+    val joinTypes = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.joinType.toString.toLowerCase
+    }
+    assert(joinTypes.exists(_.contains("anti")),
+      s"expected an anti join in $joinTypes")
+  }
 }
