@@ -271,9 +271,16 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       if (minJaccard.isDefined) MVManager.curationIndexSchema
       else StructType(Seq(StructField("fp", StringType),
         StructField("doc_id", LongType)))
+    // the index is PROBED every batch: without a file-count bound its
+    // per-bucket file count grows one per commit and probe cost grows
+    // O(batches) — measured in tools/SteadyState (r07). Auto-compaction
+    // keeps the probed layout O(buckets); sortBy=fp range-clusters
+    // within buckets so manifest stats prune inside each dir too.
     val index =
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
+        properties = Map("compaction.auto.maxFiles" -> "256",
+          "compaction.auto.sortBy" -> "fp"),
         bucketBy = Some(("fp", 32)))
     // band postings ride in their own pbh-bucketed table so the LSH
     // probe is O(batch) — advisory-only, see curateStepNearDup
@@ -335,9 +342,12 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     // the index holds exactly the near-dup state (id, embedding);
     // metadata columns stay in the curated OUT table's full rows
     val idxSchema = StructType(Seq(userSchema(idCol), userSchema(embCol)))
+    // probed every batch -> bound the file count (see startCuration)
     val index =
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
+        properties = Map("compaction.auto.maxFiles" -> "256",
+          "compaction.auto.sortBy" -> idCol),
         bucketBy = Some((idCol, 32)))
     val pName = s"${name}_postings"
     val postings =

@@ -743,7 +743,20 @@ class LakeTable private (
       s"sort column $c not in schema"))
     rewriteFiles(baseVersion,
       base =>
-        if (sortBy.nonEmpty) base
+        if (sortBy.nonEmpty && bucketSpec.isDefined)
+          // bucketed + sorted: cluster by bucket (ONE file per bucket
+          // dir) with rows sorted by the key inside each file, so
+          // row-group stats still prune within the dir. A plain
+          // repartitionByRange here would write range-tasks x buckets
+          // files — ABOVE the auto-compaction threshold — turning the
+          // auto policy into a perpetual every-batch full rewrite
+          // (measured: r07 SteadyState, ~19 s/batch sustained).
+          base.repartition(numFiles,
+            org.apache.spark.sql.functions.col(BucketCol))
+            .sortWithinPartitions(
+              (BucketCol +: sortBy)
+                .map(org.apache.spark.sql.functions.col): _*)
+        else if (sortBy.nonEmpty) base
           .repartitionByRange(numFiles,
             sortBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
@@ -758,22 +771,33 @@ class LakeTable private (
       else Map("compaction.sortBy" -> sortBy.mkString(",")))
   }
 
-  /** Table-property-driven compaction policy, for writers that commit
+  /** Table-property-driven compaction policy for writers that commit
     * many small batches (streaming MVs — the known failure mode of
-    * per-batch commits at scale): when the live file count exceeds
-    * `compaction.auto.maxFiles`, rewrite down to
-    * `compaction.auto.target` files (default maxFiles/8), optionally
-    * range-clustered on `compaction.auto.sortBy` (comma-separated).
-    * The policy rides in the table's own metadata so EVERY writer
-    * enforces the same layout contract; the check is O(1) against the
-    * snapshot. Returns the compaction commit's version, if one ran. */
+    * per-batch commits at scale). Once the live file count exceeds
+    * `compaction.auto.maxFiles`, TIERED minor compaction engages:
+    * files are grouped per partition/bucket dir into geometric size
+    * classes (floor(log_k(rows)), k = `compaction.auto.mergeFactor`,
+    * default 4), and any class holding >= k files in one dir is merged
+    * into a single next-class file, sorted on
+    * `compaction.auto.sortBy` when set. LSM-style amortization: each
+    * ROW is rewritten at most log_k(table rows) times over the
+    * table's whole life, so a continuous loop's per-batch compaction
+    * cost is O(batch x log), never the O(history) a full rewrite
+    * pays — the r07 SteadyState measurement showed the full-rewrite
+    * policy turning a flat per-batch loop cost into a linearly
+    * growing one. The steady-state file count is
+    * O(dirs x k x log_k(rows)); if it ever exceeds 2x maxFiles
+    * (many dirs with no class ready), one full rewrite to
+    * `compaction.auto.target` (default maxFiles/8) restores the
+    * bound — so 2x maxFiles is the hard cap. The policy rides in the table's own metadata so EVERY
+    * writer enforces the same layout contract; the gate is O(1)
+    * against the snapshot. Returns the commit's version if one ran. */
   def autoCompactIfNeeded(): Option[Int] =
     properties.get("compaction.auto.maxFiles").map(_.toInt).flatMap {
       maxF =>
-        if (dataFiles.size <= maxF) None
+        val files = dataFiles
+        if (files.size <= maxF) None
         else {
-          val target = properties.get("compaction.auto.target")
-            .map(_.toInt).getOrElse(math.max(1, maxF / 8))
           val sortBy = properties.get("compaction.auto.sortBy")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Seq.empty)
@@ -781,7 +805,28 @@ class LakeTable private (
           // once, the losers' strict-replace conflicts mean a racer
           // already bounded the layout — nothing left to do
           try {
-            val v = compactFrom(currentVersion, target, sortBy)
+            if (files.size > 2 * maxF) {
+              val target = properties.get("compaction.auto.target")
+                .map(_.toInt).getOrElse(math.max(1, maxF / 8))
+              Some(compactFrom(currentVersion, target, sortBy))
+            } else {
+              val k = properties.get("compaction.auto.mergeFactor")
+                .map(_.toInt).getOrElse(4)
+              // partitioned/bucketed layouts merge within a dir (the
+              // probe unit); unpartitioned tables write each append
+              // into its own batch-dir, so there the class alone is
+              // the merge key
+              val ready = files
+                .groupBy(f => (if (partitionBy.isEmpty) ""
+                               else dirOf(f.path), sizeClass(f.rows, k)))
+                .values.filter(_.size >= k)
+                .flatten.toSeq
+              if (ready.isEmpty) None
+              else Some(compactSubset(ready, sortBy))
+            }
+          } catch {
+            case _: java.util.ConcurrentModificationException => None
+          } finally {
             // optional companion policy: bound DISK too, not just the
             // live-file count — expire history beyond keepLast
             // snapshots and reclaim files only those referenced, with
@@ -792,12 +837,59 @@ class LakeTable private (
                   .map(_.toLong).getOrElse(600000L) // 10 min default
                 expireSnapshots(keep, age)
               }
-            Some(v)
-          } catch {
-            case _: java.util.ConcurrentModificationException => None
           }
         }
     }
+
+  private def dirOf(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) "" else path.substring(0, i)
+  }
+
+  /** Geometric size class by ROW count (manifest-exact; byte sizes
+    * would pin every sub-threshold file to class 0 and re-merge it
+    * forever). floor(log_k(rows)): k same-class files merge into one
+    * file of the NEXT class, so membership strictly escalates. */
+  private def sizeClass(rows: Long, k: Int): Int =
+    if (rows <= 1) 0
+    else (math.log(rows.toDouble) / math.log(k.toDouble)).toInt
+
+  /** MINOR compaction: rewrite ONLY `subset` (live files of the
+    * current snapshot), leaving every other file byte-untouched — the
+    * unit of tiered merging. Bucketed rows re-cluster one-file-per-
+    * bucket-dir (rows carry their routing hash, so output lands back
+    * in the source dirs); unpartitioned subsets collapse to one file.
+    * Carries the `compaction` app-meta so incremental consumers
+    * (changesBetween) skip the rewrite exactly like a full one, and
+    * commits strict-replace so racing writers can never lose rows. */
+  private def compactSubset(subset: Seq[FileEntry],
+                            sortBy: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val base = readEntries(subset, schema, fieldIds)
+    val shaped =
+      if (bucketSpec.isDefined) {
+        val n = bucketSpec.get._2
+        val clustered = base.repartition(n, col(BucketCol))
+        if (sortBy.nonEmpty)
+          clustered.sortWithinPartitions(
+            (BucketCol +: sortBy).map(col): _*)
+        else clustered
+      } else if (partitionBy.nonEmpty) {
+        val clustered = base.repartition(partitionBy.map(col): _*)
+        if (sortBy.nonEmpty)
+          clustered.sortWithinPartitions(
+            (partitionBy ++ sortBy).map(col): _*)
+        else clustered
+      } else if (sortBy.nonEmpty)
+        base.repartition(1).sortWithinPartitions(sortBy.map(col): _*)
+      else base.repartition(1)
+    commitWith(Some(writeData(shaped)),
+      replacedFiles = subset.map(_.path).toSet,
+      Map("compaction" -> "true") ++
+        (if (sortBy.isEmpty) Map.empty[String, String]
+         else Map("compaction.sortBy" -> sortBy.mkString(","))),
+      guard = None, alter = None, strictReplace = true)
+  }
 
   /** Z-order compaction: files are clustered on the Morton interleave
     * of 2-4 integer columns, so per-file min/max ranges are narrow in

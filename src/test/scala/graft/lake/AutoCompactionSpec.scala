@@ -161,4 +161,38 @@ class AutoCompactionSpec extends SparkSuite {
     assert(table.read().select("id").as[Long].collect().toSet ==
       (0L until 20L).toSet)
   }
+
+  test("tiered minor compaction: merging small files leaves the big " +
+    "compacted files byte-untouched (LSM amortization, not full " +
+    "rewrites)") {
+    val t = LakeTable.create(spark, tmpDir("tiered"), schema,
+      properties = Map("compaction.auto.maxFiles" -> "4",
+        "compaction.auto.sortBy" -> "id"))
+    // build one BIG file (class >= 2 at k=4): 64 rows
+    t.append((0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    t.compact(1)
+    val big = t.dataFiles.maxBy(_.rows)
+    val bigPath = java.nio.file.Paths.get(t.root, big.path)
+    val bigBytes = java.nio.file.Files.getLastModifiedTime(bigPath)
+    // now stream 16 single-row appends with the policy enforced
+    (100 until 116).foreach { i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+      t.autoCompactIfNeeded()
+      assert(t.dataFiles.size <= 2 * 4 + 1,
+        s"file count above the hard cap: ${t.dataFiles.size}")
+    }
+    // the 64-row file was NEVER rewritten by the small-file merges:
+    // same live path, same mtime — the amortization property that a
+    // full-rewrite policy (O(history) per trigger) cannot give
+    assert(t.dataFiles.exists(_.path == big.path),
+      "big file must survive minor compactions untouched")
+    assert(java.nio.file.Files.getLastModifiedTime(bigPath) == bigBytes)
+    // everything still readable, nothing lost
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      ((0L until 64L) ++ (100L until 116L)).toSet)
+    // and the merged small files escalated class: at least one live
+    // file now holds >= 4 rows but is not the big file
+    assert(t.dataFiles.exists(f => f.path != big.path && f.rows >= 4))
+  }
 }
