@@ -108,7 +108,14 @@ object IvfIndex {
                  vectors: DataFrame, model: Model, path: String,
                  embCol: String = "embedding"): graft.lake.LakeTable = {
     val assigned = assign(vectors, model, embCol)
+    // a continuous appendToIndex loop adds one file per touched
+    // cluster dir per batch; without a bound, probing nprobe clusters
+    // reads O(batches) files. Tiered auto-compaction keeps each
+    // inverted-list dir at O(log rows) files, with every merge
+    // touching only that dir's small tier (see
+    // LakeTable.autoCompactIfNeeded).
     val t = graft.lake.LakeTable.create(spark, path, assigned.schema,
+      properties = Map("compaction.auto.maxFiles" -> "256"),
       partitionBy = Seq("_cluster"))
     t.append(assigned)
     t
@@ -124,9 +131,14 @@ object IvfIndex {
     * vectors immediately with the same partition pruning. */
   def appendToIndex(index: graft.lake.LakeTable, batch: DataFrame,
                     model: Model, writerId: String, batchId: Long,
-                    embCol: String = "embedding"): Int =
-    index.appendExactlyOnce(assign(batch, model, embCol), writerId,
-      batchId)
+                    embCol: String = "embedding"): Int = {
+    val v = index.appendExactlyOnce(assign(batch, model, embCol),
+      writerId, batchId)
+    // the growing-index writer enforces the table's layout bound (a
+    // no-op until the file count crosses the declared threshold)
+    index.autoCompactIfNeeded()
+    v
+  }
 
   /** Driver-side probe selection: same cosine scoring as the
     * TopCentroids expression, on the local KB-sized centroid matrix. */
