@@ -282,6 +282,16 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
         properties = Map("compaction.auto.maxFiles" -> "256",
           "compaction.auto.sortBy" -> "fp"),
         bucketBy = Some(("fp", 32)))
+    // upgrading an exact-only pipeline to near-dup: the legacy index
+    // lacks the shs/sig columns the LSH probe selects — widen the
+    // schema by additive evolution (an empty append commits the
+    // merged schema; old rows read shs/sig as null, which is the
+    // correct semantics: docs indexed before the upgrade carry no
+    // shingles and can only ever exact-match)
+    if (minJaccard.isDefined && !index.schema.fieldNames.contains("sig"))
+      index.append(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        MVManager.curationIndexSchema))
     // band postings ride in their own pbh-bucketed table so the LSH
     // probe is O(batch) — advisory-only, see curateStepNearDup
     val postings = minJaccard.map { _ =>
@@ -301,15 +311,32 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       // (an older deployment, or direct MVManager use with
       // postings=None) must have its bands present BEFORE any batch
       // probes — the advisory-candidates contract rests on postings
-      // covering every indexed sig. Keyed exactly-once under a reserved
-      // writer, UNCONDITIONALLY on every start: a crash between
-      // createTable and the backfill commit is retried here until the
-      // marker lands (the fresh-deployment backfill is an empty commit
-      // that still records the marker), and once committed the replay
-      // short-circuits on the high-water mark before touching data.
-      p.appendExactlyOnce(graft.operators.DedupOps.bandPostingsRows(
-        index.read().select("doc_id", "sig")),
-        GraftEngine.PostingsBackfillWriter, 0L)
+      // covering every indexed sig. COVERAGE-DIFF, keyed exactly-once:
+      // until the reserved marker lands, each start appends bands for
+      // exactly the indexed docs the postings table is missing, so a
+      // crash between createTable and the backfill is retried, a
+      // pre-marker deployment whose postings are already complete (or
+      // partially complete — the old creation-time-only backfill could
+      // crash and strand the table) is topped up WITHOUT duplicating
+      // rows, and a fresh deployment commits an empty marker. An index
+      // created without sigs (exact-only curation later upgraded to
+      // near-dup) has nothing to backfill and skips straight to the
+      // marker.
+      if (p.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
+        import org.apache.spark.sql.functions.col
+        val sigRows =
+          if (index.schema.fieldNames.contains("sig"))
+            index.read().select("doc_id", "sig")
+              .join(p.read().select("doc_id").distinct(),
+                Seq("doc_id"), "left_anti")
+          else index.read().select(col("doc_id"))
+            .limit(0).withColumn("sig",
+              org.apache.spark.sql.functions.lit(null)
+                .cast("array<long>"))
+        p.appendExactlyOnce(
+          graft.operators.DedupOps.bandPostingsRows(sigRows),
+          GraftEngine.PostingsBackfillWriter, 0L)
+      }
       p
     }
     // a bucketed source's schema carries its derived _bucket routing
@@ -358,17 +385,34 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
           "compaction.auto.sortBy" -> "pbh") ++
           graft.operators.SimilarityOps.srpPostingsProps(),
         bucketBy = Some(("pbh", 32)))
-    // keyed idempotent backfill of a pre-existing index's bands —
-    // crash-safe and replay-cheap, see startCuration
-    postings.appendExactlyOnce(
-      graft.operators.SimilarityOps.srpPostingsRows(
-        index.read().select(idCol, embCol),
-        idCol = idCol, embCol = embCol),
-      GraftEngine.PostingsBackfillWriter, 0L)
+    // The pipeline ADOPTS the postings table's stamped geometry: a
+    // pre-upgrade table banded 8x8 keeps probing (and backfilling)
+    // at 8x8 instead of hard-failing every batch against the new
+    // 4x16 default — the stamp exists precisely so geometry is a
+    // property of the TABLE, not of whichever binary starts the loop.
+    val bandBits = postings.properties.get("postings.bandBits")
+      .map(_.toInt)
+      .getOrElse(graft.operators.SimilarityOps.DefaultIndexBandBits)
+    val bands = postings.properties.get("postings.bands").map(_.toInt)
+      .getOrElse(graft.operators.SimilarityOps.DefaultIndexBands)
+    // coverage-diff backfill, keyed exactly-once — crash-safe,
+    // duplicate-free for pre-marker deployments; see startCuration
+    if (postings.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
+      import org.apache.spark.sql.functions.col
+      val missing = index.read().select(idCol, embCol)
+        .join(postings.read().select(col("vec_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      postings.appendExactlyOnce(
+        graft.operators.SimilarityOps.srpPostingsRows(
+          missing, bandBits = bandBits, bands = bands,
+          idCol = idCol, embCol = embCol),
+        GraftEngine.PostingsBackfillWriter, 0L)
+    }
     val out = catalog.createOrLoadTable(ns, name, userSchema)
     val q = mvs.startEmbeddingCurationFromLake(name, src, index, out,
-      threshold, idCol = idCol, embCol = embCol,
-      trigger = config.trigger, postings = Some(postings))
+      threshold, bandBits = bandBits, bands = bands, idCol = idCol,
+      embCol = embCol, trigger = config.trigger,
+      postings = Some(postings))
     (out, q)
   }
 

@@ -91,11 +91,6 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text (hex string). */
   def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
 
-  /** Rolling polynomial (Rabin-Karp-style) fingerprint over word hashes,
-    * mod the Mersenne prime 2^31-1 so the accumulator never overflows
-    * under ANSI arithmetic (acc < 2^31, base 131 -> products < 2^39).
-    * Order-sensitive (unlike a bag-of-words hash); built-in array ops,
-    * no UDF. */
   /** Order-sensitive Rabin-Karp rolling fingerprint: a word-level
     * polynomial fold (base 131) over character-level polynomial word
     * hashes (base 31), everything mod 2^31-1. Built from pure integer

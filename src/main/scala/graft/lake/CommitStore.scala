@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import java.util.UUID
 
 /** The ONE primitive the commit protocol's atomicity rests on:

@@ -756,16 +756,25 @@ class LakeTable private (
             .sortWithinPartitions(
               (BucketCol +: sortBy)
                 .map(org.apache.spark.sql.functions.col): _*)
+        else if (partitionBy.nonEmpty) {
+          // hive-partitioned (unbucketed): cluster by the partition
+          // cols so each partition dir collapses to ONE file — both a
+          // round-robin repartition AND a range-repartition would
+          // spread every partition's rows across every task, writing
+          // tasks x partitions files (for the auto policy that means
+          // the count never falls below its threshold and every batch
+          // pays a full rewrite — the bucketed+sorted bug's twin)
+          val clustered = base.repartition(
+            partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          if (sortBy.nonEmpty) clustered.sortWithinPartitions(
+            (partitionBy ++ sortBy)
+              .map(org.apache.spark.sql.functions.col): _*)
+          else clustered
+        }
         else if (sortBy.nonEmpty) base
           .repartitionByRange(numFiles,
             sortBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
-        else if (bucketSpec.isDefined)
-          // bucketed layout: cluster by bucket so each bucket dir
-          // collapses to ONE file (a plain repartition would spread
-          // every bucket across every task — numFiles x buckets output)
-          base.repartition(numFiles,
-            org.apache.spark.sql.functions.col(BucketCol))
         else base.repartition(numFiles),
       if (sortBy.isEmpty) Map.empty
       else Map("compaction.sortBy" -> sortBy.mkString(",")))
@@ -805,38 +814,43 @@ class LakeTable private (
           // once, the losers' strict-replace conflicts mean a racer
           // already bounded the layout — nothing left to do
           try {
-            if (files.size > 2 * maxF) {
-              val target = properties.get("compaction.auto.target")
-                .map(_.toInt).getOrElse(math.max(1, maxF / 8))
-              Some(compactFrom(currentVersion, target, sortBy))
-            } else {
-              val k = properties.get("compaction.auto.mergeFactor")
-                .map(_.toInt).getOrElse(4)
-              // partitioned/bucketed layouts merge within a dir (the
-              // probe unit); unpartitioned tables write each append
-              // into its own batch-dir, so there the class alone is
-              // the merge key
-              val ready = files
-                .groupBy(f => (if (partitionBy.isEmpty) ""
-                               else dirOf(f.path), sizeClass(f.rows, k)))
-                .values.filter(_.size >= k)
-                .flatten.toSeq
-              if (ready.isEmpty) None
-              else Some(compactSubset(ready, sortBy))
-            }
-          } catch {
-            case _: java.util.ConcurrentModificationException => None
-          } finally {
+            val committed =
+              if (files.size > 2 * maxF) {
+                val target = properties.get("compaction.auto.target")
+                  .map(_.toInt).getOrElse(math.max(1, maxF / 8))
+                Some(compactFrom(currentVersion, target, sortBy))
+              } else {
+                val k = properties.get("compaction.auto.mergeFactor")
+                  .map(_.toInt).getOrElse(4)
+                // partitioned/bucketed layouts merge within a dir (the
+                // probe unit); unpartitioned tables write each append
+                // into its own batch-dir, so there the class alone is
+                // the merge key
+                val ready = files
+                  .groupBy(f => (if (partitionBy.isEmpty) ""
+                                 else dirOf(f.path), sizeClass(f.rows, k)))
+                  .values.filter(_.size >= k)
+                  .flatten.toSeq
+                if (ready.isEmpty) None
+                else Some(compactSubset(ready, sortBy))
+              }
             // optional companion policy: bound DISK too, not just the
             // live-file count — expire history beyond keepLast
             // snapshots and reclaim files only those referenced, with
-            // an age guard against racing in-flight writers
-            properties.get("snapshots.auto.keepLast").map(_.toInt)
-              .foreach { keep =>
-                val age = properties.get("vacuum.auto.minAgeMs")
-                  .map(_.toLong).getOrElse(600000L) // 10 min default
-                expireSnapshots(keep, age)
-              }
+            // an age guard against racing in-flight writers. Tied to
+            // an ACTUAL compaction commit: the no-op plateau (gate
+            // open, no tier ready) must not pay expiry's recursive
+            // data-dir walk on every batch.
+            if (committed.isDefined)
+              properties.get("snapshots.auto.keepLast").map(_.toInt)
+                .foreach { keep =>
+                  val age = properties.get("vacuum.auto.minAgeMs")
+                    .map(_.toLong).getOrElse(600000L) // 10 min default
+                  expireSnapshots(keep, age)
+                }
+            committed
+          } catch {
+            case _: java.util.ConcurrentModificationException => None
           }
         }
     }

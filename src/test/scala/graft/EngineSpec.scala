@@ -424,6 +424,126 @@ class EngineSpec extends SparkSuite {
     assert(p.read().count() == n1)
   }
 
+
+  test("pre-marker postings tables are ADOPTED, not duplicated: the " +
+    "coverage-diff backfill adds bands only for missing docs") {
+    import graft.functions.TextFunctions.fingerprint
+    import graft.operators.DedupOps
+    import graft.streaming.MVManager
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("bfl-wh")),
+      CatalogConfig(namespace = "corpus4"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("corpus4", "raw", docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d1 = Seq((1L, base)).toDF("doc_id", "text")
+    val d2 = Seq((2L, base.replaceAll("alpha beta", "strange words")))
+      .toDF("doc_id", "text")
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(fingerprint($"text").as("fp"), $"doc_id")
+        .join(DedupOps.signatureIndexRows(df), Seq("doc_id"), "left")
+        .select("fp", "doc_id", "shs", "sig")
+    val oldIdx = engine.catalog.createTable("corpus4", "curated_index",
+      MVManager.curationIndexSchema, bucketBy = Some(("fp", 32)))
+    oldIdx.append(idxRows(d1))
+    oldIdx.append(idxRows(d2))
+    // LEGACY postings: doc 1's bands were committed by the old
+    // creation-time backfill (plain append, no marker); doc 2's are
+    // MISSING (the stranded-backfill / partial-coverage case)
+    val legacy = engine.catalog.createTable("corpus4",
+      "curated_postings", DedupOps.bandPostingsSchema,
+      properties = DedupOps.bandPostingsProps(),
+      bucketBy = Some(("pbh", 32)))
+    legacy.append(DedupOps.bandPostingsRows(
+      idxRows(d1).select("doc_id", "sig")))
+    val doc1Rows = legacy.read().filter($"doc_id" === 1L).count()
+    src.append(Seq((11L, "fresh words unrelated to anything at all"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    val p = engine.table("curated_postings")
+    // doc 1's bands were NOT duplicated; doc 2's were added
+    assert(p.read().filter($"doc_id" === 1L).count() == doc1Rows,
+      "pre-existing coverage must not be re-appended")
+    assert(p.read().filter($"doc_id" === 2L).count() > 0,
+      "missing coverage must be topped up")
+    assert(p.lastBatchId(GraftEngine.PostingsBackfillWriter) == 0L)
+  }
+
+  test("upgrading a curation from exact to near-dup: the sig-less " +
+    "index does not break the backfill, and near-dup filtering works " +
+    "from the upgrade point on") {
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("upg-wh")),
+      CatalogConfig(namespace = "corpus5"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("corpus5", "raw", docsSchema)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // phase 1: EXACT-only curation — index schema is (fp, doc_id)
+    src.append(Seq((1L, base)).toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw")._2.awaitTermination()
+    assert(engine.readTable("curated").count() == 1)
+    // phase 2: upgrade the same pipeline to near-dup — must start
+    // cleanly (no sig column to backfill) and filter near-dups of
+    // NEWLY accepted docs
+    src.append(Seq(
+      (10L, "completely different content with its own words here"),
+      (11L, "completely different content with its own words there"))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    val got = engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet
+    assert(got.contains(1L) && got.contains(10L) && !got.contains(11L),
+      s"expected near-dup 11 dropped, got $got")
+  }
+
+  test("embedding curation ADOPTS a pre-upgrade 8x8 postings stamp " +
+    "instead of failing every batch against the new default") {
+    import org.apache.spark.sql.types._
+    import graft.operators.SimilarityOps
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("geo-wh")),
+      CatalogConfig(namespace = "vec8"),
+      BatchingConfig(availableNow = true)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val src = engine.catalog.createTable("vec8", "raw_vec", embSchema)
+    // pre-upgrade postings table: stamped with the OLD 8x8 geometry
+    engine.catalog.createTable("vec8", "curated_vec_postings",
+      SimilarityOps.srpPostingsSchema,
+      properties = SimilarityOps.srpPostingsProps(8, 8),
+      bucketBy = Some(("pbh", 32)))
+    def vec(axes: Seq[Int]): Seq[Float] =
+      (0 until 64).map(i => if (axes.contains(i)) 1f else 0f)
+    src.append(Seq((1L, vec(Seq(0, 1, 2))), (2L, vec(Seq(40, 41))))
+      .toDF("vec_id", "embedding"))
+    engine.startEmbeddingCuration("curated_vec", "raw_vec")
+      ._2.awaitTermination()
+    assert(engine.readTable("curated_vec").select("vec_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // second batch: an exact copy must still be rejected THROUGH the
+    // adopted 8x8 probe path
+    src.append(Seq((10L, vec(Seq(0, 1, 2)))).toDF("vec_id", "embedding"))
+    engine.startEmbeddingCuration("curated_vec", "raw_vec")
+      ._2.awaitTermination()
+    assert(engine.readTable("curated_vec").select("vec_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
   test("startEmbeddingCuration: the vector curation loop as a " +
     "catalog-managed engine MV — cosine near-dups dropped, tables " +
     "created on first use, YAML-configurable") {

@@ -195,4 +195,27 @@ class AutoCompactionSpec extends SparkSuite {
     // file now holds >= 4 rows but is not the big file
     assert(t.dataFiles.exists(f => f.path != big.path && f.rows >= 4))
   }
+
+  test("partitioned (unbucketed) full compaction collapses to one " +
+    "file per partition dir — never tasks x partitions") {
+    val t = LakeTable.create(spark, tmpDir("part-compact"), StructType(
+      Seq(StructField("id", LongType), StructField("_cluster", LongType))),
+      properties = Map("compaction.auto.maxFiles" -> "4",
+        "compaction.auto.target" -> "2"),
+      partitionBy = Seq("_cluster"))
+    // appends spread across 5 cluster dirs, several files each
+    (0 until 12).foreach { i =>
+      t.append(Seq((i.toLong, (i % 5).toLong)).toDF("id", "_cluster")
+        .coalesce(1))
+      t.autoCompactIfNeeded()
+      assert(t.dataFiles.size <= 2 * 4 + 1,
+        s"file count above the hard cap at $i: ${t.dataFiles.size}")
+    }
+    t.compact(1)
+    val dirs = t.dataFiles.map(_.path.replaceAll("/[^/]+$", ""))
+    assert(dirs.distinct.size == dirs.size,
+      s"multiple files per partition dir after full compaction: $dirs")
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      (0L until 12L).toSet)
+  }
 }
