@@ -323,16 +323,23 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       // near-dup) has nothing to backfill and skips straight to the
       // marker.
       if (p.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit}
+        // fresh deployments (empty index) and sig-less legacy indexes
+        // commit the marker from an empty frame — no join plan built
         val sigRows =
-          if (index.schema.fieldNames.contains("sig"))
-            index.read().select("doc_id", "sig")
-              .join(p.read().select("doc_id").distinct(),
-                Seq("doc_id"), "left_anti")
-          else index.read().select(col("doc_id"))
-            .limit(0).withColumn("sig",
-              org.apache.spark.sql.functions.lit(null)
-                .cast("array<long>"))
+          if (index.dataFiles.isEmpty ||
+              !index.schema.fieldNames.contains("sig"))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("sig",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.LongType)))))
+          else index.read().select("doc_id", "sig")
+            .join(p.read().select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
         p.appendExactlyOnce(
           graft.operators.DedupOps.bandPostingsRows(sigRows),
           GraftEngine.PostingsBackfillWriter, 0L)
@@ -399,9 +406,14 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     // duplicate-free for pre-marker deployments; see startCuration
     if (postings.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
       import org.apache.spark.sql.functions.col
-      val missing = index.read().select(idCol, embCol)
-        .join(postings.read().select(col("vec_id").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
+      val missing =
+        if (index.dataFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            idxSchema)
+        else index.read().select(idCol, embCol)
+          .join(postings.read().select(col("vec_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
       postings.appendExactlyOnce(
         graft.operators.SimilarityOps.srpPostingsRows(
           missing, bandBits = bandBits, bands = bands,

@@ -62,6 +62,7 @@ object SparkEntry {
     "q77_local_supplier_volume" -> (Relational.localSupplierVolume _),
     "q101_waiting_suppliers" -> (Relational.waitingSuppliers _),
     "q102_top_customer_orders" -> (Relational.topCustomerOrders _),
+    "q103_excess_volume_suppliers" -> (Relational.excessVolumeSuppliers _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1106,6 +1107,22 @@ object SparkEntry {
              WHERE l3.l_orderkey = l1.l_orderkey
                AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name""",
+    // Q20-shape: correlated scalar-agg subquery inside a grouped
+    // HAVING under an IN — Catalyst decorrelates the scalar into an
+    // aggregate + equi-join
+    "q103_excess_volume_suppliers" ->
+      """SELECT s_name, count(*) AS n_parts
+         FROM supplier JOIN (
+           SELECT l1.l_suppkey, l1.l_partkey
+           FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_type LIKE 'PROMO%')
+           GROUP BY l1.l_suppkey, l1.l_partkey
+           HAVING sum(l1.l_quantity) > (SELECT 1.5 * avg(l2.l_quantity)
+                                        FROM lineitem l2
+                                        WHERE l2.l_partkey = l1.l_partkey)
+         ) ex ON s_suppkey = ex.l_suppkey
          GROUP BY s_name""",
     // Q18-shape: IN over a grouped HAVING subquery
     "q102_top_customer_orders" ->

@@ -632,6 +632,36 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q20 shape (excess-stock suppliers), adapted to the fixture
+    * (no partsupp table): suppliers whose per-part shipped volume of
+    * PROMO parts exceeds 1.5x that part's corpus-wide average — the
+    * pattern is an IN filter, a grouped HAVING, and inside the HAVING
+    * a CORRELATED SCALAR AGGREGATE subquery (correlated on the group
+    * key). Written in SQL so Catalyst's decorrelation rewrites the
+    * scalar subquery into an aggregate + equi-join exactly as a user
+    * hits it. 100 TB shape: both aggregations are partial-combined
+    * groupBys on l_partkey(+l_suppkey) — the decorrelated plan joins
+    * two shuffled aggregates on the same key family, no per-row
+    * re-execution, no cartesian; the part IN-list and supplier dim
+    * broadcast. */
+  def excessVolumeSuppliers(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_name, count(*) AS n_parts
+        |FROM supplier JOIN (
+        |  SELECT l1.l_suppkey, l1.l_partkey
+        |  FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_type LIKE 'PROMO%')
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING sum(l1.l_quantity) > (SELECT 1.5 * avg(l2.l_quantity)
+        |                               FROM lineitem l2
+        |                               WHERE l2.l_partkey = l1.l_partkey)
+        |) ex ON s_suppkey = ex.l_suppkey
+        |GROUP BY s_name
+        |""".stripMargin)
+  }
+
   /** TPC-H Q18 shape (large-volume customers): IN over a grouped
     * HAVING subquery, written in SQL so Catalyst's rewrite of the IN
     * into a left-semi join against the aggregated subquery is

@@ -75,7 +75,8 @@ class SkewAndSourcesSpec extends SparkSuite {
       (pl +: kids.flatMap(flat)) ++ pl.subqueries.flatMap(flat)
     }
     for (df <- Seq(Relational.waitingSuppliers(spark, sf),
-                   Relational.topCustomerOrders(spark, sf))) {
+                   Relational.topCustomerOrders(spark, sf),
+                   Relational.excessVolumeSuppliers(spark, sf))) {
       assert(df.count() > 0)
       val nodes = flat(df.queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
