@@ -1080,53 +1080,26 @@ class LakeTable private (
     * prune) when any row group lacks stats, is all-null, or is a
     * floating column whose range touches NaN (parquet NaN stats are
     * unreliable by spec). */
-  private def footerMeta(p: Path, schema: StructType)
-      : (Long, Map[String, ColStat], Map[String, Long]) = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri), hadoopConf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala
-      val eligible: Map[String, DataType] = schema.fields.collect {
-        case f if statEligible(f.dataType) => f.name -> f.dataType
-      }.toMap
-      var agg = Map.empty[String, Option[ColStat]]
-      // exact null counts, summed across row groups; any row group
-      // without the count poisons the column (absent = unknown)
-      var nulls = Map.empty[String, Option[Long]]
-      for (b <- blocks; c <- b.getColumns.asScala) {
-        val name = c.getPath.toDotString
-        eligible.get(name).foreach { dt =>
-          val s = c.getStatistics
-          val cur: Option[ColStat] =
-            if (s == null || !s.hasNonNullValue) None
-            else for {
-              lo <- statValue(s.genericGetMin, dt)
-              hi <- statValue(s.genericGetMax, dt)
-            } yield ColStat(lo, hi)
-          val merged = (agg.getOrElse(name, cur), cur) match {
-            case (Some(a), Some(b2)) => for {
-              lo <- minOf(a.lo, b2.lo); hi <- maxOf(a.hi, b2.hi)
-            } yield ColStat(lo, hi)
-            case _ => None // any statless row group poisons the column
-          }
-          agg += name -> merged
-          val curN: Option[Long] =
-            if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None
-          val mergedN =
-            if (!nulls.contains(name)) curN
-            else (nulls(name), curN) match {
-              case (Some(a), Some(b2)) => Some(a + b2)
-              case _ => None
-            }
-          nulls += name -> mergedN
-        }
-      }
-      (r.getRecordCount,
-        agg.collect { case (k, Some(v)) => k -> v },
-        nulls.collect { case (k, Some(v)) => k -> v })
-    } finally r.close()
-  }
+  /** Footer metadata for a batch of freshly-written files. Small
+    * commits read footers on the driver; MANY-file commits distribute
+    * the reads across executors (each footer is a ranged read + a
+    * file-status call — on an object store that is two HTTP round
+    * trips per file, so a 1,000-file commit would serialize ~2,000
+    * driver round trips without this). Executors return only the
+    * tiny (rows, stats, nulls, size, mtime) tuples. */
+  private def footerMetas(paths: Seq[String], schema: StructType)
+      : Seq[(Long, Map[String, ColStat], Map[String, Long], Long, Long)] =
+    if (paths.length < 32)
+      paths.map(p => LakeTable.footerMeta(p, schema, hadoopConf))
+    else {
+      val confFn = org.apache.spark.sql.graft.ConfBridge
+        .carrier(hadoopConf)
+      val byPath = spark.sparkContext
+        .parallelize(paths, math.min(paths.length, 64))
+        .map(p => (p, LakeTable.footerMeta(p, schema, confFn())))
+        .collect().toMap
+      paths.map(byPath)
+    }
 
   /** Manifest metadata for the hive partition values encoded in a
     * file's relative partition path (`k1=v1/k2=v2`): each value is an
@@ -1165,41 +1138,6 @@ class LakeTable private (
     (stats, nulls)
   }
 
-  private def statEligible(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | BooleanType | DateType |
-         TimestampType => true
-    case _ => false
-  }
-
-  /** Normalize a parquet footer min/max into the ColStat domain. */
-  private def statValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
-    case (n: java.lang.Integer, _) => Some(n.longValue())
-    case (n: java.lang.Long, _)    => Some(n.longValue())
-    case (n: java.lang.Float, _)   =>
-      if (n.isNaN) None else Some(n.doubleValue())
-    case (n: java.lang.Double, _)  =>
-      if (n.isNaN) None else Some(n.doubleValue())
-    case (b: java.lang.Boolean, _) => Some(b.booleanValue())
-    case (b: org.apache.parquet.io.api.Binary, StringType) =>
-      Some(b.toStringUsingUTF8)
-    case _ => None
-  }
-
-  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
-    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
-    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String)   => Some(x.compareTo(y))
-    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case _ => None
-  }
-  private def minOf(a: Any, b: Any): Option[Any] =
-    cmpStat(a, b).map(c => if (c <= 0) a else b)
-  private def maxOf(a: Any, b: Any): Option[Any] =
-    cmpStat(a, b).map(c => if (c >= 0) a else b)
-
   /** Write df as immutable parquet files; returns entries + df schema.
     * SINGLE evaluation of the input: per-file row counts come from the
     * written parquet footers, not a separate count() job (which would
@@ -1230,17 +1168,18 @@ class LakeTable private (
     if (parts.isEmpty) {
       val batchDir = s"data/batch-${UUID.randomUUID()}"
       df.write.mode("errorifexists").parquet(s"$root/$batchDir")
-      val entries = listDir(Paths.get(root, batchDir))
+      val entriesNames = listDir(Paths.get(root, batchDir))
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
-        .map { p =>
-          val abs = Paths.get(root, batchDir, p)
-          val (rows, st, nc) = footerMeta(abs, df.schema)
+      val metas = footerMetas(
+        entriesNames.map(p => Paths.get(root, batchDir, p).toString),
+        df.schema)
+      val entries = entriesNames.zip(metas).map {
+        case (p, (rows, st, nc, size, mtime)) =>
           FileEntry(s"$batchDir/$p", rows, stats = st, nullCounts = nc,
-            sizeBytes = Files.size(abs),
-            modTimeMs = Files.getLastModifiedTime(abs).toMillis)
-        }
+            sizeBytes = size, modTimeMs = mtime)
+      }
       PendingWrite(entries, df.schema)
     } else {
       val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
@@ -1258,7 +1197,11 @@ class LakeTable private (
           Files.move(p, dest)
           val rel = if (partRel.isEmpty) s"data/$name"
                     else s"data/$partRel/$name"
-          val (rows, st, nc) = footerMeta(dest, df.schema)
+          (rel, partRel, dest)
+        }
+      val metas = footerMetas(moved.map(_._3.toString), df.schema)
+      val entries = moved.zip(metas).map {
+        case ((rel, partRel, _), (rows, st, nc, size, mtime)) =>
           // partition values are exact per-file constants: record them
           // as [v, v] stats (and 0 / all-null counts) so manifest
           // pruning (readWhere/probe) skips whole partition dirs
@@ -1266,12 +1209,11 @@ class LakeTable private (
           val (pStats, pNulls) = partValueMeta(partRel, df.schema, rows)
           FileEntry(rel, rows, stats = st ++ pStats,
             nullCounts = nc ++ pNulls,
-            sizeBytes = Files.size(dest),
-            modTimeMs = Files.getLastModifiedTime(dest).toMillis)
-        }
+            sizeBytes = size, modTimeMs = mtime)
+      }
       // clear staging leftovers (_SUCCESS, empty partition dirs)
       walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
-      PendingWrite(moved, df.schema)
+      PendingWrite(entries, df.schema)
     }
   }
 
@@ -1779,6 +1721,101 @@ object LakeTable {
   /** Atomic create-if-absent of a version file: write a temp sibling,
     * hard-link into the version slot (atomic, fails if present), unlink
     * the temp. Returns false when the version was taken by a racer. */
+  private def statEligible(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Normalize a parquet footer min/max into the ColStat domain. */
+  private def statValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (n: java.lang.Integer, _) => Some(n.longValue())
+    case (n: java.lang.Long, _)    => Some(n.longValue())
+    case (n: java.lang.Float, _)   =>
+      if (n.isNaN) None else Some(n.doubleValue())
+    case (n: java.lang.Double, _)  =>
+      if (n.isNaN) None else Some(n.doubleValue())
+    case (b: java.lang.Boolean, _) => Some(b.booleanValue())
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+  private def minOf(a: Any, b: Any): Option[Any] =
+    cmpStat(a, b).map(c => if (c <= 0) a else b)
+  private def maxOf(a: Any, b: Any): Option[Any] =
+    cmpStat(a, b).map(c => if (c >= 0) a else b)
+
+
+  /** Exact row count + per-column [lo, hi] ranges + file size/mtime
+    * from one parquet footer — static and conf-parameterized so it
+    * runs on EXECUTORS for many-file commits (footerMetas): the only
+    * state it touches is the file itself. Stats are aggregated across
+    * row groups; a column is dropped (never prune) when any row group
+    * lacks stats, is all-null, or is a floating column whose range
+    * touches NaN (parquet NaN stats are unreliable by spec). */
+  private[lake] def footerMeta(pathStr: String, schema: StructType,
+                               conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, ColStat], Map[String, Long], Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(pathStr)
+    val status = hp.getFileSystem(conf).getFileStatus(hp)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(status, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val eligible: Map[String, DataType] = schema.fields.collect {
+        case f if statEligible(f.dataType) => f.name -> f.dataType
+      }.toMap
+      var agg = Map.empty[String, Option[ColStat]]
+      // exact null counts, summed across row groups; any row group
+      // without the count poisons the column (absent = unknown)
+      var nulls = Map.empty[String, Option[Long]]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        eligible.get(name).foreach { dt =>
+          val s = c.getStatistics
+          val cur: Option[ColStat] =
+            if (s == null || !s.hasNonNullValue) None
+            else for {
+              lo <- statValue(s.genericGetMin, dt)
+              hi <- statValue(s.genericGetMax, dt)
+            } yield ColStat(lo, hi)
+          val merged = (agg.getOrElse(name, cur), cur) match {
+            case (Some(a), Some(b2)) => for {
+              lo <- minOf(a.lo, b2.lo); hi <- maxOf(a.hi, b2.hi)
+            } yield ColStat(lo, hi)
+            case _ => None // any statless row group poisons the column
+          }
+          agg += name -> merged
+          val curN: Option[Long] =
+            if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None
+          val mergedN =
+            if (!nulls.contains(name)) curN
+            else (nulls(name), curN) match {
+              case (Some(a), Some(b2)) => Some(a + b2)
+              case _ => None
+            }
+          nulls += name -> mergedN
+        }
+      }
+      (r.getRecordCount,
+        agg.collect { case (k, Some(v)) => k -> v },
+        nulls.collect { case (k, Some(v)) => k -> v },
+        status.getLen, status.getModificationTime)
+    } finally r.close()
+  }
+
   private[lake] def tryCommit(store: CommitStore, metaDir: Path,
                               version: Int, node: JsonNode): Boolean =
     store.putIfAbsent(versionPath(metaDir, version),

@@ -438,8 +438,9 @@ object MVManager {
                           idCol: String = "vec_id",
                           embCol: String = "embedding",
                           postings: Option[LakeTable] = None): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, exists, lit}
+    import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.{DedupOps, SimilarityOps}
+    import graft.functions.VectorFunctions.cosine_sim
     // FULL rows ride to the curated output (metadata columns must not
     // silently drop); the LSH machinery sees only (id, embedding).
     // Zero-norm vectors are REJECTED up front: cosine_sim is defined
@@ -450,8 +451,12 @@ object MVManager {
     // near-dup filter" contract. A direction-free vector carries no
     // curatable signal, so dropping it is the semantically honest
     // fast-path (the text modality's fp frontier has no such hole).
+    // The test is the codegen'd self-cosine (1.0 for any nonzero-norm
+    // vector, 0.0 for zero norm, NaN/null for degenerate payloads —
+    // all of which must not be curated), not a CodegenFallback
+    // higher-order lambda on the hot per-batch path.
     val batch = vecs
-      .filter(exists(col(embCol), v => v =!= lit(0.0f)))
+      .filter(cosine_sim(col(embCol), col(embCol)) > 0.5)
       .localCheckpoint()
     val batchVecs = batch.select(col(idCol), col(embCol))
     // within-batch collapse: min-id survivor per cosine cluster

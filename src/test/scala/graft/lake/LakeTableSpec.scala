@@ -526,4 +526,23 @@ class LakeTableSpec extends SparkSuite {
     assert(locs.nonEmpty && !locs.exists(_.contains("ManifestScan")),
       s"expected listing-based fallback, got $locs")
   }
+
+  test("many-file commits collect footer stats on executors: a " +
+    "40-file append carries the same manifest metadata as small " +
+    "driver-side commits") {
+    val t = freshTable("dist-footer", abSchema)
+    t.append((0L until 400L).map(i => (i, s"v$i")).toDF("a", "b")
+      .repartition(40))
+    val files = t.dataFiles
+    assert(files.size >= 32, s"need the distributed path: ${files.size}")
+    // every entry carries exact rows, sizes, and prunable stats
+    assert(files.map(_.rows).sum == 400L)
+    assert(files.forall(_.sizeBytes > 0L))
+    assert(files.forall(_.modTimeMs > 0L))
+    assert(files.forall(_.stats.contains("a")))
+    // the stats actually prune: a selective read touches fewer files
+    val probed = t.readWhere(col("a") === 7L)
+    assert(probed.select("a").as[Long].collect().toSeq == Seq(7L))
+    assert(probed.inputFiles.length < files.size)
+  }
 }
