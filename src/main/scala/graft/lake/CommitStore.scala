@@ -25,7 +25,19 @@ import java.util.UUID
   * with one HTTP header and changes nothing else — the contract spec
   * (CommitStoreContractSpec) drives the full chaos suite against a
   * deliberately-racy non-POSIX implementation to keep the protocol
-  * honest about relying on nothing beyond this interface. */
+  * honest about relying on nothing beyond this interface.
+  *
+  * Why DATA files need no such seam: they are immutable and
+  * UUID-named, so they never contend — an object store PUTs them
+  * directly and a crashed writer's unreferenced files are garbage the
+  * age-guarded vacuum reclaims. Unpartitioned appends already write
+  * their final names with zero renames; the one rename-using path is
+  * the partitioned append's staging dir, which exists for write
+  * ATTRIBUTION (list only this writer's files among concurrent
+  * writers'), not atomicity — its object-store form is the
+  * Iceberg-style task-commit manifest (collect written paths from
+  * write tasks instead of listing), a mechanical swap behind
+  * writeData that changes no commit semantics. */
 trait CommitStore {
   def putIfAbsent(path: Path, content: String): Boolean
 }

@@ -88,7 +88,18 @@ object ProbeScale {
     // the embedding twin, same shape
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
-    val vbatch = emb.filter(col("vec_id") % 100 === 0).localCheckpoint()
+    // the batch PLANTS true near-dups of history (tiny additive noise
+    // on a history slice, fresh ids): candidate volume under the
+    // 16-bit geometry is then genuinely nonzero at both scales — a
+    // zero-candidate batch would prove flatness vacuously
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val planted = emb.filter(col("vec_id") % 97 === 3)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "x + float(0.001) * float(pmod(hash(vec_id, i), 7) - 3))")
+          .as("embedding"))
+    val vbatch = emb.filter(col("vec_id") % 100 === 0)
+      .unionByName(planted).localCheckpoint()
     val vhist1 = emb.filter(col("vec_id") % 100 =!= 0)
     val nVec = emb.count()
     val vhist10 = (0 until 10).map { r =>
