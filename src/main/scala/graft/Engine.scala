@@ -323,7 +323,6 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       // near-dup) has nothing to backfill and skips straight to the
       // marker.
       if (p.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
-        import org.apache.spark.sql.functions.{col, lit}
         // fresh deployments (empty index) and sig-less legacy indexes
         // commit the marker from an empty frame — no join plan built
         val sigRows =
@@ -331,12 +330,8 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
               !index.schema.fieldNames.contains("sig"))
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("doc_id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("sig",
-                  org.apache.spark.sql.types.ArrayType(
-                    org.apache.spark.sql.types.LongType)))))
+              StructType(MVManager.curationIndexSchema.fields
+                .filter(f => Set("doc_id", "sig")(f.name))))
           else index.read().select("doc_id", "sig")
             .join(p.read().select("doc_id").distinct(),
               Seq("doc_id"), "left_anti")

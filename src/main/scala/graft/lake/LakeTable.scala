@@ -1173,7 +1173,7 @@ class LakeTable private (
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted
       val metas = footerMetas(
-        entriesNames.map(p => Paths.get(root, batchDir, p).toString),
+        entriesNames.map(p => Paths.get(root, batchDir, p).toUri.toString),
         df.schema)
       val entries = entriesNames.zip(metas).map {
         case (p, (rows, st, nc, size, mtime)) =>
@@ -1199,7 +1199,7 @@ class LakeTable private (
                     else s"data/$partRel/$name"
           (rel, partRel, dest)
         }
-      val metas = footerMetas(moved.map(_._3.toString), df.schema)
+      val metas = footerMetas(moved.map(_._3.toUri.toString), df.schema)
       val entries = moved.zip(metas).map {
         case ((rel, partRel, _), (rows, st, nc, size, mtime)) =>
           // partition values are exact per-file constants: record them
@@ -1767,6 +1767,8 @@ object LakeTable {
   private[lake] def footerMeta(pathStr: String, schema: StructType,
                                conf: org.apache.hadoop.conf.Configuration)
       : (Long, Map[String, ColStat], Map[String, Long], Long, Long) = {
+    // callers pass URI strings (file:/...), pinning the scheme so a
+    // session-level fs.defaultFS can never redirect footer reads
     val hp = new org.apache.hadoop.fs.Path(pathStr)
     val status = hp.getFileSystem(conf).getFileStatus(hp)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
