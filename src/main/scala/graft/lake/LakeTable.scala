@@ -1768,8 +1768,12 @@ object LakeTable {
                                conf: org.apache.hadoop.conf.Configuration)
       : (Long, Map[String, ColStat], Map[String, Long], Long, Long) = {
     // callers pass URI strings (file:/...), pinning the scheme so a
-    // session-level fs.defaultFS can never redirect footer reads
-    val hp = new org.apache.hadoop.fs.Path(pathStr)
+    // session-level fs.defaultFS can never redirect footer reads.
+    // Parse back to a URI before building the Path: the Path(String)
+    // constructor URI-DECODES %XX once, which corrupts hive-escaped
+    // partition dirs (grp=%2Bliteral would lose its escaping); the
+    // Path(URI) constructor takes the components literally.
+    val hp = new org.apache.hadoop.fs.Path(java.net.URI.create(pathStr))
     val status = hp.getFileSystem(conf).getFileStatus(hp)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromStatus(status, conf)
