@@ -12,8 +12,12 @@ import org.apache.spark.sql.types.StructType
   * (iceberg_committer.go:40-51 + 84-119 in /root/reference — create
   * namespace tolerant of exists, create table with format property).
   * Layout: `<warehouse>/<namespace>/<table>/{data,metadata}`.
+  * Every table the catalog creates or loads commits through the
+  * catalog's [[CommitStore]], so one seam choice covers the whole
+  * warehouse (Engine -> catalog -> tables).
   */
-class LakeCatalog(spark: SparkSession, warehouseDir: String) {
+class LakeCatalog(spark: SparkSession, warehouseDir: String,
+                  store: CommitStore = PosixCommitStore) {
 
   private def nsPath(ns: String) = Paths.get(warehouseDir, ns)
   private def tablePath(ns: String, name: String) =
@@ -43,17 +47,18 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String) {
                   bucketBy: Option[(String, Int)] = None): LakeTable = {
     createNamespace(ns)
     LakeTable.create(spark, tablePath(ns, name), schema, properties,
-      partitionBy, bucketBy)
+      partitionBy, bucketBy, store)
   }
 
   def createOrLoadTable(ns: String, name: String,
                         schema: StructType): LakeTable = {
     createNamespace(ns)
-    LakeTable.createOrLoad(spark, tablePath(ns, name), schema)
+    if (LakeTable.exists(tablePath(ns, name))) table(ns, name)
+    else createTable(ns, name, schema)
   }
 
   def table(ns: String, name: String): LakeTable =
-    LakeTable.load(spark, tablePath(ns, name))
+    LakeTable.load(spark, tablePath(ns, name), store)
 
   /** Drop a table: data, metadata, and the catalog entry (the directory)
     * are removed together — there is no half-dropped state a subsequent

@@ -151,4 +151,20 @@ class CommitStoreContractSpec extends SparkSuite {
     assert(t.read().count() == 8)
     assert(t.read().agg(sum("a")).as[Long].head() == 321L)
   }
+
+  test("a catalog on a racy store threads the seam to every table it " +
+    "creates and loads") {
+    val cat = new LakeCatalog(spark, tmpDir("racy-cat"),
+      new RacyCommitStore())
+    val t = cat.createTable("ns", "t", abSchema)
+    assert(t.commitStore.isInstanceOf[RacyCommitStore])
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    Await.result(Future.sequence((1 to 6).map(i =>
+      Future(t.append(Seq((i.toLong, s"w$i")).toDF("a", "b"))))),
+      120.seconds)
+    pool.shutdown()
+    assert(cat.table("ns", "t").commitStore.isInstanceOf[RacyCommitStore])
+    assert(cat.table("ns", "t").read().count() == 6)
+  }
 }
