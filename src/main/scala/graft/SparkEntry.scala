@@ -63,6 +63,7 @@ object SparkEntry {
     "q101_waiting_suppliers" -> (Relational.waitingSuppliers _),
     "q102_top_customer_orders" -> (Relational.topCustomerOrders _),
     "q103_excess_volume_suppliers" -> (Relational.excessVolumeSuppliers _),
+    "q104_order_priority_check" -> (Relational.orderPriorityCheck _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1108,6 +1109,17 @@ object SparkEntry {
                AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_shipdate > l1.l_shipdate)
          GROUP BY s_name""",
+    // Q4-shape: EXISTS comparing an inner column to an OUTER column,
+    // decorrelated to a residual-condition semi join
+    "q104_order_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority""",
     // Q20-shape: correlated scalar-agg subquery inside a grouped
     // HAVING under an IN — Catalyst decorrelates the scalar into an
     // aggregate + equi-join

@@ -632,6 +632,30 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter
+    * with at least one late line — the EXISTS whose inner predicate
+    * compares an inner column against an OUTER column (l_shipdate >
+    * o_orderdate + 30 days), adapted to the fixture's columns (no
+    * commit/receipt dates). The DataFrame form is the decorrelated
+    * plan itself: a left-semi equi-join on l_orderkey whose
+    * date-window comparison rides as the residual condition — at any
+    * scale this is one shuffle on the join key (or a broadcast of the
+    * filtered quarter), never a per-order re-execution. */
+  def orderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q20 shape (excess-stock suppliers), adapted to the fixture
     * (no partsupp table): suppliers whose per-part shipped volume of
     * PROMO parts exceeds 1.5x that part's corpus-wide average — the

@@ -76,7 +76,8 @@ class SkewAndSourcesSpec extends SparkSuite {
     }
     for (df <- Seq(Relational.waitingSuppliers(spark, sf),
                    Relational.topCustomerOrders(spark, sf),
-                   Relational.excessVolumeSuppliers(spark, sf))) {
+                   Relational.excessVolumeSuppliers(spark, sf),
+                   Relational.orderPriorityCheck(spark, sf))) {
       assert(df.count() > 0)
       val nodes = flat(df.queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
