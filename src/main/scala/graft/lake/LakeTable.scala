@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * (the reference loses batches on write/commit races).
   *
   * Layout under `root/`:
-  *   data/batch-<uuid>/part-*.parquet   -- immutable data files
+  *   data/[<k=v>/]<uuid>.parquet        -- immutable data files
   *   metadata/v%08d.json                -- snapshot log, one file per commit
   *
   * Commit protocol: conditionally create the snapshot at its version
@@ -120,6 +120,11 @@ class LakeTable private (
       .getOrElse(fieldIdsOf(node).values.foldLeft(0)(math.max))
 
   def dataFiles: Seq[FileEntry] = filesOf(latest()._2)
+
+  /** File entries of a historical snapshot (time-travel file listing;
+    * a commit's own additions are `filesAt(v) -- filesAt(v-1)`). */
+  def filesAt(version: Int): Seq[FileEntry] =
+    filesOf(mapper.readTree(Files.readString(versionPath(metaDir, version))))
 
   def appMeta(key: String): Option[String] = {
     val m = latest()._2.get("appMeta")
@@ -823,9 +828,8 @@ class LakeTable private (
                 val k = properties.get("compaction.auto.mergeFactor")
                   .map(_.toInt).getOrElse(4)
                 // partitioned/bucketed layouts merge within a dir (the
-                // probe unit); unpartitioned tables write each append
-                // into its own batch-dir, so there the class alone is
-                // the merge key
+                // probe unit); unpartitioned tables share one flat
+                // data/ dir, so there the class alone is the merge key
                 val ready = files
                   .groupBy(f => (if (partitionBy.isEmpty) ""
                                  else dirOf(f.path), sizeClass(f.rows, k)))
@@ -1143,11 +1147,15 @@ class LakeTable private (
     * written parquet footers, not a separate count() job (which would
     * double every MV micro-batch's and compaction's computation — and
     * disagree with the written rows for non-deterministic inputs).
-    * Unpartitioned: one immutable batch dir. Partitioned: write through
-    * a staging dir, then hard-rename each part file into its hive-style
-    * `data/<k=v>/...` slot under a fresh UUID name (renames are O(1)
-    * metadata ops; the partition dirs are shared across batches so
-    * basePath partition discovery sees one consistent layout). */
+    * Files are written DIRECTLY at their final UUID-named paths under
+    * `data/` (hive-style `<k=v>/` dirs when partitioned), and the
+    * committed file list comes from the write tasks' commit messages
+    * ([[org.apache.spark.sql.graft.DirectWrite]]) — zero renames, zero
+    * directory listing, on either write path: the Iceberg task-commit
+    * form that holds on object stores, where "rename" is copy+delete
+    * per part file. Crashed attempts leave unreferenced UUID orphans
+    * that never reach a manifest; the age-guarded vacuum reclaims
+    * them. */
   private def writeData(df0: DataFrame): PendingWrite = {
     // bucketed layout: the writer owns the bucket column — callers
     // append user rows and the hash lands them in their bucket dir.
@@ -1164,57 +1172,26 @@ class LakeTable private (
           .repartition(n, col(BucketCol))
       case _ => df0
     }
-    val parts = partitionBy
-    if (parts.isEmpty) {
-      val batchDir = s"data/batch-${UUID.randomUUID()}"
-      df.write.mode("errorifexists").parquet(s"$root/$batchDir")
-      val entriesNames = listDir(Paths.get(root, batchDir))
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .sorted
-      val metas = footerMetas(
-        entriesNames.map(p => Paths.get(root, batchDir, p).toUri.toString),
-        df.schema)
-      val entries = entriesNames.zip(metas).map {
-        case (p, (rows, st, nc, size, mtime)) =>
-          FileEntry(s"$batchDir/$p", rows, stats = st, nullCounts = nc,
-            sizeBytes = size, modTimeMs = mtime)
-      }
-      PendingWrite(entries, df.schema)
-    } else {
-      val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
-      df.write.partitionBy(parts: _*).parquet(staging.toString)
-      val moved = walkDir(staging)
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .sortBy(_.toString)
-        .map { p =>
-          val partRel = staging.relativize(p.getParent).toString
-          val destDir = Paths.get(root, "data", partRel)
-          Files.createDirectories(destDir)
-          val name = s"${UUID.randomUUID()}.parquet"
-          val dest = destDir.resolve(name)
-          Files.move(p, dest)
-          val rel = if (partRel.isEmpty) s"data/$name"
-                    else s"data/$partRel/$name"
-          (rel, partRel, dest)
-        }
-      val metas = footerMetas(moved.map(_._3.toUri.toString), df.schema)
-      val entries = moved.zip(metas).map {
-        case ((rel, partRel, _), (rows, st, nc, size, mtime)) =>
-          // partition values are exact per-file constants: record them
-          // as [v, v] stats (and 0 / all-null counts) so manifest
-          // pruning (readWhere/probe) skips whole partition dirs
-          // without any directory listing
-          val (pStats, pNulls) = partValueMeta(partRel, df.schema, rows)
-          FileEntry(rel, rows, stats = st ++ pStats,
-            nullCounts = nc ++ pNulls,
-            sizeBytes = size, modTimeMs = mtime)
-      }
-      // clear staging leftovers (_SUCCESS, empty partition dirs)
-      walkDir(staging).reverse.foreach(Files.deleteIfExists(_))
-      PendingWrite(entries, df.schema)
+    val rels =
+      org.apache.spark.sql.graft.DirectWrite.parquet(df, root, partitionBy)
+    val metas = footerMetas(
+      rels.map(r => Paths.get(root, "data", r).toUri.toString), df.schema)
+    val entries = rels.zip(metas).map {
+      case (rel, (rows, st, nc, size, mtime)) =>
+        val partRel = dirOf(rel)
+        // partition values are exact per-file constants: record them
+        // as [v, v] stats (and 0 / all-null counts) so manifest
+        // pruning (readWhere/probe) skips whole partition dirs
+        // without any directory listing
+        val (pStats, pNulls) =
+          if (partRel.isEmpty) (Map.empty[String, ColStat],
+            Map.empty[String, Long])
+          else partValueMeta(partRel, df.schema, rows)
+        FileEntry(s"data/$rel", rows, stats = st ++ pStats,
+          nullCounts = nc ++ pNulls,
+          sizeBytes = size, modTimeMs = mtime)
     }
+    PendingWrite(entries, df.schema)
   }
 
   /** Optimistic-concurrency metadata commit. `replacedFiles` names the

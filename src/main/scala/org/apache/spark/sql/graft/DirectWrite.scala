@@ -1,0 +1,177 @@
+package org.apache.spark.sql.graft
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobContext, TaskAttemptContext}
+import org.apache.spark.{SparkEnv, TaskContext}
+import org.apache.spark.executor.CommitDeniedException
+import org.apache.spark.internal.io.{FileCommitProtocol, FileNameSpec}
+import org.apache.spark.internal.io.FileCommitProtocol.TaskCommitMessage
+import org.apache.spark.sql.DataFrame
+
+/** Rename-free parquet writes for the lake: tasks write their files
+  * DIRECTLY at their final, immutable, UUID-named locations under the
+  * table's `data/` tree, and the committed file list is collected from
+  * the task-commit messages — the Iceberg task-manifest pattern
+  * (collect what each successful task wrote) instead of the
+  * staging-dir pattern (list a temp dir, rename every file into
+  * place).
+  *
+  * Why: on a POSIX filesystem a rename is an O(1) metadata op, but on
+  * the object stores the lake's [[graft.lake.CommitStore]] seam
+  * targets, "rename" is copy+delete per part file — a real cost and
+  * failure surface on the hottest write path. Direct final-location
+  * writes need no atomicity from the store because data files are
+  * immutable and UUID-named (they never contend); write ATTRIBUTION —
+  * knowing which files THIS job wrote among concurrent writers' — is
+  * exactly what the task-commit messages provide, with zero listing.
+  * A task that dies after creating a file leaves an unreferenced
+  * orphan that the age-guarded vacuum reclaims; it can never appear
+  * in a manifest because only files from SUCCESSFULLY COMMITTED tasks
+  * of a SUCCESSFULLY COMMITTED job reach the caller.
+  *
+  * Supersedes the staging+rename form of crest's write path feeding
+  * its committer (/root/reference/pkg/ingestor/iceberg_committer.go:
+  * 122-147 takes pre-existing final paths; the writer upstream stages)
+  * with the committer-native form Iceberg itself uses.
+  */
+object DirectWrite {
+
+  /** Written file lists by write token, deposited by
+    * [[GraftDirectCommitProtocol.commitJob]] on the driver. */
+  private[graft] val results = new ConcurrentHashMap[String, Seq[String]]()
+
+  private[graft] def tokenOf(destPath: String): String =
+    new Path(destPath).getName.stripPrefix(".write-")
+
+  /** Write `df` as parquet with files landing directly in
+    * `<tableRoot>/data/[<partition dirs>/]<uuid>.parquet` and return
+    * the written paths RELATIVE to `data/`, sorted. `partitionBy`
+    * columns become hive-style dirs exactly as `df.write.partitionBy`
+    * lays them out. No staging dir is created and no file is renamed.
+    *
+    * The committer override rides on a CLONED session (shared
+    * SparkContext, copied session state) so the caller's session conf
+    * is never mutated — concurrent writers in other threads of the
+    * same session keep their own committer untouched.
+    */
+  def parquet(df: DataFrame, tableRoot: String,
+              partitionBy: Seq[String]): Seq[String] = {
+    val classic =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sess = classic.cloneSession()
+    sess.conf.set("spark.sql.sources.commitProtocolClass",
+      classOf[GraftDirectCommitProtocol].getName)
+    val wdf = org.apache.spark.sql.classic.Dataset.ofRows(
+      sess, df.queryExecution.logical)
+    val token = UUID.randomUUID().toString
+    // the dest is a NEVER-CREATED sibling of data/: it exists only to
+    // carry the table root + a unique token through Spark's write path
+    // into the protocol (which derives data/ from it and keys its
+    // result deposit by the token)
+    val dest = s"$tableRoot/.write-$token"
+    try {
+      if (partitionBy.isEmpty) wdf.write.mode("errorifexists").parquet(dest)
+      else wdf.write.partitionBy(partitionBy: _*).parquet(dest)
+      Option(results.remove(token)).getOrElse(
+        throw new IllegalStateException(
+          s"direct write at $tableRoot: job committed but no task " +
+            "manifest was deposited")).sorted
+    } finally results.remove(token)
+  }
+}
+
+/** The [[FileCommitProtocol]] behind [[DirectWrite.parquet]].
+  * Selected via `spark.sql.sources.commitProtocolClass` on the cloned
+  * write session; Spark instantiates it reflectively with
+  * `(jobId, outputPath, dynamicPartitionOverwrite)`.
+  *
+  * `outputPath` is `<tableRoot>/.write-<token>`: files actually land
+  * under the sibling `<tableRoot>/data/`, and `commitJob` deposits the
+  * collected relative paths into [[DirectWrite.results]] under the
+  * token. Task commits are guarded by the `OutputCommitCoordinator`,
+  * so a speculative twin attempt can never double-report (or orphan
+  * into the manifest) the same logical task's files.
+  */
+class GraftDirectCommitProtocol(jobId: String, destPath: String,
+                                dynamicPartitionOverwrite: Boolean)
+    extends FileCommitProtocol with Serializable {
+  require(!dynamicPartitionOverwrite,
+    "graft direct writes are append-only; dynamic partition overwrite " +
+      "is handled at the manifest layer (replacedFiles), not the writer")
+
+  private val dataRoot = {
+    val d = new Path(destPath)
+    new Path(d.getParent, "data")
+  }
+
+  /** Paths written by THIS task, relative to `data/`. Rebuilt per task
+    * attempt by `setupTask`; only ever non-empty on executors. */
+  @transient private var taskFiles: ArrayBuffer[String] = _
+
+  override def setupJob(jobContext: JobContext): Unit = ()
+
+  override def commitJob(jobContext: JobContext,
+                         taskCommits: Seq[TaskCommitMessage]): Unit =
+    DirectWrite.results.put(DirectWrite.tokenOf(destPath),
+      taskCommits.flatMap(_.obj.asInstanceOf[Seq[String]]))
+
+  override def abortJob(jobContext: JobContext): Unit =
+    DirectWrite.results.remove(DirectWrite.tokenOf(destPath))
+
+  override def setupTask(taskContext: TaskAttemptContext): Unit =
+    taskFiles = ArrayBuffer.empty[String]
+
+  override def newTaskTempFile(taskContext: TaskAttemptContext,
+                               dir: Option[String],
+                               spec: FileNameSpec): String = {
+    val name = s"${spec.prefix}${UUID.randomUUID()}${spec.suffix}"
+    val rel = dir.map(d => s"$d/$name").getOrElse(name)
+    taskFiles += rel
+    new Path(dataRoot, rel).toString
+  }
+
+  override def newTaskTempFile(taskContext: TaskAttemptContext,
+                               dir: Option[String], ext: String): String =
+    newTaskTempFile(taskContext, dir, FileNameSpec("", ext))
+
+  override def newTaskTempFileAbsPath(taskContext: TaskAttemptContext,
+                                      absoluteDir: String,
+                                      ext: String): String =
+    throw new UnsupportedOperationException(
+      "graft lake tables have no custom partition locations")
+
+  override def commitTask(taskContext: TaskAttemptContext)
+      : TaskCommitMessage = {
+    // files are already at their final paths — the only remaining
+    // question is authorization: with speculation, exactly one attempt
+    // of a logical task may report its files (the loser's become
+    // vacuum-reclaimable orphans)
+    val tc = TaskContext.get()
+    if (tc != null && SparkEnv.get != null &&
+        !SparkEnv.get.outputCommitCoordinator.canCommit(
+          tc.stageId(), tc.stageAttemptNumber(), tc.partitionId(),
+          tc.attemptNumber())) {
+      abortTask(taskContext)
+      throw new CommitDeniedException(
+        s"task commit denied by coordinator: ${tc.partitionId()}." +
+          s"${tc.attemptNumber()}",
+        tc.stageId(), tc.partitionId(), tc.attemptNumber())
+    }
+    new TaskCommitMessage(taskFiles.toList)
+  }
+
+  override def abortTask(taskContext: TaskAttemptContext): Unit = {
+    val fs = dataRoot.getFileSystem(
+      taskContext.getConfiguration)
+    taskFiles.foreach { rel =>
+      try fs.delete(new Path(dataRoot, rel), false)
+      catch { case _: java.io.IOException => () } // orphan → vacuum
+    }
+    taskFiles.clear()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Pins the rename-free write path: every data file is born at its
+  * final UUID-named location, the manifest's file list comes from the
+  * write tasks' commit messages (never from listing), and concurrent
+  * writers' files are attributed to exactly one commit each. */
+class DirectWriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def diskParquet(root: String): Set[String] = {
+    val data = Paths.get(root, "data")
+    if (!Files.exists(data)) Set.empty
+    else Files.walk(data).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => Paths.get(root).relativize(p).toString).toSet
+  }
+
+  test("partitioned append: no staging dir is ever created, files are " +
+    "born final, manifest attribution matches disk exactly") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val root = tmpDir("direct-part")
+    val t = LakeTable.create(spark, root, ev.schema,
+      partitionBy = Seq("event_type"))
+    t.append(ev)
+
+    // no write-path side artifacts of any kind
+    val rootEntries = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(rootEntries == Set("data", "metadata"), s"got $rootEntries")
+    assert(!Files.walk(Paths.get(root)).iterator().asScala.exists { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".staging-") || n.startsWith(".write-") ||
+        n == "_temporary" || n == "_SUCCESS"
+    })
+
+    // the manifest's file set IS the disk file set (task-commit
+    // attribution, not listing, produced it — they must agree)
+    assert(t.dataFiles.map(_.path).toSet == diskParquet(root))
+    // partition-value stats rode in (manifest pruning needs them)
+    assert(t.dataFiles.forall(_.stats.contains("event_type")))
+    assert(t.read().count() == ev.count())
+  }
+
+  test("unpartitioned append: files born directly under data/, " +
+    "footer metadata intact") {
+    val root = tmpDir("direct-flat")
+    val df = spark.range(1000).select($"id", ($"id" % 7).as("k"))
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    val files = t.dataFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.path.startsWith("data/") &&
+      !f.path.stripPrefix("data/").contains("/")), s"flat layout: $files")
+    assert(files.map(_.rows).sum == 1000L)
+    assert(files.forall(_.sizeBytes > 0))
+    assert(t.dataFiles.map(_.path).toSet == diskParquet(root))
+  }
+
+  test("4 concurrent partitioned writers: every commit owns exactly " +
+    "its own files, no file double-claimed, no rows lost") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val root = tmpDir("direct-race")
+    val t = LakeTable.create(spark, root, ev.schema,
+      partitionBy = Seq("event_type"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val versions = Await.result(Future.sequence((0 until 4).map { i =>
+      Future(t.append(ev.filter($"event_id" % 4 === i)))
+    }), 3.minutes)
+    pool.shutdown()
+    assert(versions.toSet.size == 4, "each append got its own version")
+
+    // per-commit file ownership: the files a version ADDED over its
+    // parent must be disjoint across commits and cover the disk set
+    val added = versions.sorted.map { v =>
+      val cur = t.filesAt(v).map(_.path).toSet
+      val prev = t.filesAt(v - 1).map(_.path).toSet
+      cur -- prev
+    }
+    added.combinations(2).foreach { case Seq(a, b) =>
+      assert((a & b).isEmpty, s"file claimed by two commits: ${a & b}")
+    }
+    assert(added.reduce(_ ++ _) == diskParquet(root))
+    assert(t.read().count() == ev.count())
+  }
+
+  test("a write whose task fails commits nothing: no manifest change, " +
+    "no deposited file list, orphans reclaimed by vacuum") {
+    val root = tmpDir("direct-abort")
+    val df = spark.range(100).toDF("id")
+    val t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    val v = t.currentVersion
+    val boom = udf((x: Long) =>
+      if (x > 50) throw new RuntimeException("boom") else x)
+    intercept[Exception] {
+      t.append(spark.range(100).select(boom($"id").as("id")))
+    }
+    assert(t.currentVersion == v, "failed write must not commit")
+    assert(t.read().count() == 100)
+    // whatever partial files the dead attempt left are unreferenced;
+    // an age-0 vacuum reclaims them and the live set still reads
+    t.vacuum(minAgeMs = 0)
+    assert(t.dataFiles.map(_.path).toSet == diskParquet(root))
+    assert(t.read().count() == 100)
+  }
+}
