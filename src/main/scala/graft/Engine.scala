@@ -279,8 +279,7 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val index =
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "fp"),
+        properties = graft.lake.LakeTable.autoCompactProps(32, Some("fp")),
         bucketBy = Some(("fp", 32)))
     // upgrading an exact-only pipeline to near-dup: the legacy index
     // lacks the shs/sig columns the LSH probe selects — widen the
@@ -303,8 +302,8 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
           // compaction range-clusters pbh within each bucket dir, so
           // long-running loops converge to manifest-range-prunable
           // files; the recorded geometry fails a mismatched probe loud
-          properties = Map("compaction.auto.maxFiles" -> "256",
-            "compaction.auto.sortBy" -> "pbh") ++
+          properties =
+            graft.lake.LakeTable.autoCompactProps(32, Some("pbh")) ++
             graft.operators.DedupOps.bandPostingsProps(),
           bucketBy = Some(("pbh", 32)))
       // BACKFILL: an index populated before this postings table existed
@@ -335,8 +334,13 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
           else index.read().select("doc_id", "sig")
             .join(p.read().select("doc_id").distinct(),
               Seq("doc_id"), "left_anti")
+        // backfill under the table's OWN stamped band count, mirroring
+        // the SRP path's geometry adoption — a pre-existing table
+        // banded != 16 is topped up at its geometry, not the default's
         p.appendExactlyOnce(
-          graft.operators.DedupOps.bandPostingsRows(sigRows),
+          graft.operators.DedupOps.bandPostingsRows(sigRows,
+            graft.operators.DedupOps
+              .requirePostingsProp(p, "postings.bands").toInt),
           GraftEngine.PostingsBackfillWriter, 0L)
       }
       p
@@ -356,7 +360,15 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     * clusters, drop near-dups of the persisted `<name>_index` at
     * `threshold` (SRP-banded candidates probed through
     * `<name>_postings`), append accepted vectors to `<name>` —
-    * exactly-once across crashes and restarts. */
+    * exactly-once across crashes and restarts.
+    *
+    * Degenerate vectors (zero-norm, NaN or null embeddings) are
+    * DROPPED, not curated: a direction-free vector can never
+    * cosine-match anything — not even its own copies — so admitting it
+    * would re-admit every future duplicate. The per-batch drop count
+    * is logged (`graft.streaming.MVManager`), so an upstream embedding
+    * job that starts emitting zeros is observable instead of silently
+    * vanishing from the curated table. */
   def startEmbeddingCuration(name: String, sourceTable: String,
                              threshold: Double = 0.35,
                              idCol: String = "vec_id",
@@ -375,16 +387,15 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val index =
       if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
       else catalog.createTable(ns, idxName, idxSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> idCol),
+        properties = graft.lake.LakeTable.autoCompactProps(32, Some(idCol)),
         bucketBy = Some((idCol, 32)))
     val pName = s"${name}_postings"
     val postings =
       if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
       else catalog.createTable(ns, pName,
         graft.operators.SimilarityOps.srpPostingsSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "pbh") ++
+        properties =
+          graft.lake.LakeTable.autoCompactProps(32, Some("pbh")) ++
           graft.operators.SimilarityOps.srpPostingsProps(),
         bucketBy = Some(("pbh", 32)))
     // The pipeline ADOPTS the postings table's stamped geometry: a

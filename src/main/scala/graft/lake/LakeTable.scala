@@ -803,9 +803,19 @@ class LakeTable private (
     * O(dirs x k x log_k(rows)); if it ever exceeds 2x maxFiles
     * (many dirs with no class ready), one full rewrite to
     * `compaction.auto.target` (default maxFiles/8) restores the
-    * bound — so 2x maxFiles is the hard cap. The policy rides in the table's own metadata so EVERY
-    * writer enforces the same layout contract; the gate is O(1)
-    * against the snapshot. Returns the commit's version if one ran. */
+    * bound — so 2x maxFiles is the hard cap WHEN the layout permits
+    * it: a partitioned/bucketed rewrite clusters to ~one file per
+    * live dir, so when the dir count itself approaches the file
+    * count, a full rewrite cannot reduce anything and would just
+    * rewrite the whole table every batch — that branch is skipped
+    * (tiered merging still runs) and the honest bound becomes
+    * O(dirs x k x log_k(rows)). Size `maxFiles` from the fan-out
+    * ([[LakeTable.autoCompactProps]]) so the gate opens within a
+    * couple of batches of steady state instead of after
+    * maxFiles/dirs of them. The policy rides in the table's own
+    * metadata so EVERY writer enforces the same layout contract; the
+    * gate is O(1) against the snapshot. Returns the commit's version
+    * if one ran. */
   def autoCompactIfNeeded(): Option[Int] =
     properties.get("compaction.auto.maxFiles").map(_.toInt).flatMap {
       maxF =>
@@ -819,25 +829,36 @@ class LakeTable private (
           // once, the losers' strict-replace conflicts mean a racer
           // already bounded the layout — nothing left to do
           try {
+            def tiered(): Option[Int] = {
+              val k = properties.get("compaction.auto.mergeFactor")
+                .map(_.toInt).getOrElse(4)
+              // partitioned/bucketed layouts merge within a dir (the
+              // probe unit); unpartitioned tables share one flat
+              // data/ dir, so there the class alone is the merge key
+              val ready = files
+                .groupBy(f => (if (partitionBy.isEmpty) ""
+                               else dirOf(f.path), sizeClass(f.rows, k)))
+                .values.filter(_.size >= k)
+                .flatten.toSeq
+              if (ready.isEmpty) None
+              else Some(compactSubset(ready, sortBy))
+            }
+            // a full rewrite of a partitioned/bucketed table clusters
+            // to ~one file per live dir — when the dir count is
+            // already >= half the file count it cannot reduce the
+            // count below the gate, so committing it would rewrite
+            // the whole table EVERY batch (the exact O(history)
+            // pathology tiering exists to prevent); only rewrite when
+            // it actually shrinks the layout, else keep tier-merging
+            val dirFloor =
+              if (partitionBy.isEmpty && bucketSpec.isEmpty) 1
+              else files.iterator.map(f => dirOf(f.path)).toSet.size
             val committed =
-              if (files.size > 2 * maxF) {
+              if (files.size > 2 * maxF && files.size > 2 * dirFloor) {
                 val target = properties.get("compaction.auto.target")
                   .map(_.toInt).getOrElse(math.max(1, maxF / 8))
                 Some(compactFrom(currentVersion, target, sortBy))
-              } else {
-                val k = properties.get("compaction.auto.mergeFactor")
-                  .map(_.toInt).getOrElse(4)
-                // partitioned/bucketed layouts merge within a dir (the
-                // probe unit); unpartitioned tables share one flat
-                // data/ dir, so there the class alone is the merge key
-                val ready = files
-                  .groupBy(f => (if (partitionBy.isEmpty) ""
-                                 else dirOf(f.path), sizeClass(f.rows, k)))
-                  .values.filter(_.size >= k)
-                  .flatten.toSeq
-                if (ready.isEmpty) None
-                else Some(compactSubset(ready, sortBy))
-              }
+              } else tiered()
             // optional companion policy: bound DISK too, not just the
             // live-file count — expire history beyond keepLast
             // snapshots and reclaim files only those referenced, with
@@ -1223,8 +1244,23 @@ class LakeTable private (
                            (StructType, Map[String, Int])],
                          strictReplace: Boolean = false): Int = {
     var attempt = 0
+    var lastSeen = Int.MinValue
+    var stalls = 0
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while (true) {
       val (v, cur) = latest()
+      // losing a slot whose winner is not yet READABLE (the visibility
+      // lag CommitStore explicitly permits) re-reads the same version:
+      // spinning would burn the whole retry budget inside the lag
+      // window, so back off — but only when no progress is observed
+      // (on a read-your-win store every lost race advances v and pays
+      // zero sleep). The budget is TIME-based, not count-based.
+      if (v == lastSeen) {
+        stalls += 1
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L << math.min(6, stalls)))
+      } else stalls = 0
+      lastSeen = v
       if (strictReplace && replacedFiles.nonEmpty) {
         // row-level rewrites must not resurrect rows a concurrent
         // rewrite already superseded: every file we're replacing must
@@ -1275,7 +1311,9 @@ class LakeTable private (
         lastFieldId = curLast)
       if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
-      require(attempt < 100, s"commit contention at $root, giving up")
+      require(System.nanoTime() < deadline,
+        s"commit contention at $root: no progress after $attempt " +
+          "attempts in 60s, giving up")
     }
     -1 // unreachable
   }
@@ -1338,9 +1376,20 @@ class LakeTable private (
     val target = mapper.readTree(
       Files.readString(versionPath(metaDir, version)))
     var attempt = 0
+    var lastSeen = Int.MinValue
+    var stalls = 0
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while (true) {
       val (v, cur) = latest()
       if (v == version) return v
+      // same stall-aware backoff as commitWith: sleep only when the
+      // lost slot's winner is not yet readable (v did not advance)
+      if (v == lastSeen) {
+        stalls += 1
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L << math.min(6, stalls)))
+      } else stalls = 0
+      lastSeen = v
       val node = snapshotJson(
         version = v + 1, parent = v,
         schema = DataTypeBridge.fromJson(target.get("schemaJson").asText()),
@@ -1353,7 +1402,9 @@ class LakeTable private (
         lastFieldId = lastFieldIdOf(cur))
       if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
-      require(attempt < 100, s"commit contention at $root, giving up")
+      require(System.nanoTime() < deadline,
+        s"commit contention at $root: no progress after $attempt " +
+          "attempts in 60s, giving up")
     }
     -1 // unreachable
   }
@@ -1494,6 +1545,21 @@ object LakeTable {
   val BucketCol = "_bucket"
 
   private[lake] def writerKey(writerId: String) = s"writer.$writerId"
+
+  /** Auto-compaction policy sized to the table's layout FAN-OUT (its
+    * bucket count, partition-dir count, or IVF cluster count). A
+    * continuous loop appends ~one file per live dir per batch, so a
+    * gate of 2x fan-out opens within ~2 steady-state batches — where a
+    * flat constant (the old 256 with 32 buckets) let probe cost climb
+    * for maxFiles/dirs batches before the first merge, and a fan-out
+    * ABOVE the constant (an IVF index with >512 clusters) degenerated
+    * to a perpetual full rewrite that could never reach its target.
+    * The 64 floor keeps tiny tables from compacting on every commit. */
+  def autoCompactProps(fanout: Int,
+                       sortBy: Option[String] = None): Map[String, String] =
+    Map("compaction.auto.maxFiles" ->
+      math.max(64, 2 * fanout).toString) ++
+      sortBy.map("compaction.auto.sortBy" -> _)
 
   /** Guard on a highWater offset, evaluated inside the commit loop. */
   private[lake] sealed trait CommitGuard { def key: String; def value: Long }
@@ -1695,9 +1761,6 @@ object LakeTable {
     n
   }
 
-  /** Atomic create-if-absent of a version file: write a temp sibling,
-    * hard-link into the version slot (atomic, fails if present), unlink
-    * the temp. Returns false when the version was taken by a racer. */
   private def statEligible(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType | BooleanType | DateType |
@@ -1799,6 +1862,10 @@ object LakeTable {
     } finally r.close()
   }
 
+  /** Conditional create of a snapshot at its version slot — delegates
+    * the atomicity to [[CommitStore.putIfAbsent]] (POSIX: temp sibling
+    * + hard link; object stores: one conditional-put header). Returns
+    * false when the version was taken by a racer. */
   private[lake] def tryCommit(store: CommitStore, metaDir: Path,
                               version: Int, node: JsonNode): Boolean =
     store.putIfAbsent(versionPath(metaDir, version),

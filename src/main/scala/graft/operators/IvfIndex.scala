@@ -113,9 +113,13 @@ object IvfIndex {
     // reads O(batches) files. Tiered auto-compaction keeps each
     // inverted-list dir at O(log rows) files, with every merge
     // touching only that dir's small tier (see
-    // LakeTable.autoCompactIfNeeded).
+    // LakeTable.autoCompactIfNeeded). The gate is sized to the
+    // MODEL-DRIVEN cluster count: a hardcoded 256 with >512 clusters
+    // would re-trigger a full rewrite every batch that can never
+    // reach its target (one file per cluster dir is the floor).
     val t = graft.lake.LakeTable.create(spark, path, assigned.schema,
-      properties = Map("compaction.auto.maxFiles" -> "256"),
+      properties =
+        graft.lake.LakeTable.autoCompactProps(model.centroids.length),
       partitionBy = Seq("_cluster"))
     t.append(assigned)
     t

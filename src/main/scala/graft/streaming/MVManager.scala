@@ -252,6 +252,9 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
 object MVManager {
   import java.nio.file.{Files, Path, StandardCopyOption}
 
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.MVManager")
+
   /** One exactly-once curation step: dedupe `docs` against `index`,
     * append the accepted rows to `out`, then advance the frontier in
     * `index` — both under the same (writerId, batchId) idempotence key.
@@ -351,6 +354,13 @@ object MVManager {
                         postings: Option[LakeTable] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.DedupOps
+    // ADOPT the postings table's stamped band count (the SRP twin's
+    // contract): geometry is a property of the TABLE, not of whichever
+    // binary drives the loop — a pre-existing table banded != 16 keeps
+    // probing and committing at ITS geometry instead of require-failing
+    // every batch against the driver's default
+    val bands = postings.map(p =>
+      DedupOps.requirePostingsProp(p, "postings.bands").toInt).getOrElse(16)
     val fresh = DedupOps.freshAgainstIndex(docs, index, textCol, idCol)
       .localCheckpoint()
     val freshDocs = docs.join(
@@ -387,7 +397,7 @@ object MVManager {
         Seq("doc_id"), "left_anti")
     val nearIds = DedupOps
       .nearDupSigsAgainstIndex(survivorSigs, index, minJaccard,
-        postings = postings)
+        bands = bands, postings = postings)
       .select(col("d_new").as(idCol)).distinct()
     val accepted = freshDocs
       .join(broadcast(wbDrop), Seq(idCol), "left_anti")
@@ -405,7 +415,7 @@ object MVManager {
       .localCheckpoint() // two consumers: postings rows + index commit
     out.appendExactlyOnce(accepted, writerId, batchId)
     postings.foreach(_.appendExactlyOnce(
-      DedupOps.bandPostingsRows(idxRows), writerId, batchId))
+      DedupOps.bandPostingsRows(idxRows, bands), writerId, batchId))
     index.appendExactlyOnce(idxRows, writerId, batchId)
     out.autoCompactIfNeeded()
     postings.foreach(_.autoCompactIfNeeded())
@@ -454,10 +464,22 @@ object MVManager {
     // The test is the codegen'd self-cosine (1.0 for any nonzero-norm
     // vector, 0.0 for zero norm, NaN/null for degenerate payloads —
     // all of which must not be curated), not a CodegenFallback
-    // higher-order lambda on the hot per-batch path.
-    val batch = vecs
-      .filter(cosine_sim(col(embCol), col(embCol)) > 0.5)
+    // higher-order lambda on the hot per-batch path. The drop is
+    // COUNTED and logged: a whole batch of zeros usually means the
+    // upstream embedding job is failing, and silence would make that
+    // undiagnosable (the count is one narrow job over the
+    // already-checkpointed partitions).
+    val flagged = vecs
+      .withColumn("_ok", cosine_sim(col(embCol), col(embCol)) > 0.5)
       .localCheckpoint()
+    val degenerate = flagged.filter(!col("_ok")).count()
+    if (degenerate > 0)
+      log.warn(s"embedding curation writer=$writerId batch=$batchId: " +
+        s"dropped $degenerate degenerate vector(s) (zero-norm, NaN or " +
+        "null embedding) — they cannot match anything, not even their " +
+        "own copies; a nonzero count here usually means the upstream " +
+        "embedding job is emitting failures")
+    val batch = flagged.filter(col("_ok")).drop("_ok")
     val batchVecs = batch.select(col(idCol), col(embCol))
     // within-batch collapse: min-id survivor per cosine cluster
     // (bounded driver union-find, distributed contraction fallback)

@@ -72,8 +72,7 @@ object SteadyState {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType))),
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "fp"),
+        properties = LakeTable.autoCompactProps(32, Some("fp")),
         bucketBy = Some(("fp", 32)))
       val out = LakeTable.create(spark, s"$dir/ex-out", docs.schema)
       val mv = new MVManager(spark, s"$dir/ex-ckpt")
@@ -89,13 +88,11 @@ object SteadyState {
       val src = LakeTable.create(spark, s"$dir/nd-src", docs.schema)
       val index = LakeTable.create(spark, s"$dir/nd-idx",
         MVManager.curationIndexSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "fp"),
+        properties = LakeTable.autoCompactProps(32, Some("fp")),
         bucketBy = Some(("fp", 32)))
       val postings = LakeTable.create(spark, s"$dir/nd-post",
         DedupOps.bandPostingsSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "pbh") ++
+        properties = LakeTable.autoCompactProps(32, Some("pbh")) ++
           DedupOps.bandPostingsProps(),
         bucketBy = Some(("pbh", 32)))
       val out = LakeTable.create(spark, s"$dir/nd-out", docs.schema)
@@ -114,13 +111,11 @@ object SteadyState {
         .select("vec_id", "embedding").localCheckpoint()
       val src = LakeTable.create(spark, s"$dir/em-src", emb.schema)
       val index = LakeTable.create(spark, s"$dir/em-idx", emb.schema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "vec_id"),
+        properties = LakeTable.autoCompactProps(32, Some("vec_id")),
         bucketBy = Some(("vec_id", 32)))
       val postings = LakeTable.create(spark, s"$dir/em-post",
         SimilarityOps.srpPostingsSchema,
-        properties = Map("compaction.auto.maxFiles" -> "256",
-          "compaction.auto.sortBy" -> "pbh") ++
+        properties = LakeTable.autoCompactProps(32, Some("pbh")) ++
           SimilarityOps.srpPostingsProps(),
         bucketBy = Some(("pbh", 32)))
       val out = LakeTable.create(spark, s"$dir/em-out", emb.schema)

@@ -510,6 +510,46 @@ class EngineSpec extends SparkSuite {
       s"expected near-dup 11 dropped, got $got")
   }
 
+  test("text curation ADOPTS a pre-existing postings table's stamped " +
+    "band count instead of failing every batch against the default") {
+    import graft.operators.DedupOps
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("txtgeo-wh")),
+      CatalogConfig(namespace = "txt24"),
+      BatchingConfig(availableNow = true)))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("txt24", "raw", docsSchema)
+    // pre-existing postings table stamped with a NON-default geometry
+    // (created through MVManager/DedupOps directly, which allow it)
+    engine.catalog.createTable("txt24", "curated_postings",
+      DedupOps.bandPostingsSchema,
+      properties = DedupOps.bandPostingsProps(bands = 32),
+      bucketBy = Some(("pbh", 32)))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    src.append(Seq((1L, base)).toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    assert(engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+    // the committed postings carry the ADOPTED 32-band geometry
+    assert(engine.table("curated_postings").read()
+      .filter($"doc_id" === 1L).select("band").as[Int]
+      .collect().toSet == (0 until 32).toSet)
+    // a near-copy in a later batch is rejected THROUGH the adopted
+    // 32-band probe path (previously: require-fail on every batch)
+    src.append(Seq((10L, base.replace("upsilon", "omega")))
+      .toDF("doc_id", "text"))
+    engine.startCuration("curated", "raw", minJaccard = Some(0.5))
+      ._2.awaitTermination()
+    assert(engine.readTable("curated").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
   test("embedding curation ADOPTS a pre-upgrade 8x8 postings stamp " +
     "instead of failing every batch against the new default") {
     import org.apache.spark.sql.types._

@@ -196,6 +196,40 @@ class AutoCompactionSpec extends SparkSuite {
     assert(t.dataFiles.exists(f => f.path != big.path && f.rows >= 4))
   }
 
+  test("more partition dirs than 2x maxFiles: the full-rewrite branch " +
+    "is skipped (it could never reduce the count) instead of " +
+    "rewriting the whole table every batch") {
+    val t = LakeTable.create(spark, tmpDir("dir-floor"), StructType(
+      Seq(StructField("id", LongType), StructField("_cluster", LongType))),
+      properties = Map("compaction.auto.maxFiles" -> "2"),
+      partitionBy = Seq("_cluster"))
+    // 20 dirs, one file each: gate (2) is far exceeded, but a full
+    // rewrite would land one file per dir = 20 files — useless
+    t.append((0L until 20L).map(i => (i, i)).toDF("id", "_cluster"))
+    val v = t.currentVersion
+    val mtimes = t.dataFiles.map(f => f.path ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, f.path))).toMap
+    // repeated enforcement must be a NO-OP: no commit, no rewrite —
+    // the old policy committed a futile full rewrite on every call
+    (0 until 3).foreach(_ => assert(t.autoCompactIfNeeded().isEmpty))
+    assert(t.currentVersion == v, "no-op must not commit")
+    t.dataFiles.foreach(f => assert(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, f.path)) == mtimes(f.path),
+      s"${f.path} was rewritten by a futile compaction"))
+    // tier merging still works in this regime: pile 4 class-0 files
+    // into ONE dir and only that dir's tier is merged
+    (0 until 4).foreach(i => t.append(
+      Seq((100L + i, 0L)).toDF("id", "_cluster").coalesce(1)))
+    val before = t.dataFiles.size
+    assert(t.autoCompactIfNeeded().isDefined)
+    assert(t.dataFiles.size < before)
+    val untouched = t.dataFiles.filter(f => mtimes.contains(f.path))
+    assert(untouched.size == 19, "only dir 0's tier may be rewritten")
+    assert(t.read().count() == 24)
+  }
+
   test("partitioned (unbucketed) full compaction collapses to one " +
     "file per partition dir — never tasks x partitions") {
     val t = LakeTable.create(spark, tmpDir("part-compact"), StructType(
@@ -203,12 +237,14 @@ class AutoCompactionSpec extends SparkSuite {
       properties = Map("compaction.auto.maxFiles" -> "4",
         "compaction.auto.target" -> "2"),
       partitionBy = Seq("_cluster"))
-    // appends spread across 5 cluster dirs, several files each
+    // appends spread across 5 cluster dirs, several files each; the
+    // full-rewrite cap honors the layout floor (a rewrite lands ~one
+    // file per live dir), so the bound is max(2 x maxFiles, 2 x dirs)
     (0 until 12).foreach { i =>
       t.append(Seq((i.toLong, (i % 5).toLong)).toDF("id", "_cluster")
         .coalesce(1))
       t.autoCompactIfNeeded()
-      assert(t.dataFiles.size <= 2 * 4 + 1,
+      assert(t.dataFiles.size <= math.max(2 * 4, 2 * 5) + 1,
         s"file count above the hard cap at $i: ${t.dataFiles.size}")
     }
     t.compact(1)
