@@ -880,6 +880,19 @@ object SparkEntry {
     "q23_udaf_geomean" ->
       """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
+    // tolerance-band HLL oracle: each engine checks its OWN sketch
+    // against its own exact count — the exact columns + in-band
+    // booleans hash-match even though the raw estimates never would
+    "q24_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+         CAST(count(*) AS BIGINT) AS n,
+         abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+             / count(DISTINCT l_partkey) - 1) < 0.1 AS approx_parts_ok,
+         abs(CAST(approx_count_distinct(l_suppkey) AS DOUBLE)
+             / count(DISTINCT l_suppkey) - 1) < 0.1 AS approx_supps_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "q57_correlated_subquery" ->
       """WITH sq AS (SELECT s_suppkey, s_name,
            (SELECT sum(l_quantity) FROM lineitem

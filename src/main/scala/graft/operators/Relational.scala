@@ -495,13 +495,31 @@ object Relational {
   /** HLL++ approximate distinct counts next to cheap exact aggregates —
     * the constant-memory path for distinct cardinality at 100 TB (no
     * oracle: sketch estimates are engine-specific). */
+  /** HLL sketches graded through a TOLERANCE BAND: raw estimates can
+    * never hash-match across engines (Spark HLL++ vs DuckDB HLL use
+    * different registers), so the oracle-checkable output is the exact
+    * distinct counts plus booleans asserting each engine's OWN
+    * estimate lands within 10% of its own exact count. The fixture is
+    * deterministic (seed=42), so both sides' estimates are fixed
+    * values — rsd=0.02 puts 10% at 5 sigma, and the checked claim is
+    * the one that matters: the sketch tracks truth. All three driver
+    * checks (rows/schema/hash) bind, vs the rows-only check a
+    * no-oracle entry gets. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
-        count(lit(1)).as("n"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_suppkey")).as("exact_supps"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("as_"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        col("n"),
+        (abs(col("ap") / col("exact_parts") - 1) < 0.1)
+          .as("approx_parts_ok"),
+        (abs(col("as_") / col("exact_supps") - 1) < 0.1)
+          .as("approx_supps_ok"))
 
   /** Fuzzy matching: edit-distance over name pairs, blocked by prefix so
     * the candidate set stays linear (classic blocking for string joins);

@@ -113,6 +113,30 @@ class ColocationSpec extends SparkSuite {
     }
   }
 
+  test("incremental read paths plan from the manifest too: " +
+    "readVersion and changesBetween resolve to the manifest-served " +
+    "FileIndex (the streaming curation loops' per-version reads)") {
+    val t = LakeTable.create(spark, tmpDir("manifest-incr"), StructType(
+      Seq(StructField("fp", StringType), StructField("doc_id", LongType))),
+      bucketBy = Some(("fp", 8)))
+    t.append((0L until 50L).map(i => (s"fp-$i", i)).toDF("fp", "doc_id"))
+    t.append((50L until 90L).map(i => (s"fp-$i", i)).toDF("fp", "doc_id"))
+    // the curation loops read each micro-batch's version range through
+    // changesBetween — at scale that planning must cost zero listing
+    // round-trips, same as the full read (ManifestScan serves file
+    // list + sizes straight from the committed snapshot)
+    for (df <- Seq(t.readVersion(1), t.changesBetween(1, 2),
+                   t.changesBetween(-1, 2))) {
+      val scans = executedFlat(df).collect {
+        case s: FileSourceScanExec => s.relation.location.getClass.getName
+      }
+      assert(scans.nonEmpty && scans.forall(_.contains("ManifestScan")),
+        s"expected manifest-served planning, got $scans")
+    }
+    assert(t.changesBetween(1, 2).count() == 40)
+    assert(t.readVersion(1).count() == 50)
+  }
+
   test("bucketed layout contract: upsert routes through the hash, " +
     "rename/drop of the bucket column are rejected") {
     val t = LakeTable.create(spark, tmpDir("bucketed-evo"), StructType(Seq(
