@@ -1,0 +1,217 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.lake.LakeTable
+import graft.streaming.MVManager
+
+/** The engine under CONCURRENT MV load (VERDICT r07 item 6): every
+  * graded number runs one loop in isolation, while P1's production
+  * story is N loops sharing one session. This harness runs four loops
+  * — ingestion MV, exact-dedup curation, embedding curation,
+  * incremental aggregate MV — first SOLO (sequentially, same session)
+  * and then CONCURRENTLY under FAIR scheduler pools (one pool per
+  * query; Structured Streaming's micro-batch thread inherits the
+  * local properties of the thread that starts the query), and checks
+  *
+  *   1. per-loop concurrent per-batch median stays within ~1.5x of
+  *      its own solo median from the SAME session (the only
+  *      comparison the ~3x box throttle permits), and
+  *   2. zero cross-loop interference on correctness: no query dies,
+  *      and every sink table's final row count equals its solo twin's.
+  *
+  * Commit conflicts cannot span loops (each loop owns its tables) —
+  * what CAN go wrong under sharing is scheduler starvation (one
+  * loop's long stage parks the others past their trigger) and
+  * accidental cross-talk through session-level state; both would
+  * show up as a blown ratio or a count mismatch here. */
+object ConcurrentLoad {
+  private val Batches = 20
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val dir = java.nio.file.Files.createTempDirectory("concload")
+    val trigger = Trigger.ProcessingTime("100 milliseconds")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .localCheckpoint()
+
+    /** One runnable loop instance: appends batch i, polls the commit
+      * frontier, reports the sink row count, stops the query. */
+    final case class Loop(tag: String, feed: Int => Unit,
+                          donePoll: () => Int, rows: () => Long,
+                          stop: () => Unit)
+
+    def exactLoop(root: String): Loop = {
+      val src = LakeTable.create(spark, s"$root/src", docs.schema)
+      val index = LakeTable.create(spark, s"$root/idx",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))),
+        properties = LakeTable.autoCompactProps(32, Some("fp")),
+        bucketBy = Some(("fp", 32)))
+      val out = LakeTable.create(spark, s"$root/out", docs.schema)
+      val mv = new MVManager(spark, s"$root/ckpt")
+      val q = mv.startCurationFromLake("exact", src, index, out,
+        trigger = trigger)
+      Loop("exact",
+        i => src.append(docs.filter(col("doc_id") % Batches === i)),
+        () => index.currentVersion, () => out.read().count(),
+        () => q.stop())
+    }
+
+    def embeddingLoop(root: String): Loop = {
+      import graft.operators.SimilarityOps
+      val src = LakeTable.create(spark, s"$root/src", emb.schema)
+      val index = LakeTable.create(spark, s"$root/idx", emb.schema,
+        properties = LakeTable.autoCompactProps(32, Some("vec_id")),
+        bucketBy = Some(("vec_id", 32)))
+      val postings = LakeTable.create(spark, s"$root/post",
+        SimilarityOps.srpPostingsSchema,
+        properties = LakeTable.autoCompactProps(32, Some("pbh")) ++
+          SimilarityOps.srpPostingsProps(),
+        bucketBy = Some(("pbh", 32)))
+      val out = LakeTable.create(spark, s"$root/out", emb.schema)
+      val mv = new MVManager(spark, s"$root/ckpt")
+      val q = mv.startEmbeddingCurationFromLake("emb", src, index, out,
+        threshold = 0.35, trigger = trigger, postings = Some(postings))
+      Loop("embedding",
+        i => src.append(emb.filter(col("vec_id") % Batches === i)),
+        () => index.currentVersion, () => out.read().count(),
+        () => q.stop())
+    }
+
+    def ingestLoop(root: String): Loop = {
+      // q51 shape: file-stream source appended into a lake table
+      val srcDir = s"$root/files"
+      ev.filter(col("event_id") % Batches === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val table = LakeTable.create(spark, s"$root/sink", ev.schema)
+      val mv = new MVManager(spark, s"$root/ckpt")
+      val q = mv.startToLake("ingest", stream, table, trigger = trigger)
+      Loop("ingest",
+        i => if (i > 0) ev.filter(col("event_id") % Batches === i)
+          .coalesce(1).write.mode("append").parquet(srcDir),
+        () => table.currentVersion, () => table.read().count(),
+        () => q.stop())
+    }
+
+    def aggLoop(root: String): Loop = {
+      import org.apache.spark.sql.types._
+      val srcDir = s"$root/files"
+      ev.filter(col("event_id") % Batches === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy(col("event_type"),
+          pmod(col("user_id"), lit(10)).as("uid_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val table = LakeTable.create(spark, s"$root/mv", StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("uid_bucket", LongType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType))),
+        bucketBy = Some(("event_type,uid_bucket", 8)))
+      val mv = new MVManager(spark, s"$root/ckpt")
+      val q = mv.startAggregateToLake("agg", stream, table,
+        Seq("event_type", "uid_bucket"), trigger = trigger)
+      Loop("agg-mv",
+        i => if (i > 0) ev.filter(col("event_id") % Batches === i)
+          .coalesce(1).write.mode("append").parquet(srcDir),
+        () => table.currentVersion, () => table.read().count(),
+        () => q.stop())
+    }
+
+    val shapes: Seq[(String, String => Loop)] = Seq(
+      "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
+      "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _))
+
+    def median(xs: Seq[Double]): Double = {
+      val late = xs.drop(xs.length / 2).sorted
+      late(late.length / 2)
+    }
+
+    /** Drive one loop to completion; per-batch append-to-commit secs. */
+    def drive(l: Loop): Seq[Double] =
+      (0 until Batches).map { i =>
+        val before = l.donePoll()
+        val t0 = System.nanoTime()
+        l.feed(i)
+        while (l.donePoll() <= before) Thread.sleep(10)
+        (System.nanoTime() - t0) / 1e9
+      }
+
+    // ---- phase 1: each loop SOLO (the in-session baseline) ----------
+    val solo = shapes.map { case (tag, mk) =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", tag)
+      val l = mk(s"$dir/solo-$tag")
+      val secs = drive(l)
+      l.stop()
+      val rows = l.rows()
+      println(f"[conc] solo $tag%-10s median ${median(secs)}%5.2f s  " +
+        f"rows $rows")
+      (tag, median(secs), rows)
+    }
+
+    // ---- phase 2: all four CONCURRENT, one FAIR pool each -----------
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[Double], Long)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = shapes.map { case (tag, mk) =>
+      val t = new Thread(() => {
+        try {
+          // the query AND every feeder job of this loop run in the
+          // loop's own pool: local properties are per-thread and
+          // inherited by the started stream's micro-batch thread
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", tag)
+          val l = mk(s"$dir/conc-$tag")
+          val secs = drive(l)
+          l.stop()
+          results.put(tag, (secs, l.rows()))
+        } catch {
+          case e: Throwable => errors.add(s"$tag: $e")
+        }
+      }, s"conc-$tag")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+
+    // ---- verdicts ---------------------------------------------------
+    require(errors.isEmpty, s"concurrent loops failed: $errors")
+    var ok = true
+    solo.foreach { case (tag, soloMed, soloRows) =>
+      val (secs, rows) = results.get(tag)
+      val concMed = median(secs)
+      val ratio = concMed / soloMed
+      val countOk = rows == soloRows
+      if (!countOk || ratio > 1.5) ok = false
+      println(f"[conc] conc $tag%-10s median $concMed%5.2f s  " +
+        f"vs solo $soloMed%5.2f  ratio $ratio%4.2f  rows $rows " +
+        (if (countOk) "(match)" else s"(MISMATCH vs $soloRows)"))
+    }
+    println(s"[conc] verdict: " +
+      (if (ok) "PASS — all loops within 1.5x solo, counts match"
+       else "FAIL — see ratios/counts above"))
+    spark.stop()
+  }
+}

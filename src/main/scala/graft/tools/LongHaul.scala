@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.lake.LakeTable
+import graft.streaming.MVManager
+
+/** Long-haul steady state for the WORST-case continuous loop (the
+  * near-dup curation MV): `SPARK_GRAFT_BATCHES` (default 100)
+  * micro-batches at `SPARK_GRAFT_SF_DIR` (default sf0.1) through ONE
+  * started query, logging per batch
+  *
+  *   - append-to-commit latency,
+  *   - live file counts of the two probed tables (postings + index) —
+  *     the quantity the probe cost is linear in, and
+  *   - cumulative bytes written by COMPACTION commits per table.
+  *
+  * The claims under test (BENCH_NOTES r7 derived them; this measures
+  * them past the toy regime of 20 batches at sf0.01):
+  *
+  *   1. per-batch cost is flat-or-bounded in N — the probed file
+  *      counts plateau at the policy bound instead of growing one
+  *      file per bucket dir per batch;
+  *   2. cumulative compaction rewrite is LOGARITHMIC, not quadratic:
+  *      tiered merging rewrites each row <= log_k(N) times, so
+  *      (compaction bytes ever written) / (live table bytes) must
+  *      stay <= ~log_k(total rows / batch rows) + 1, nowhere near
+  *      the O(N) a rewrite-per-batch policy would produce.
+  *
+  * Runs in ONE session (the box throttles ~3x across sessions); the
+  * per-batch table prints absolute numbers, the verdict line prints
+  * the bound check. */
+object LongHaul {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "100").toInt
+    val dir = java.nio.file.Files.createTempDirectory("longhaul")
+    import graft.operators.DedupOps
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val total = docs.count()
+
+    val src = LakeTable.create(spark, s"$dir/src", docs.schema)
+    val index = LakeTable.create(spark, s"$dir/idx",
+      MVManager.curationIndexSchema,
+      properties = LakeTable.autoCompactProps(32, Some("fp")),
+      bucketBy = Some(("fp", 32)))
+    val postings = LakeTable.create(spark, s"$dir/post",
+      DedupOps.bandPostingsSchema,
+      properties = LakeTable.autoCompactProps(32, Some("pbh")) ++
+        DedupOps.bandPostingsProps(),
+      bucketBy = Some(("pbh", 32)))
+    val out = LakeTable.create(spark, s"$dir/out", docs.schema)
+    val mv = new MVManager(spark, s"$dir/ckpt")
+    val q = mv.startCurationFromLake("lh", src, index, out,
+      nearDupMinJaccard = Some(0.5),
+      trigger = Trigger.ProcessingTime("100 milliseconds"),
+      postings = Some(postings))
+
+    /** Bytes added by compaction commits in versions (seen, current]. */
+    final class CompactionMeter(t: LakeTable) {
+      private var seen = t.currentVersion
+      var bytes = 0L
+      def poll(): Long = {
+        val cur = t.currentVersion
+        for (v <- (seen + 1) to cur) {
+          if (t.appMetaAt(v, "compaction").contains("true")) {
+            val prev = t.filesAt(v - 1).map(_.path).toSet
+            bytes += t.filesAt(v)
+              .filterNot(f => prev.contains(f.path))
+              .map(_.sizeBytes).sum
+          }
+        }
+        seen = cur
+        bytes
+      }
+      def liveBytes: Long = t.dataFiles.map(_.sizeBytes).sum
+    }
+    val meters = Seq("index" -> new CompactionMeter(index),
+      "postings" -> new CompactionMeter(postings),
+      "out" -> new CompactionMeter(out))
+
+    println("[longhaul] batch  secs  idxFiles  postFiles  " +
+      "rewriteMB(idx/post/out)")
+    val secs = (0 until batches).map { i =>
+      val before = index.currentVersion
+      val t0 = System.nanoTime()
+      src.append(docs.filter(col("doc_id") % batches === i))
+      while (index.currentVersion <= before) Thread.sleep(10)
+      val s = (System.nanoTime() - t0) / 1e9
+      val mb = meters.map(m => f"${m._2.poll() / 1e6}%.1f").mkString("/")
+      println(f"[longhaul] ${i + 1}%5d  $s%5.2f  " +
+        f"${index.dataFiles.size}%8d  ${postings.dataFiles.size}%9d  $mb")
+      s
+    }
+    q.stop()
+
+    val half = secs.drop(batches / 2)
+    val median = half.sorted.apply(half.length / 2)
+    val early = secs(1)
+    println(f"[longhaul] batch2 $early%5.2f s  " +
+      f"median(b${batches / 2}..b$batches) $median%5.2f s  " +
+      f"ratio ${median / early}%4.2f")
+    // bound check: rewrite amplification vs the tiered O(log) claim.
+    // k=4 tiers over (total rows / batch rows) growth steps.
+    val growthSteps = math.max(2.0, batches.toDouble)
+    val logBound = math.log(growthSteps) / math.log(4.0) + 1.0
+    meters.foreach { case (name, m) =>
+      val live = m.liveBytes
+      val amp = if (live == 0) 0.0 else m.bytes.toDouble / live
+      println(f"[longhaul] $name%-8s live ${live / 1e6}%8.1f MB  " +
+        f"compaction-rewrote ${m.bytes / 1e6}%8.1f MB  " +
+        f"amplification $amp%5.2f  (log4 bound ~$logBound%4.1f)")
+    }
+    println(s"[longhaul] rows: src=$total out=${out.read().count()} " +
+      s"index=${index.read().count()}")
+    spark.stop()
+  }
+}
