@@ -137,6 +137,21 @@ class LakeTable private (
     Option(n.get("appMeta")).flatMap(m => Option(m.get(key))).map(_.asText())
   }
 
+  /** Number of retained NON-compaction commits — the table's
+    * data-batch frontier. Poll this (not [[currentVersion]]) to wait
+    * for a writer's batch to land: auto-compaction interleaves its own
+    * commits with the data stream, so the raw version advances on
+    * rewrites that add no rows — a waiter keyed on it can resume (or
+    * tear the writer down) before the batch it is waiting for has
+    * committed. Expired versions count as data: compaction commits are
+    * the minority and retention expires oldest-first, so the count
+    * stays monotone across expiry. */
+  def dataCommitCount: Int =
+    (0 to currentVersion).count { v =>
+      try !appMetaAt(v, "compaction").contains("true")
+      catch { case _: java.nio.file.NoSuchFileException => true }
+    }
+
   /** Monotone offset map carried through every snapshot: per-writer
     * streaming batch ids (`writer.<id>`), pipe offsets
     * (`pipe.<id>.sourceVersion`). */

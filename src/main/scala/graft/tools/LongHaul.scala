@@ -94,10 +94,10 @@ object LongHaul {
     println("[longhaul] batch  secs  idxFiles  postFiles  " +
       "rewriteMB(idx/post/out)")
     val secs = (0 until batches).map { i =>
-      val before = index.currentVersion
+      val before = index.dataCommitCount
       val t0 = System.nanoTime()
       src.append(docs.filter(col("doc_id") % batches === i))
-      while (index.currentVersion <= before) Thread.sleep(10)
+      while (index.dataCommitCount <= before) Thread.sleep(10)
       val s = (System.nanoTime() - t0) / 1e9
       val mb = meters.map(m => f"${m._2.poll() / 1e6}%.1f").mkString("/")
       println(f"[longhaul] ${i + 1}%5d  $s%5.2f  " +

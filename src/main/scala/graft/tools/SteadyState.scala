@@ -78,7 +78,7 @@ object SteadyState {
       val mv = new MVManager(spark, s"$dir/ex-ckpt")
       val q = mv.startCurationFromLake("ex", src, index, out,
         trigger = trigger)
-      drive("exact", src, docSlices, () => index.currentVersion)
+      drive("exact", src, docSlices, () => index.dataCommitCount)
       q.stop()
     }
 
@@ -100,7 +100,7 @@ object SteadyState {
       val q = mv.startCurationFromLake("nd", src, index, out,
         nearDupMinJaccard = Some(0.5), trigger = trigger,
         postings = Some(postings))
-      drive("neardup", src, docSlices, () => index.currentVersion)
+      drive("neardup", src, docSlices, () => index.dataCommitCount)
       q.stop()
     }
 
@@ -124,7 +124,7 @@ object SteadyState {
         threshold = 0.35, trigger = trigger, postings = Some(postings))
       val slices = (0 until Batches).map(i =>
         emb.filter(col("vec_id") % Batches === i))
-      drive("embedding", src, slices, () => index.currentVersion)
+      drive("embedding", src, slices, () => index.dataCommitCount)
       q.stop()
     }
 
@@ -153,13 +153,13 @@ object SteadyState {
       val mv = new MVManager(spark, s"$dir/ag-ckpt")
       val q = mv.startAggregateToLake("ag", stream, table,
         Seq("event_type", "uid_bucket"), trigger = trigger)
-      while (table.currentVersion < 1) Thread.sleep(10) // batch 0 lands
+      while (table.dataCommitCount < 2) Thread.sleep(10) // batch 0 lands
       val secs = (1 until Batches).map { i =>
-        val before = table.currentVersion
+        val before = table.dataCommitCount
         val t0 = System.nanoTime()
         ev.filter(col("event_id") % Batches === i).coalesce(1)
           .write.mode("append").parquet(srcDir)
-        while (table.currentVersion <= before) Thread.sleep(10)
+        while (table.dataCommitCount <= before) Thread.sleep(10)
         (System.nanoTime() - t0) / 1e9
       }
       report("agg-mv", secs)

@@ -40,6 +40,24 @@ class AutoCompactionSpec extends SparkSuite {
     assert(t.currentVersion == replayV && t.read().count() == 24)
   }
 
+  test("dataCommitCount advances only on data commits, never on " +
+    "compaction's own (the waitable batch frontier)") {
+    val t = LakeTable.create(spark, tmpDir("data-commits"), schema,
+      properties = Map("compaction.auto.maxFiles" -> "4",
+        "compaction.auto.target" -> "2"))
+    assert(t.dataCommitCount == 1) // the creation commit
+    var compactions = 0
+    (0 until 12).foreach { i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+      if (t.autoCompactIfNeeded().isDefined) compactions += 1
+    }
+    assert(compactions > 0, "policy never engaged — gate mis-sized")
+    // raw versions advanced on every rewrite too; the data frontier
+    // counts exactly creation + the 12 appends
+    assert(t.currentVersion == 12 + compactions)
+    assert(t.dataCommitCount == 13)
+  }
+
   test("bucketed table compacts to one file per bucket dir") {
     val t = LakeTable.create(spark, tmpDir("autocompact-bkt"), StructType(
       Seq(StructField("fp", StringType), StructField("doc_id", LongType))),
