@@ -585,6 +585,58 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // storage-co-located fact-fact join: orders and lineitem live as
+    // lake tables bucketed on the JOIN KEY with Spark's own bucket
+    // hash, so the manifest-served scans surface a real BucketSpec
+    // and the sort-merge join runs with ZERO exchange on both sides
+    // (LakeBucketedScanSpec pins the plan; broadcast is disabled on a
+    // child session so the co-located path is what actually runs).
+    // At 100 TB this is the difference between shuffling both fact
+    // tables on every join and never shuffling them at all. The
+    // oracle is the plain SQL join — co-location provably changes
+    // the schedule, never the result.
+    "q105_bucketed_colocated_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val orders = Tables.load(s2, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.load(s2, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-spj")
+      val to = graft.lake.LakeTable.create(s2, s"$dir/orders",
+        orders.schema, bucketBy = Some(("o_orderkey", 16)))
+      val tl = graft.lake.LakeTable.create(s2, s"$dir/lineitem",
+        li.schema, bucketBy = Some(("l_orderkey", 16)))
+      to.append(orders)
+      tl.append(li)
+      tl.read().join(to.read(), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }),
+    // bucket-key aggregation served by the storage partitioning: the
+    // per-order rollup (TPC-H Q18's inner block) over a lineitem lake
+    // table bucketed on l_orderkey — the groupBy reuses the on-disk
+    // HashPartitioning, so the whole aggregate is map-side only.
+    "q106_bucketed_local_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val li = Tables.load(s2, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-spj-agg")
+      val tl = graft.lake.LakeTable.create(s2, s"$dir/lineitem",
+        li.schema, bucketBy = Some(("l_orderkey", 16)))
+      tl.append(li)
+      tl.read().groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
     // skew-handled join as a graded query: the events fact (user_id is
     // Zipf-hot in the fixture) salted x8 against a per-user dimension
     // built from customers — every hot key's rows scatter across 8
@@ -1692,5 +1744,14 @@ object SparkEntry {
            sum(value) AS sum_value
          FROM events e JOIN dim d ON e.user_id = d.u_id
          GROUP BY 1, 2""",
+    "q105_bucketed_colocated_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q106_bucketed_local_agg" ->
+      """SELECT l_orderkey, count(*) AS n,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY 1""",
   )
 }

@@ -180,7 +180,8 @@ class LakeTable private (
   }
 
   /** Hash-bucket layout, when declared at create time: (column, count).
-    * Rows land in hive partition `_bucket = pmod(xxhash64(col), count)`,
+    * Rows land in hive partition `_bucket = pmod(hash(col), count)`
+    * (hash family stamped at create time, see [[bucketHash]]),
     * computed by the writer — so equality/IN probes on the bucket
     * column prune to the matching bucket directories at the MANIFEST
     * level (partition values ride in each file's stats) before any
@@ -195,20 +196,34 @@ class LakeTable private (
 
   /** The bucket key's columns: a COMPOSITE key is declared as a
     * comma-separated `bucket.column` ("event_type,uid_bucket") and
-    * hashed as one multi-argument xxhash64 — the layout an
+    * hashed as one multi-argument hash — the layout an
     * aggregate MV keyed on several columns needs so a delta batch's
     * rewrite touches only the buckets holding its changed keys. */
   def bucketCols: Seq[String] =
     bucketSpec.map(_._1.split(",").toSeq.map(_.trim)).getOrElse(Nil)
 
+  /** The hash family the table's bucket layout was written with —
+    * stamped at create time and immutable for the table's life (every
+    * committed file's placement depends on it). Legacy tables
+    * (pre-stamp) are xxhash64; new tables default to
+    * [[LakeTable.SparkBucketHash]], Spark's OWN bucket-id function
+    * (`pmod(murmur3(cols, seed 42), n)` — exactly
+    * `HashPartitioning.partitionIdExpression`), which lets reads
+    * surface the layout to Catalyst as a first-class V1 `BucketSpec`:
+    * co-bucketed joins and bucket-key aggregations then plan with ZERO
+    * exchange on the bucketed side(s), because the on-disk layout IS
+    * the `HashPartitioning` the optimizer requires. */
+  def bucketHash: String =
+    properties.getOrElse(LakeTable.BucketHashProp, "xxhash64")
+
   /** The bucket a value of the (single-column) bucket key lands in —
     * driver-side evaluation of the exact expression the writer uses
-    * (`pmod(xxhash64(col), n)`, seed 42), so probe pruning and layout
-    * can never disagree. */
+    * (the stamped [[bucketHash]] family, seed 42), so probe pruning
+    * and layout can never disagree. */
   def bucketIdOf(value: Any): Int = bucketIdOfKey(Seq(value))
 
   /** Composite-key form: one value per [[bucketCols]] entry, hashed
-    * with the same multi-argument XxHash64 chain the writer codegens. */
+    * with the same multi-argument hash chain the writer codegens. */
   def bucketIdOfKey(values: Seq[Any]): Int = {
     val (_, n) = bucketSpec.getOrElse(
       throw new IllegalStateException(s"table at $root is not bucketed"))
@@ -219,9 +234,33 @@ class LakeTable private (
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         v, schema(c).dataType)
     }
-    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
-      .eval(null).asInstanceOf[Long]
+    val h: Long = bucketHash match {
+      case LakeTable.SparkBucketHash =>
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(lits, 42)
+          .eval(null).asInstanceOf[Int].toLong
+      case _ =>
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
+          .eval(null).asInstanceOf[Long]
+    }
     (((h % n) + n) % n).toInt
+  }
+
+  /** The writer-side bucket-assignment expression for the stamped
+    * [[bucketHash]] family. For [[LakeTable.SparkBucketHash]] this is
+    * literally `HashPartitioning(bucketCols, n).partitionIdExpression`
+    * (`pmod(murmur3(cols, 42), n)`) — the guarantee that lets reads
+    * expose the layout as a Spark `BucketSpec` without any custom
+    * physical operator: a file named for bucket k really does hold
+    * exactly the rows Spark's own hash would route to partition k. */
+  private def bucketWriteExpr: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, xxhash64}
+    val (_, n) = bucketSpec.get
+    val cols = bucketCols.map(col)
+    bucketHash match {
+      case LakeTable.SparkBucketHash =>
+        pmod(hash(cols: _*), lit(n)).cast("int")
+      case _ => pmod(xxhash64(cols: _*), lit(n)).cast("int")
+    }
   }
 
   /** Point-lookup read: rows whose `keyCol` is one of `values`, using
@@ -409,8 +448,32 @@ class LakeTable private (
               (qualified(e), e.sizeBytes, e.modTimeMs)
             })
         }.toSeq
+      // Surface the bucket layout to Catalyst as a first-class V1
+      // BucketSpec when it is PROVABLY Spark's own: the table is
+      // stamped with Spark's bucket hash AND every live file's
+      // name-encoded bucket id (what FileSourceScanExec trusts) agrees
+      // with its _bucket dir (what the writer computed). Co-bucketed
+      // joins and bucket-key aggregations then plan with zero exchange
+      // on this side. Legacy xxhash64 tables and mixed-name file sets
+      // read exactly as before — the claim is simply not made.
+      val v1Bucket = bucketSpec.collect {
+        case (_, n) if bucketHash == LakeTable.SparkBucketHash &&
+            bucketCols.forall(dataSchema.fieldNames.contains) &&
+            es.forall { e =>
+              val segs = e.path.split("/")
+              val dirId = segs.collectFirst {
+                case seg if seg.startsWith(s"${LakeTable.BucketCol}=") =>
+                  seg.split("=", 2)(1).toIntOption
+              }.flatten
+              dirId.isDefined && org.apache.spark.sql.graft.ManifestScan
+                .fileBucketId(segs.last) == dirId
+            } =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(
+            n, bucketCols, Nil)
+      }
       val df = org.apache.spark.sql.graft.ManifestScan.parquet(
-        spark, dataSchema, partSchema, partitions, s"$root/data")
+        spark, dataSchema, partSchema, partitions, s"$root/data",
+        bucketSpec = v1Bucket)
       // relation output is dataSchema ++ partSchema: restore s's order
       Some(df.select(s.fieldNames.map(fcol).toSeq: _*))
     }
@@ -803,28 +866,30 @@ class LakeTable private (
   /** Table-property-driven compaction policy for writers that commit
     * many small batches (streaming MVs — the known failure mode of
     * per-batch commits at scale). Once the live file count exceeds
-    * `compaction.auto.maxFiles`, TIERED minor compaction engages:
-    * files are grouped per partition/bucket dir into geometric size
-    * classes (floor(log_k(rows)), k = `compaction.auto.mergeFactor`,
-    * default 4), and any class holding >= k files in one dir is merged
-    * into a single next-class file, sorted on
-    * `compaction.auto.sortBy` when set. LSM-style amortization: each
-    * ROW is rewritten at most log_k(table rows) times over the
-    * table's whole life, so a continuous loop's per-batch compaction
-    * cost is O(batch x log), never the O(history) a full rewrite
-    * pays — the r07 SteadyState measurement showed the full-rewrite
-    * policy turning a flat per-batch loop cost into a linearly
-    * growing one. The steady-state file count is
-    * O(dirs x k x log_k(rows)); if it ever exceeds 2x maxFiles
-    * (many dirs with no class ready), one full rewrite to
+    * `compaction.auto.maxFiles`, SIZE-LADDER minor compaction
+    * engages: per partition/bucket dir, live files are sorted
+    * ascending by row count and the maximal prefix in which every
+    * file is at most the sum of the files before it merges into ONE
+    * file, sorted on `compaction.auto.sortBy` when set. LSM-style
+    * amortization with a doubling guarantee: a merged row's file at
+    * least doubles, so each ROW is rewritten at most
+    * log2(dir rows / batch rows) + 1 times over the table's whole
+    * life and a continuous loop's per-batch compaction cost is
+    * O(batch x log), never the O(history) a full rewrite pays. (The
+    * earlier exact-size-class rule had a boundary deadlock — see the
+    * inline note in the selection — that the 100-batch LongHaul
+    * exposed as 12.3x measured row amplification; the ladder rule is
+    * boundary-free, so a merge is available whenever any dir holds
+    * two comparable files.) Steady-state file count is
+    * O(dirs x log2(rows)); if the count is ever over 2x maxFiles
+    * with NO ladder merge available anywhere (every dir a strict
+    * supergeometric chain), one full rewrite to
     * `compaction.auto.target` (default maxFiles/8) restores the
-    * bound — so 2x maxFiles is the hard cap WHEN the layout permits
-    * it: a partitioned/bucketed rewrite clusters to ~one file per
-    * live dir, so when the dir count itself approaches the file
-    * count, a full rewrite cannot reduce anything and would just
-    * rewrite the whole table every batch — that branch is skipped
-    * (tiered merging still runs) and the honest bound becomes
-    * O(dirs x k x log_k(rows)). Size `maxFiles` from the fan-out
+    * bound — and that valve honors the layout floor: a
+    * partitioned/bucketed rewrite clusters to ~one file per live
+    * dir, so when the dir count approaches the file count it is
+    * skipped outright and the honest bound becomes
+    * O(dirs x log2(rows)). Size `maxFiles` from the fan-out
     * ([[LakeTable.autoCompactProps]]) so the gate opens within a
     * couple of batches of steady state instead of after
     * maxFiles/dirs of them. The policy rides in the table's own
@@ -845,16 +910,35 @@ class LakeTable private (
           // already bounded the layout — nothing left to do
           try {
             def tiered(): Option[Int] = {
-              val k = properties.get("compaction.auto.mergeFactor")
-                .map(_.toInt).getOrElse(4)
-              // partitioned/bucketed layouts merge within a dir (the
-              // probe unit); unpartitioned tables share one flat
-              // data/ dir, so there the class alone is the merge key
+              // SIZE-LADDER minor merge (boundary-free tiering): per
+              // dir (the probe unit; unpartitioned tables share one
+              // flat dir), sort live files ascending by rows and
+              // merge the maximal prefix in which every file is at
+              // most the SUM of the files before it. A merged row's
+              // file at least doubles, so lifetime rewrites are
+              // <= log2(dirRows / batchRows) + 1. The previous rule
+              // (merge k files of the same floor(log_k(rows)) class)
+              // deadlocked whenever one batch's files straddled a
+              // class boundary (1-3 vs 4-15 rows): no class ever
+              // collected k members, the count climbed to the
+              // full-rewrite valve, and the valve's O(history)
+              // rewrite fired EVERY cycle — the 100-batch sf0.1
+              // LongHaul measured 12.3x row rewrite amplification
+              // against the claimed ~4.3 bound before this fix.
               val ready = files
-                .groupBy(f => (if (partitionBy.isEmpty) ""
-                               else dirOf(f.path), sizeClass(f.rows, k)))
-                .values.filter(_.size >= k)
-                .flatten.toSeq
+                .groupBy(f =>
+                  if (partitionBy.isEmpty) "" else dirOf(f.path))
+                .values.flatMap { dirFiles =>
+                  val sorted = dirFiles.sortBy(_.rows)
+                  var sum = sorted.head.rows
+                  var take = 1
+                  while (take < sorted.length &&
+                         sorted(take).rows <= sum) {
+                    sum += sorted(take).rows
+                    take += 1
+                  }
+                  if (take >= 2) sorted.take(take) else Nil
+                }.toSeq
               if (ready.isEmpty) None
               else Some(compactSubset(ready, sortBy))
             }
@@ -868,12 +952,18 @@ class LakeTable private (
             val dirFloor =
               if (partitionBy.isEmpty && bucketSpec.isEmpty) 1
               else files.iterator.map(f => dirOf(f.path)).toSet.size
-            val committed =
+            val committed = tiered().orElse {
+              // last-resort valve, tried only when NO ladder merge
+              // exists anywhere (every dir a strict supergeometric
+              // chain) yet the count is far over the gate — running
+              // it before minor merges is what made it fire on every
+              // transient peak of the steady-state loop
               if (files.size > 2 * maxF && files.size > 2 * dirFloor) {
                 val target = properties.get("compaction.auto.target")
                   .map(_.toInt).getOrElse(math.max(1, maxF / 8))
                 Some(compactFrom(currentVersion, target, sortBy))
-              } else tiered()
+              } else None
+            }
             // optional companion policy: bound DISK too, not just the
             // live-file count — expire history beyond keepLast
             // snapshots and reclaim files only those referenced, with
@@ -899,14 +989,6 @@ class LakeTable private (
     val i = path.lastIndexOf('/')
     if (i < 0) "" else path.substring(0, i)
   }
-
-  /** Geometric size class by ROW count (manifest-exact; byte sizes
-    * would pin every sub-threshold file to class 0 and re-merge it
-    * forever). floor(log_k(rows)): k same-class files merge into one
-    * file of the NEXT class, so membership strictly escalates. */
-  private def sizeClass(rows: Long, k: Int): Int =
-    if (rows <= 1) 0
-    else (math.log(rows.toDouble) / math.log(k.toDouble)).toInt
 
   /** MINOR compaction: rewrite ONLY `subset` (live files of the
     * current snapshot), leaving every other file byte-untouched — the
@@ -1059,11 +1141,8 @@ class LakeTable private (
     val aligned = source.select(
       userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val src = bucketSpec match {
-      case Some((_, n)) =>
-        import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-        aligned.withColumn(BucketCol,
-          pmod(xxhash64(bucketCols.map(col): _*), lit(n)).cast("int"))
-      case None => aligned
+      case Some(_) => aligned.withColumn(BucketCol, bucketWriteExpr)
+      case None    => aligned
     }
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val entries = dataFiles
@@ -1202,9 +1281,8 @@ class LakeTable private (
     // file counts proportional to buckets, not write history)
     val df = bucketSpec match {
       case Some((_, n)) if !df0.columns.contains(BucketCol) =>
-        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        df0.withColumn(BucketCol,
-            pmod(xxhash64(bucketCols.map(col): _*), lit(n)).cast("int"))
+        import org.apache.spark.sql.functions.col
+        df0.withColumn(BucketCol, bucketWriteExpr)
           .repartition(n, col(BucketCol))
       case _ => df0
     }
@@ -1559,6 +1637,15 @@ object LakeTable {
   /** Derived hash-bucket partition column of bucketed tables. */
   val BucketCol = "_bucket"
 
+  /** Table property naming the bucket-layout hash family. */
+  val BucketHashProp = "bucket.hash"
+
+  /** [[BucketHashProp]] value for Spark's native bucket-id function
+    * (`pmod(murmur3(cols, seed 42), n)`), byte-identical to what
+    * `df.write.bucketBy(n, cols)` computes — the property that makes
+    * the lake's bucket dirs a REAL Spark bucketed layout. */
+  val SparkBucketHash = "spark-murmur3"
+
   private[lake] def writerKey(writerId: String) = s"writer.$writerId"
 
   /** Auto-compaction policy sized to the table's layout FAN-OUT (its
@@ -1667,10 +1754,13 @@ object LakeTable {
   /** Create an empty table (snapshot v0) with field IDs 1..n assigned in
     * declaration order. Fails if the table already exists. `bucketBy =
     * Some((col, n))` declares a hash-bucket layout: a derived `_bucket`
-    * column (pmod(xxhash64(col), n)) is added to the schema, computed by
-    * every writer, and used as the trailing hive partition — the
-    * pay-once layout that makes key probes prune to O(keys) bucket dirs
-    * regardless of table size. */
+    * column (`pmod(hash(col), n)`, Spark's own bucket hash by default —
+    * see [[LakeTable.SparkBucketHash]]) is added to the schema,
+    * computed by every writer, and used as the trailing hive
+    * partition — the pay-once layout that makes key probes prune to
+    * O(keys) bucket dirs regardless of table size, and (for the
+    * default hash) surfaces to Catalyst as a real `BucketSpec` so
+    * co-bucketed joins and bucket-key aggregations plan shuffle-free. */
   def create(spark: SparkSession, root: String, schema: StructType,
              properties: Map[String, String] = Map.empty,
              partitionBy: Seq[String] = Seq.empty,
@@ -1696,7 +1786,13 @@ object LakeTable {
     val ids = fullSchema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val propsNode = mapper.createObjectNode()
-    (Map("write.format.default" -> "parquet") ++ properties ++
+    (Map("write.format.default" -> "parquet") ++
+      // new bucketed tables default to Spark's own bucket hash so the
+      // layout is Catalyst-visible (BucketSpec); an explicit caller
+      // property (e.g. "xxhash64" for layout-compat tests) wins
+      bucketBy.map(_ => Map(BucketHashProp -> SparkBucketHash))
+        .getOrElse(Map.empty) ++
+      properties ++
       bucketBy.map(b => Map("bucket.column" -> b._1,
         "bucket.count" -> b._2.toString)).getOrElse(Map.empty))
       .foreach { case (k, v) => propsNode.put(k, v) }

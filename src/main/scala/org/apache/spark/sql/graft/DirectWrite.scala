@@ -129,7 +129,17 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
   override def newTaskTempFile(taskContext: TaskAttemptContext,
                                dir: Option[String],
                                spec: FileNameSpec): String = {
-    val name = s"${spec.prefix}${UUID.randomUUID()}${spec.suffix}"
+    // files landing in a bucket dir carry Spark's bucket-id suffix
+    // (`_00003`, BucketingUtils' format): the name is what lets a
+    // manifest-served read expose the layout as a real BucketSpec —
+    // FileSourceScanExec maps file -> bucket BY NAME. The UUID body
+    // contains no `_<digits>` run, so the suffix parses unambiguously.
+    val bucketTag = dir.flatMap(_.split("/").last match {
+      case s if s.startsWith(s"${graft.lake.LakeTable.BucketCol}=") =>
+        s.split("=", 2)(1).toIntOption.map(id => f"_$id%05d")
+      case _ => None
+    }).getOrElse("")
+    val name = s"${spec.prefix}${UUID.randomUUID()}$bucketTag${spec.suffix}"
     val rel = dir.map(d => s"$d/$name").getOrElse(name)
     taskFiles += rel
     new Path(dataRoot, rel).toString

@@ -31,6 +31,15 @@ import org.apache.spark.sql.types.StructType
   * too, with zero IO. */
 object ManifestScan {
 
+  /** The bucket id Spark's bucketed-read machinery would assign this
+    * file name (`BucketingUtils.getBucketId` — name-encoded `_NNNNN`
+    * suffix), or None for a non-bucket-named file. Exposed so the
+    * manifest layer can verify file names agree with their bucket
+    * dirs BEFORE claiming a `BucketSpec` on the relation. */
+  def fileBucketId(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName)
+
   /** One manifest-backed partition directory: `values` are external
     * Scala values (null = hive default partition), positionally
     * matching `partSchema`; `files` are (absolutePath, sizeBytes,
@@ -42,7 +51,10 @@ object ManifestScan {
               partSchema: StructType,
               partitions: Seq[ManifestPartition],
               rootPath: String,
-              options: Map[String, String] = Map.empty): DataFrame = {
+              options: Map[String, String] = Map.empty,
+              bucketSpec: Option[
+                org.apache.spark.sql.catalyst.catalog.BucketSpec] = None)
+      : DataFrame = {
     val classic =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val toInternal =
@@ -83,7 +95,7 @@ object ManifestScan {
       override def partitionSchema: StructType = partSchema
     }
     val relation = HadoopFsRelation(index, partSchema, dataSchema,
-      bucketSpec = None, new ParquetFileFormat(), options)(classic)
+      bucketSpec = bucketSpec, new ParquetFileFormat(), options)(classic)
     org.apache.spark.sql.classic.Dataset.ofRows(
       classic, LogicalRelation(relation))
   }

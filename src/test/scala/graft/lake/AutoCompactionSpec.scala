@@ -106,9 +106,10 @@ class AutoCompactionSpec extends SparkSuite {
       (0 until 4).flatMap(w => (0 until 5).flatMap(i =>
         (w * 100 + i * 10).toLong until (w * 100 + i * 10 + 10).toLong))
         .sorted)
-    // layout invariant holds for every surviving file
+    // layout invariant holds for every surviving file (new tables
+    // stamp Spark's own bucket hash — see LakeTable.SparkBucketHash)
     assert(t.read().filter(col("_bucket") =!=
-      pmod(xxhash64(col("fp")), lit(4)).cast("int")).count() == 0)
+      pmod(hash(col("fp")), lit(4)).cast("int")).count() == 0)
     // and probes still route correctly
     assert(t.probe("fp", Seq("fp-105")).select("doc_id").as[Long]
       .collect().toSeq == Seq(105L))

@@ -77,9 +77,10 @@ class ColocationSpec extends SparkSuite {
       .toDF("fp", "doc_id"))
 
     // layout invariant: every stored _bucket equals the declared hash
+    // (the default stamp is Spark's own bucket hash — murmur3)
     assert(t.read()
       .filter(col("_bucket") =!=
-        pmod(xxhash64(col("fp")), lit(16)).cast("int"))
+        pmod(hash(col("fp")), lit(16)).cast("int"))
       .count() == 0)
     // driver-side bucketIdOf agrees with the stored layout
     val some = t.read().select("fp", "_bucket").limit(20)
@@ -149,7 +150,7 @@ class ColocationSpec extends SparkSuite {
       .collect().toSet == Set(("k1", 10L), ("k2", 2L), ("k3", 3L)))
     // and every row still sits in its declared bucket
     assert(t.read().filter(col("_bucket") =!=
-      pmod(xxhash64(col("fp")), lit(8)).cast("int")).count() == 0)
+      pmod(hash(col("fp")), lit(8)).cast("int")).count() == 0)
     assert(t.probe("fp", Seq("k3")).select("doc_id").as[Long]
       .collect().toSeq == Seq(3L))
     // the layout derives from fp: renaming or dropping it would orphan
