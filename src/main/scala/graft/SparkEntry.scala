@@ -64,6 +64,11 @@ object SparkEntry {
     "q102_top_customer_orders" -> (Relational.topCustomerOrders _),
     "q103_excess_volume_suppliers" -> (Relational.excessVolumeSuppliers _),
     "q104_order_priority_check" -> (Relational.orderPriorityCheck _),
+    "q107_min_cost_supplier" -> (Relational.minCostSupplier _),
+    "q108_customer_distribution" -> (Relational.customerDistribution _),
+    "q109_small_quantity_lines" -> (Relational.smallQuantityLines _),
+    "q110_inactive_rich_customers" ->
+      (Relational.inactiveRichCustomers _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1749,6 +1754,48 @@ object SparkEntry {
            sum(l_extendedprice * (1 - l_discount)) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    "q107_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT p_partkey, p_type, s_name, n_name, ps.cost
+         FROM part JOIN ps ON p_partkey = ps.l_partkey
+         JOIN supplier ON s_suppkey = ps.l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN region ON r_regionkey = n_regionkey
+         WHERE r_name = 'ASIA' AND p_size <= 15
+           AND ps.cost = (
+             SELECT min(ps2.cost)
+             FROM ps ps2
+             JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+             JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+             JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+             WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')""",
+    "q108_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) GROUP BY c_count""",
+    "q109_small_quantity_lines" ->
+      """SELECT p_brand, count(*) AS n_lines,
+           sum(l_extendedprice) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_type = 'SMALL'
+           AND l_quantity < (SELECT avg(l2.l_quantity) / 5
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand""",
+    "q110_inactive_rich_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+           sum(c_acctbal) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment""",
     "q106_bucketed_local_agg" ->
       """SELECT l_orderkey, count(*) AS n,
            sum(l_quantity) AS sum_qty

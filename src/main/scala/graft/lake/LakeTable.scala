@@ -925,6 +925,16 @@ class LakeTable private (
               // rewrite fired EVERY cycle — the 100-batch sf0.1
               // LongHaul measured 12.3x row rewrite amplification
               // against the claimed ~4.3 bound before this fix.
+              // strict-doubling chains ([b, 2b, 4b, ...]) never meet
+              // the ladder condition, so a dir's file count grows as
+              // log2(dirRows/batchRows) — bounded, but probe cost is
+              // linear in live files. The per-dir cap collapses a
+              // frozen chain once it exceeds maxFilesPerDir: one
+              // whole-dir rewrite every ~2^cap batches per dir, a
+              // vanishing amplification term, for a CONSTANT
+              // steady-state file count.
+              val dirCap = properties.get("compaction.auto.maxFilesPerDir")
+                .map(_.toInt).getOrElse(8)
               val ready = files
                 .groupBy(f =>
                   if (partitionBy.isEmpty) "" else dirOf(f.path))
@@ -937,7 +947,10 @@ class LakeTable private (
                     sum += sorted(take).rows
                     take += 1
                   }
-                  if (take >= 2) sorted.take(take) else Nil
+                  if (take >= 2) sorted.take(take)
+                  else if (partitionBy.nonEmpty &&
+                           sorted.length > dirCap) sorted
+                  else Nil
                 }.toSeq
               if (ready.isEmpty) None
               else Some(compactSubset(ready, sortBy))

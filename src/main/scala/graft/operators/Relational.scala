@@ -725,4 +725,104 @@ object Relational {
         |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
         |""".stripMargin)
   }
+
+  /** TPC-H Q2 shape (minimum-cost supplier), adapted to the fixture
+    * (no partsupp): lineitem is the part-supplier bridge and "supply
+    * cost" is each (part, supplier)'s MINIMUM shipped line price —
+    * min, not an average, because min is order-independent, so the
+    * correlated equality compare is exact across engines. The graded
+    * pattern is Q2's core: a correlated scalar MIN subquery that
+    * itself contains a join (the regional minimum for the part),
+    * which Catalyst decorrelates into a grouped aggregate joined
+    * back on the correlation key. 100 TB shape: the bridge aggregate
+    * is one partial-combined groupBy on (l_partkey, l_suppkey) and
+    * the regional-min branch reuses it; supplier/nation/region
+    * broadcast; no per-part re-execution anywhere. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_type, s_name, n_name, ps.cost
+        |FROM part JOIN ps ON p_partkey = ps.l_partkey
+        |JOIN supplier ON s_suppkey = ps.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA' AND p_size <= 15
+        |  AND ps.cost = (
+        |    SELECT min(ps2.cost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): a LEFT
+    * OUTER join with a filter riding on the join condition, then two
+    * stacked aggregations — per-customer counts, then the histogram
+    * of those counts (customers with zero orders survive the outer
+    * join and land in bucket 0). 100 TB shape: one shuffle on
+    * custkey serves the outer join and the first groupBy; the second
+    * groupBy is over at most |distinct counts| rows. */
+  def customerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity lines): the correlated scalar
+    * AVERAGE subquery on the probe side of a join — lines whose
+    * quantity is below a fifth of their part's corpus-wide average.
+    * (avg(l2.l_quantity) / 5 rather than 0.2 * avg: quantities are
+    * integer-valued doubles, so the per-part average is exact and
+    * the threshold deterministic in both engines.) 100 TB shape:
+    * decorrelation turns the subquery into ONE partial-combined
+    * groupBy on l_partkey joined back to lineitem on the same key —
+    * one shuffle family, no per-row re-execution; part broadcasts. */
+  def smallQuantityLines(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_brand, count(*) AS n_lines,
+        |  sum(l_extendedprice) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type = 'SMALL'
+        |  AND l_quantity < (SELECT avg(l2.l_quantity) / 5
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q22 shape (high-balance customers without urgent orders):
+    * an UNCORRELATED scalar aggregate threshold (the global average)
+    * combined with a NOT EXISTS anti join against a filtered slice of
+    * the fact table (the fixture's every customer has SOME order, so
+    * the anti-join target is the urgent slice — same plan shape as
+    * Q22's "no orders at all"). 100 TB shape: the scalar avg is one
+    * tiny broadcast value; the anti join is an equi-join on custkey
+    * (one shuffle or a broadcast of the filtered custkeys); no
+    * cartesian, no re-execution. */
+  def inactiveRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  sum(c_acctbal) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |""".stripMargin)
+  }
 }

@@ -215,6 +215,42 @@ class AutoCompactionSpec extends SparkSuite {
     assert(t.dataFiles.exists(f => f.path != big.path && f.rows >= 4))
   }
 
+  test("a frozen supergeometric chain past maxFilesPerDir collapses " +
+    "to one file; under the cap it stays byte-untouched") {
+    val t = LakeTable.create(spark, tmpDir("dir-cap"), StructType(
+      Seq(StructField("id", LongType), StructField("_cluster", LongType))),
+      // maxFiles=6 opens the gate at 8 files WITHOUT arming the
+      // full-rewrite valve (8 <= 2x6), so what this test observes is
+      // the per-dir cap alone, not the valve
+      properties = Map("compaction.auto.maxFiles" -> "6",
+        "compaction.auto.maxFilesPerDir" -> "8"),
+      partitionBy = Seq("_cluster"))
+    // powers of two are strictly supergeometric against the running
+    // sum (2^k > 2^k - 1), so the ladder rule alone never merges them
+    var lo = 0L
+    (0 until 8).foreach { k =>
+      val n = 1L << k
+      t.append((lo until lo + n).map(i => (i, 0L)).toDF("id", "_cluster")
+        .coalesce(1))
+      lo += n
+    }
+    assert(t.dataFiles.size == 8)
+    // 8 files = cap: no ladder prefix, no collapse — a no-op round
+    val mtimes = t.dataFiles.map(f => f.path ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, f.path))).toMap
+    assert(t.autoCompactIfNeeded().isEmpty)
+    t.dataFiles.foreach(f => assert(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, f.path)) == mtimes(f.path)))
+    // the 9th chain element tips the dir over the cap: whole-dir merge
+    t.append((lo until lo + 256L).map(i => (i, 0L)).toDF("id", "_cluster")
+      .coalesce(1))
+    assert(t.autoCompactIfNeeded().isDefined)
+    assert(t.dataFiles.size == 1, s"expected one file: ${t.dataFiles}")
+    assert(t.read().count() == lo + 256L)
+  }
+
   test("more partition dirs than 2x maxFiles: the full-rewrite branch " +
     "is skipped (it could never reduce the count) instead of " +
     "rewriting the whole table every batch") {

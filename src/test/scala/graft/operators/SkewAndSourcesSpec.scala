@@ -98,4 +98,45 @@ class SkewAndSourcesSpec extends SparkSuite {
     assert(joinTypes.exists(_.contains("anti")),
       s"expected an anti join in $joinTypes")
   }
+
+  test("Q2/Q13/Q17/Q22 shapes: correlated scalar aggregates " +
+    "decorrelate to equi-joins (no cartesian, no re-execution); the " +
+    "outer and anti structures plan as declared") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    def flat(pl: SparkPlan): Seq[SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      (pl +: kids.flatMap(flat)) ++ pl.subqueries.flatMap(flat)
+    }
+    def joins(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      assert(df.count() > 0)
+      val nodes = flat(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "decorrelated shapes must never plan a cartesian:\n" +
+          df.queryExecution.executedPlan)
+      nodes.collect {
+        case j: BaseJoinExec => j.joinType.toString.toLowerCase
+      }
+    }
+    // Q2: the correlated MIN becomes an aggregate joined back (inner)
+    assert(joins(Relational.minCostSupplier(spark, sf))
+      .count(_ == "inner") >= 4)
+    // Q13: zero-order customers must survive — a real outer join
+    val q13 = Relational.customerDistribution(spark, sf)
+    assert(joins(q13).exists(_.contains("outer")))
+    assert(q13.filter($"c_count" === 0).count() > 0 ||
+      spark.read.parquet(s"$sf/customer.parquet").count() ==
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select($"o_custkey").distinct().count())
+    // Q17: the correlated AVG decorrelates into an aggregate + join
+    assert(joins(Relational.smallQuantityLines(spark, sf)).nonEmpty)
+    // Q22: NOT EXISTS plans as an anti equi-join
+    assert(joins(Relational.inactiveRichCustomers(spark, sf))
+      .exists(_.contains("anti")))
+  }
 }
