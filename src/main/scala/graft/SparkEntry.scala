@@ -282,6 +282,11 @@ object SparkEntry {
     // (selection-tree plan; oracle = the naive row_number window)
     "q70_domain_cap" -> ((s, d) =>
       CorpusOps.domainCap(Tables.load(s, d, "documents"), k = 10)),
+    // deterministic epoch shuffle: seeded global positions via one
+    // range exchange + distributed prefix-sum (oracle = the naive
+    // single-reducer row_number over the same md5 key)
+    "q111_epoch_shuffle" -> ((s, d) =>
+      CorpusOps.epochShuffle(Tables.load(s, d, "documents"), seed = 42L)),
     // sequence packing: contiguous 512-token bins per source via the
     // distributed prefix-sum (oracle = the naive per-source window, so
     // the hash match proves the two-pass cumsum is exact)
@@ -1040,6 +1045,11 @@ object SparkEntry {
                 FROM bg GROUP BY 1)
          SELECT t.doc_id, t.top_word_frac, bi.dup_bigram_frac
          FROM topw t JOIN bi USING (doc_id)""",
+    "q111_epoch_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5(concat(42, '|', doc_id)), doc_id) - 1 AS pos
+         FROM documents""",
     "q64_deterministic_split" ->
       """SELECT source,
          CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val'

@@ -381,4 +381,53 @@ object CorpusOps {
     }
     docs.filter(bucket < threshold)
   }
+
+  /** Deterministic epoch shuffle: every document gets a stable global
+    * position for a given seed — the reorder applied to a training
+    * corpus at each epoch (pos for seed k is uncorrelated with seed
+    * k+1, yet byte-reproducible across runs, engines, and input
+    * partitioning, which rand()-keyed sorts are not). Position = rank
+    * of md5(seed|doc_id) in the whole corpus, ties (impossible in
+    * practice) broken by doc_id.
+    *
+    * 100 TB shape: ONE range exchange on the hash key — md5 output is
+    * uniform, so the sampled range bounds are skew-free by
+    * construction — then sortWithinPartitions; the global position is
+    * per-partition row counts (|partitions| rows, driver-bounded like
+    * [[packSequences]]'s offset map) prefix-summed and broadcast back,
+    * added to a partition-local running index. Never a global
+    * row_number window (that is a single-reducer sort); never
+    * monotonically_increasing_id (not rank-dense, not seeded). */
+  def epochShuffle(docs: DataFrame, seed: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val n = ss.sparkContext.defaultParallelism
+    val staged = docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("skey", md5(concat_ws("|", lit(seed), col("doc_id"))))
+      .repartitionByRange(n, col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, k) => (pid, id, k) }
+      }.toDF("pid", "doc_id", "skey")
+      .localCheckpoint()
+    val counts = staged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    // empty partitions emit no count row, so pids may be sparse; the
+    // pairing is positional over the pid-sorted rows
+    val offsets: Map[Int, Long] = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val bc = ss.sparkContext.broadcast(offsets)
+    staged.as[(Int, Long, String)].mapPartitions { it =>
+      var i = 0L
+      it.map { case (pid, id, _) =>
+        val pos = bc.value(pid) + i
+        i += 1
+        (id, pos)
+      }
+    }.toDF("doc_id", "pos")
+  }
 }

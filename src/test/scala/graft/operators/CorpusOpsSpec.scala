@@ -242,4 +242,51 @@ class CorpusOpsSpec extends SparkSuite {
     val frac = a.values.count(_ == "train").toDouble / a.size
     assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
   }
+
+  test("epochShuffle equals the naive global row_number, is seed-" +
+    "sensitive, layout-independent, and never plans a single-" +
+    "partition global sort") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    def naive(seed: Long): Map[Long, Long] = docs
+      .select($"doc_id",
+        md5(concat_ws("|", lit(seed), $"doc_id")).as("skey"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy($"skey", $"doc_id")) - 1)
+      .select($"doc_id", $"pos".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val got42 = CorpusOps.epochShuffle(docs, 42L)
+      .as[(Long, Long)].collect().toMap
+    assert(got42 == naive(42L))
+    // positions are a permutation of 0..N-1
+    assert(got42.values.toSeq.sorted == (0L until got42.size).toSeq)
+    // a different seed is a different permutation (epochs decorrelate)
+    val got7 = CorpusOps.epochShuffle(docs, 7L)
+      .as[(Long, Long)].collect().toMap
+    assert(got7 == naive(7L) && got7 != got42)
+    // content-keyed: the order survives input reshuffling
+    val again = CorpusOps.epochShuffle(docs.repartition(13), 42L)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got42)
+    // the global order is assembled DISTRIBUTED: many output
+    // partitions, each holding one contiguous position range, ranges
+    // tiling 0..N-1 in partition order — the naive row_number's
+    // Window(orderBy) would collapse everything into one partition
+    val parts = CorpusOps.epochShuffle(docs, 42L)
+      .select($"pos").as[Long].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val s = it.toSeq
+        if (s.isEmpty) Iterator.empty
+        else Iterator((pid, s.min, s.max, s.size.toLong))
+      }.collect().sortBy(_._1)
+    assert(parts.length > 1, "global sort must not run on one partition")
+    parts.foreach { case (pid, lo, hi, n) =>
+      assert(hi - lo + 1 == n, s"partition $pid positions not contiguous")
+    }
+    assert(parts.head._2 == 0L && parts.last._3 == got42.size - 1L)
+    parts.sliding(2).foreach { case Array((_, _, hi, _), (_, lo, _, _)) =>
+      assert(lo == hi + 1, "partition ranges must tile in order")
+    case _ => ()
+    }
+  }
 }
