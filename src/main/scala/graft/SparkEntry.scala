@@ -69,6 +69,11 @@ object SparkEntry {
     "q109_small_quantity_lines" -> (Relational.smallQuantityLines _),
     "q110_inactive_rich_customers" ->
       (Relational.inactiveRichCustomers _),
+    "q112_volume_shipping" -> (Relational.volumeShipping _),
+    "q113_market_share" -> (Relational.marketShare _),
+    "q114_product_profit" -> (Relational.productProfit _),
+    "q115_top_supplier" -> (Relational.topSupplier _),
+    "q116_discounted_revenue" -> (Relational.discountedRevenue _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1806,6 +1811,72 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY c_mktsegment""",
+    "q112_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           sum(volume) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+           FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE (n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+                  AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+              OR (n1.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+                  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+         GROUP BY 1, 2, 3""",
+    "q113_market_share" ->
+      """SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume) AS mkt_share
+         FROM (
+           SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+         GROUP BY o_year""",
+    "q114_product_profit" ->
+      """SELECT nation, o_year, sum(amount) AS sum_profit
+         FROM (
+           SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.9 * p_retailprice * l_quantity AS amount
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%widget%')
+         GROUP BY 1, 2""",
+    "q115_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "q116_discounted_revenue" ->
+      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 5 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                AND l_quantity BETWEEN 10 AND 40)""",
     "q106_bucketed_local_agg" ->
       """SELECT l_orderkey, count(*) AS n,
            sum(l_quantity) AS sum_qty

