@@ -733,30 +733,35 @@ object Relational {
     * correlated equality compare is exact across engines. The graded
     * pattern is Q2's core: a correlated scalar MIN subquery that
     * itself contains a join (the regional minimum for the part),
-    * which Catalyst decorrelates into a grouped aggregate joined
-    * back on the correlation key. 100 TB shape: the bridge aggregate
-    * is one partial-combined groupBy on (l_partkey, l_suppkey) and
-    * the regional-min branch reuses it; supplier/nation/region
-    * broadcast; no per-part re-execution anywhere. */
+    * which a naive plan (and the ORACLE SQL, kept in the correlated
+    * form) evaluates by aggregating the bridge TWICE — Spark inlines
+    * a CTE at every use site. The shipped plan applies the standard
+    * rewrite instead: the correlated per-part regional MIN over the
+    * SAME slice the outer query joins is a window MIN over that one
+    * slice — ONE partial-combined groupBy of lineitem on
+    * (l_partkey, l_suppkey), one window partitioned by part over the
+    * already-aggregated (small) rows, filter cost == regional min.
+    * The driver's hash compare proves the rewrite exact. 100 TB
+    * shape: one fact shuffle total; supplier/nation/region/part
+    * broadcast; the window's partitions are per-part supplier lists
+    * (bounded), never a global sort. */
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
-        |  FROM lineitem GROUP BY 1, 2)
-        |SELECT p_partkey, p_type, s_name, n_name, ps.cost
-        |FROM part JOIN ps ON p_partkey = ps.l_partkey
-        |JOIN supplier ON s_suppkey = ps.l_suppkey
-        |JOIN nation ON n_nationkey = s_nationkey
-        |JOIN region ON r_regionkey = n_regionkey
-        |WHERE r_name = 'ASIA' AND p_size <= 15
-        |  AND ps.cost = (
-        |    SELECT min(ps2.cost)
-        |    FROM ps ps2
-        |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
-        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-        |    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |  FROM lineitem GROUP BY 1, 2),
+        |asia AS (
+        |  SELECT ps.l_partkey, ps.cost, s_name, n_name,
+        |    min(ps.cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+        |  FROM ps
+        |  JOIN supplier ON s_suppkey = ps.l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT p_partkey, p_type, s_name, n_name, asia.cost
+        |FROM part JOIN asia ON p_partkey = asia.l_partkey
+        |WHERE p_size <= 15 AND asia.cost = asia.min_cost
         |""".stripMargin)
   }
 
