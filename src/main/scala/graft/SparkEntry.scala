@@ -671,6 +671,30 @@ object SparkEntry {
         .groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // snapshot-isolated time travel: three committed batches, a
+    // CURRENT read and an AS-OF read of the middle snapshot in ONE
+    // result — the historical read must see exactly the first two
+    // batches (planned from that version's manifest, zero listing)
+    // while the current read sees all three
+    "q117_lake_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-asof")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.filter(col("event_type") === "click"))
+      t.append(ev.filter(col("event_type") === "view"))
+      val mid = t.currentVersion
+      t.append(ev.filter(col("event_type") === "purchase"))
+      val asOf = t.readVersion(mid).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .withColumn("snapshot", lit("as_of"))
+      val now = t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .withColumn("snapshot", lit("current"))
+      asOf.unionByName(now)
+    }),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -1750,6 +1774,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1""",
+    "q117_lake_time_travel" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+           'as_of' AS snapshot
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY event_type
+         UNION ALL
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+           'current' AS snapshot
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type""",
     "q100_zorder_pruned_read" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
          FROM events
