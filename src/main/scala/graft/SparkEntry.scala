@@ -74,6 +74,8 @@ object SparkEntry {
     "q114_product_profit" -> (Relational.productProfit _),
     "q115_top_supplier" -> (Relational.topSupplier _),
     "q116_discounted_revenue" -> (Relational.discountedRevenue _),
+    "q118_important_stock" -> (Relational.importantStock _),
+    "q119_supplier_part_count" -> (Relational.supplierPartCount _),
     "q89_returned_items" -> (Relational.returnedItemReport _),
     "q93_ship_mode_priority" -> (Relational.shipModePriority _),
     "q94_promo_revenue" -> (Relational.promoRevenue _),
@@ -1911,6 +1913,25 @@ object SparkEntry {
                 AND l_quantity BETWEEN 5 AND 30)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                 AND l_quantity BETWEEN 10 AND 40)""",
+    "q118_important_stock" ->
+      """WITH v AS (
+           SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY l_partkey)
+         SELECT l_partkey, value FROM v
+         WHERE value > (SELECT sum(value) * 0.001 FROM v)""",
+    "q119_supplier_part_count" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
     "q106_bucketed_local_agg" ->
       """SELECT l_orderkey, count(*) AS n,
            sum(l_quantity) AS sum_qty

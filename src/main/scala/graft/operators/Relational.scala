@@ -957,4 +957,52 @@ object Relational {
         |       AND l_quantity BETWEEN 10 AND 40)
         |""".stripMargin)
   }
+
+  /** TPC-H Q11 shape (important stock), adapted to the fixture (no
+    * partsupp): per-part revenue from one region's suppliers, kept
+    * only where it exceeds a FRACTION of the regional total — a
+    * grouped aggregate guarded by a scalar subquery over the same
+    * aggregation. 100 TB shape: supplier/nation/region broadcast onto
+    * the one lineitem shuffle; the threshold is a SCALAR (tree-reduced
+    * to one row and broadcast into the filter), never a join-back or
+    * a global window — the alternative `sum() OVER ()` form would
+    * single-reduce all ~10^9 part rows through one task. */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH v AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM v
+        |WHERE value > (SELECT sum(value) * 0.001 FROM v)
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship), adapted to the
+    * fixture (no partsupp — lineitem is the part-supplier bridge; no
+    * s_comment — the exclusion predicate is negative account
+    * balance): distinct-supplier counts per (brand, type, size) with
+    * a NOT IN exclusion subquery. 100 TB shape: the exclusion list is
+    * a tiny aggregate broadcast as an ANTI join (never a filter
+    * re-executed per row); count(DISTINCT) runs as Spark's two-phase
+    * partial-distinct aggregate — the only full shuffle is the
+    * (brand, type, size, suppkey) distinct, keyed wide enough to
+    * spread; part broadcasts onto lineitem. */
+  def supplierPartCount(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |""".stripMargin)
+  }
 }

@@ -138,6 +138,21 @@ class SkewAndSourcesSpec extends SparkSuite {
     // Q22: NOT EXISTS plans as an anti equi-join
     assert(joins(Relational.inactiveRichCustomers(spark, sf))
       .exists(_.contains("anti")))
+    // Q11: the fraction threshold arrives as a broadcast SCALAR
+    // subquery into the filter, never a join back of the aggregate
+    // (rows survive above AND below it, so the filter really binds)
+    val q11 = Relational.importantStock(spark, sf)
+    assert(q11.count() > 0)
+    val q11Nodes = flat(q11.queryExecution.executedPlan)
+    assert(!q11Nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(q11.queryExecution.executedPlan.toString.contains("scalar-subquery") ||
+      q11Nodes.flatMap(_.subqueries).nonEmpty,
+      "the Q11 threshold must plan as a scalar subquery:\n" +
+        q11.queryExecution.executedPlan)
+    // Q16: NOT IN over the exclusion list plans as an anti join, and
+    // count(DISTINCT) keeps a grouped (not global) aggregate
+    assert(joins(Relational.supplierPartCount(spark, sf))
+      .exists(_.contains("anti")))
   }
 
   test("Q7/Q8/Q9/Q15/Q19 shapes: star dimensions broadcast, no " +
