@@ -50,6 +50,8 @@ object ArrowSink {
         case DateType => new ArrowType.Date(DateUnit.DAY)
         case TimestampType =>
           new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+        case TimestampNTZType =>
+          new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
         case other => throw new IllegalArgumentException(
           s"arrow sink: unsupported type ${other.sql} for column ${f.name}")
       }
@@ -138,6 +140,12 @@ object ArrowSink {
       case (x: TimeStampMicroTZVector, _) =>
         val ts = row.getTimestamp(c)
         x.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L)
+      case (x: TimeStampMicroVector, _) =>
+        // TIMESTAMP_NTZ surfaces as LocalDateTime; micros since epoch at
+        // UTC is exactly Spark's internal representation for NTZ
+        val ldt = row.getAs[java.time.LocalDateTime](c)
+        x.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L)
       case other => throw new IllegalStateException(
         s"arrow sink: vector/type mismatch $other")
     }

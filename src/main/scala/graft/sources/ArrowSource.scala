@@ -111,7 +111,10 @@ object ArrowSource {
         case _: ArrowType.Binary => BinaryType
         case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
         case ts: ArrowType.Timestamp
-            if ts.getUnit == ArrowTimeUnit.MICROSECOND => TimestampType
+            if ts.getUnit == ArrowTimeUnit.MICROSECOND =>
+          // zone-tagged -> TIMESTAMP (LTZ); zoneless -> TIMESTAMP_NTZ.
+          // Both store micros-since-epoch, so the value path is shared.
+          if (ts.getTimezone == null) TimestampNTZType else TimestampType
         case other => throw new IllegalArgumentException(
           s"graft-arrow: unsupported arrow type $other for column ${f.getName}")
       }
@@ -283,6 +286,7 @@ class ArrowFilePartitionReader(file: String, fileSchema: StructType,
       case x: VarBinaryVector => x.get(i)
       case x: DateDayVector => x.get(i)
       case x: TimeStampMicroTZVector => x.get(i) // micros, as Spark stores
+      case x: TimeStampMicroVector => x.get(i)   // NTZ micros, same layout
       case x => throw new IllegalStateException(
         s"graft-arrow: unsupported vector ${x.getClass.getSimpleName}")
     }

@@ -46,8 +46,14 @@ object StreamingQueries {
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.readStream.schema(rawSchema).parquet(stage.toString)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      // TIMESTAMP_NTZ parquet: watermarks accept only TIMESTAMP (LTZ).
+      // The session runs in UTC, so the cast is micros-identical.
+      raw.withColumn("ts",
+        expr("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** documents as a STREAMING DataFrame (same staged-symlink-dir trick
