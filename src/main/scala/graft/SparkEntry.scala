@@ -107,19 +107,20 @@ object SparkEntry {
     "q33_neardup_minhash" -> ((s, d) =>
       DedupOps.minHashLshTrueJaccard(Tables.load(s, d, "documents"),
         k = 64, bands = 16, minJaccard = 0.5)),
-    // no oracle possible: pairs are defined by hamming distance between
-    // xxhash64-seeded SimHash sketches — engine-specific bit patterns no
-    // other engine reproduces. Validated in DedupSimilaritySpec
-    // ("simhash banding finds exactly the brute-force pairs"): banded
-    // candidate generation reproduces the all-pairs hamming computation.
+    // Oracled since the token hash moved to md5 (DedupOps.md5Token64):
+    // DuckDB recomputes the exact 64-bit sketch from the text, so the
+    // banded pipeline is graded against a brute-force all-pairs hamming
+    // scan in another engine. DedupSimilaritySpec additionally pins
+    // banding == brute force inside Spark.
     "q34_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(Tables.load(s, d, "documents"), maxHamming = 3)),
-    // no oracle possible (q34's xxhash64-sketch reason). The FOURTH
+    // Oracled (q34's md5-sketch reason). The FOURTH
     // incremental-dedup modality: the %3==0 slice's (doc_id, simhash)
     // rows are indexed with band postings; the %2==0 slice probes
     // them and verifies hamming <= 3 against doc_id-pruned sketch
-    // fetches. Pigeonhole recall is exact, so DedupSimilaritySpec
-    // proves equality with the brute-force cross-slice hamming scan.
+    // fetches. Pigeonhole recall is exact (hamming <= 3 over 4 bands),
+    // so the DuckDB oracle is a brute-force cross-slice hamming scan;
+    // DedupSimilaritySpec pins the same equality inside Spark.
     "q95_simhash_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(s, d, "documents")
@@ -786,6 +787,29 @@ object SparkEntry {
        FROM pairs JOIN cnt ca ON ca.doc_id = d1
        JOIN cnt cb ON cb.doc_id = d2
        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""
+
+  /** Per-document 64-bit SimHash sketch recomputed from scratch in
+    * DuckDB — possible because the token hash is the first 16 hex chars
+    * of md5 (DedupOps.md5Token64), a bit pattern every engine agrees
+    * on. Tokenization mirrors the Spark side exactly: lower, split on
+    * single space, distinct, drop empties. Each token's hash votes
+    * +1/-1 per bit; sketch bit b is set iff the counter is >= 0. */
+  private val simHashSketchCte: String =
+    """WITH toks AS (SELECT doc_id,
+           list_filter(list_distinct(string_split(lower(text), ' ')),
+                       x -> x != '') AS ts
+           FROM documents),
+       th AS (SELECT doc_id,
+              ('0x' || substr(md5(u.t), 1, 16))::UBIGINT AS h
+              FROM toks, unnest(ts) AS u(t)),
+       bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+                FROM th, (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b),
+       sh AS (SELECT doc_id,
+              bit_or(CASE WHEN c >= 0 THEN (1::UBIGINT << b)
+                     ELSE 0::UBIGINT END) AS simhash
+              FROM bits GROUP BY doc_id)"""
 
   /** q62's full redaction result — shared verbatim by q68's streaming
     * aggregate. Same deterministic PII enrichment as the Spark queries;
@@ -1571,6 +1595,17 @@ object SparkEntry {
     // identical oracle: LSH + exact verification must reproduce the
     // exact pipeline's answer (recall 1 at the fixtures' separation)
     "q33_neardup_minhash" -> trueJaccardOracle,
+    "q34_simhash_pairs" -> (simHashSketchCte +
+      """ SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    "q95_simhash_incremental" -> (simHashSketchCte +
+      """ SELECT n.doc_id AS d_new, i.doc_id AS d_idx,
+             CAST(bit_count(xor(n.simhash, i.simhash)) AS INT) AS hamming
+           FROM sh n, sh i
+           WHERE n.doc_id % 2 = 0 AND i.doc_id % 3 = 0
+             AND bit_count(xor(n.simhash, i.simhash)) <= 3"""),
     "q42_multimodal_features" ->
       // replicates fakeDecode: h = first 15 hex chars of md5 (60 bits,
       // parsed via list_reduce over hex digits), features/dims derived

@@ -566,6 +566,19 @@ object DedupOps {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Portable 64-bit token hash: the first 16 hex chars of md5,
+    * assembled from two 32-bit halves (the hi<<32 wraps to the signed
+    * two's-complement long, so the BIT PATTERN equals the unsigned
+    * parse any other engine does). md5 rather than xxhash64 because
+    * SimHash fingerprints persist into index tables other engines may
+    * read or audit — a DuckDB/Trino/pandas consumer can recompute the
+    * exact sketch from the text, which also makes the q34/q95 oracles
+    * checkable. ~2x the hash cost of xxhash64, paid once per distinct
+    * token; the sketch pipeline stays codegen'd end to end. */
+  private val md5Token64: String =
+    "(shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), 32)" +
+      " | cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+
   /** 64-bit SimHash per document over distinct word tokens, computed
     * per-row from the token-hash array (shuffle-free; the grouped
     * SimHashAgg variant serves streaming/SQL aggregation shapes). */
@@ -574,7 +587,7 @@ object DedupOps {
     graft.Tables.widen(docs)
       .select(col(idCol).as("doc_id"), expr(
         s"transform(array_remove(array_distinct(split(lower($textCol), " +
-          s"' ')), ''), t -> xxhash64(t))").as("toks"))
+          s"' ')), ''), t -> $md5Token64)").as("toks"))
       .select(col("doc_id"),
         graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
 
