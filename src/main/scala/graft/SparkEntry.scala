@@ -187,6 +187,13 @@ object SparkEntry {
     "q40_embedding_neardup" -> ((s, d) =>
       SimilarityOps.embeddingNearDupLsh(
         Tables.load(s, d, "embeddings"), threshold = 0.35)),
+    // SemDeDup-style semantic dedup: deterministic nearest-seed
+    // clustering + within-cluster earlier-mate cosine drop; the oracle
+    // recomputes the full pipeline (assignment, pairs, anti-join) in
+    // SQL, so the hash check grades clustering AND dedup end to end.
+    "q120_semantic_dedup" -> ((s, d) =>
+      SimilarityOps.semanticDedup(
+        Tables.load(s, d, "embeddings"), k = 8, threshold = 0.35)),
     // no oracle possible: LSH buckets come from seeded random-projection
     // hyperplanes — the candidate set is defined by our seed, not by the
     // data alone. Validated in DedupSimilaritySpec: recall bound vs the
@@ -1734,6 +1741,31 @@ object SparkEntry {
          }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    // Mirrors semanticDedup literally: nearest-of-8-seeds assignment
+    // (ties to the lower seed id), then drop any vector with an
+    // earlier same-cluster mate at cosine >= 0.35. DOUBLE[] casts per
+    // the float-parity rule; both engines sum the dot product in
+    // array order, so the doubles are bit-identical.
+    "q120_semantic_dedup" ->
+      """WITH seeds AS (SELECT vec_id AS seed_id, embedding::DOUBLE[] AS sv
+             FROM embeddings WHERE vec_id < 8),
+         assign AS (SELECT e.vec_id, s.seed_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS cos
+             FROM embeddings e, seeds s),
+         best AS (SELECT vec_id, seed_id AS cluster
+             FROM (SELECT vec_id, seed_id, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+                   FROM assign) WHERE rn = 1),
+         dropped AS (SELECT DISTINCT bb.vec_id
+             FROM best aa JOIN best bb
+               ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+             JOIN embeddings ea ON ea.vec_id = aa.vec_id
+             JOIN embeddings eb ON eb.vec_id = bb.vec_id
+             WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                     eb.embedding::DOUBLE[]) >= 0.35)
+         SELECT b.vec_id, b.cluster FROM best b
+         LEFT JOIN dropped d ON b.vec_id = d.vec_id
+         WHERE d.vec_id IS NULL""",
     "q90_incremental_agg_mv" ->
       """SELECT event_type, user_id % 10 AS uid_bucket,
          count(*) AS n, sum(value) AS sum_value

@@ -79,6 +79,53 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus, then
+    * drop every vector with an earlier same-cluster mate above the
+    * cosine threshold; survivors return as (id, cluster).
+    *
+    * Clustering is DETERMINISTIC — nearest seed among the k lowest-id
+    * vectors (ties to the lower seed id) — instead of seeded k-means,
+    * so any engine reproduces the exact partition (the q120 oracle
+    * recomputes it in SQL) while keeping the property the SemDeDup
+    * recipe (Abbas et al. 2023) actually relies on: pairwise
+    * comparisons happen only WITHIN a cluster, never across the
+    * corpus.
+    *
+    * 100 TB shape: the assignment is a broadcast nested-loop over the
+    * k seed rows — one map-side pass, the corpus never shuffles for
+    * it; the dedup self-join shuffles by cluster id, and total
+    * pairwise work is sum(|c|^2) — bounded by scaling k with N
+    * (clusters stay ~constant-sized), the paper's own scaling
+    * argument. The drop rule is "exists an EARLIER cluster-mate
+    * within threshold", a single anti-join — no iterative
+    * representative selection, so the operator stays two shuffles
+    * end to end. */
+  def semanticDedup(vectors: DataFrame, k: Int = 8,
+                    threshold: Double = 0.35,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val seeds = vectors.filter(col(idCol) < k)
+      .select(col(idCol).as("_seed"), col(embCol).as("_sv"))
+    val best = vectors.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(seeds)) // k rows: scalar-side broadcast NL
+      .groupBy(col(idCol))
+      .agg(max(struct(
+        cosine_sim(col(embCol), col("_sv")).as("_cos"),
+        (-col("_seed")).as("_negSeed"))).as("_m"))
+      .select(col(idCol), (-col("_m._negSeed")).as("cluster"))
+    val clustered = best
+      .join(vectors.select(col(idCol), col(embCol)), idCol)
+    val dropped = clustered
+      .select(col("cluster"), col(idCol).as("_u"), col(embCol).as("_eu"))
+      .join(clustered.select(col("cluster"), col(idCol).as("_v"),
+        col(embCol).as("_ev")), Seq("cluster"))
+      .filter(col("_u") < col("_v") &&
+        cosine_sim(col("_eu"), col("_ev")) >= threshold)
+      .select(col("_v")).distinct()
+    clustered.join(dropped, col(idCol) === col("_v"), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** EXACT embedding near-dup pairs within equal-`blockCol` blocks
     * (block-nested join, cosine >= threshold). Inherently quadratic in
     * block size: exact threshold similarity join over dense vectors has

@@ -11,6 +11,44 @@ class DedupSimilaritySpec extends SparkSuite {
   lazy val docs = Tables.load(spark, sf, "documents").cache()
   lazy val emb = Tables.load(spark, sf, "embeddings").cache()
 
+  test("semantic dedup: deterministic clustering, seeds self-cluster, " +
+    "planted duplicate dropped, equality with brute force") {
+    val got = SimilarityOps.semanticDedup(emb, k = 8, threshold = 0.35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute-force recomputation on the driver
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cluster = vecs.map { case (id, v) =>
+      id -> (0L until 8L).minBy(s => (-cos(v, vecs(s)), s))
+    }
+    val survivors = vecs.keys.filter { id =>
+      !vecs.keys.exists(u => u < id && cluster(u) == cluster(id) &&
+        cos(vecs(u), vecs(id)) >= 0.35)
+    }.toSet
+
+    assert(got.keySet == survivors)
+    got.foreach { case (id, c) => assert(c == cluster(id)) }
+    (0L until 8L).foreach(s => assert(got(s) == s)) // seeds lead themselves
+
+    // a verbatim copy of vector 3 with a later id must be dropped
+    val v3 = emb.filter($"vec_id" === 3)
+      .select(lit(100000L).as("vec_id"), $"embedding", $"label")
+    val withDup = emb.select($"vec_id", $"embedding", $"label")
+      .unionByName(v3)
+    val afterDup = SimilarityOps.semanticDedup(withDup, k = 8,
+      threshold = 0.35).select("vec_id").as[Long].collect().toSet
+    assert(!afterDup.contains(100000L))
+    assert(afterDup.contains(3L))
+  }
+
   test("exact dedup finds injected duplicates") {
     val withDups = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
