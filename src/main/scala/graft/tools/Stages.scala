@@ -17,7 +17,7 @@ object Stages {
         val i = s.stageInfo
         println(f"[stage] id=${i.stageId}%3d tasks=${i.numTasks}%3d " +
           f"wall=${(i.completionTime.get - i.submissionTime.get)/1000.0}%6.2f s " +
-          f"cpu=${i.taskMetrics.executorRunTime/1000.0}%7.2f s  ${i.name.split(" at ").head}")
+          f"cpu=${i.taskMetrics.executorRunTime/1000.0}%7.2f s  ${i.name}")
       }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -45,6 +45,32 @@ object DirectWrite {
     * [[GraftDirectCommitProtocol.commitJob]] on the driver. */
   private[graft] val results = new ConcurrentHashMap[String, Seq[String]]()
 
+  /** One writer clone per parent session, reused across writes:
+    * cloning copies the whole session state (conf, catalog, registry),
+    * a driver-side cost that an MV loop would otherwise pay three
+    * times per micro-batch. Weak keys let a discarded parent session
+    * free its clone. The clone's conf differs from its parent's in
+    * exactly one key (the commit protocol), set once here; concurrent
+    * writers share it safely — per-write state rides in the write
+    * token, never in the session. */
+  private val writerSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
+      org.apache.spark.sql.classic.SparkSession]()
+
+  private def writerSessionFor(
+      classic: org.apache.spark.sql.classic.SparkSession)
+      : org.apache.spark.sql.classic.SparkSession =
+    writerSessions.synchronized {
+      var s = writerSessions.get(classic)
+      if (s == null) {
+        s = classic.cloneSession()
+        s.conf.set("spark.sql.sources.commitProtocolClass",
+          classOf[GraftDirectCommitProtocol].getName)
+        writerSessions.put(classic, s)
+      }
+      s
+    }
+
   private[graft] def tokenOf(destPath: String): String =
     new Path(destPath).getName.stripPrefix(".write-")
 
@@ -63,9 +89,13 @@ object DirectWrite {
               partitionBy: Seq[String]): Seq[String] = {
     val classic =
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val sess = classic.cloneSession()
-    sess.conf.set("spark.sql.sources.commitProtocolClass",
-      classOf[GraftDirectCommitProtocol].getName)
+    val sess = writerSessionFor(classic)
+    // the one conf our own code toggles at runtime
+    // (StreamingQueries.withShufflePartitions): keep the cached clone
+    // in step with the caller so write-side aggregations plan at the
+    // caller's parallelism
+    sess.conf.set("spark.sql.shuffle.partitions",
+      classic.conf.get("spark.sql.shuffle.partitions"))
     val wdf = org.apache.spark.sql.classic.Dataset.ofRows(
       sess, df.queryExecution.logical)
     val token = UUID.randomUUID().toString

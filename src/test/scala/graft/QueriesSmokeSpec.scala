@@ -23,20 +23,17 @@ class QueriesSmokeSpec extends SparkSuite {
     // (q24 left this list in round 8: its graded output became the
     // exact distinct counts plus per-engine tolerance booleans, so
     // all three driver checks bind again)
+    // (q34/q95 left this list in round 8: the SimHash token hash moved
+    // from xxhash64 to md5's top 64 bits — well-mixed AND reproducible
+    // in any engine — so DuckDB recomputes the exact sketch and both
+    // queries carry full oracles. q44 left in round 7 via Rabin-Karp;
+    // q24 via the tolerance-band reformulation.)
     val documentedNoOracle = Set(
-      "q34_simhash_pairs",      // xxhash64-seeded sketch bits
       "q41_ann_lsh",            // seeded random-projection buckets
       "q45_ann_ivf",            // seeded k-means centroids
       "q60_ann_ivf_persisted",  // same seeded centroids
       "q79_bpe_merges",         // iterative argmax, not one SQL query
-      "q91_ann_ivf_batch",      // same seeded centroids as q45/q60
-      // q34/q95 stay xxhash64-pinned: SimHash NEEDS a well-mixed token
-      // hash (per-bit majorities inherit any bias), and this DuckDB
-      // (v1.0.0) has no xxhash64 — porting the oracle would mean
-      // degrading the operator's hash. Their banding + verify algebra
-      // is pinned by brute-force-equality specs instead. q44 LOST this
-      // exemption in round 7 by reformulating as pure Rabin-Karp.
-      "q95_simhash_incremental")// q34's xxhash64-sketch reason
+      "q91_ann_ivf_batch")      // same seeded centroids as q45/q60
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == documentedNoOracle,
       s"undocumented no-oracle queries: ${unoracled -- documentedNoOracle}; " +
