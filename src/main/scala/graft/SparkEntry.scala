@@ -187,6 +187,19 @@ object SparkEntry {
     "q40_embedding_neardup" -> ((s, d) =>
       SimilarityOps.embeddingNearDupLsh(
         Tables.load(s, d, "embeddings"), threshold = 0.35)),
+    // PQ/ADC top-k: deterministic codebooks (sub-vectors of vec ids
+    // 0..15, no seeded k-means) make the codes and the asymmetric
+    // distances engine-reproducible, so this ANN axis — compressed
+    // representations — is fully oracled, unlike the seeded IVF/LSH
+    // entries. The oracle unrolls the same sub-distance arithmetic in
+    // the same accumulation order.
+    "q121_pq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      SimilarityOps.pqTopK(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
+        k = 10, codebookSource = Some(e))
+    }),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -794,6 +807,41 @@ object SparkEntry {
        FROM pairs JOIN cnt ca ON ca.doc_id = d1
        JOIN cnt cb ON cb.doc_id = d2
        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""
+
+  /** q121's oracle, generated: the per-subspace squared-L2 is unrolled
+    * as a left-associative `+` chain over ascending indices — the
+    * exact accumulation order of PqMath.sqDist — so the doubles agree
+    * bit-for-bit modulo the driver's float rounding. Encoding argmin
+    * ties break to the lower code id (row_number ORDER BY dist, code =
+    * the kernel's strict-less scan). */
+  private val pqTopKOracle: String = {
+    // (a[o]-b[o])*(a[o]-b[o]) summed over the 8 dims of subspace j
+    def subDist(a: String, b: String, j: Int): String =
+      (1 to 8).map { i =>
+        val o = j * 8 + i
+        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until 8)
+      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
+    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+       pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
+       longp AS (SELECT vec_id, code, jj.j AS j,
+              CASE jj.j $caseArms END AS dist
+              FROM pairs, (SELECT unnest(range(8)) AS j) jj),
+       best AS (SELECT vec_id, j, code, dist,
+              row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, code) AS rn
+              FROM longp),
+       lut AS (SELECT j, code, dist FROM longp WHERE vec_id = 0),
+       adc AS (SELECT b.vec_id, sum(l.dist) AS adc_dist
+              FROM best b JOIN lut l ON b.j = l.j AND b.code = l.code
+              WHERE b.rn = 1 AND b.vec_id <> 0
+              GROUP BY b.vec_id)
+       SELECT vec_id, adc_dist FROM adc
+       ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
 
   /** Per-document 64-bit SimHash sketch recomputed from scratch in
     * DuckDB — possible because the token hash is the first 16 hex chars
@@ -1741,6 +1789,7 @@ object SparkEntry {
          }.mkString("(", " AND ", ")")).mkString("(", "\n            OR ", ")")}
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    "q121_pq_topk" -> pqTopKOracle,
     // Mirrors semanticDedup literally: nearest-of-8-seeds assignment
     // (ties to the lower seed id), then drop any vector with an
     // earlier same-cluster mate at cosine >= 0.35. DOUBLE[] casts per

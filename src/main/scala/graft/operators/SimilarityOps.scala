@@ -79,6 +79,61 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Product-quantization top-k (Jegou et al. 2011): encode every
+    * database vector as m per-subspace code ids against DETERMINISTIC
+    * codebooks (the sub-vectors of the k lowest-id vectors — no
+    * seeded k-means, so any engine, including the q121 oracle,
+    * reproduces the exact codes), then rank by asymmetric distance:
+    * the query precomputes an m x codes lookup table of exact
+    * sub-distances and each candidate costs m array lookups.
+    *
+    * This completes the ANN family's third axis: IVF prunes
+    * PARTITIONS, LSH prunes CANDIDATES, PQ compresses
+    * REPRESENTATIONS — codes are m ints (m log2(k) bits packed) per
+    * vector vs d floats, the memory-bound regime's lever at 100 TB.
+    * Both kernels are single-pass row expressions with the
+    * codebook/LUT as plan constants (bytes); the scan never shuffles
+    * and top-k is TakeOrdered. Learned (Lloyd-refined) codebooks drop
+    * in by replacing the codebook matrix — the pipeline shape is
+    * identical. */
+  def pqTopK(vectors: DataFrame, query: DataFrame, k: Int,
+             subspaces: Int = 8, codes: Int = 16,
+             idCol: String = "vec_id",
+             embCol: String = "embedding",
+             codebookSource: Option[DataFrame] = None): DataFrame = {
+    val srcRows = codebookSource.getOrElse(vectors)
+      .filter(col(idCol) < codes)
+      .select(col(idCol), col(embCol)).collect()
+      .sortBy(_.getLong(0))
+    require(srcRows.length == codes,
+      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
+    val dim = srcRows.head.getSeq[Float](1).length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
+      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
+    }
+    val q = query.select(col(embCol)).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    val lut = Array.tabulate(subspaces, codes) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < subDim) {
+        val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d; i += 1
+      }
+      s
+    }
+    vectors.select(col(idCol),
+        graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
+          .as("codes"))
+      .select(col(idCol),
+        graft.functions.PqFunctions.pq_adc(col("codes"), lut)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).

@@ -49,6 +49,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(afterDup.contains(3L))
   }
 
+  test("pq top-k: codes and ADC distances equal brute force; " +
+    "deterministic across runs") {
+    val got = SimilarityOps.pqTopK(
+      emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0),
+      k = 10, codebookSource = Some(emb))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // driver-side brute force with the same deterministic codebooks
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val subDim = vecs(0L).length / 8
+    def sub(v: Array[Double], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val adc = vecs.keys.filter(_ != 0L).map { id =>
+      id -> (0 until 8).map { j =>
+        val code = (0L until 16L)
+          .minBy(c => (sq(sub(vecs(id), j), sub(vecs(c), j)), c))
+        sq(sub(vecs(0L), j), sub(vecs(code), j))
+      }.sum
+    }.toMap
+    val expect = adc.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+
+    assert(got.map(_._1).toSeq == expect.map(_._1))
+    got.zip(expect).foreach { case ((_, d1), (_, d2)) =>
+      assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, math.abs(d2))) }
+
+    val again = SimilarityOps.pqTopK(
+      emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0),
+      k = 10, codebookSource = Some(emb))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("exact dedup finds injected duplicates") {
     val withDups = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
