@@ -200,6 +200,11 @@ object SparkEntry {
         e.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
         k = 10, codebookSource = Some(e))
     }),
+    // Perplexity-style quality scoring: a corpus-trained unigram LM
+    // scores each document by mean token log-probability (rare-token
+    // garbage scores low). avg/log float drift between engines sits
+    // far inside the driver's rounding tolerance.
+    "q123_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -545,6 +550,11 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.lakePartitioned _),
     "q68_stream_hygiene" ->
       (graft.streaming.StreamingQueries.streamHygiene _),
+    // stream-STATIC join: the streaming side enriched against a lake
+    // dim pinned at plan time (snapshot isolation for the static
+    // side); the oracle is the plain batch join + aggregate
+    "q122_stream_static_enrich" ->
+      (graft.streaming.StreamingQueries.streamStaticEnrich _),
     // stream-stream interval join (clicks within the hour before each
     // purchase); inner-join emission is eager, so AvailableNow drains
     // the full pair set and the oracle is a plain batch self-join
@@ -1790,6 +1800,17 @@ object SparkEntry {
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
     "q121_pq_topk" -> pqTopKOracle,
+    "q123_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         lm AS (SELECT word,
+                ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS lp
+                FROM toks GROUP BY word)
+         SELECT t.doc_id, count(*) AS n_tokens, avg(l.lp) AS avg_logprob
+         FROM toks t JOIN lm l ON t.word = l.word
+         GROUP BY t.doc_id""",
     // Mirrors semanticDedup literally: nearest-of-8-seeds assignment
     // (ties to the lower seed id), then drop any vector with an
     // earlier same-cluster mate at cosine >= 0.35. DOUBLE[] casts per
@@ -1882,6 +1903,11 @@ object SparkEntry {
     "q51_stream_to_lake" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
          count(DISTINCT user_id) AS n_users FROM events GROUP BY 1""",
+    "q122_stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+         sum(value) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     "q52_lake_roundtrip" ->
       """SELECT event_type, count(*) AS n, avg(value) AS avg_value
          FROM events GROUP BY 1""",

@@ -47,6 +47,35 @@ object TextOps {
   def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), qualityScore("text").as("quality"))
 
+  /** Unigram log-probability quality score (the perplexity-style
+    * filter of CCNet/Gopher data pipelines, in its simplest exact
+    * form): a unigram LM is "trained" on the corpus itself (token
+    * relative frequencies) and every document is scored by the mean
+    * log-probability of its tokens — rare-garbage-heavy documents
+    * score low, boilerplate scores high. Self-scoring means no
+    * unseen-token smoothing is needed (every scored token has count
+    * >= 1).
+    *
+    * Shape at 100 TB: explode + one vocabulary-wide count (map-side
+    * partial combine collapses each partition to its vocab before the
+    * shuffle), then a token->logprob equi-join and a per-doc mean —
+    * two shuffles total, all keys high-cardinality (no single-reducer
+    * step). The LM could be swapped for a held-out table without
+    * changing the plan. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.widen(docs(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val total = toks.count()
+    val lm = toks.groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("word"), log(col("c") / lit(total.toDouble)).as("lp"))
+    toks.join(lm, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("lp")).as("avg_logprob"))
+  }
+
   /** Corpus heavy hitters: the k most frequent words with counts.
     * Explode + two-phase count (map-side partial combine collapses each
     * partition to its vocabulary before the shuffle) + TakeOrdered for

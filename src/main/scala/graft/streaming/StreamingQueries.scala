@@ -160,6 +160,38 @@ object StreamingQueries {
       col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Stream-STATIC join: streaming events enriched against a lake
+    * dimension table (customer market segments). The static side is a
+    * manifest-served LakeTable read whose file list is pinned at plan
+    * time, so every micro-batch joins the SAME dim snapshot — commits
+    * landing mid-query never bleed in (snapshot isolation, the
+    * slowly-changing-dim contract you want at 100 TB; restart the
+    * query to adopt a newer dim snapshot). The dim is broadcast, so
+    * each micro-batch is a map-side hash join with no stream-side
+    * shuffle before the aggregate. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val qname = "sse_" + UUID.randomUUID().toString.replace("-", "")
+    val dimRows = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dim = graft.lake.LakeTable.create(s,
+      s"/root/repo/target/lake/dim-$qname", dimRows.schema)
+    dim.append(dimRows)
+    val agg = eventsStream(s, dir)
+      .join(org.apache.spark.sql.functions.broadcast(dim.read()),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    withShufflePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
   /** Full pipeline slice THROUGH THE ENGINE FACADE: stream events ->
     * transform -> MV registered in the catalog -> exactly-once commits
     * into its LakeTable (one snapshot per micro-batch) -> read the table
