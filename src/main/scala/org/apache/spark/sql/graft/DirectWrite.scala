@@ -45,31 +45,42 @@ object DirectWrite {
     * [[GraftDirectCommitProtocol.commitJob]] on the driver. */
   private[graft] val results = new ConcurrentHashMap[String, Seq[String]]()
 
-  /** One writer clone per parent session, reused across writes:
-    * cloning copies the whole session state (conf, catalog, registry),
-    * a driver-side cost that an MV loop would otherwise pay three
-    * times per micro-batch. Weak keys let a discarded parent session
-    * free its clone. The clone's conf differs from its parent's in
-    * exactly one key (the commit protocol), set once here; concurrent
-    * writers share it safely — per-write state rides in the write
-    * token, never in the session. */
+  /** Writer clones per parent session, reused across writes: cloning
+    * copies the whole session state (conf, catalog, registry), a
+    * driver-side cost that an MV loop would otherwise pay three times
+    * per micro-batch. Weak keys let a discarded parent session free
+    * its clones. The inner map is keyed by the parent's
+    * shuffle-partitions value at write time — the one conf our own
+    * code toggles at runtime (StreamingQueries.withShufflePartitions)
+    * — so concurrent writers at different parallelism each get a
+    * matching clone instead of racing a shared conf; the handful of
+    * distinct values bounds the map. Per-write state rides in the
+    * write token, never in a session. */
   private val writerSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
-      org.apache.spark.sql.classic.SparkSession]()
+      ConcurrentHashMap[String, org.apache.spark.sql.classic.SparkSession]]()
 
   private def writerSessionFor(
       classic: org.apache.spark.sql.classic.SparkSession)
-      : org.apache.spark.sql.classic.SparkSession =
-    writerSessions.synchronized {
-      var s = writerSessions.get(classic)
-      if (s == null) {
-        s = classic.cloneSession()
-        s.conf.set("spark.sql.sources.commitProtocolClass",
-          classOf[GraftDirectCommitProtocol].getName)
-        writerSessions.put(classic, s)
+      : org.apache.spark.sql.classic.SparkSession = {
+    val byConf = writerSessions.synchronized {
+      var m = writerSessions.get(classic)
+      if (m == null) {
+        m = new ConcurrentHashMap[String,
+          org.apache.spark.sql.classic.SparkSession]()
+        writerSessions.put(classic, m)
       }
-      s
+      m
     }
+    val sp = classic.conf.get("spark.sql.shuffle.partitions")
+    byConf.computeIfAbsent(sp, _ => {
+      val s = classic.cloneSession()
+      s.conf.set("spark.sql.sources.commitProtocolClass",
+        classOf[GraftDirectCommitProtocol].getName)
+      s.conf.set("spark.sql.shuffle.partitions", sp)
+      s
+    })
+  }
 
   private[graft] def tokenOf(destPath: String): String =
     new Path(destPath).getName.stripPrefix(".write-")
@@ -90,14 +101,11 @@ object DirectWrite {
     val classic =
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sess = writerSessionFor(classic)
-    // the one conf our own code toggles at runtime
-    // (StreamingQueries.withShufflePartitions): keep the cached clone
-    // in step with the caller so write-side aggregations plan at the
-    // caller's parallelism
-    sess.conf.set("spark.sql.shuffle.partitions",
-      classic.conf.get("spark.sql.shuffle.partitions"))
+    // plant the ANALYZED plan: its relations are already resolved, so
+    // the cached clone's catalog snapshot (taken at clone time) can
+    // never miss a temp view the caller registered later
     val wdf = org.apache.spark.sql.classic.Dataset.ofRows(
-      sess, df.queryExecution.logical)
+      sess, df.queryExecution.analyzed)
     val token = UUID.randomUUID().toString
     // the dest is a NEVER-CREATED sibling of data/: it exists only to
     // carry the table root + a unique token through Spark's write path

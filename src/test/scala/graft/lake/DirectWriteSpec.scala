@@ -119,4 +119,26 @@ class DirectWriteSpec extends SparkSuite {
     assert(t.dataFiles.map(_.path).toSet == diskParquet(root))
     assert(t.read().count() == 100)
   }
+
+  test("cached writer session: a temp view registered AFTER the first " +
+    "write still resolves, and toggled shuffle partitions get their " +
+    "own clone") {
+    val root = tmpDir("dw-view")
+    val t = LakeTable.create(spark, root,
+      spark.range(1).select($"id").schema)
+    t.append(spark.range(10).select($"id")) // primes the cached clone
+    // the view does not exist in the clone's catalog snapshot — the
+    // analyzed-plan planting must make that irrelevant
+    spark.range(50).select(($"id" + 100).as("id"))
+      .createOrReplaceTempView("dw_late_view")
+    t.append(spark.sql("SELECT id FROM dw_late_view WHERE id < 110"))
+    assert(t.read().count() == 20)
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      t.append(spark.range(5).select(($"id" + 1000).as("id")))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(t.read().count() == 25)
+  }
 }
