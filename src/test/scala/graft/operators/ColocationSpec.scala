@@ -68,6 +68,33 @@ class ColocationSpec extends SparkSuite {
         s"index rows pass through a shuffle:\n$e")
     }
 
+  test("pq top-k plan: single pass, zero shuffles, distributed " +
+    "partial top-k") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val df = SimilarityOps.pqTopK(
+      emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0),
+      k = 10, codebookSource = Some(emb))
+    val nodes = executedFlat(df)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "PQ search must not shuffle: encode + ADC are per-row kernels " +
+        "and top-k merges partial heaps")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-k should plan as TakeOrderedAndProject, not global sort")
+  }
+
+  test("semantic dedup plan: seeds broadcast to the assignment, " +
+    "no cartesian over the corpus") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val nodes = executedFlat(
+      SimilarityOps.semanticDedup(emb, k = 8, threshold = 0.35))
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the k-seed assignment should be a broadcast nested loop")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "no unbroadcast cartesian product anywhere")
+  }
+
   test("bucketed lake layout: writer owns _bucket, probes prune to " +
     "the probed buckets' files with zero shuffle") {
     val t = LakeTable.create(spark, tmpDir("bucketed"), StructType(Seq(
