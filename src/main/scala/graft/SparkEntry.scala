@@ -205,6 +205,10 @@ object SparkEntry {
     // garbage scores low). avg/log float drift between engines sits
     // far inside the driver's rounding tolerance.
     "q123_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    // Sparse lexical retrieval: tf-idf cosine top-k for doc 0 — the
+    // lexical twin of the dense retrieval queries; broadcast query
+    // terms, word-keyed join, one doc-keyed sum, TakeOrdered
+    "q124_tfidf_retrieval" -> ((s, d) => TextOps.tfidfRetrieve(s, d)),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -1800,6 +1804,30 @@ object SparkEntry {
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
     "q121_pq_topk" -> pqTopKOracle,
+    "q124_tfidf_retrieval" ->
+      """WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         tf AS (SELECT doc_id, word, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         idf AS (SELECT word,
+                ln((SELECT count(*)::DOUBLE FROM documents) / count(*))
+                  AS idf
+                FROM tf GROUP BY word),
+         w AS (SELECT doc_id, t.word, tf * idf AS wgt
+               FROM tf t JOIN idf i ON t.word = i.word),
+         norms AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm
+                   FROM w GROUP BY 1),
+         q AS (SELECT word, wgt FROM w WHERE doc_id = 0),
+         dots AS (SELECT w.doc_id, sum(w.wgt * q.wgt) AS dot
+                  FROM w JOIN q ON w.word = q.word
+                  WHERE w.doc_id <> 0 GROUP BY 1)
+         SELECT d.doc_id,
+                d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0))
+                  AS cos
+         FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+         ORDER BY cos DESC, d.doc_id LIMIT 10""",
     "q123_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
              FROM (SELECT doc_id, string_split(text, ' ') AS ws

@@ -76,6 +76,51 @@ object TextOps {
         avg(col("lp")).as("avg_logprob"))
   }
 
+  /** Sparse lexical retrieval: tf-idf cosine top-k for a query
+    * document — the lexical complement to the dense-embedding
+    * retrieval family (q39/q41/q45/q121). Weights are
+    * tf * ln(N/df) with no smoothing (every scored term has df >= 1
+    * in a self-indexed corpus).
+    *
+    * Shape at 100 TB: tf and df are vocabulary-keyed aggregations
+    * with map-side combine; the query's term vector is tiny by
+    * construction (one document) and broadcasts, so scoring is a
+    * map-side hash join on `word` followed by one doc-keyed sum —
+    * never an all-pairs or corpus-wide window. Multi-query batches
+    * generalize by keying the broadcast side on (query_id, word). */
+  def tfidfRetrieve(s: SparkSession, dir: String, queryDoc: Long = 0L,
+                    k: Int = 10): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toks = Tables.widen(d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("word"), log(lit(n.toDouble) / col("df")).as("idf"))
+    val w = tf.join(idf, Seq("word"))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * col("idf")).as("wgt"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+    val qTerms = w.filter(col("doc_id") === queryDoc)
+      .select(col("word"), col("wgt").as("qwgt"))
+    val qNorm = norms.filter(col("doc_id") === queryDoc)
+      .select(col("nrm").as("qnrm"))
+    w.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(qTerms), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wgt") * col("qwgt")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qNorm)) // scalar side
+      .select(col("doc_id"),
+        (col("dot") / (col("nrm") * col("qnrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus heavy hitters: the k most frequent words with counts.
     * Explode + two-phase count (map-side partial combine collapses each
     * partition to its vocabulary before the shuffle) + TakeOrdered for
