@@ -209,6 +209,9 @@ object SparkEntry {
     // lexical twin of the dense retrieval queries; broadcast query
     // terms, word-keyed join, one doc-keyed sum, TakeOrdered
     "q124_tfidf_retrieval" -> ((s, d) => TextOps.tfidfRetrieve(s, d)),
+    // BM25: the production-standard lexical scorer (saturated tf +
+    // doc-length normalization + BM25+ idf), same join shape as q124
+    "q125_bm25_retrieval" -> ((s, d) => TextOps.bm25Retrieve(s, d)),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -1804,6 +1807,29 @@ object SparkEntry {
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
     "q121_pq_topk" -> pqTopKOracle,
+    "q125_bm25_retrieval" ->
+      """WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         tf AS (SELECT doc_id, word, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         idf AS (SELECT word,
+                ln(1.0 + ((SELECT count(*)::DOUBLE FROM documents)
+                          - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+                FROM tf GROUP BY word),
+         q AS (SELECT word FROM tf WHERE doc_id = 0)
+         SELECT t.doc_id,
+                sum(i.idf * (t.tf * 2.2) /
+                    (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
+                      (SELECT avg(dl) FROM dl)))) AS score
+         FROM tf t JOIN q ON t.word = q.word
+         JOIN idf i ON t.word = i.word
+         JOIN dl d ON t.doc_id = d.doc_id
+         WHERE t.doc_id <> 0
+         GROUP BY t.doc_id
+         ORDER BY score DESC, t.doc_id LIMIT 10""",
     "q124_tfidf_retrieval" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
              FROM (SELECT doc_id, string_split(text, ' ') AS ws

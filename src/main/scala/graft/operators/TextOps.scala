@@ -121,6 +121,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 retrieval (Robertson/Sparck Jones probabilistic ranking,
+    * the production-standard lexical scorer): the q124 pipeline with
+    * saturation (k1) and document-length normalization (b) on the
+    * term frequency, and the BM25+ idf ln(1 + (N-df+0.5)/(df+0.5)).
+    * Same 100 TB shape as q124 — vocabulary-keyed aggregations,
+    * broadcast query terms, word-keyed scoring join, one doc-keyed
+    * sum; the avg-doc-length scalar is computed once driver-side and
+    * rides as a literal. */
+  def bm25Retrieve(s: SparkSession, dir: String, queryDoc: Long = 0L,
+                   k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toks = Tables.widen(d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val idf = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("word"), log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val qTerms = tf.filter(col("doc_id") === queryDoc)
+      .select(col("word")) // distinct by construction of tf
+    tf.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(qTerms), Seq("word"))
+      .join(idf, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), (col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / lit(avgdl)))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus heavy hitters: the k most frequent words with counts.
     * Explode + two-phase count (map-side partial combine collapses each
     * partition to its vocabulary before the shuffle) + TakeOrdered for
