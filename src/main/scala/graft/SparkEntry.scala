@@ -212,6 +212,22 @@ object SparkEntry {
     // BM25: the production-standard lexical scorer (saturated tf +
     // doc-length normalization + BM25+ idf), same join shape as q124
     "q125_bm25_retrieval" -> ((s, d) => TextOps.bm25Retrieve(s, d)),
+    // Persisted-PQ serving: the corpus is encoded ONCE into a lake
+    // code table (~16x smaller than the vectors) and the query is
+    // answered from codes alone — same deterministic codebooks as
+    // q121, so the result (and oracle) are identical to q121's;
+    // what's graded is that the compressed serving path loses nothing.
+    "q126_pq_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq")
+      val (table, cbs) = SimilarityOps.pqPersist(e, s, s"$dir/codes")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      SimilarityOps.pqSearchPersisted(table, cbs, q, k = 10,
+        excludeId = Some(0L))
+    }),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -1807,6 +1823,8 @@ object SparkEntry {
          AND list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
     "q121_pq_topk" -> pqTopKOracle,
+    // identical answer by construction: same codebooks, same ADC
+    "q126_pq_persisted" -> pqTopKOracle,
     "q125_bm25_retrieval" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
              FROM (SELECT doc_id, string_split(text, ' ') AS ws

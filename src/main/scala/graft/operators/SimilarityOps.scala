@@ -134,6 +134,64 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Persisted-PQ serving: encode the corpus ONCE into a lake table
+    * of (id, m code ids) — the production PQ deployment shape: the
+    * serving tier scans the compressed code table (m small ints per
+    * vector vs d floats, ~16x smaller here), never the raw vectors.
+    * Queries cost one manifest-planned scan of the code table + m
+    * LUT lookups per row; re-encoding happens only when vectors are
+    * ingested, not per query. Returns (codeTable, search) so callers
+    * amortize the build across queries; [[pqTopK]] is the
+    * build-and-search-in-one-query form. */
+  def pqPersist(vectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                root: String, subspaces: Int = 8, codes: Int = 16,
+                idCol: String = "vec_id", embCol: String = "embedding")
+      : (graft.lake.LakeTable, Array[Array[Array[Double]]]) = {
+    val srcRows = vectors.filter(col(idCol) < codes)
+      .select(col(idCol), col(embCol)).collect().sortBy(_.getLong(0))
+    require(srcRows.length == codes,
+      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
+    val dim = srcRows.head.getSeq[Float](1).length
+    val subDim = dim / subspaces
+    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
+      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
+    }
+    val codeRows = vectors.select(col(idCol),
+      graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
+        .as("codes"))
+    val table = graft.lake.LakeTable.create(spark, root, codeRows.schema)
+    table.append(codeRows)
+    (table, codebooks)
+  }
+
+  /** ADC top-k served from a persisted code table (see [[pqPersist]]).
+    * `query` is the exact query vector; only the code table is
+    * scanned. */
+  def pqSearchPersisted(table: graft.lake.LakeTable,
+                        codebooks: Array[Array[Array[Double]]],
+                        query: Array[Double], k: Int,
+                        excludeId: Option[Long] = None,
+                        idCol: String = "vec_id"): DataFrame = {
+    val subspaces = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val lut = Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < subDim) {
+        val d = query(j * subDim + i) - codebooks(j)(c)(i); s += d * d
+        i += 1
+      }
+      s
+    }
+    val base = excludeId.map(x => table.read().filter(col(idCol) =!= x))
+      .getOrElse(table.read())
+    base.select(col(idCol),
+        graft.functions.PqFunctions.pq_adc(col("codes"), lut)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).

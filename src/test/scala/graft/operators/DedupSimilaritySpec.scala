@@ -84,6 +84,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("persisted PQ serving: identical answer to the in-query form, " +
+    "and the code table is an order of magnitude smaller") {
+    val inQuery = SimilarityOps.pqTopK(
+      emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0),
+      k = 10, codebookSource = Some(emb))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val dir = tmpDir("pq-serve")
+    val (table, cbs) = SimilarityOps.pqPersist(emb, spark, s"$dir/codes")
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val served = SimilarityOps.pqSearchPersisted(table, cbs, q, k = 10,
+      excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == inQuery)
+
+    // compression: 8 int codes vs 64 floats per vector — the code
+    // table's data bytes must be well under the embedding payload
+    val vecBytes = emb.count() * 64 * 4
+    val codeBytes = table.dataFiles.map(_.sizeBytes).sum
+    assert(codeBytes < vecBytes / 2,
+      s"code table $codeBytes B should be far under vectors $vecBytes B")
+  }
+
   test("exact dedup finds injected duplicates") {
     val withDups = docs.select("doc_id", "text")
       .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
