@@ -228,6 +228,25 @@ object SparkEntry {
       SimilarityOps.pqSearchPersisted(table, cbs, q, k = 10,
         excludeId = Some(0L))
     }),
+    // BATCHED persisted-PQ serving: four query vectors answered from
+    // ONE scan of the code table — all four LUTs ride as a single
+    // plan constant, every row's four distances come from one kernel
+    // pass, and per-query top-k is a windowed rank (the
+    // IvfIndex.searchPersistedBatch shape). Fully oracled like
+    // q121/q126: deterministic codebooks, ADC arithmetic unrolled in
+    // SQL in the same accumulation order.
+    "q128_pq_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pqb")
+      val (table, cbs) = SimilarityOps.pqPersist(e, s, s"$dir/codes")
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+      SimilarityOps.pqSearchPersistedBatch(table, cbs, qs, k = 5)
+    }),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -235,6 +254,17 @@ object SparkEntry {
     "q120_semantic_dedup" -> ((s, d) =>
       SimilarityOps.semanticDedup(
         Tables.load(s, d, "embeddings"), k = 8, threshold = 0.35)),
+    // The SCALED variant: k is DERIVED from corpus size (k =
+    // max(8, ceil(N/16))), so expected cluster size stays ~16 rows
+    // and total pairwise work is ~N*16 — the linear regime a 100 TB
+    // run needs (q120's fixed k=8 exercises the small-k shape; this
+    // exercises the bound). At sf0.1 that is 125 clusters (~4 per
+    // core at local[32]); the oracle recomputes k from count(*) in
+    // SQL, so the derivation itself is hash-graded.
+    "q127_semantic_dedup_scaled" -> ((s, d) =>
+      SimilarityOps.semanticDedup(
+        Tables.load(s, d, "embeddings"), threshold = 0.35,
+        targetClusterRows = 16L)),
     // no oracle possible: LSH buckets come from seeded random-projection
     // hyperplanes — the candidate set is defined by our seed, not by the
     // data alone. Validated in DedupSimilaritySpec: recall bound vs the
@@ -684,11 +714,20 @@ object SparkEntry {
         li.schema, bucketBy = Some(("l_orderkey", 16)))
       to.append(orders)
       tl.append(li)
+      // Revenue is summed as DECIMAL(18,4): the per-row double product
+      // is IEEE-deterministic across engines, the decimal cast rounds
+      // it deterministically, and decimal addition is exact and
+      // order-independent — so the exchange-free single-stage sum over
+      // bucketed files produces the same bits as DuckDB's oracle no
+      // matter what order either engine visits the rows in. (Plain
+      // double summation differed by ~1e-15 relative and tripped the
+      // driver's exact hash; same banding pattern as q24.)
       tl.read().join(to.read(), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)"))
+            .cast("double").as("revenue"))
     }),
     // bucket-key aggregation served by the storage partitioning: the
     // per-order rollup (TPC-H Q18's inner block) over a lineitem lake
@@ -857,6 +896,16 @@ object SparkEntry {
     val distCols = (0 until 8)
       .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
     val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    // The final ADC distance must accumulate in the same order as
+    // PqAdc (ascending j, left-associative +). A bare sum() over a
+    // GROUP BY leaves the order to the engine, which is the same
+    // summation-order ULP class that tripped q105's exact hash — so
+    // pivot the 8 per-subspace terms into columns and add them in an
+    // explicit ((s0+s1)+s2)+... chain instead.
+    val pivotCols = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
+      .mkString(", ")
+    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
        pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
@@ -868,12 +917,57 @@ object SparkEntry {
                                  ORDER BY dist, code) AS rn
               FROM longp),
        lut AS (SELECT j, code, dist FROM longp WHERE vec_id = 0),
-       adc AS (SELECT b.vec_id, sum(l.dist) AS adc_dist
+       adcw AS (SELECT b.vec_id, b.j, l.dist
               FROM best b JOIN lut l ON b.j = l.j AND b.code = l.code
-              WHERE b.rn = 1 AND b.vec_id <> 0
-              GROUP BY b.vec_id)
+              WHERE b.rn = 1 AND b.vec_id <> 0),
+       adcp AS (SELECT vec_id, $pivotCols FROM adcw GROUP BY vec_id),
+       adc AS (SELECT vec_id, $chainSum AS adc_dist FROM adcp)
        SELECT vec_id, adc_dist FROM adc
        ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
+  /** q128's oracle: the batched form of [[pqTopKOracle]] — four query
+    * LUTs (vec_id < 4), every corpus vector's codes scored against
+    * each, self-pairs excluded, per-query top-5 by (dist, id). The
+    * same left-associative ascending-j pivot chain keeps the doubles
+    * bit-identical to PqAdcBatch. */
+  private val pqBatchOracle: String = {
+    def subDist(a: String, b: String, j: Int): String =
+      (1 to 8).map { i =>
+        val o = j * 8 + i
+        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until 8)
+      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
+    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    val pivotCols = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
+      .mkString(", ")
+    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+       pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
+       longp AS (SELECT vec_id, code, jj.j AS j,
+              CASE jj.j $caseArms END AS dist
+              FROM pairs, (SELECT unnest(range(8)) AS j) jj),
+       best AS (SELECT vec_id, j, code, dist,
+              row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, code) AS rn
+              FROM longp),
+       codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+       luts AS (SELECT vec_id AS query_id, j, code, dist
+              FROM longp WHERE vec_id < 4),
+       adcw AS (SELECT l.query_id, c.vec_id, c.j, l.dist
+              FROM codes c JOIN luts l ON c.j = l.j AND c.code = l.code
+              WHERE c.vec_id <> l.query_id),
+       adcp AS (SELECT query_id, vec_id, $pivotCols
+              FROM adcw GROUP BY query_id, vec_id),
+       adc AS (SELECT query_id, vec_id, $chainSum AS adc_dist FROM adcp),
+       ranked AS (SELECT query_id, vec_id, adc_dist,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS rn
+              FROM adc)
+       SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= 5"""
   }
 
   /** Per-document 64-bit SimHash sketch recomputed from scratch in
@@ -1825,6 +1919,7 @@ object SparkEntry {
     "q121_pq_topk" -> pqTopKOracle,
     // identical answer by construction: same codebooks, same ADC
     "q126_pq_persisted" -> pqTopKOracle,
+    "q128_pq_batch" -> pqBatchOracle,
     "q125_bm25_retrieval" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
              FROM (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1891,6 +1986,32 @@ object SparkEntry {
     "q120_semantic_dedup" ->
       """WITH seeds AS (SELECT vec_id AS seed_id, embedding::DOUBLE[] AS sv
              FROM embeddings WHERE vec_id < 8),
+         assign AS (SELECT e.vec_id, s.seed_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS cos
+             FROM embeddings e, seeds s),
+         best AS (SELECT vec_id, seed_id AS cluster
+             FROM (SELECT vec_id, seed_id, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+                   FROM assign) WHERE rn = 1),
+         dropped AS (SELECT DISTINCT bb.vec_id
+             FROM best aa JOIN best bb
+               ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+             JOIN embeddings ea ON ea.vec_id = aa.vec_id
+             JOIN embeddings eb ON eb.vec_id = bb.vec_id
+             WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                     eb.embedding::DOUBLE[]) >= 0.35)
+         SELECT b.vec_id, b.cluster FROM best b
+         LEFT JOIN dropped d ON b.vec_id = d.vec_id
+         WHERE d.vec_id IS NULL""",
+    // q120's pipeline with k derived from count(*) exactly as
+    // semanticDedup derives it (max(8, ceil(N/16))) — the hash check
+    // grades the k-derivation rule along with clustering and dedup.
+    "q127_semantic_dedup_scaled" ->
+      """WITH kk AS (SELECT greatest(8,
+               CAST(ceil(count(*) / 16.0) AS BIGINT)) AS k
+             FROM embeddings),
+         seeds AS (SELECT vec_id AS seed_id, embedding::DOUBLE[] AS sv
+             FROM embeddings, kk WHERE vec_id < kk.k),
          assign AS (SELECT e.vec_id, s.seed_id,
              list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS cos
              FROM embeddings e, seeds s),
@@ -2016,7 +2137,8 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "q105_bucketed_colocated_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "q107_min_cost_supplier" ->

@@ -110,9 +110,51 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
   override def prettyName: String = "pq_adc"
 }
 
+/** Batched ADC: distances of one code array against EVERY query LUT
+  * of a serving batch — array<double> of length Q, `out(q) = sum over
+  * j of luts(q)(j)(code(j))`, ascending-j like [[PqAdc]]. The whole
+  * LUT stack is a plan constant (Q*m*k doubles — a 1000-query batch
+  * over 8x16 codes is ~1 MB), so a query BATCH still costs ONE scan
+  * of the compressed code table: Q*m lookups per row in a single
+  * pass, instead of Q separate scans. */
+case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"pq_adc_batch expects array<int>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val lut = luts(q)
+      var s = 0.0
+      var j = 0
+      while (j < lut.length) { s += lut(j)(a.getInt(j)); j += 1 }
+      out(q) = s
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "pq_adc_batch"
+}
+
 object PqFunctions {
   def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(emb), codebooks))
   def pq_adc(codes: Column, lut: Array[Array[Double]]): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), lut))
+  def pq_adc_batch(codes: Column,
+                   luts: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcBatch(ColumnBridge.expression(codes), luts))
 }

@@ -40,6 +40,27 @@ import java.util.UUID
   * writeData that changes no commit semantics. */
 trait CommitStore {
   def putIfAbsent(path: Path, content: String): Boolean
+
+  /** Best-effort last-writer-wins overwrite, used ONLY for advisory
+    * state (the `_latest` version hint that makes `currentVersion` a
+    * single read instead of a directory listing). NOT part of the
+    * atomicity contract: the hint may lag, regress under races, or
+    * fail to write entirely — readers MUST verify it against the real
+    * snapshot objects and fall back when it lies. Object-store form:
+    * a plain unconditional PUT. Default implementation: POSIX
+    * write-temp + atomic rename, swallowing every failure (a missing
+    * or stale hint only costs the reader its fallback path). */
+  def putHint(path: Path, content: String): Unit = {
+    val tmp = path.getParent.resolve(s".hint-${UUID.randomUUID()}.tmp")
+    try {
+      Files.writeString(tmp, content)
+      Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
+    finally { try Files.deleteIfExists(tmp)
+              catch { case _: Exception => () } }
+  }
 }
 
 /** POSIX implementation: serialize to a temp sibling, then hard-link

@@ -65,11 +65,30 @@ class LakeTable private (
     (v, mapper.readTree(Files.readString(versionPath(metaDir, v))))
   }
 
-  def currentVersion: Int =
-    listDir(metaDir)
-      .map(_.getFileName.toString)
-      .collect { case VersionRe(n) => n.toInt }
-      .foldLeft(-1)(math.max)
+  /** Latest committed version: one read of the `_latest` hint + a
+    * forward probe (versions are dense, so the first missing v+1 is
+    * the frontier). The hint is ADVISORY — written best-effort after
+    * each won commit, it may lag or regress under races; the probe
+    * absorbs lag and a hint naming a missing snapshot (cleared,
+    * expired, legacy table) falls back to the full listing. At
+    * O(100k) commits the listing is the scale hazard (every read
+    * paying an O(versions) LIST); hint + probe is O(1 + lag). */
+  def currentVersion: Int = {
+    val hinted =
+      try {
+        val h = Files.readString(metaDir.resolve(LatestHint)).trim.toInt
+        if (h >= 0 && Files.exists(versionPath(metaDir, h))) h else -1
+      } catch { case _: Exception => -1 }
+    if (hinted >= 0) {
+      var v = hinted
+      while (Files.exists(versionPath(metaDir, v + 1))) v += 1
+      v
+    } else
+      listDir(metaDir)
+        .map(_.getFileName.toString)
+        .collect { case VersionRe(n) => n.toInt }
+        .foldLeft(-1)(math.max)
+  }
 
   def schema: StructType =
     DataTypeBridge.fromJson(latest()._2.get("schemaJson").asText())
@@ -82,32 +101,85 @@ class LakeTable private (
     latest()._2.get("fieldIds").properties().asScala
       .map(e => e.getKey -> e.getValue.asInt()).toMap
 
+  /** The live-file set of a snapshot. New-format snapshots carry a
+    * MANIFEST LIST (Iceberg's split): the snapshot names immutable
+    * manifest files, each holding a group of file entries — an append
+    * references every unchanged group and writes only its own batch,
+    * so per-commit metadata is O(batch), not O(live files). Legacy
+    * snapshots with an inline `files` array still parse. */
   private def filesOf(node: JsonNode): Seq[FileEntry] =
-    node.get("files").elements().asScala.map { f =>
-      val cols = Option(f.get("cols"))
-        .map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.asInt()).toSeq)
-        .getOrElse(Nil)
-      def statOf(n: JsonNode): Any =
-        if (n.isIntegralNumber) n.asLong()
-        else if (n.isFloatingPointNumber) n.asDouble()
-        else if (n.isBoolean) n.asBoolean()
-        else n.asText()
-      val stats = Option(f.get("stats"))
-        .map(_.properties().asScala.map { e =>
-          e.getKey -> ColStat(statOf(e.getValue.get("lo")),
-            statOf(e.getValue.get("hi")))
-        }.toMap)
-        .getOrElse(Map.empty[String, ColStat])
-      val nulls = Option(f.get("nulls"))
-        .map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong()).toMap)
-        .getOrElse(Map.empty[String, Long])
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats,
-        nulls,
-        sizeBytes = Option(f.get("size")).map(_.asLong()).getOrElse(0L),
-        modTimeMs = Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
-    }.toSeq
+    manifestRefsOf(node) match {
+      case Some(refs) => refs.flatMap(readManifest)
+      case None => parseFileArray(node.get("files"))
+    }
+
+  /** Manifest references of a new-format snapshot; None for legacy
+    * inline-files snapshots. */
+  private def manifestRefsOf(node: JsonNode): Option[Seq[ManifestRef]] =
+    Option(node.get("manifests")).map(_.elements().asScala.map(m =>
+      ManifestRef(m.get("path").asText(), m.get("entries").asInt())).toSeq)
+
+  /** Read one manifest's file entries through the process-wide cache:
+    * manifests are immutable and UUID-named, so a parsed value can
+    * never go stale — repeated snapshot reads (every query plans from
+    * the manifest set) parse each manifest once per process. */
+  private def readManifest(ref: ManifestRef): Seq[FileEntry] = {
+    val p = metaDir.resolve(ref.path).toAbsolutePath.normalize()
+    val key = p.toString
+    val cached = manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val fs = parseFileArray(
+        mapper.readTree(Files.readString(p)).get("files"))
+      if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
+      manifestCache.put(key, fs)
+      fs
+    }
+  }
+
+  /** Write an immutable manifest file holding `files` and return its
+    * reference. UUID-named, so putIfAbsent can never lose a slot —
+    * manifests written by commit attempts that later lose their
+    * optimistic race become unreferenced orphans the vacuum reclaims,
+    * exactly like data files of a crashed writer. */
+  private def writeManifest(files: Seq[FileEntry]): ManifestRef = {
+    val name = s"m-${java.util.UUID.randomUUID()}.json"
+    val n = mapper.createObjectNode()
+    putFileArray(n, files)
+    val p = metaDir.resolve(name)
+    require(commitStore.putIfAbsent(p,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)),
+      s"uuid manifest name collision at $p")
+    manifestCache.put(p.toAbsolutePath.normalize().toString, files)
+    ManifestRef(name, files.size)
+  }
+
+  /** Manifest-list compaction, the metadata twin of the data-file
+    * size ladder: when >= ManifestMergeFanout manifests share a
+    * power-of-two entry-count class, merge them into one (which lands
+    * in a higher class). Every file entry is rewritten at most once
+    * per class on its way up, so amortized metadata rewrite per
+    * committed entry is O(log(liveFiles)/log(fanout)) and the
+    * manifest count stays O(fanout * log(liveFiles)) — commits never
+    * degenerate to rewriting the whole live-file list. */
+  private def mergeManifests(refs0: Seq[ManifestRef]): Seq[ManifestRef] = {
+    def sizeClass(r: ManifestRef): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, r.entries))
+    var refs = refs0
+    var changed = true
+    while (changed) {
+      changed = false
+      refs.groupBy(sizeClass).toSeq.sortBy(_._1)
+        .find(_._2.size >= ManifestMergeFanout) match {
+        case Some((_, group)) =>
+          val merged = writeManifest(group.flatMap(readManifest))
+          refs = refs.filterNot(group.contains) :+ merged
+          changed = true
+        case None => ()
+      }
+    }
+    refs
+  }
 
   private def fieldIdsOf(node: JsonNode): Map[String, Int] =
     node.get("fieldIds").properties().asScala
@@ -1425,11 +1497,29 @@ class LakeTable private (
       val stamped = pending.map(_.files.map(f =>
         f.copy(cols = pending.get.schema.fieldNames.toSeq
           .map(n => n -> newIds(n))))).getOrElse(Nil)
-      val baseFiles = filesOf(cur).filterNot(f => replacedFiles.contains(f.path))
+      // Manifest-list commit: unchanged manifests are REFERENCED, not
+      // rewritten — the snapshot write is O(this batch). Only
+      // manifests actually holding a replaced file are rewritten
+      // (minus those files); their survivors ride with the new batch.
+      // A legacy inline-files base migrates wholesale into a manifest
+      // on its first commit under this format.
+      val (keptRefs, rewriteFiles) = manifestRefsOf(cur) match {
+        case Some(refs) if replacedFiles.isEmpty => (refs, Nil)
+        case Some(refs) =>
+          val (touched, untouched) = refs.partition(r =>
+            readManifest(r).exists(f => replacedFiles.contains(f.path)))
+          (untouched, touched.flatMap(readManifest)
+            .filterNot(f => replacedFiles.contains(f.path)))
+        case None =>
+          (Nil, filesOf(cur).filterNot(f => replacedFiles.contains(f.path)))
+      }
+      val newEntries = rewriteFiles ++ stamped
+      val refs = mergeManifests(keptRefs ++
+        (if (newEntries.nonEmpty) Seq(writeManifest(newEntries)) else Nil))
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = cur.get("properties"),
-        files = baseFiles ++ stamped, meta = meta,
+        manifests = refs, meta = meta,
         partitionBy = partitionBy,
         highWater = newHw,
         lastFieldId = curLast)
@@ -1514,12 +1604,19 @@ class LakeTable private (
           .nextLong(1L << math.min(6, stalls)))
       } else stalls = 0
       lastSeen = v
+      // rollback re-REFERENCES the target's manifests — O(1) metadata
+      // no matter how many files the restored snapshot holds (legacy
+      // inline targets migrate into one manifest)
+      val targetRefs = manifestRefsOf(target).getOrElse {
+        val fs = filesOf(target)
+        if (fs.isEmpty) Nil else Seq(writeManifest(fs))
+      }
       val node = snapshotJson(
         version = v + 1, parent = v,
         schema = DataTypeBridge.fromJson(target.get("schemaJson").asText()),
         ids = fieldIdsOf(target),
         props = cur.get("properties"),
-        files = filesOf(target),
+        manifests = targetRefs,
         meta = Map("rollback.to" -> version.toString),
         partitionBy = partitionBy,
         highWater = highWaterOf(cur),
@@ -1605,6 +1702,23 @@ class LakeTable private (
         catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }
+    // manifests referenced by no retained snapshot: crashed/lost
+    // commit attempts and the pre-merge inputs of ladder merges. Same
+    // age guard as data files (an in-flight commit writes its
+    // manifest before winning its snapshot slot).
+    val refedManifests: Set[Path] = versions.flatMap { v =>
+      val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+      manifestRefsOf(n).getOrElse(Nil)
+        .map(r => metaDir.resolve(r.path).toAbsolutePath.normalize())
+    }.toSet
+    listDir(metaDir)
+      .filter { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith("m-") && nm.endsWith(".json")
+      }
+      .filterNot(p => refedManifests.contains(p.toAbsolutePath.normalize()))
+      .filter(oldEnough)
+      .foreach(p => Files.deleteIfExists(p))
     // stale staging dirs from crashed partitioned writes
     listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
@@ -1734,6 +1848,94 @@ object LakeTable {
   private[lake] case class PendingWrite(files: Seq[FileEntry],
                                         schema: StructType)
 
+  /** One snapshot-level reference to an immutable manifest file
+    * (relative to the table's metadata dir). `entries` rides in the
+    * reference so the merge ladder sizes classes without opening the
+    * manifest. */
+  private[lake] case class ManifestRef(path: String, entries: Int)
+
+  /** Process-wide immutable-manifest parse cache (manifests are
+    * UUID-named and never rewritten, so entries cannot go stale;
+    * crude clear-on-overflow keeps it bounded). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  private val ManifestCacheMax = 4096
+
+  /** Manifests per size class before the ladder merges them. */
+  private[lake] val ManifestMergeFanout = 4
+
+  /** Advisory latest-version pointer in the metadata dir, published
+    * via [[CommitStore.putHint]] after every won commit. */
+  private[lake] val LatestHint = "_latest"
+
+  private[lake] def parseFileArray(arr: JsonNode): Seq[FileEntry] = {
+    if (arr == null) return Seq.empty
+    arr.elements().asScala.map { f =>
+      val cols = Option(f.get("cols"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asInt()).toSeq)
+        .getOrElse(Nil)
+      def statOf(n: JsonNode): Any =
+        if (n.isIntegralNumber) n.asLong()
+        else if (n.isFloatingPointNumber) n.asDouble()
+        else if (n.isBoolean) n.asBoolean()
+        else n.asText()
+      val stats = Option(f.get("stats"))
+        .map(_.properties().asScala.map { e =>
+          e.getKey -> ColStat(statOf(e.getValue.get("lo")),
+            statOf(e.getValue.get("hi")))
+        }.toMap)
+        .getOrElse(Map.empty[String, ColStat])
+      val nulls = Option(f.get("nulls"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long])
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats,
+        nulls,
+        sizeBytes = Option(f.get("size")).map(_.asLong()).getOrElse(0L),
+        modTimeMs = Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
+    }.toSeq
+  }
+
+  /** Serialize file entries as a `files` array on `n` — the one
+    * format both manifest files and legacy inline snapshots use. */
+  private[lake] def putFileArray(
+      n: com.fasterxml.jackson.databind.node.ObjectNode,
+      files: Seq[FileEntry]): Unit = {
+    val fileArr = n.putArray("files")
+    files.foreach { f =>
+      val fn = fileArr.addObject()
+      fn.put("path", f.path); fn.put("rows", f.rows)
+      if (f.sizeBytes > 0) fn.put("size", f.sizeBytes)
+      if (f.modTimeMs > 0) fn.put("mtime", f.modTimeMs)
+      if (f.cols.nonEmpty) {
+        val cn = fn.putObject("cols")
+        f.cols.foreach { case (name, id) => cn.put(name, id) }
+      }
+      if (f.stats.nonEmpty) {
+        val sn = fn.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (name, st) =>
+          val c = sn.putObject(name)
+          def putV(key: String, v: Any): Unit = v match {
+            case x: Long    => c.put(key, x)
+            case x: Double  => c.put(key, x)
+            case x: Boolean => c.put(key, x)
+            case x: String  => c.put(key, x)
+            case other => throw new IllegalStateException(
+              s"unserializable stat $other")
+          }
+          putV("lo", st.lo); putV("hi", st.hi)
+        }
+      }
+      if (f.nullCounts.nonEmpty) {
+        val nn = fn.putObject("nulls")
+        f.nullCounts.toSeq.sortBy(_._1).foreach { case (name, c) =>
+          nn.put(name, c)
+        }
+      }
+    }
+  }
+
   /** Directory listing that closes the underlying stream (Files.list
     * leaks a directory FD until GC otherwise — fatal for a long-running
     * driver committing frequently). Empty for non-directories. */
@@ -1827,8 +2029,8 @@ object LakeTable {
       bucketBy.map(b => Map("bucket.column" -> b._1,
         "bucket.count" -> b._2.toString)).getOrElse(Map.empty))
       .foreach { case (k, v) => propsNode.put(k, v) }
-    val node = snapshotJson(0, -1, fullSchema, ids, propsNode, Nil, Map.empty,
-      fullParts)
+    val node = snapshotJson(0, -1, fullSchema, ids, propsNode,
+      manifests = Nil, Map.empty, fullParts)
     require(tryCommit(store, metaDir, 0, node),
       s"table already exists at $root")
     new LakeTable(spark, root, store)
@@ -1844,10 +2046,14 @@ object LakeTable {
                    schema: StructType): LakeTable =
     if (exists(root)) load(spark, root) else create(spark, root, schema)
 
+  /** Snapshot JSON in the manifest-list shape: the snapshot itself
+    * holds schema/ids/props/offsets plus REFERENCES to immutable
+    * manifest files — never the file entries. Commit metadata cost is
+    * therefore O(new manifests), not O(live files). */
   private[lake] def snapshotJson(
       version: Int, parent: Int, schema: StructType,
       ids: Map[String, Int], props: JsonNode,
-      files: Seq[FileEntry], meta: Map[String, String],
+      manifests: Seq[ManifestRef], meta: Map[String, String],
       partitionBy: Seq[String] = Seq.empty,
       highWater: Map[String, Long] = Map.empty,
       lastFieldId: Int = 0): JsonNode = {
@@ -1867,36 +2073,10 @@ object LakeTable {
     n.put("lastFieldId",
       math.max(lastFieldId, ids.values.foldLeft(0)(math.max)))
     n.set[JsonNode]("properties", props)
-    val fileArr = n.putArray("files")
-    files.foreach { f =>
-      val fn = fileArr.addObject(); fn.put("path", f.path); fn.put("rows", f.rows)
-      if (f.sizeBytes > 0) fn.put("size", f.sizeBytes)
-      if (f.modTimeMs > 0) fn.put("mtime", f.modTimeMs)
-      if (f.cols.nonEmpty) {
-        val cn = fn.putObject("cols")
-        f.cols.foreach { case (name, id) => cn.put(name, id) }
-      }
-      if (f.stats.nonEmpty) {
-        val sn = fn.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (name, st) =>
-          val c = sn.putObject(name)
-          def putV(key: String, v: Any): Unit = v match {
-            case x: Long    => c.put(key, x)
-            case x: Double  => c.put(key, x)
-            case x: Boolean => c.put(key, x)
-            case x: String  => c.put(key, x)
-            case other => throw new IllegalStateException(
-              s"unserializable stat $other")
-          }
-          putV("lo", st.lo); putV("hi", st.hi)
-        }
-      }
-      if (f.nullCounts.nonEmpty) {
-        val nn = fn.putObject("nulls")
-        f.nullCounts.toSeq.sortBy(_._1).foreach { case (name, n) =>
-          nn.put(name, n)
-        }
-      }
+    val mArr = n.putArray("manifests")
+    manifests.foreach { m =>
+      val mn = mArr.addObject()
+      mn.put("path", m.path); mn.put("entries", m.entries)
     }
     val metaNode = n.putObject("appMeta")
     meta.foreach { case (k, v) => metaNode.put(k, v) }
@@ -2009,9 +2189,17 @@ object LakeTable {
     * + hard link; object stores: one conditional-put header). Returns
     * false when the version was taken by a racer. */
   private[lake] def tryCommit(store: CommitStore, metaDir: Path,
-                              version: Int, node: JsonNode): Boolean =
-    store.putIfAbsent(versionPath(metaDir, version),
+                              version: Int, node: JsonNode): Boolean = {
+    val won = store.putIfAbsent(versionPath(metaDir, version),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    // winners advertise themselves so currentVersion is one read +
+    // one probe instead of a listing; strictly best-effort (a lost or
+    // regressed hint only re-opens the probe/listing fallback)
+    if (won)
+      try store.putHint(metaDir.resolve(LatestHint), version.toString)
+      catch { case _: Exception => () }
+    won
+  }
 }
 
 /** StructType <-> JSON via Spark's own stable wire format. */

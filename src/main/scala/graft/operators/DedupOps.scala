@@ -588,6 +588,13 @@ object DedupOps {
       .select(col(idCol).as("doc_id"), expr(
         s"transform(array_remove(array_distinct(split(lower($textCol), " +
           s"' ')), ''), t -> $md5Token64)").as("toks"))
+      // A document with no non-empty tokens has no sketch: drop it here
+      // so the Spark side agrees with the DuckDB oracle CTE, where such
+      // docs vanish at the unnest (no token rows -> no simhash row).
+      // Without this filter the aggregator would emit -1 (all 64
+      // counters are 0 and each bit is set iff counter >= 0) and the
+      // two engines would diverge on whitespace-only fixtures.
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
 

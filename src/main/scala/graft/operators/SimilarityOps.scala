@@ -152,6 +152,11 @@ object SimilarityOps {
     require(srcRows.length == codes,
       s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
     val dim = srcRows.head.getSeq[Float](1).length
+    // Same guard as pqTopK: an indivisible dimension would silently
+    // slice the trailing dims out of every codebook and every code,
+    // persisting a degraded index with no error.
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
     val subDim = dim / subspaces
     val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
@@ -192,6 +197,62 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batched serving from a persisted code table — the production
+    * retrieval shape: a serving tier scores a query BATCH, not one
+    * vector per plan. All Q LUTs are built driver-side (Q*m*k doubles
+    * — metadata-scale) and ride as ONE plan constant into a single
+    * scan of the compressed code table ([[graft.functions.PqAdcBatch]]
+    * computes all Q distances per row in one pass); per-query top-k
+    * is a windowed rank over (query, dist) — the exact shape
+    * IvfIndex.searchPersistedBatch uses, so the shuffle is the
+    * candidate set (N*Q scored pairs), never a per-query re-scan.
+    * `excludeSelf` drops each query's own corpus row (the batch twin
+    * of pqSearchPersisted's excludeId). Returns (queryIdCol, idCol,
+    * adc_dist), ties to the lower id. */
+  def pqSearchPersistedBatch(table: graft.lake.LakeTable,
+                             codebooks: Array[Array[Array[Double]]],
+                             queries: Seq[(Long, Array[Double])], k: Int,
+                             idCol: String = "vec_id",
+                             queryIdCol: String = "query_id",
+                             excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val subspaces = codebooks.length
+    val subDim = codebooks(0)(0).length
+    queries.foreach { case (qid, q) =>
+      require(q.length == subspaces * subDim,
+        s"query $qid has dim ${q.length}, index expects " +
+          s"${subspaces * subDim}")
+    }
+    val luts = queries.map { case (_, q) =>
+      Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
+        var s = 0.0; var i = 0
+        while (i < subDim) {
+          val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d
+          i += 1
+        }
+        s
+      }
+    }.toArray
+    val qids = queries.map(_._1)
+    val scored = table.read()
+      .select(col(idCol),
+        posexplode(graft.functions.PqFunctions
+          .pq_adc_batch(col("codes"), luts)))
+      .withColumnRenamed("pos", "_qidx")
+      .withColumnRenamed("col", "adc_dist")
+      .withColumn(queryIdCol,
+        element_at(typedlit(qids), col("_qidx") + 1))
+    val filtered =
+      if (excludeSelf) scored.filter(col(idCol) =!= col(queryIdCol))
+      else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    filtered.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc_dist"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).
@@ -207,17 +268,31 @@ object SimilarityOps {
     * 100 TB shape: the assignment is a broadcast nested-loop over the
     * k seed rows — one map-side pass, the corpus never shuffles for
     * it; the dedup self-join shuffles by cluster id, and total
-    * pairwise work is sum(|c|^2) — bounded by scaling k with N
+    * pairwise work is sum(|c|^2) — bounded ONLY if k scales with N
     * (clusters stay ~constant-sized), the paper's own scaling
-    * argument. The drop rule is "exists an EARLIER cluster-mate
-    * within threshold", a single anti-join — no iterative
-    * representative selection, so the operator stays two shuffles
-    * end to end. */
-  def semanticDedup(vectors: DataFrame, k: Int = 8,
+    * argument. So k now scales ITSELF by default: pass k <= 0 (the
+    * default) and it is derived as max(8, ceil(N /
+    * targetClusterRows)) from one count job, keeping expected
+    * cluster size ~targetClusterRows and total pairwise work
+    * ~N * targetClusterRows — linear in the corpus, never quadratic.
+    * An explicit k > 0 overrides the derivation. The drop rule is
+    * "exists an EARLIER cluster-mate within threshold", a single
+    * anti-join — no iterative representative selection, so the
+    * operator stays two shuffles end to end. */
+  def semanticDedup(vectors: DataFrame, k: Int = 0,
                     threshold: Double = 0.35,
                     idCol: String = "vec_id",
-                    embCol: String = "embedding"): DataFrame = {
-    val seeds = vectors.filter(col(idCol) < k)
+                    embCol: String = "embedding",
+                    targetClusterRows: Long = 1024L): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else {
+        require(targetClusterRows > 0,
+          s"targetClusterRows must be positive, got $targetClusterRows")
+        val n = vectors.count()
+        math.max(8L, (n + targetClusterRows - 1) / targetClusterRows).toInt
+      }
+    val seeds = vectors.filter(col(idCol) < kEff)
       .select(col(idCol).as("_seed"), col(embCol).as("_sv"))
     val best = vectors.select(col(idCol), col(embCol))
       .crossJoin(broadcast(seeds)) // k rows: scalar-side broadcast NL

@@ -48,17 +48,29 @@ object DirectWrite {
   /** Writer clones per parent session, reused across writes: cloning
     * copies the whole session state (conf, catalog, registry), a
     * driver-side cost that an MV loop would otherwise pay three times
-    * per micro-batch. Weak keys let a discarded parent session free
-    * its clones. The inner map is keyed by the parent's
+    * per micro-batch. The inner map is keyed by the parent's
     * shuffle-partitions value at write time — the one conf our own
     * code toggles at runtime (StreamingQueries.withShufflePartitions)
     * — so concurrent writers at different parallelism each get a
     * matching clone instead of racing a shared conf; the handful of
     * distinct values bounds the map. Per-write state rides in the
-    * write token, never in a session. */
+    * write token, never in a session.
+    *
+    * Reference shape matters here: a clone retains its parent's
+    * session state, so holding clones STRONGLY as map values would
+    * keep every weak KEY reachable through its own value and the
+    * entries would never collect. Clones are therefore held via
+    * SoftReference: between writes a clone is reachable only softly,
+    * so under memory pressure the GC clears it, the parent loses its
+    * last value-side strong path, the weak key follows, and a
+    * discarded parent session genuinely frees its clones. A cleared
+    * clone just gets rebuilt on the next write (cloneSession is
+    * driver-side milliseconds) — cache semantics, not correctness. */
   private val writerSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
-      ConcurrentHashMap[String, org.apache.spark.sql.classic.SparkSession]]()
+      ConcurrentHashMap[String,
+        java.lang.ref.SoftReference[
+          org.apache.spark.sql.classic.SparkSession]]]()
 
   private def writerSessionFor(
       classic: org.apache.spark.sql.classic.SparkSession)
@@ -67,19 +79,31 @@ object DirectWrite {
       var m = writerSessions.get(classic)
       if (m == null) {
         m = new ConcurrentHashMap[String,
-          org.apache.spark.sql.classic.SparkSession]()
+          java.lang.ref.SoftReference[
+            org.apache.spark.sql.classic.SparkSession]]()
         writerSessions.put(classic, m)
       }
       m
     }
     val sp = classic.conf.get("spark.sql.shuffle.partitions")
-    byConf.computeIfAbsent(sp, _ => {
-      val s = classic.cloneSession()
-      s.conf.set("spark.sql.sources.commitProtocolClass",
-        classOf[GraftDirectCommitProtocol].getName)
-      s.conf.set("spark.sql.shuffle.partitions", sp)
-      s
+    // compute (not computeIfAbsent): the existing entry may be a
+    // GC-cleared SoftReference that must be replaced. The strong
+    // `result` var (not ref.get() after the fact) closes the race
+    // where the GC clears a just-created reference before we return.
+    var result: org.apache.spark.sql.classic.SparkSession = null
+    byConf.compute(sp, (_, old) => {
+      val cur = if (old == null) null else old.get()
+      if (cur != null) { result = cur; old }
+      else {
+        val s = classic.cloneSession()
+        s.conf.set("spark.sql.sources.commitProtocolClass",
+          classOf[GraftDirectCommitProtocol].getName)
+        s.conf.set("spark.sql.shuffle.partitions", sp)
+        result = s
+        new java.lang.ref.SoftReference(s)
+      }
     })
+    result
   }
 
   private[graft] def tokenOf(destPath: String): String =

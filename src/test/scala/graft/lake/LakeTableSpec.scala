@@ -504,13 +504,31 @@ class LakeTableSpec extends SparkSuite {
     val t = freshTable("legacy-manifest", abSchema)
     t.append(Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
     t.append(Seq((3L, "z")).toDF("a", "b"))
-    // simulate a manifest written before size/mtime existed: strip
-    // the fields from the CURRENT snapshot json in place
+    // simulate a snapshot written before BOTH upgrades — the
+    // manifest-list split AND size/mtime stats: inline the manifest
+    // entries back into the snapshot as a legacy `files` array with
+    // the fields stripped (also exercises the legacy-inline parse
+    // path, which the split keeps for old tables)
+    import scala.jdk.CollectionConverters._
     val metaPath = java.nio.file.Paths.get(t.root, "metadata",
       f"v${t.currentVersion}%08d.json")
-    val stripped = java.nio.file.Files.readString(metaPath)
-      .replaceAll("\\s*\"(size|mtime)\" : \\d+,?", "")
-    java.nio.file.Files.writeString(metaPath, stripped)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val snap = om.readTree(java.nio.file.Files.readString(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val filesArr = om.createArrayNode()
+    snap.get("manifests").elements().asScala.foreach { m =>
+      val mp = java.nio.file.Paths.get(t.root, "metadata",
+        m.get("path").asText())
+      om.readTree(java.nio.file.Files.readString(mp)).get("files")
+        .elements().asScala.foreach { f =>
+          val fo = f.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          fo.remove("size"); fo.remove("mtime")
+          filesArr.add(fo)
+        }
+    }
+    snap.remove("manifests")
+    snap.set[com.fasterxml.jackson.databind.JsonNode]("files", filesArr)
+    java.nio.file.Files.writeString(metaPath, om.writeValueAsString(snap))
     val t2 = LakeTable.load(spark, t.root)
     assert(t2.dataFiles.forall(_.sizeBytes == 0L),
       "strip failed — fallback not exercised")

@@ -49,6 +49,77 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(afterDup.contains(3L))
   }
 
+  test("semantic dedup auto-k: k derived as ceil(N/target), matches " +
+    "explicit k, and max cluster size stays a bounded fraction") {
+    val n = emb.count()
+    val target = 16L
+    val kExpected = math.max(8L, (n + target - 1) / target).toInt
+    assert(kExpected > 8, "fixture must exercise the derived regime")
+
+    val auto = SimilarityOps.semanticDedup(emb, threshold = 0.35,
+      targetClusterRows = target)
+    val explicit = SimilarityOps.semanticDedup(emb, k = kExpected,
+      threshold = 0.35)
+    val autoRows = auto.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(autoRows.toSet ==
+      explicit.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet)
+
+    // the derivation's purpose: clusters small relative to the corpus,
+    // so within-cluster pairwise work stays ~N*target, not N^2. The
+    // ASSIGNMENT clusters (pre-dedup) are what bound the self-join;
+    // nearest-seed sizes vary, so pin a generous-but-real fraction.
+    val sizes = SimilarityOps.semanticDedup(emb, k = kExpected,
+        threshold = 2.0) // threshold above +1: nothing dropped
+      .groupBy("cluster").count().as[(Long, Long)].collect()
+    assert(sizes.map(_._2).sum == n)
+    assert(sizes.length >= kExpected / 2,
+      s"expected >=${kExpected / 2} populated clusters, got ${sizes.length}")
+    val maxFrac = sizes.map(_._2).max.toDouble / n
+    assert(maxFrac <= 0.25,
+      f"largest cluster holds $maxFrac%.2f of the corpus — the " +
+        "sum(|c|^2) bound is not being exercised")
+  }
+
+  test("pq batched serving: per-query results equal the single-query " +
+    "path, computed from ONE scan of the code table") {
+    val dir = tmpDir("pq-batch")
+    val (table, cbs) = SimilarityOps.pqPersist(emb, spark, s"$dir/codes")
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val batch = SimilarityOps.pqSearchPersistedBatch(table, cbs, qs, k = 5)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val singles = qs.flatMap { case (qid, q) =>
+      SimilarityOps.pqSearchPersisted(table, cbs, q, k = 5,
+        excludeId = Some(qid)).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy(t => (t._1, t._3, t._2))
+    assert(got == singles)
+    // the batch plan reads the code table exactly once — the whole
+    // point of the LUT-stack plan constant (flatten through AQE
+    // wrappers and materialized stages to find the scan)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(batch.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"expected ONE code-table scan in the batch plan, got ${scans.size}")
+  }
+
   test("pq top-k: codes and ADC distances equal brute force; " +
     "deterministic across runs") {
     val got = SimilarityOps.pqTopK(
