@@ -218,11 +218,26 @@ class LakeTable private (
     * committed. Expired versions count as data: compaction commits are
     * the minority and retention expires oldest-first, so the count
     * stays monotone across expiry. */
-  def dataCommitCount: Int =
-    (0 to currentVersion).count { v =>
-      try !appMetaAt(v, "compaction").contains("true")
-      catch { case _: java.nio.file.NoSuchFileException => true }
+  def dataCommitCount: Int = dccLock.synchronized {
+    // incremental: versions are immutable and dense, so each poll
+    // folds only the versions committed since the last one — a
+    // waiter polling every 10 ms costs O(new commits), not
+    // O(all versions) JSON reads per poll. Expiry only removes
+    // versions already folded (below the frontier), so the count
+    // stays monotone across retention exactly as before.
+    val cur = currentVersion
+    ((dccSeen + 1) to cur).foreach { v =>
+      val isData =
+        try !appMetaAt(v, "compaction").contains("true")
+        catch { case _: java.nio.file.NoSuchFileException => true }
+      if (isData) dccCount += 1
     }
+    dccSeen = cur
+    dccCount
+  }
+  private[this] val dccLock = new Object
+  private[this] var dccSeen = -1
+  private[this] var dccCount = 0
 
   /** Monotone offset map carried through every snapshot: per-writer
     * streaming batch ids (`writer.<id>`), pipe offsets
