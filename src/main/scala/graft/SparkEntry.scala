@@ -247,6 +247,23 @@ object SparkEntry {
           r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
       SimilarityOps.pqSearchPersistedBatch(table, cbs, qs, k = 5)
     }),
+    // DSIR-style data selection: raw documents ranked by hashed-
+    // unigram importance weights against a target slice (doc_id%7==0
+    // stands in for the curated target corpus); deterministic
+    // (md5-bucket features + exact top-k), so the oracle recomputes
+    // the full weight pipeline — distributions, smoothing, log-ratio,
+    // per-doc sum — in SQL.
+    "q129_dsir_selection" -> ((s, d) =>
+      CorpusOps.dsirSelect(Tables.load(s, d, "documents"),
+        isTarget = org.apache.spark.sql.functions.col("doc_id") % 7 === 0,
+        k = 100)),
+    // Exact repeated-substring spans (the ExactSubstr dedup recipe):
+    // 8-token windows occurring more than once anywhere in the corpus,
+    // merged per document into maximal spans. All-integer output —
+    // bit-deterministic; the oracle replays the identical window-hash,
+    // duplicate-filter, and interval-union arithmetic.
+    "q130_repeated_spans" -> ((s, d) =>
+      DedupOps.repeatedSpans(Tables.load(s, d, "documents"), n = 8)),
     // SemDeDup-style semantic dedup: deterministic nearest-seed
     // clustering + within-cluster earlier-mate cosine drop; the oracle
     // recomputes the full pipeline (assignment, pairs, anti-join) in
@@ -1920,6 +1937,65 @@ object SparkEntry {
     // identical answer by construction: same codebooks, same ADC
     "q126_pq_persisted" -> pqTopKOracle,
     "q128_pq_batch" -> pqBatchOracle,
+    // Mirrors CorpusOps.dsirSelect: md5-bucketed unigram features,
+    // add-one-smoothed target/raw distributions, per-doc sum of
+    // bucket log-ratios over RAW docs, exact top-100. The 1024.0
+    // literal forces double division exactly as the Spark side's
+    // double cast does.
+    "q129_dsir_selection" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS t,
+               ('0x' || substr(md5(u.w), 1, 8))::UBIGINT % 1024 AS bucket
+             FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         cnt AS (SELECT bucket,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+             FROM toks GROUP BY bucket),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+         lr AS (SELECT bucket,
+               CAST(ln((ct + 1) / (tt + 1024.0)) -
+                    ln((cr + 1) / (tr + 1024.0)) AS DECIMAL(18,9)) AS lr
+             FROM cnt, tot),
+         w AS (SELECT k.doc_id, CAST(sum(l.lr) AS DOUBLE) AS weight,
+               count(*) AS n_tokens
+             FROM toks k JOIN lr l ON k.bucket = l.bucket
+             WHERE NOT k.t GROUP BY k.doc_id)
+         SELECT doc_id, weight, n_tokens FROM w
+         ORDER BY weight DESC, doc_id LIMIT 100""",
+    // Mirrors DedupOps.repeatedSpans with n=8: same md5 window hash
+    // (unsigned here, two's-complement on the Spark side — different
+    // VALUES, identical equality classes, and the hash never reaches
+    // the output), same >= 2 duplicate rule, same cumulative-max
+    // interval union. Integer-only output.
+    "q130_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+         pos AS (SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+                 1, 16))::UBIGINT AS sh
+             FROM d, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+             WHERE len(ws) >= 8),
+         dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+         m AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sh)),
+         g AS (SELECT doc_id, pos,
+               CASE WHEN max(pos + 8) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                 OR pos > max(pos + 8) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS ns
+             FROM m),
+         sp AS (SELECT doc_id, pos, sum(ns) OVER
+                 (PARTITION BY doc_id ORDER BY pos) AS span_id
+             FROM g),
+         spans AS (SELECT doc_id, span_id, min(pos) AS s,
+               max(pos) + 8 AS e
+             FROM sp GROUP BY doc_id, span_id)
+         SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens
+         FROM spans GROUP BY doc_id""",
     "q125_bm25_retrieval" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
              FROM (SELECT doc_id, string_split(text, ' ') AS ws

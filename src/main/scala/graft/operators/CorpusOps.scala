@@ -430,4 +430,59 @@ object CorpusOps {
       }
     }.toDF("doc_id", "pos")
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how much its hashed-unigram distribution looks like
+    * a TARGET corpus, and keep the top-k. Weight(doc) = sum over its
+    * tokens of ln(p_target(bucket)/p_raw(bucket)), with
+    * add-one-smoothed bucket distributions over `buckets` hashed
+    * feature buckets — the paper's hashed n-gram importance weights,
+    * made deterministic (hash features + exact top-k instead of
+    * Gumbel sampling) so the whole selection is SQL-reproducible.
+    *
+    * 100 TB shape: the two bucket distributions are one token-explode
+    * + bucket-keyed count with map-side combine (output = `buckets`
+    * rows, metadata-scale); the per-bucket log-ratio table BROADCASTS
+    * to a second pass over raw tokens; per-doc weights are a doc-keyed
+    * sum; selection is TakeOrdered k. Two shuffles (bucket agg, doc
+    * agg) — never a corpus-wide window, never an all-pairs join. The
+    * bucket hash is the first 8 hex chars of md5 (portable bit
+    * pattern), so any engine recomputes identical weights. */
+  def dsirSelect(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 k: Int = 100, buckets: Int = 1024,
+                 textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("_t"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
+          % buckets)
+    val counts = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint() // evaluated once: feeds totals AND the ratio
+    val totRow = counts.agg(sum(col("ct")), sum(col("cr"))).head()
+    val (tt, tr) = (totRow.getLong(0), totRow.getLong(1))
+    // Per-bucket log-ratio QUANTIZED to nano precision: libm and the
+    // JVM disagree by 1 ulp on some ln() inputs, so the raw double is
+    // not engine-portable — rounding each of the `buckets` values to
+    // 9 decimals collapses the sub-ulp disagreement, and everything
+    // downstream (decimal sums) is exact and order-independent, so
+    // the selection is bit-reproducible in any engine (the q105/q24
+    // banding pattern, applied at the only non-portable step).
+    val lr = counts.select(col("bucket"),
+      (log((col("ct") + 1).cast("double") / (tt + buckets).toDouble) -
+        log((col("cr") + 1).cast("double") / (tr + buckets).toDouble))
+        .cast("decimal(18,9)").as("lr"))
+    toks.filter(!col("_t"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr")).cast("double").as("weight"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

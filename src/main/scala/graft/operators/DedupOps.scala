@@ -709,4 +709,67 @@ object DedupOps {
       .groupBy(col("d1"), col("d2"))
       .agg(min(col("hamming")).as("hamming"))
   }
+
+  /** Exact repeated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * recipe): every n-token window whose token sequence occurs more
+    * than once in the corpus — any document, any position, including
+    * within-document repeats — marks its span duplicated; per
+    * document, overlapping/adjacent duplicated windows merge into
+    * MAXIMAL spans (the paper removes these spans from training
+    * text). Returns (doc_id, n_spans, dup_tokens) for documents
+    * holding at least one duplicated span — all integers, so the
+    * result is bit-deterministic in any engine.
+    *
+    * The reference algorithm builds a corpus-wide suffix array; the
+    * distributed shape here reaches the same n-grained answer with
+    * lake-native primitives: window hashes (64-bit md5 halves —
+    * portable bit pattern, collision odds ~W^2/2^64 for W windows)
+    * are counted by a hash-keyed aggregation with map-side combine,
+    * repeated hashes semi-join back (hash-keyed, no skew: uniform
+    * md5 keys), and span merging is a per-DOCUMENT window (cumulative
+    * max of span ends), so no stage ever sees more than one
+    * document's positions in one partition chain. Three shuffles
+    * total, all key-uniform; never a corpus-wide sort. At 100 TB the
+    * window-hash explode is the cost (tokens x n bytes hashed); a
+    * rolling-hash variant cuts that to O(tokens) but gives up the
+    * cross-engine md5 oracle, so this operator keeps the portable
+    * form and documents the swap point. */
+  def repeatedSpans(docs: DataFrame, n: Int = 8,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh =
+      s"(shiftleft(cast(conv(substring(md5(array_join(slice(ws, i + 1, " +
+        s"$n), ' ')), 1, 8), 16, 10) as bigint), 32) | " +
+        s"cast(conv(substring(md5(array_join(slice(ws, i + 1, $n)," +
+        s" ' ')), 9, 8), 16, 10) as bigint))"
+    val positioned = docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> $sh)")))
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "sh")
+    val dup = positioned.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("sh"))
+    val marked = positioned.join(dup, "sh")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      // a window starts a NEW span iff it clears every earlier
+      // window's end (cumulative-max interval union; adjacent spans
+      // — pos == prevEnd — merge, their tokens are contiguous)
+      .withColumn("ns",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("ns")).over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"))
+  }
 }

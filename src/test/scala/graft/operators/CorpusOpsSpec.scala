@@ -289,4 +289,86 @@ class CorpusOpsSpec extends SparkSuite {
     case _ => ()
     }
   }
+
+  test("dsirSelect ranks target-like raw docs first, never emits " +
+    "target docs, and the lr table broadcasts") {
+    // target vocabulary: alpha/beta/gamma. Raw doc 10 speaks it;
+    // raw doc 11 is out-of-distribution; raw doc 12 mixes.
+    val docs = Seq(
+      (7L, "alpha beta gamma alpha beta"),   // target (7 % 7 == 0)
+      (14L, "beta gamma alpha beta gamma"),  // target
+      (10L, "alpha beta gamma beta"),
+      (11L, "xray yankee zulu quebec"),
+      (12L, "alpha xray beta zulu")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dsirSelect(docs,
+      isTarget = col("doc_id") % 7 === 0, k = 10)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSet == Set(10L, 11L, 12L),
+      "every raw doc scored, no target doc emitted")
+    val w = rows.toMap
+    assert(w(10L) > w(12L) && w(12L) > w(11L),
+      s"in-distribution must outrank mixed must outrank OOD: $w")
+    assert(got.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast")
+  }
+
+  test("dsirSelect weight equals the driver-recomputed importance " +
+    "weight (hashed buckets, add-one smoothing)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = CorpusOps.dsirSelect(docs,
+      isTarget = col("doc_id") % 7 === 0, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // brute force on the driver with the same arithmetic
+    val all = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val B = 1024
+    def bucketsOf(text: String): Seq[Int] =
+      text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq.map { tok =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        (java.lang.Long.parseLong(hex, 16) % B).toInt
+      }
+    val (tgt, raw) = all.partition(_._1 % 7 == 0)
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    tgt.foreach(d => bucketsOf(d._2).foreach(b => ct(b) += 1))
+    raw.foreach(d => bucketsOf(d._2).foreach(b => cr(b) += 1))
+    val (tt, tr) = (ct.sum, cr.sum)
+    val lr = Array.tabulate(B) { b =>
+      val v = math.log((ct(b) + 1).toDouble / (tt + B)) -
+        math.log((cr(b) + 1).toDouble / (tr + B))
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    got.foreach { case (id, weight) =>
+      val expect = raw.find(_._1 == id).map(d =>
+        bucketsOf(d._2).map(lr).sum.toDouble).get
+      assert(math.abs(weight - expect) < 1e-12,
+        s"doc $id: got $weight expected $expect")
+    }
+  }
+
+  test("repeatedSpans merges overlapping duplicate windows into " +
+    "maximal spans; clean docs are absent") {
+    val shared10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10" // 10 tokens
+    val docs = Seq(
+      (1L, s"$shared10 unique1a unique1b"),
+      (2L, s"prefix2a prefix2b $shared10"),
+      (3L, "clean3a clean3b clean3c clean3d clean3e clean3f " +
+        "clean3g clean3h clean3i"),
+      // within-doc repeat: the same 8 tokens twice
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 gap r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedSpans(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // docs 1/2: a 10-token shared run = three overlapping 8-windows
+    // (pos 0..2 resp. 2..4) merging into ONE 10-token span
+    assert(got(1L) == (1L, 10L), s"doc1: ${got.get(1L)}")
+    assert(got(2L) == (1L, 10L), s"doc2: ${got.get(2L)}")
+    // doc 4: both copies of the repeated 8-run are duplicated spans,
+    // separated by 'gap' -> two spans, 16 tokens
+    assert(got(4L) == (2L, 16L), s"doc4: ${got.get(4L)}")
+    assert(!got.contains(3L), "clean doc must be absent")
+  }
 }
