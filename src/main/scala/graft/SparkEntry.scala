@@ -247,6 +247,57 @@ object SparkEntry {
           r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
       SimilarityOps.pqSearchPersistedBatch(table, cbs, qs, k = 5)
     }),
+    // Multi-query BM25 over a shared corpus statistics pass: 3 query
+    // documents' term vectors broadcast against ONE tf scan, per-query
+    // top-k via window — the lexical twin of q128's batched PQ
+    // serving. Scores sum as DECIMAL so the driver hash binds
+    // regardless of either engine's row-visit order (q105 pattern).
+    "q131_bm25_batch" -> ((s, d) =>
+      TextOps.bm25RetrieveBatch(s, d, queryDocs = Seq(0L, 1L, 2L),
+        k = 5)),
+    // The fully-ORACLED IVF serve path: portable-hash centers (first
+    // 8 vectors by md5(vec_id) order, no Lloyd rounds — every step
+    // ANSI-SQL-reproducible), corpus assigned by the same cosine
+    // argmax kernel production uses, index persisted partitioned by
+    // _cluster, then a 2-probe partition-pruned top-10 serve for
+    // query vector 0. Shrinks the permanent no-oracle set to the
+    // genuinely seeded families (LSH hyperplanes, Lloyd centroids,
+    // BPE): q45/q60/q91's plan shape, hash-graded end to end.
+    "q132_ann_ivf_portable" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfp")
+      val index = IvfIndex.buildIndex(
+        s, e.filter(col("vec_id") =!= 0), model, dir.toString)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 2)
+    }),
+    // The fully-ORACLED LSH serve path: portable md5-Rademacher
+    // hyperplanes (a public constant matrix any engine rederives),
+    // same sign-bucket kernel / multi-probe / exact-cosine rescore as
+    // q41. With q121 (PQ) and q132 (IVF) this gives every ANN axis an
+    // end-to-end hash-graded representative; only genuinely seeded
+    // constructions (Gaussian planes, Lloyd centroids, BPE) remain
+    // spec-pinned-only.
+    "q133_ann_lsh_portable" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      SimilarityOps.lshTopKPortable(
+        e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10)
+    }),
+    // CCNet-style perplexity bucketing: unigram-LM scores (decimal-
+    // banded, so identical docs tie exactly) + equal-depth head/
+    // middle/tail bands from a range-exchange distributed rank —
+    // never a single-reducer global window. The oracle reproduces
+    // score AND band per document, so the distributed prefix-sum
+    // rank machinery itself is hash-graded against a window ntile
+    // equivalent (explicit floor(rank*3/N) formula both engines
+    // compute identically).
+    "q134_quality_buckets" -> ((s, d) =>
+      TextOps.qualityBuckets(s, d, nBuckets = 3)),
     // DSIR-style data selection: raw documents ranked by hashed-
     // unigram importance weights against a target slice (doc_id%7==0
     // stands in for the curated target corpus); deterministic
@@ -985,6 +1036,89 @@ object SparkEntry {
                                  ORDER BY adc_dist, vec_id) AS rn
               FROM adc)
        SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= 5"""
+  }
+
+  /** q132's oracle, generated: the entire portable-hash IVF serve
+    * path in SQL. Centers are the first 8 vectors by md5(vec_id)
+    * order (15 hex chars — both engines stay in non-negative 60-bit
+    * territory, so signed/unsigned ordering agrees); every cosine is
+    * three independent left-associative ascending-index chains (dot,
+    * na, nb) with den = sqrt(na)*sqrt(nb) and the kernel's -2
+    * zero-norm sentinel — the exact accumulation order of
+    * CentroidBase.scores and CosineSimilarity. Assignment argmax and
+    * probe top-2 both break ties to the LOWER centroid index
+    * (row_number ORDER BY cos DESC, cidx), matching the kernel's
+    * strict-greater scan and probeIds' stable sort. */
+  private val ivfPortableOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       h AS (SELECT vec_id, v,
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+              FROM e),
+       cent AS (SELECT v AS cv,
+              row_number() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+              FROM h QUALIFY cidx <= 7),
+       pairs AS (SELECT x.vec_id, c.cidx, ${dot("x.v", "c.cv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("c.cv", "c.cv")} AS nb
+              FROM e x, cent c),
+       cosp AS (SELECT vec_id, cidx, ${cos("dt", "na", "nb")} AS cs
+              FROM pairs),
+       asg AS (SELECT vec_id, cidx AS cluster FROM cosp
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cidx) = 1),
+       probes AS (SELECT cidx FROM cosp WHERE vec_id = 0
+              QUALIFY row_number() OVER (ORDER BY cs DESC, cidx) <= 2),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       cand AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+              FROM e x JOIN asg a ON x.vec_id = a.vec_id, q
+              WHERE x.vec_id <> 0
+                AND a.cluster IN (SELECT cidx FROM probes))
+       SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
+       FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""
+  }
+
+  /** q133's oracle, generated: the portable-Rademacher LSH serve path
+    * in SQL. The plane matrix is a PUBLIC constant (component (i,j) =
+    * +-1 by the md5("i:j") first-hex-digit parity — recomputed here at
+    * SQL-generation time by the same derivation the Spark side uses),
+    * each plane dot is the kernel's ascending-j left-associative
+    * chain (so the sign test binds bit-for-bit), buckets are the same
+    * 8-bit sign words, multi-probe is the same hamming<=2 expansion
+    * over all 256 buckets, and the rescore is the exact cosine chain
+    * of q132's oracle. */
+  private val lshPortableOracle: String = {
+    val planes = graft.operators.SimilarityOps.portablePlanes(64, 8)
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def planeDot(a: String, i: Int): String =
+      chain((1 to 64).map(j =>
+        s"$a[$j]*(${if (planes(i)(j - 1) > 0) "1.0" else "-1.0"})"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    val bucket = (0 until 8).map(i =>
+      s"(CASE WHEN ${planeDot("v", i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       q AS (SELECT bucket AS qbv, v AS qv FROM b WHERE vec_id = 0),
+       probes AS (SELECT t.pb FROM (SELECT unnest(range(256)) AS pb) t, q
+              WHERE bit_count(xor(t.pb, q.qbv)) <= 2),
+       cand AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+              FROM b x JOIN probes p ON x.bucket = p.pb, q
+              WHERE x.vec_id <> 0)
+       SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
+       FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""
   }
 
   /** Per-document 64-bit SimHash sketch recomputed from scratch in
@@ -1937,6 +2071,66 @@ object SparkEntry {
     // identical answer by construction: same codebooks, same ADC
     "q126_pq_persisted" -> pqTopKOracle,
     "q128_pq_batch" -> pqBatchOracle,
+    "q132_ann_ivf_portable" -> ivfPortableOracle,
+    "q133_ann_lsh_portable" -> lshPortableOracle,
+    // q123's score pipeline with the DECIMAL(18,12) banding, then the
+    // explicit equal-depth band formula floor(rank*3/N) over
+    // (score DESC, doc_id) — deliberately NOT ntile, whose remainder
+    // spread is an engine convention rather than arithmetic.
+    "q134_quality_buckets" ->
+      """WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         lm AS (SELECT word,
+                ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS lp
+                FROM toks GROUP BY word),
+         sc AS (SELECT t.doc_id,
+                CAST(sum(CAST(l.lp AS DECIMAL(18,12))) AS DOUBLE)
+                  / count(*) AS score
+                FROM toks t JOIN lm l ON t.word = l.word
+                GROUP BY t.doc_id),
+         rk AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) - 1
+                  AS rank
+                FROM sc)
+         SELECT doc_id, score,
+                CAST((rank * 3) // (SELECT count(*) FROM sc) AS INT)
+                  AS bucket
+         FROM rk""",
+    // q125's pipeline with a (query_id, word) query side and a
+    // per-query window top-k; the per-row score term is the same
+    // left-associative double chain, summed as DECIMAL(18,12) so the
+    // total is order-independent in both engines (q105 pattern).
+    "q131_bm25_batch" ->
+      """WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), unnest(ws) AS u(w)
+             WHERE u.w != ''),
+         tf AS (SELECT doc_id, word, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         idf AS (SELECT word,
+                ln(1.0 + ((SELECT count(*)::DOUBLE FROM documents)
+                          - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+                FROM tf GROUP BY word),
+         q AS (SELECT doc_id AS query_id, word FROM tf
+               WHERE doc_id IN (0, 1, 2)),
+         sc AS (SELECT q.query_id, t.doc_id,
+                CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                    (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
+                      (SELECT avg(dl) FROM dl)))
+                  AS DECIMAL(18,12))) AS DOUBLE) AS score
+                FROM tf t JOIN q ON t.word = q.word
+                JOIN idf i ON t.word = i.word
+                JOIN dl d ON t.doc_id = d.doc_id
+                WHERE t.doc_id <> q.query_id
+                GROUP BY q.query_id, t.doc_id),
+         ranked AS (SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+                FROM sc)
+         SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5""",
     // Mirrors CorpusOps.dsirSelect: md5-bucketed unigram features,
     // add-one-smoothed target/raw distributions, per-doc sum of
     // bucket log-ratios over RAW docs, exact top-100. The 1024.0

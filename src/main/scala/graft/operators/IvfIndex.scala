@@ -92,6 +92,31 @@ object IvfIndex {
     Model(cents)
   }
 
+  /** Fully-ORACLED deterministic quantizer variant: the centers are
+    * the first `c` corpus vectors in PORTABLE hash order — the first
+    * 15 hex chars of md5(vec_id) read as a (positive, 60-bit) bigint,
+    * ties broken by id — with no maximin pass and no Lloyd rounds.
+    * Every step is reproducible in ANSI SQL (md5 is the q34/q95
+    * trick; the 15-char slice keeps both engines in non-negative
+    * territory so signed/unsigned ordering agrees), which makes the
+    * whole IVF serve path — assignment, probe selection, exact
+    * rescoring — oracle-checkable end to end. [[train]] remains the
+    * production quantizer: maximin + Lloyd give better centers, but
+    * the centroid means' float summation order is not portable
+    * across engines. Center cost/quality tradeoff is irrelevant to
+    * the serve-path plan shape, which is identical either way. */
+  def trainPortable(vectors: DataFrame, c: Int,
+                    embCol: String = "embedding",
+                    idCol: String = "vec_id"): Model = {
+    val h = expr(s"cast(conv(substring(md5(cast($idCol as string)), " +
+      "1, 15), 16, 10) as bigint)")
+    val rows = vectors.orderBy(h, col(idCol)).limit(c)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(rows.length == c, s"corpus smaller than c=$c")
+    Model(rows)
+  }
+
   /** Attach the inverted-list id to every vector (the column you'd
     * partition the lake table by in production). */
   def assign(vectors: DataFrame, model: Model,

@@ -53,6 +53,25 @@ object SimilarityOps {
     graft.functions.SignRandomProjection.srp_bucket(
       col(embCol), planes.toArray)
 
+  /** PORTABLE Rademacher hyperplanes: component (i, j) is +1 or -1 by
+    * the parity of the first hex digit of md5("i:j") — a public,
+    * engine-independent derivation (the q34/q132 md5 trick), so an
+    * ANSI-SQL oracle reproduces the exact plane matrix, hence the
+    * exact buckets, hence the exact candidate set. Sign-projection
+    * LSH admits any symmetric zero-mean component distribution;
+    * +-1 planes trade a little Johnson-Lindenstrauss tightness for
+    * exact cross-engine reproducibility (and each dot product is a
+    * pure add/subtract chain — no multiplies). */
+  def portablePlanes(dim: Int, bits: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(bits) { i =>
+      Array.tabulate(dim) { j =>
+        val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0x1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
   /** LSH-bucketed approximate top-k: bucket all vectors once (cacheable /
     * persistable as a bucketed table in production), then multi-probe —
     * brute-force only the buckets within `probeHamming` sign-flips of the
@@ -64,7 +83,28 @@ object SimilarityOps {
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
     val dim = 64 // fixture embedding dimensionality (FIXTURES.md)
-    val planes = hyperplanes(dim, bits, seed)
+    lshTopKWith(vectors, query, k, bits, probeHamming,
+      hyperplanes(dim, bits, seed), idCol, embCol)
+  }
+
+  /** [[lshTopK]] with the PORTABLE md5-Rademacher planes — the fully
+    * oracle-checkable LSH serve path (q133): same bucketing kernel,
+    * same multi-probe expansion, same exact-cosine rescore, but every
+    * constant is reproducible in ANSI SQL. Completes the oracled
+    * representative for the third ANN axis (IVF partitions: q132,
+    * PQ representations: q121) — the production seeded-Gaussian
+    * variant (q41) keeps its recall-vs-brute-force spec. */
+  def lshTopKPortable(vectors: DataFrame, query: DataFrame, k: Int,
+                      bits: Int = 8, probeHamming: Int = 2,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame =
+    lshTopKWith(vectors, query, k, bits, probeHamming,
+      portablePlanes(64, bits), idCol, embCol)
+
+  private def lshTopKWith(vectors: DataFrame, query: DataFrame, k: Int,
+                          bits: Int, probeHamming: Int,
+                          planes: Seq[Array[Double]],
+                          idCol: String, embCol: String): DataFrame = {
     val bucketed = vectors.withColumn("_bucket", bucketExpr(embCol, planes))
     val probed = query
       .select(col(embCol).as("_qv"), bucketExpr(embCol, planes).as("_qb"))

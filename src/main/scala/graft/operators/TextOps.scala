@@ -162,6 +162,124 @@ object TextOps {
       .limit(k)
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    * document by its unigram-LM mean log-probability (the q123
+    * pipeline) and split the corpus into `nBuckets` equal-depth bands
+    * — head/middle/tail at the default 3 — the standard
+    * perplexity-tiered selection step before LLM pretraining.
+    *
+    * The global rank that equal-depth banding needs is computed the
+    * scale-safe way (the epochShuffle machinery, not a single-reducer
+    * window): range-exchange on (score DESC, doc_id), per-partition
+    * sorted cursors, and an O(partitions) driver-side prefix sum of
+    * partition counts — no stage ever sees more than its partition.
+    * Bucket = floor(rank * nBuckets / N), an explicit formula both
+    * engines reproduce (ntile's remainder spread is
+    * engine-convention-shaped, so it is NOT used).
+    *
+    * Per-token log-probs are summed as DECIMAL(18,12) before the
+    * divide, so a document's score is order-independent and identical
+    * docs tie EXACTLY (raw double summation would leave planted
+    * duplicates ulp-apart in an engine-dependent order, and a tercile
+    * boundary falling between them would flip their buckets across
+    * engines). */
+  def qualityBuckets(s: SparkSession, dir: String,
+                     nBuckets: Int = 3): DataFrame = {
+    import s.implicits._
+    val toks = Tables.widen(docs(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val total = toks.count()
+    val lm = toks.groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("word"), log(col("c") / lit(total.toDouble)).as("lp"))
+    val scored = toks.join(lm, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp").cast("decimal(18,12)")).cast("double") /
+        count(lit(1))).as("score"))
+    val n = s.sparkContext.defaultParallelism
+    val staged = scored
+      .repartitionByRange(n, col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, sc) => (pid, id, sc) }
+      }.toDF("pid", "doc_id", "score")
+      .localCheckpoint()
+    val counts = staged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val nDocs = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val nb = nBuckets.toLong
+    staged.as[(Int, Long, Double)].mapPartitions { it =>
+      var i = 0L
+      it.map { case (pid, id, sc) =>
+        val rank = bc.value(pid) + i
+        i += 1
+        (id, sc, ((rank * nb) / nDocs).toInt)
+      }
+    }.toDF("doc_id", "score", "bucket")
+  }
+
+  /** Multi-query BM25: the [[bm25Retrieve]] pipeline generalized to a
+    * query BATCH, keyed on (query_id, word) exactly as q124/q125's
+    * scaladocs sketch. The corpus-side statistics (tf, dl, idf, avgdl)
+    * are computed ONCE and shared by every query; the batch's term
+    * vectors broadcast (a handful of documents by construction), so
+    * scoring stays one word-keyed hash join over tf — no per-query
+    * re-scan, no all-pairs — followed by one (query_id, doc_id)-keyed
+    * sum and a per-query row_number top-k (the
+    * searchPersistedBatch/q128 serving shape).
+    *
+    * Each per-row score term is a deterministic chain of IEEE double
+    * ops, but the per-document SUM of those terms is order-sensitive
+    * at the last ulp, so the terms are summed as DECIMAL(18,12)
+    * (exact, order-independent addition) and the total cast back to
+    * double — the q105/q24 banding pattern that keeps the driver's
+    * exact hash binding against any engine's visit order. */
+  def bm25RetrieveBatch(s: SparkSession, dir: String,
+                        queryDocs: Seq[Long] = Seq(0L, 1L, 2L),
+                        k: Int = 5, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val n = d.count()
+    val toks = Tables.widen(d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // exact integer sum / count in any engine — avgdl is portable
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val idf = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("word"), log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val qTerms = tf.filter(col("doc_id").isin(queryDocs: _*))
+      .select(col("doc_id").as("query_id"), col("word"))
+    val scored = tf.join(broadcast(qTerms), Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(idf, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), (col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / lit(avgdl))))
+        .cast("decimal(18,12)").as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).cast("double").as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"))
+  }
+
   /** Corpus heavy hitters: the k most frequent words with counts.
     * Explode + two-phase count (map-side partial combine collapses each
     * partition to its vocabulary before the shuffle) + TakeOrdered for

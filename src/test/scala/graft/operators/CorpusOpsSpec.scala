@@ -371,4 +371,27 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(4L) == (2L, 16L), s"doc4: ${got.get(4L)}")
     assert(!got.contains(3L), "clean doc must be absent")
   }
+
+  test("qualityBuckets: distributed rank-band equals the naive global " +
+    "ordering; bands balanced within one; full coverage") {
+    val rows = TextOps.qualityBuckets(spark, sf, nBuckets = 3)
+      .as[(Long, Double, Int)].collect()
+    val n = rows.length
+    assert(n > 0)
+    // re-derive every band from the naive driver-side global sort —
+    // the exact contract the range-exchange prefix-sum must match
+    val expected = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      .zipWithIndex
+      .map { case ((id, _, _), rank) => id -> ((rank.toLong * 3) / n).toInt }
+      .toMap
+    rows.foreach { case (id, _, b) =>
+      assert(b == expected(id), s"doc $id: got band $b, want ${expected(id)}")
+    }
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"unbalanced bands: $sizes")
+    // every scored document appears exactly once
+    assert(rows.map(_._1).distinct.length == n)
+  }
 }

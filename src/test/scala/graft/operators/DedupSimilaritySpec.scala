@@ -465,6 +465,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"ANN recall@10 = $recall") // multi-probe, 8 bits
   }
 
+  test("portable LSH: planes are md5-derived +-1, results deterministic " +
+    "across calls, recall comparable to the seeded-Gaussian variant") {
+    val planes = SimilarityOps.portablePlanes(64, 8)
+    assert(planes.length == 8 && planes.forall(_.length == 64))
+    assert(planes.flatten.forall(v => v == 1.0 || v == -1.0))
+    // the derivation is a pure function — identical on every call/JVM
+    assert(planes.map(_.toSeq) == SimilarityOps.portablePlanes(64, 8)
+      .map(_.toSeq))
+    val q = emb.filter($"vec_id" === 0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val a = SimilarityOps.lshTopKPortable(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val b = SimilarityOps.lshTopKPortable(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 10)
+    val brute = SimilarityOps.bruteForceTopK(rest, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.count(a.toSet).toDouble / brute.size
+    assert(recall >= 0.2, s"portable ANN recall@10 = $recall")
+  }
+
   test("IVF: clusters cover all vectors; search beats random recall") {
     val model = IvfIndex.train(emb, c = 16, iters = 2)
     assert(model.c == 16)
@@ -614,5 +635,54 @@ class DedupSimilaritySpec extends SparkSuite {
       .select($"doc_id", langIdNgram("text").as("l"))
       .as[(Long, String)].collect().toMap
     assert(ng(1L) == "en" && ng(2L) == "de")
+  }
+
+  test("bm25 batch: each query's ranking equals the single-query " +
+    "bm25Retrieve; scores agree within the decimal band") {
+    val batch = TextOps.bm25RetrieveBatch(spark, sf,
+      queryDocs = Seq(0L, 1L, 2L), k = 5).collect()
+    Seq(0L, 1L, 2L).foreach { q =>
+      val single = TextOps.bm25Retrieve(spark, sf, queryDoc = q, k = 5)
+        .collect()
+      val b = batch.filter(_.getLong(0) == q)
+        .sortBy(r => (-r.getDouble(2), r.getLong(1)))
+      assert(b.map(_.getLong(1)).toSeq == single.map(_.getLong(0)).toSeq,
+        s"query $q ranked differently in the batch")
+      // the batch sums score terms as DECIMAL(18,12) (deterministic
+      // order-independent addition); the single-query path sums raw
+      // doubles — identical to ~1e-12, never bit-for-bit by contract
+      b.zip(single).foreach { case (rb, rs) =>
+        assert(math.abs(rb.getDouble(2) - rs.getDouble(1)) < 1e-9)
+      }
+    }
+  }
+
+  test("portable IVF: trainPortable is deterministic, centers are " +
+    "corpus vectors, serve path prunes to nprobe partitions and " +
+    "equals the in-memory probe-join search") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val m1 = IvfIndex.trainPortable(emb, c = 8)
+    val m2 = IvfIndex.trainPortable(emb, c = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq ==
+      m2.centroids.map(_.toSeq).toSeq)
+    val all = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toSeq).toSet
+    assert(m1.centroids.forall(c => all.contains(c.toSeq)),
+      "a portable center is not an actual corpus vector")
+    val index = IvfIndex.buildIndex(spark,
+      emb.filter($"vec_id" =!= 0), m1, tmpDir("ivf-portable"))
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val served = IvfIndex.searchPersisted(index, qv, m1, k = 10,
+      nprobe = 2)
+    val scan = served.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} partitions")
+    val inMem = IvfIndex.search(emb.filter($"vec_id" =!= 0),
+        emb.filter($"vec_id" === 0), m1, k = 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served.select("vec_id").as[Long].collect().toSeq == inMem)
   }
 }
