@@ -280,6 +280,128 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("score"))
   }
 
+  /** Persisted lexical index — the production BM25 deployment shape,
+    * completing the persisted-serving family (IVF inverted lists q60,
+    * PQ code table q126): postings (word, doc_id, tf, dl) as a lake
+    * table BUCKETED BY word, plus a docstats (doc_id, dl) table for
+    * the corpus scalars. Postings carry the document length
+    * DENORMALIZED (classic search-engine practice), so serving needs
+    * no doc-keyed join at all. df/idf/N/avgdl are derived at query
+    * time from what is stored, which is what makes increments pure
+    * appends ([[appendToLexicalIndex]]) — nothing is re-weighted when
+    * documents arrive.
+    *
+    * 100 TB shape: the build is the q125 statistics pass plus one
+    * doc-keyed join, written once; a query then reads ONLY the bucket
+    * dirs its terms hash into (LakeTable.probe: bucket-partition
+    * pruning + manifest IN + parquet pushdown, no shuffle). */
+  def buildLexicalIndex(s: SparkSession, docsDf: DataFrame, root: String,
+                        buckets: Int = 16)
+      : (graft.lake.LakeTable, graft.lake.LakeTable) = {
+    val postings = postingsOf(docsDf)
+    // a continuous appendToLexicalIndex loop adds one file per touched
+    // bucket dir per batch; the tiered auto-compaction gate (sized to
+    // the bucket fan-out, as in IvfIndex.buildIndex) keeps each dir at
+    // O(log rows) files so probe cost stays flat as the index grows
+    val pt = graft.lake.LakeTable.create(s, s"$root/postings",
+      postings.schema,
+      properties = graft.lake.LakeTable.autoCompactProps(buckets),
+      bucketBy = Some(("word", buckets)))
+    pt.append(postings)
+    val dl = postings.select(col("doc_id"), col("dl")).distinct()
+    val dt = graft.lake.LakeTable.create(s, s"$root/docstats", dl.schema)
+    dt.append(dl)
+    (pt, dt)
+  }
+
+  private def postingsOf(docsDf: DataFrame): DataFrame = {
+    val toks = Tables.widen(docsDf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Incremental index maintenance: tokenize a batch of NEW documents
+    * and append its postings/docstats rows exactly-once per
+    * (writerId, batchId). Valid because every query-time statistic
+    * (df, N, avgdl) derives from stored rows — appends never
+    * invalidate previously-written postings. Batches must contain
+    * documents not already indexed (same contract as
+    * IvfIndex.appendToIndex); replays are no-ops. */
+  def appendToLexicalIndex(postings: graft.lake.LakeTable,
+                           docstats: graft.lake.LakeTable,
+                           batch: DataFrame, writerId: String,
+                           batchId: Long): Unit = {
+    val p = postingsOf(batch)
+    postings.appendExactlyOnce(p, writerId, batchId)
+    docstats.appendExactlyOnce(
+      p.select(col("doc_id"), col("dl")).distinct(), writerId, batchId)
+    // enforce the declared layout bound (no-op below the gate)
+    postings.autoCompactIfNeeded()
+  }
+
+  /** BM25 served from the persisted index. The query document's term
+    * list is fetched by a manifest-pruned doc_id probe (bounded: one
+    * document's vocabulary — in production the caller passes
+    * tokenized query terms directly and skips this read); scoring
+    * then reads only the term-probed bucket dirs, broadcasts the
+    * |terms|-row idf table, and aggregates per doc — no corpus-wide
+    * scan, no doc-keyed join, no shuffle beyond the final doc-keyed
+    * sum. Scores sum as DECIMAL(18,12) (q131's banding), so the
+    * result is bit-stable at any parallelism. */
+  def bm25FromIndex(postings: graft.lake.LakeTable,
+                    docstats: graft.lake.LakeTable,
+                    queryDoc: Long = 0L, k: Int = 10, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val qWords = postings.probe("doc_id", Seq(queryDoc))
+      .select(col("word")).collect().map(_.getString(0)).toSeq.sorted
+    bm25Terms(postings, docstats, qWords, k, k1, b,
+      excludeDoc = Some(queryDoc))
+  }
+
+  /** The production serving entry: caller supplies the tokenized
+    * query terms (no index read to fetch them). Cost is
+    * O(terms' posting lists): a bucket-pruned scan of the probed
+    * dirs, a broadcast |terms|-row idf join, one doc-keyed sum. */
+  def bm25Terms(postings: graft.lake.LakeTable,
+                docstats: graft.lake.LakeTable,
+                terms: Seq[String], k: Int = 10, k1: Double = 1.2,
+                b: Double = 0.75,
+                excludeDoc: Option[Long] = None): DataFrame = {
+    val st = docstats.read()
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = st.getLong(0)
+    // an empty index (created, nothing appended yet) has no avgdl —
+    // serve the honest empty answer instead of NPE-ing on the null
+    if (n == 0L) return postings.read()
+      .select(col("doc_id"), lit(0.0).as("score")).limit(0)
+    val avgdl = st.getDouble(1)
+    val restricted = postings.probe("word", terms)
+    val idf = restricted.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("word"), log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val scoped = excludeDoc match {
+      case Some(x) => restricted.filter(col("doc_id") =!= x)
+      case None => restricted
+    }
+    scoped.join(broadcast(idf), Seq("word"))
+      .select(col("doc_id"), (col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / lit(avgdl))))
+        .cast("decimal(18,12)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus heavy hitters: the k most frequent words with counts.
     * Explode + two-phase count (map-side partial combine collapses each
     * partition to its vocabulary before the shuffle) + TakeOrdered for

@@ -127,6 +127,54 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** Continuous LEXICAL-INDEX maintenance MV — the commit-log loop of
+    * [[startCurationFromLake]] applied to the persisted BM25 index
+    * (TextOps.buildLexicalIndex): every newly committed batch of
+    * documents is tokenized and its postings/docstats rows appended
+    * exactly-once per (queryId, batchId), so a crawl loop grows a
+    * SERVING retrieval index continuously with no rebuilds. Correct
+    * because every query-time statistic (df, N, avgdl) derives from
+    * stored rows — appends never re-weight existing postings. The
+    * two table commits share one idempotence key: a crash between
+    * them replays the batch, the postings commit no-ops, the
+    * docstats commit applies, and the pair converges (between the
+    * two commits a concurrent query sees a transiently conservative
+    * N/avgdl — bounded by one batch, never wrong postings). */
+  def startLexicalIndexFromLake(name: String, source: LakeTable,
+                                postings: LakeTable,
+                                docstats: LakeTable,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    ensureListener()
+    import org.apache.spark.sql.functions.col
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
+      started.await()
+      val versions = logBatch.select("version").collect().map(_.getInt(0))
+      if (versions.nonEmpty) {
+        val docs = source.changesBetween(versions.min - 1, versions.max)
+          .drop(LakeTable.BucketCol)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        graft.operators.TextOps.appendToLexicalIndex(postings, docstats,
+          docs, writerId.get(), id)
+      }
+    }
+    val q = spark.readStream.format("graft-lake-log").load(source.root)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    writerId.set(q.id.toString)
+    started.countDown()
+    queries.put(name, q)
+    q
+  }
+
   /** Continuous EMBEDDING curation MV — the commit-log-driven loop of
     * [[startCurationFromLake]] running
     * [[MVManager.curateStepEmbedding]] per version range: every newly

@@ -465,6 +465,57 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"ANN recall@10 = $recall") // multi-probe, 8 bits
   }
 
+  test("persisted BM25 index: serving equals in-memory bm25Retrieve, " +
+    "reads only term-probed bucket dirs, append == full rebuild") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val allDocs = Tables.load(spark, sf, "documents")
+    val (pt, dt) = TextOps.buildLexicalIndex(spark, allDocs,
+      tmpDir("lexidx"), buckets = 16)
+    val served = TextOps.bm25FromIndex(pt, dt, queryDoc = 0L, k = 10)
+    val mem = TextOps.bm25Retrieve(spark, sf, queryDoc = 0L, k = 10)
+      .collect()
+    val sRows = served.collect()
+    assert(sRows.map(_.getLong(0)).toSeq == mem.map(_.getLong(0)).toSeq,
+      "persisted-index ranking differs from the in-memory pipeline")
+    sRows.zip(mem).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9)
+    }
+    // serving touches only the bucket dirs the query's terms hash to
+    // (the plan is adaptive — unwrap stages to reach the scans; both
+    // postings scans, idf branch and scoring branch, must be pruned)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+    }
+    val postingsScans = scans(served.queryExecution.executedPlan)
+    assert(postingsScans.nonEmpty, "no postings scan found in the plan")
+    postingsScans.foreach { s =>
+      val probedBuckets = s.selectedPartitions.partitionCount
+      assert(probedBuckets < 16,
+        s"serving scanned $probedBuckets of 16 bucket dirs")
+    }
+    // incremental growth: half-build + exactly-once append of the
+    // other half serves the same answer as a from-scratch full build
+    val (pa, da) = TextOps.buildLexicalIndex(spark,
+      allDocs.filter($"doc_id" % 2 === 0), tmpDir("lexidx-half"))
+    TextOps.appendToLexicalIndex(pa, da,
+      allDocs.filter($"doc_id" % 2 =!= 0), "crawl", 0L)
+    TextOps.appendToLexicalIndex(pa, da,
+      allDocs.filter($"doc_id" % 2 =!= 0), "crawl", 0L) // replay no-op
+    val grown = TextOps.bm25FromIndex(pa, da, queryDoc = 0L, k = 10)
+      .collect()
+    assert(grown.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      sRows.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "incrementally-grown index serves a different answer")
+  }
+
   test("portable LSH: planes are md5-derived +-1, results deterministic " +
     "across calls, recall comparable to the seeded-Gaussian variant") {
     val planes = SimilarityOps.portablePlanes(64, 8)
