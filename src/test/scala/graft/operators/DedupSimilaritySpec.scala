@@ -736,4 +736,73 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(served.select("vec_id").as[Long].collect().toSeq == inMem)
   }
+
+  test("IVF-PQ: full-probe serving equals flat persisted PQ " +
+    "bit-for-bit, a 2-probe serve prunes the scan to the probed " +
+    "partition dirs, and no raw-vector column survives in the index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val model = IvfIndex.trainPortable(emb, c = 8)
+    val (ivfpq, cbs) = SimilarityOps.ivfPqPersist(
+      emb.filter($"vec_id" =!= 0), spark, tmpDir("ivfpq"), model,
+      codebookSource = Some(emb))
+    assert(!ivfpq.read().columns.contains("embedding"),
+      "the compressed index must not store raw vectors")
+    val (flat, flatCbs) = SimilarityOps.pqPersist(emb, spark,
+      tmpDir("pq-flat"))
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    // probing ALL 8 clusters prunes nothing, so the composition must
+    // reproduce flat PQ exactly — same codebooks, same ADC doubles
+    val full = SimilarityOps.ivfPqSearchPersisted(ivfpq, cbs, model,
+        qv, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flatRes = SimilarityOps.pqSearchPersisted(flat, flatCbs,
+        qv.map(_.toDouble), k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == flatRes,
+      "full-probe IVF-PQ differs from flat PQ over the same codebooks")
+    // 2-probe serving: static partition pruning at planning time
+    val served = SimilarityOps.ivfPqSearchPersisted(ivfpq, cbs, model,
+      qv, k = 10, nprobe = 2)
+    val scan = served.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} of 8 lists")
+    assert(served.collect().length == 10)
+  }
+
+  test("hybrid RRF fusion: fused scores equal 1/(60+rank) arithmetic " +
+    "recomputed from the two arms' own rankings") {
+    val fused = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
+        queryDoc = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // lexical arm: banded-BM25 top-20 -> rank map
+    val lex = graft.operators.TextOps.bm25RetrieveBatch(spark, sf,
+        Seq(0L), k = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // dense arm: exact-cosine top-20 -> rank map
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val dense = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", cosine_sim($"embedding", typedlit(qv)).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(fused == expected, s"fused=$fused expected=$expected")
+    // a doc ranked in BOTH arms must carry both contributions
+    val both = (lex.keySet & dense.keySet)
+    both.foreach { id =>
+      val s = fused.toMap.get(id)
+      s.foreach(v => assert(v ==
+        1.0 / (60 + lex(id)) + 1.0 / (60 + dense(id))))
+    }
+  }
 }
