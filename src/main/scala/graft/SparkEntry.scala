@@ -351,6 +351,27 @@ object SparkEntry {
     // banding + the cosine kernel's fixed chains make them so).
     "q139_hybrid_rrf" -> ((s, d) =>
       TextOps.hybridRrfRetrieve(s, d, queryDoc = 0L, k = 10)),
+    // BATCHED IVF-PQ serving — the composed index answering a query
+    // batch from ONE partition-pruned scan of the compressed code
+    // table: the probe-set UNION is the static planning-time filter,
+    // a broadcast (query, cluster) pair list keeps each row scoring
+    // only against the queries that probed its list, all four LUTs
+    // ride as one plan constant (PqAdcBatch), per-query top-5 via
+    // window. Oracled like q137 with per-query probe sets.
+    "q140_ivfpq_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqb")
+      val (table, cbs) = SimilarityOps.ivfPqPersist(
+        e, s, s"$dir/codes", model)
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      SimilarityOps.ivfPqSearchPersistedBatch(table, cbs, model, qs,
+        k = 5, nprobe = 2)
+    }),
     // BM25 served from a PERSISTED lexical index — the production
     // deployment shape (the q126/q60 pattern for the lexical axis):
     // word-bucketed postings with denormalized doc length, serving
@@ -1283,6 +1304,78 @@ object SparkEntry {
        adc AS (SELECT vec_id, $chainSum AS adc_dist FROM adcp)
        SELECT vec_id, adc_dist FROM adc
        ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
+  /** q140's oracle, generated: [[ivfPqOracle]]'s batch form — the
+    * q128 pattern (per-query LUTs from vec_id < 4, self-pairs
+    * excluded, per-query top-5) with the candidate set restricted per
+    * query to ITS OWN probed clusters (probes keyed by query_id).
+    * Same exact-accumulation chains throughout. */
+  private val ivfPqBatchOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def subDist(a: String, b: String, j: Int): String =
+      (1 to 8).map { i =>
+        val o = j * 8 + i
+        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
+      }.mkString("(", " + ", ")")
+    val distCols = (0 until 8)
+      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
+    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    val pivotCols = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
+      .mkString(", ")
+    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       h AS (SELECT vec_id, v,
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+              FROM e),
+       cent AS (SELECT v AS cv,
+              row_number() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+              FROM h QUALIFY cidx <= 7),
+       cpair AS (SELECT x.vec_id, c.cidx, ${dot("x.v", "c.cv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("c.cv", "c.cv")} AS nb
+              FROM e x, cent c),
+       cosp AS (SELECT vec_id, cidx, ${cos("dt", "na", "nb")} AS cs
+              FROM cpair),
+       asg AS (SELECT vec_id, cidx AS cluster FROM cosp
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cidx) = 1),
+       probes AS (SELECT vec_id AS query_id, cidx FROM cosp
+              WHERE vec_id < 4
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cidx) <= 2),
+       cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+       pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
+       longp AS (SELECT vec_id, code, jj.j AS j,
+              CASE jj.j $caseArms END AS dist
+              FROM pairs, (SELECT unnest(range(8)) AS j) jj),
+       best AS (SELECT vec_id, j, code, dist,
+              row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, code) AS rn
+              FROM longp),
+       codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+       luts AS (SELECT vec_id AS query_id, j, code, dist
+              FROM longp WHERE vec_id < 4),
+       adcw AS (SELECT l.query_id, c.vec_id, c.j, l.dist
+              FROM codes c JOIN luts l ON c.j = l.j AND c.code = l.code
+              JOIN asg a ON c.vec_id = a.vec_id
+              JOIN probes p ON p.query_id = l.query_id
+                           AND p.cidx = a.cluster
+              WHERE c.vec_id <> l.query_id),
+       adcp AS (SELECT query_id, vec_id, $pivotCols
+              FROM adcw GROUP BY query_id, vec_id),
+       adc AS (SELECT query_id, vec_id, $chainSum AS adc_dist FROM adcp),
+       ranked AS (SELECT query_id, vec_id, adc_dist,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS rn
+              FROM adc)
+       SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= 5"""
   }
 
   /** q139's oracle, generated: the q131 banded-BM25 CTEs produce the
@@ -2327,6 +2420,7 @@ object SparkEntry {
     // the IVF-PQ composition: q132's assignment/probe CTEs restrict
     // q121's encode+ADC CTEs to the probed clusters
     "q137_ivfpq_persisted" -> ivfPqOracle,
+    "q140_ivfpq_batch" -> ivfPqBatchOracle,
     // the MV converges to the same inverted lists as a from-scratch
     // buildIndex, so q132's oracle grades the continuous loop
     "q138_vector_index_mv" -> ivfPortableOracle,

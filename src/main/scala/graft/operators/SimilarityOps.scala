@@ -386,6 +386,75 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batched serving from a persisted IVF-PQ index — the production
+    * retrieval tier's actual request shape on the composed index:
+    * a query BATCH answered from one partition-pruned scan of the
+    * compressed code table. Per-query probe sets come from the
+    * driver-side model exactly as in [[ivfPqSearchPersisted]]; their
+    * UNION (at most C ints) is the static `_cluster IN (...)`
+    * planning-time filter, and a broadcast (query, cluster) pair
+    * list restricts each scanned row to the queries that actually
+    * probed its list — so rows of unprobed lists are never read AND
+    * a row never scores against a query that didn't probe it. All Q
+    * LUTs ride as one plan constant into a single PqAdcBatch kernel
+    * pass per row; per-query top-k is a windowed rank (ties to the
+    * lower id), the `searchPersistedBatch`/`pqSearchPersistedBatch`
+    * shape. `excludeSelf` drops each query's own corpus row. */
+  def ivfPqSearchPersistedBatch(table: graft.lake.LakeTable,
+                                codebooks: Array[Array[Array[Double]]],
+                                model: IvfIndex.Model,
+                                queries: Seq[(Long, Array[Float])],
+                                k: Int, nprobe: Int,
+                                idCol: String = "vec_id",
+                                queryIdCol: String = "query_id",
+                                excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val subspaces = codebooks.length
+    val subDim = codebooks(0)(0).length
+    queries.foreach { case (qid, q) =>
+      require(q.length == subspaces * subDim,
+        s"query $qid has dim ${q.length}, index expects " +
+          s"${subspaces * subDim}")
+    }
+    val probePairs = queries.flatMap { case (qid, q) =>
+      IvfIndex.probeIds(q, model, nprobe).map(c => (qid, c))
+    }
+    val probedUnion = probePairs.map(_._2).distinct
+    val luts = queries.map { case (_, q) =>
+      Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
+        var s = 0.0; var i = 0
+        while (i < subDim) {
+          val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d
+          i += 1
+        }
+        s
+      }
+    }.toArray
+    val qids = queries.map(_._1)
+    val sp = table.read().sparkSession
+    import sp.implicits._
+    val ppDf = probePairs.toDF(queryIdCol, "_cluster")
+    val scored = table.read()
+      .filter(col("_cluster").isin(probedUnion: _*))
+      .select(col(idCol), col("_cluster"),
+        posexplode(graft.functions.PqFunctions
+          .pq_adc_batch(col("codes"), luts)))
+      .withColumnRenamed("pos", "_qidx")
+      .withColumnRenamed("col", "adc_dist")
+      .withColumn(queryIdCol,
+        element_at(typedlit(qids), col("_qidx") + 1))
+      .join(broadcast(ppDf), Seq(queryIdCol, "_cluster"))
+    val filtered =
+      if (excludeSelf) scored.filter(col(idCol) =!= col(queryIdCol))
+      else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    filtered.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc_dist"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).

@@ -772,6 +772,52 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(served.collect().length == 10)
   }
 
+  test("batched IVF-PQ serving: per-query results equal the " +
+    "single-query path, and the scan is pruned to the probe-set UNION") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val model = IvfIndex.trainPortable(emb, c = 8)
+    val (table, cbs) = SimilarityOps.ivfPqPersist(emb, spark,
+      tmpDir("ivfpq-batch"), model)
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").collect().sortBy(_.getLong(0))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    // excludeSelf=false makes each batch slice directly comparable to
+    // the single-query serve over the same table
+    val batch = SimilarityOps.ivfPqSearchPersistedBatch(table, cbs,
+      model, qs, k = 5, nprobe = 2, excludeSelf = false)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.foreach { case (qid, qv) =>
+      val single = SimilarityOps.ivfPqSearchPersisted(table, cbs,
+          model, qv, k = 5, nprobe = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid).toSeq == single,
+        s"query $qid: batch ${got(qid).toSeq} vs single $single")
+    }
+    // the one scan is pruned to the UNION of the 4 queries' probes
+    // (the plan is adaptive — unwrap stages to reach the code-table
+    // scan; the broadcast probe-pair side is a LocalTableScan)
+    val probedUnion = qs.flatMap { case (_, qv) =>
+      IvfIndex.probeIds(qv, model, 2) }.distinct
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(batch.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no code-table scan found in the plan")
+    found.foreach { scan =>
+      assert(scan.selectedPartitions.partitionCount == probedUnion.size,
+        s"scanned ${scan.selectedPartitions.partitionCount}, union is " +
+          s"${probedUnion.size} of 8")
+    }
+  }
+
   test("hybrid RRF fusion: fused scores equal 1/(60+rank) arithmetic " +
     "recomputed from the two arms' own rankings") {
     val fused = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
