@@ -351,6 +351,21 @@ object SparkEntry {
     // banding + the cosine kernel's fixed chains make them so).
     "q139_hybrid_rrf" -> ((s, d) =>
       TextOps.hybridRrfRetrieve(s, d, queryDoc = 0L, k = 10)),
+    // Hard-negative mining for contrastive training (DPR/ANCE): per
+    // query, the top-10 most-similar corpus vectors BELOW the 0.95
+    // near-dup band — informative negatives that are not unlabeled
+    // positives. One corpus scan, broadcast 4-query batch, band
+    // filter before the shuffle, per-query windowed top-k; exact
+    // cosine chains make it fully oracled.
+    "q141_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      SimilarityOps.hardNegatives(e, qs, k = 10, dupThreshold = 0.95)
+    }),
     // BATCHED IVF-PQ serving — the composed index answering a query
     // batch from ONE partition-pruned scan of the compressed code
     // table: the probe-set UNION is the static planning-time filter,
@@ -1376,6 +1391,35 @@ object SparkEntry {
                                  ORDER BY adc_dist, vec_id) AS rn
               FROM adc)
        SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= 5"""
+  }
+
+  /** q141's oracle, generated: every corpus vector scored against the
+    * 4-query batch with the exact cosine chains, self-pairs dropped,
+    * the near-dup band [0.95, 1] excluded (the threshold compared as
+    * an explicit DOUBLE — 0.95 is DECIMAL in DuckDB and the decimal
+    * would otherwise coerce per engine convention), per-query top-10
+    * by (cos DESC, id). */
+  private val hardNegativesOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+       dn AS (SELECT q.query_id, x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+              FROM e x, q WHERE x.vec_id <> q.query_id),
+       c AS (SELECT query_id, vec_id, ${cos("dt", "na", "nb")} AS cos
+              FROM dn),
+       f AS (SELECT * FROM c WHERE cos < CAST(0.95 AS DOUBLE)),
+       ranked AS (SELECT query_id, vec_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS rn
+              FROM f)
+       SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10"""
   }
 
   /** q139's oracle, generated: the q131 banded-BM25 CTEs produce the
@@ -2421,6 +2465,7 @@ object SparkEntry {
     // q121's encode+ADC CTEs to the probed clusters
     "q137_ivfpq_persisted" -> ivfPqOracle,
     "q140_ivfpq_batch" -> ivfPqBatchOracle,
+    "q141_hard_negatives" -> hardNegativesOracle,
     // the MV converges to the same inverted lists as a from-scratch
     // buildIndex, so q132's oracle grades the continuous loop
     "q138_vector_index_mv" -> ivfPortableOracle,

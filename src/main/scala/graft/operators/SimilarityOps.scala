@@ -455,6 +455,47 @@ object SimilarityOps {
       .select(col(queryIdCol), col(idCol), col("adc_dist"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/ANCE
+    * recipe): for each query vector, the k corpus vectors MOST
+    * similar to it that are still below the near-duplicate threshold
+    * — similar enough to be informative negatives, distant enough
+    * not to be unlabeled positives. The band [dupThreshold, 1] is
+    * excluded because a near-duplicate of the query is almost surely
+    * a true positive, and training on it as a negative poisons the
+    * encoder (the false-negative problem the threshold guards).
+    *
+    * Shape at 100 TB: the query batch rides as a broadcast list into
+    * ONE scan of the corpus (broadcast join keyed on nothing — each
+    * corpus row scores against every query in place, Q·d
+    * plan-constant work per row), the band filter cuts before the
+    * shuffle, and per-query top-k is a windowed rank over the
+    * surviving candidates. No corpus self-join anywhere. For
+    * billion-vector corpora swap the scan for the IVF-PQ probed
+    * serve ([[ivfPqSearchPersistedBatch]]) and keep the same band
+    * filter — the mining semantics don't change. */
+  def hardNegatives(vectors: DataFrame,
+                    queries: Seq[(Long, Array[Float])], k: Int,
+                    dupThreshold: Double = 0.95,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val qDf = queries.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("query_id", "_qv")
+    val scored = vectors
+      .join(broadcast(qDf), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine_sim(col(embCol), col("_qv")).as("cos"))
+      .filter(col("cos") < dupThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus, then
     * drop every vector with an earlier same-cluster mate above the
     * cosine threshold; survivors return as (id, cluster).

@@ -818,6 +818,44 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hard negatives: equals brute force with the band excluded, " +
+    "and a planted near-duplicate is banned from the negative pool") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // plant an exact copy of vec 0 under a new id: cosine 1.0 with
+    // query 0, so it MUST be excluded from query 0's negatives
+    val v0 = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val schema = StructType(Seq(StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType, true), true)))
+    val planted = spark.createDataFrame(
+      java.util.Arrays.asList(Row(900000L, v0)), schema)
+    val corpus = emb.select($"vec_id", $"embedding").union(planted)
+    val qs = Seq(0L -> v0.toArray)
+    val got = SimilarityOps.hardNegatives(corpus, qs, k = 10,
+        dupThreshold = 0.95)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(!got.exists(_._1 == 900000L),
+      "the planted near-duplicate leaked into the negative pool")
+    // brute-force recomputation on the driver, band excluded
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else d / den
+    }
+    val q0 = v0.map(_.toDouble).toArray
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosd(v, q0)) }
+      .filter(_._2 < 0.95)
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    assert(got == expected)
+  }
+
   test("hybrid RRF fusion: fused scores equal 1/(60+rank) arithmetic " +
     "recomputed from the two arms' own rankings") {
     val fused = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
