@@ -535,6 +535,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // FUZZY decontamination — q61's production complement: corpus
+    // docs whose n-gram Jaccard against ANY benchmark doc reaches
+    // 0.5 are dropped (the PaLM/Llama fuzzy rule); survivors
+    // returned. Candidates from the broadcast inverted-index join
+    // (cannot miss: any qualifying pair shares a shingle), verified
+    // with the exact Jaccard — fully oracled with guaranteed recall,
+    // unlike a banded-LSH generator.
+    "q142_neardup_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+      CorpusOps.decontaminateNearDup(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        minJaccard = 0.5)
+    }),
     // the fixture corpus carries no PII, so the query enriches each doc
     // with deterministically derived email/phone/IP strings (pure
     // function of doc_id — reproduced literally in the oracle SQL);
@@ -1795,6 +1810,29 @@ object SparkEntry {
          SELECT c.doc_id, count(*) AS n_shared
          FROM corp c JOIN bench b USING (shingle)
          GROUP BY 1 HAVING count(*) >= 1""",
+    // q142: survivors = corpus docs with NO benchmark doc at jaccard
+    // >= 0.5. Same string-shingle identity trick as q61/q33; the
+    // jaccard is integer-derived division, identical in both engines.
+    // Docs too short to shingle have no sh rows, can't be bad, survive.
+    "q142_neardup_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.doc_id, b.doc_id AS bench_id,
+                count(*) AS i
+                FROM sh c JOIN sh b ON c.shingle = b.shingle
+                WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+                GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT i.doc_id
+                FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_id
+                JOIN cnt cb ON cb.doc_id = i.bench_id
+                WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id % 97 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
     "q62_pii_redaction" -> piiRedactionOracle,
     // streaming variant: the same redaction run as an exactly-once MV
     // into the lake; the oracle aggregates the batch redaction — equal

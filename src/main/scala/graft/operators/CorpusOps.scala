@@ -45,6 +45,52 @@ object CorpusOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Fuzzy (near-duplicate) test-set decontamination — the production
+    * complement of [[decontaminate]]'s shared-shingle count: a corpus
+    * document is dropped when its n-gram JACCARD against ANY
+    * benchmark document reaches `minJaccard` (the PaLM/Llama-style
+    * fuzzy rule; exact-overlap alone misses lightly-paraphrased eval
+    * leaks). Returns the SURVIVING corpus doc ids.
+    *
+    * Two-phase with EXACT recall: candidate (corpus, bench) pairs
+    * come from the inverted-index equi-join on shingles with the
+    * benchmark side BROADCAST (eval sets are KB-MB scale against a
+    * 100 TB corpus; any >= minJaccard pair shares at least one
+    * shingle, so unlike banded LSH this candidate generator cannot
+    * miss), and each pair's true Jaccard derives from one count over
+    * the (per-doc pre-deduped) shared shingles plus the two set
+    * sizes. Cost is O(matching postings), never corpus x bench; the
+    * per-pair aggregation shuffles only candidate rows. Documents too
+    * short to shingle cannot be contaminated and always survive. */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+                           minJaccard: Double = 0.5, shingleN: Int = 3,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val cSh = DedupOps.shingleHashArrays(corpus, textCol, idCol, shingleN)
+    val bSh = DedupOps.shingleHashArrays(benchmark, textCol, idCol,
+        shingleN)
+      .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
+    val cExpl = cSh.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val bExpl = bSh.select(col("bench_id"),
+      explode(col("bshs")).as("shingle"))
+    // per-doc shingle sets are distinct, so the join-then-count is
+    // exactly |intersection| per (corpus, bench) pair
+    val inter = cExpl.join(broadcast(bExpl), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val cSizes = cSh.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n1"))
+    val bSizes = bSh.select(col("bench_id"),
+      size(col("bshs")).cast("long").as("n2"))
+    val bad = inter.join(cSizes, "doc_id")
+      .join(broadcast(bSizes), "bench_id")
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter"))
+        >= minJaccard)
+      .select(col("doc_id")).distinct()
+    graft.Tables.widen(corpus).select(col(idCol).as("doc_id"))
+      .join(bad, Seq("doc_id"), "left_anti")
+  }
+
   // conservative cross-engine patterns (identical semantics in Java
   // regex and RE2): email, North-American-style phone, IPv4
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

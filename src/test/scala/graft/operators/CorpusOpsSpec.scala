@@ -23,6 +23,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontaminateNearDup: a paraphrased benchmark leak is dropped, " +
+    "low-overlap and unshingleable docs survive, threshold is exact") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8 of 10 words shared in order: high jaccard, must drop
+      (1L, "the quick brown fox jumps over the lazy cat today"),
+      // one shared shingle, jaccard far below 0.5: must survive
+      (2L, "the quick brown tortoise crawls under a heavy rock"),
+      // disjoint: must survive
+      (3L, "completely different words in every position here"),
+      // too short to shingle: cannot be contaminated, must survive
+      (4L, "hi there")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminateNearDup(corpus, bench,
+      minJaccard = 0.5).as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L), s"survivors were $got")
+    // driver recomputation of doc 1's jaccard confirms it is >= 0.5
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = {
+      val a = shingles("the quick brown fox jumps over the lazy cat today")
+      val b = shingles("the quick brown fox jumps over the lazy dog today")
+      (a & b).size.toDouble / (a | b).size
+    }
+    assert(j >= 0.5, s"fixture drifted: planted jaccard $j")
+  }
+
   test("decontaminate broadcast side is the benchmark (corpus never " +
     "shuffled for the join)") {
     val docs = Tables.load(spark, sf, "documents")
