@@ -205,6 +205,12 @@ object SparkEntry {
     // garbage scores low). avg/log float drift between engines sits
     // far inside the driver's rounding tolerance.
     "q123_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    // Bigram-LM quality scoring — q123's next-order sibling
+    // (add-one-smoothed P(w2|w1), bigram-start marginal, mean ln P
+    // per doc); per-bigram ln banded to DECIMAL(18,9) so the score
+    // is order-independent and the 1-ulp libm/JVM ln divergence
+    // cannot reach the driver hash.
+    "q143_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     // Sparse lexical retrieval: tf-idf cosine top-k for doc 0 — the
     // lexical twin of the dense retrieval queries; broadcast query
     // terms, word-keyed join, one doc-keyed sum, TakeOrdered
@@ -2690,6 +2696,27 @@ object SparkEntry {
          SELECT t.doc_id, count(*) AS n_tokens, avg(l.lp) AS avg_logprob
          FROM toks t JOIN lm l ON t.word = l.word
          GROUP BY t.doc_id""",
+    // q143: add-one bigram LM — counts and V are integer-exact, the
+    // smoothed probability is one double division of exact integers
+    // (identical in both engines), and per-bigram ln is banded to
+    // DECIMAL(18,9) before the order-independent decimal sum.
+    "q143_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws
+             FROM documents),
+         bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM toks, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 2),
+         cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         cu AS (SELECT w1, sum(c) AS cw FROM cb GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.w) AS nv
+               FROM toks, unnest(ws) AS u(w))
+         SELECT b.doc_id,
+                CAST(sum(CAST(ln((cb.c + 1) / (cu.cw + v.nv))
+                  AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS score
+         FROM bg b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+         JOIN cu ON b.w1 = cu.w1, v
+         GROUP BY b.doc_id""",
     // Mirrors semanticDedup literally: nearest-of-8-seeds assignment
     // (ties to the lower seed id), then drop any vector with an
     // earlier same-cluster mate at cosine >= 0.35. DOUBLE[] casts per

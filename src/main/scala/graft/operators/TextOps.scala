@@ -280,6 +280,46 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("score"))
   }
 
+  /** Bigram-LM quality scoring — the next-order member of the q123
+    * unigram family. The CCNet/Gopher perplexity filters use an
+    * n-gram LM; the exact distributed form is an add-one-smoothed
+    * bigram model whose every statistic is a corpus aggregate:
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V), with C(w1) the
+    * bigram-start marginal (so the model is self-consistent by
+    * construction) and V the corpus vocabulary; each document scores
+    * the mean ln P over its bigrams. Documents with fewer than two
+    * tokens have no bigrams and are absent from the result (the
+    * q123/tokenless contract).
+    *
+    * Shape at 100 TB: one pass forms per-doc bigram structs
+    * row-locally, the (w1,w2) count and its w1 marginal are
+    * vocab-keyed aggregations with map-side combine, V is one scalar,
+    * and scoring is two word-keyed equi-joins plus a doc-keyed mean —
+    * no corpus window, no self-join. Per-bigram ln is banded to
+    * DECIMAL(18,9) (the q129 quantum) before the doc-keyed sum: libm
+    * and the JVM disagree by 1 ulp on some ln inputs, and a raw
+    * double sum would also be visit-order dependent. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.widen(docs(s, dir))
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), " +
+          "i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    val v = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .select(col("doc_id"),
+        log((col("c") + lit(1L)) / (col("cw") + lit(v)))
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp")).cast("double") / count(lit(1))).as("score"))
+  }
+
   /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
     * (Cormack/Clarke/Buettcher 2009) — the production RAG-stack
     * standard for combining a BM25 arm with an embedding arm without

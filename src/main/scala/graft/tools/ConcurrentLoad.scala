@@ -10,9 +10,11 @@ import graft.streaming.MVManager
 
 /** The engine under CONCURRENT MV load (VERDICT r07 item 6): every
   * graded number runs one loop in isolation, while P1's production
-  * story is N loops sharing one session. This harness runs four loops
+  * story is N loops sharing one session. This harness runs six loops
   * — ingestion MV, exact-dedup curation, embedding curation,
-  * incremental aggregate MV — first SOLO (sequentially, same session)
+  * incremental aggregate MV, lexical-index MV (q136 shape), and
+  * vector-index MV (q138 shape)
+  * — first SOLO (sequentially, same session)
   * and then CONCURRENTLY under FAIR scheduler pools (one pool per
   * query; Structured Streaming's micro-batch thread inherits the
   * local properties of the thread that starts the query), and checks
@@ -144,9 +146,48 @@ object ConcurrentLoad {
         () => q.stop())
     }
 
+    def lexicalLoop(root: String, s: SparkSession): Loop = {
+      // q136 shape: commit-log-driven growth of the persisted BM25
+      // index — postings + docstats appended exactly-once per batch
+      import graft.operators.TextOps
+      val d2 = docs.select(col("doc_id"), col("text"))
+      val src = LakeTable.create(s, s"$root/src", d2.schema)
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), d2.schema)
+      val (pt, dt) = TextOps.buildLexicalIndex(s, empty, s"$root/idx")
+      val mv = new MVManager(s, s"$root/ckpt")
+      val q = mv.startLexicalIndexFromLake("lex", src, pt, dt,
+        trigger = trigger)
+      Loop("lexical",
+        i => src.append(d2.filter(col("doc_id") % Batches === i)),
+        () => dt.dataCommitCount, () => dt.read().count(),
+        () => q.stop())
+    }
+
+    def vectorLoop(root: String, s: SparkSession): Loop = {
+      // q138 shape: commit-log-driven growth of the persisted IVF
+      // index under frozen portable centers
+      import graft.operators.IvfIndex
+      val v2 = emb.select(col("vec_id"), col("embedding"))
+      val model = IvfIndex.trainPortable(v2, c = 32)
+      val src = LakeTable.create(s, s"$root/src", v2.schema)
+      val index = LakeTable.create(s, s"$root/idx",
+        IvfIndex.assign(v2, model).schema,
+        properties = LakeTable.autoCompactProps(model.c),
+        partitionBy = Seq("_cluster"))
+      val mv = new MVManager(s, s"$root/ckpt")
+      val q = mv.startVectorIndexFromLake("vec", src, index, model,
+        trigger = trigger)
+      Loop("vector",
+        i => src.append(v2.filter(col("vec_id") % Batches === i)),
+        () => index.dataCommitCount, () => index.read().count(),
+        () => q.stop())
+    }
+
     val shapes: Seq[(String, (String, SparkSession) => Loop)] = Seq(
       "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
-      "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _))
+      "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _),
+      "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _))
 
     // each loop runs in its OWN session (shared SparkContext, own
     // SQLConf) with shuffle partitions sized to its core share — N

@@ -52,6 +52,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(j >= 0.5, s"fixture drifted: planted jaccard $j")
   }
 
+  test("bigramLogprob: hand-computed add-one bigram LM on a tiny corpus") {
+    val dir = tmpDir("bigram-docs")
+    Seq((1L, "a b a b", "en", "t", 7L), (2L, "b b", "en", "t", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.bigramLogprob(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (b,b)
+    // C(a,b)=2 C(b,a)=1 C(b,b)=1; marginals C(a)=2 C(b)=2; V=2
+    // P(b|a)=3/4, P(a|b)=2/4, P(b|b)=2/4
+    def band(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val lpAB = band(math.log(3.0 / 4)); val lpBA = band(math.log(2.0 / 4))
+    val exp1 = ((lpAB + lpBA + lpAB).toDouble) / 3
+    val exp2 = band(math.log(2.0 / 4)).toDouble / 1
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == exp1, s"doc1 ${got(1L)} vs $exp1")
+    assert(got(2L) == exp2, s"doc2 ${got(2L)} vs $exp2")
+  }
+
   test("decontaminate broadcast side is the benchmark (corpus never " +
     "shuffled for the join)") {
     val docs = Tables.load(spark, sf, "documents")
