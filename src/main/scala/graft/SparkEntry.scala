@@ -556,6 +556,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         minJaccard = 0.5)
     }),
+    // Temperature-flattened language mixture (mC4/XLM-R, alpha=0.7):
+    // the fixture's lang distribution is naturally skewed (en ~2.7x
+    // de), and share^0.7 upweights the low-resource tail; the
+    // deterministic exact-count form makes the whole sample a pure
+    // function of the corpus (pow banded to DECIMAL(28,6), md5-order
+    // selection) — fully oracled.
+    "q144_temperature_mixture" -> ((s, d) =>
+      CorpusOps.temperatureMixture(Tables.load(s, d, "documents"),
+        alpha = 0.7)),
     // the fixture corpus carries no PII, so the query enriches each doc
     // with deterministically derived email/phone/IP strings (pure
     // function of doc_id — reproduced literally in the oracle SQL);
@@ -1839,6 +1848,29 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id % 97 <> 0
            AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    // q144: the one non-integer step (pow) is banded to DECIMAL(28,6)
+    // before the weight sum; every later step is identical double
+    // arithmetic on identical inputs (decimal->double correctly
+    // rounded, floor exact), so the per-domain targets — and with the
+    // md5(id) selection order, the selected SET — match bit-for-bit.
+    "q144_temperature_mixture" ->
+      """WITH d2 AS (SELECT doc_id, lang AS domain FROM documents),
+         cnt AS (SELECT domain, count(*) AS c FROM d2 GROUP BY 1),
+         tot AS (SELECT sum(c) AS t FROM cnt),
+         w AS (SELECT domain, c,
+               CAST(pow(c, 0.7) AS DECIMAL(28,6)) AS wd FROM cnt),
+         sw AS (SELECT sum(wd) AS sumw FROM w),
+         tgt AS (SELECT domain,
+               LEAST(c, CAST(floor(((t // 2) * (wd::DOUBLE))
+                 / (sumw::DOUBLE)) AS BIGINT)) AS k
+               FROM w, sw, tot),
+         ranked AS (SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain
+                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+               FROM d2)
+         SELECT r.doc_id, r.domain
+         FROM ranked r JOIN tgt ON r.domain = tgt.domain
+         WHERE r.rn <= tgt.k""",
     "q62_pii_redaction" -> piiRedactionOracle,
     // streaming variant: the same redaction run as an exactly-once MV
     // into the lake; the oracle aggregates the batch redaction — equal

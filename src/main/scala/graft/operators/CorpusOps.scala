@@ -91,6 +91,63 @@ object CorpusOps {
       .join(bad, Seq("doc_id"), "left_anti")
   }
 
+  /** Temperature-based domain mixture sampling — the mC4/XLM-R
+    * multilingual recipe (Conneau et al. 2020): domains are sampled
+    * proportionally to share^alpha; alpha < 1 FLATTENS the natural
+    * distribution, upweighting low-resource domains (languages)
+    * relative to their raw counts (XLM-R uses alpha=0.3, mC4 0.3 on
+    * sizes; alpha=1 is proportional sampling). This is the
+    * deterministic exact-count form: per-domain target k_d = min(c_d,
+    * floor(budget * w_d / sum w)) with w_d = c_d^alpha, and the k_d
+    * selected docs inside a domain are the first by content-neutral
+    * md5(id) order (the q64/q70 device), so the whole sample is a
+    * pure function of the corpus.
+    *
+    * Cross-engine determinism: the ONE non-integer step (pow) is
+    * banded to DECIMAL(28,6) before the weight sum — both engines
+    * then run identical double arithmetic on identical inputs
+    * (decimal->double is correctly rounded, floor is exact), so the
+    * targets and therefore the selected set match bit-for-bit.
+    *
+    * Shape at 100 TB: one D-row count aggregation (D = domains —
+    * metadata-scale, driver-safe), targets computed driver-side, one
+    * window PARTITIONED BY DOMAIN (parallel across domains; the q70
+    * two-phase selection tree generalizes if a single domain
+    * outgrows a partition). */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.7,
+                         idCol: String = "doc_id",
+                         domainCol: String = "lang"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]: <1 flattens")
+    import org.apache.spark.sql.expressions.Window
+    val d2 = graft.Tables.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).as("domain"))
+    val cnts = d2.groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = cnts.map(_._2).sum
+    val budget = total / 2
+    def band(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val weights = cnts.map { case (dom, c) =>
+      dom -> band(math.pow(c.toDouble, alpha))
+    }
+    val sumw = weights.map(_._2).sum.toDouble
+    val targets = weights.zip(cnts).map { case ((dom, wd), (_, c)) =>
+      (dom, math.min(c,
+        math.floor(budget.toDouble * wd.toDouble / sumw).toLong))
+    }
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val tDf = targets.toSeq.toDF("domain", "k")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(expr("md5(cast(cast(doc_id as string) as binary))"),
+        col("doc_id"))
+    d2.withColumn("rn", row_number().over(w))
+      .join(broadcast(tDf), Seq("domain"))
+      .filter(col("rn") <= col("k"))
+      .select(col("doc_id"), col("domain"))
+  }
+
   // conservative cross-engine patterns (identical semantics in Java
   // regex and RE2): email, North-American-style phone, IPv4
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

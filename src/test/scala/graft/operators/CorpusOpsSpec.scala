@@ -72,6 +72,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(2L) == exp2, s"doc2 ${got(2L)} vs $exp2")
   }
 
+  test("temperatureMixture: T<1 strictly upweights the rarest domain " +
+    "and downweights the biggest; the sample is deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sel = CorpusOps.temperatureMixture(docs, alpha = 0.7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val selByDom = sel.groupBy(_._2).view.mapValues(_.length).toMap
+    val natByDom = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = natByDom.values.sum.toDouble
+    val selTotal = sel.length.toDouble
+    val top = natByDom.maxBy(_._2)._1
+    val rare = natByDom.minBy(_._2)._1
+    assert(selByDom(rare) / selTotal > natByDom(rare) / total,
+      s"rare domain $rare share did not increase")
+    assert(selByDom(top) / selTotal < natByDom(top) / total,
+      s"top domain $top share did not decrease")
+    // budget respected (floor per domain can undershoot, never over)
+    assert(sel.length <= total.toLong / 2)
+    val again = CorpusOps.temperatureMixture(docs, alpha = 0.7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sel.toSet == again.toSet, "sample is not deterministic")
+  }
+
   test("decontaminate broadcast side is the benchmark (corpus never " +
     "shuffled for the join)") {
     val docs = Tables.load(spark, sf, "documents")
