@@ -565,6 +565,13 @@ object SparkEntry {
     "q144_temperature_mixture" -> ((s, d) =>
       CorpusOps.temperatureMixture(Tables.load(s, d, "documents"),
         alpha = 0.7)),
+    // End-to-end RAG retrieval: q82's chunking + a deterministic
+    // hash-encoder stub + cosine top-10 for doc 0's first chunk —
+    // chunk boundaries, chunk identity, embedding plumbing, and
+    // ranking bind under one oracle hash. Components are
+    // integer-valued md5 derivatives, so float storage and the
+    // oracle's double chains agree exactly.
+    "q145_rag_retrieve" -> ((s, d) => TextOps.ragRetrieve(s, d)),
     // the fixture corpus carries no PII, so the query enriches each doc
     // with deterministically derived email/phone/IP strings (pure
     // function of doc_id — reproduced literally in the oracle SQL);
@@ -1450,6 +1457,37 @@ object SparkEntry {
                                  ORDER BY cos DESC, vec_id) AS rn
               FROM f)
        SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10"""
+  }
+
+  /** q145's oracle, generated: q82's chunk CTE, the 16-component
+    * md5-hash embedding (integer-valued, so DuckDB's DOUBLE math and
+    * Spark's float storage agree exactly), and the standard cosine
+    * chains over the 16 dims. Ties (duplicate chunk texts embed
+    * identically) break by (doc_id, chunk_id) in both engines. */
+  private val ragRetrieveOracle: String = {
+    def chain(terms: Seq[String]): String =
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+    def dot(a: String, b: String): String =
+      chain((1 to 16).map(i => s"$a[$i]*$b[$i]"))
+    def cos(d: String, na: String, nb: String): String =
+      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    s"""WITH chunks AS (SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+           substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk_text
+         FROM documents, UNNEST(generate_series(0, length(text) - 1, 150))
+           AS g(s)
+         WHERE length(text) > 0),
+       emb AS (SELECT doc_id, chunk_id,
+           list_transform(range(0, 16), j ->
+             (('0x' || substr(md5(chunk_text || ':' || j), 1, 15))::BIGINT
+               % 1000)::DOUBLE) AS v
+           FROM chunks),
+       q AS (SELECT v AS qv FROM emb WHERE doc_id = 0 AND chunk_id = 0),
+       dn AS (SELECT x.doc_id, x.chunk_id, ${dot("x.v", "q.qv")} AS dt,
+           ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+           FROM emb x, q WHERE x.doc_id <> 0)
+       SELECT doc_id, chunk_id, ${cos("dt", "na", "nb")} AS cos
+       FROM dn ORDER BY cos DESC, doc_id, chunk_id LIMIT 10"""
   }
 
   /** q139's oracle, generated: the q131 banded-BM25 CTEs produce the
@@ -2542,6 +2580,7 @@ object SparkEntry {
     "q137_ivfpq_persisted" -> ivfPqOracle,
     "q140_ivfpq_batch" -> ivfPqBatchOracle,
     "q141_hard_negatives" -> hardNegativesOracle,
+    "q145_rag_retrieve" -> ragRetrieveOracle,
     // the MV converges to the same inverted lists as a from-scratch
     // buildIndex, so q132's oracle grades the continuous loop
     "q138_vector_index_mv" -> ivfPortableOracle,

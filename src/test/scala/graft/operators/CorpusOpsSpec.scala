@@ -95,6 +95,33 @@ class CorpusOpsSpec extends SparkSuite {
     assert(sel.toSet == again.toSet, "sample is not deterministic")
   }
 
+  test("ragRetrieve: hash embedding matches a driver md5 recomputation; " +
+    "the query doc is excluded and cosines are non-increasing") {
+    val docs = Tables.load(spark, sf, "documents")
+    val chunk0 = CorpusOps.chunkDocs(docs, 200, 50)
+      .filter($"doc_id" === 0 && $"chunk_id" === 0)
+    val got = chunk0
+      .select(graft.operators.TextOps.hashEmbedExpr("chunk_text", 16)
+        .as("emb"))
+      .head().getSeq[Float](0)
+    val text = chunk0.select($"chunk_text").head().getString(0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val expected = (0 until 16).map { j =>
+      (java.lang.Long.parseLong(md5hex(s"$text:$j").take(15), 16) %
+        1000).toFloat
+    }
+    assert(got == expected, "hash embedding diverged from driver md5")
+    val res = graft.operators.TextOps.ragRetrieve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length == 10)
+    assert(res.forall(_._1 != 0L), "query doc leaked into results")
+    assert(res.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      "cosines not non-increasing")
+  }
+
   test("decontaminate broadcast side is the benchmark (corpus never " +
     "shuffled for the join)") {
     val docs = Tables.load(spark, sf, "documents")
