@@ -1118,6 +1118,37 @@ object SparkEntry {
        JOIN cnt cb ON cb.doc_id = d2
        WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""
 
+  // ---- shared SQL fragment builders for the generated float-exact
+  // oracles. These strings pin the kernels' accumulation chains
+  // bit-for-bit; ONE definition of each keeps the graded paths from
+  // diverging when a chain is ever touched. ----
+  private def sqlChain(terms: Seq[String]): String =
+    terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+  /** ascending-index left-associative dot chain (CosineSimilarity /
+    * CentroidBase order) */
+  private def sqlDot(a: String, b: String, dims: Int = 64): String =
+    sqlChain((1 to dims).map(i => s"$a[$i]*$b[$i]"))
+  /** the cosine kernel: den = sqrt(na)*sqrt(nb), -2 zero-norm sentinel */
+  private def sqlCos(d: String, na: String, nb: String): String =
+    s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
+      s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+  /** (a[o]-b[o])^2 summed over the 8 dims of subspace j — PqMath
+    * .sqDist's ascending order */
+  private def sqlSubDist(a: String, b: String, j: Int): String =
+    (1 to 8).map { i =>
+      val o = j * 8 + i
+      s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
+    }.mkString("(", " + ", ")")
+  private val pqDistCols = (0 until 8)
+    .map(j => s"${sqlSubDist("x.v", "c.v", j)} AS d$j").mkString(", ")
+  private val pqCaseArms =
+    (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+  private val pqPivotCols = (0 until 8)
+    .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
+    .mkString(", ")
+  private val pqChainSum =
+    (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+
   /** q121's oracle, generated: the per-subspace squared-L2 is unrolled
     * as a left-associative `+` chain over ascending indices — the
     * exact accumulation order of PqMath.sqDist — so the doubles agree
@@ -1125,25 +1156,16 @@ object SparkEntry {
     * ties break to the lower code id (row_number ORDER BY dist, code =
     * the kernel's strict-less scan). */
   private val pqTopKOracle: String = {
-    // (a[o]-b[o])*(a[o]-b[o]) summed over the 8 dims of subspace j
-    def subDist(a: String, b: String, j: Int): String =
-      (1 to 8).map { i =>
-        val o = j * 8 + i
-        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
-      }.mkString("(", " + ", ")")
-    val distCols = (0 until 8)
-      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
-    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
+    val distCols = pqDistCols
+    val caseArms = pqCaseArms
     // The final ADC distance must accumulate in the same order as
     // PqAdc (ascending j, left-associative +). A bare sum() over a
     // GROUP BY leaves the order to the engine, which is the same
     // summation-order ULP class that tripped q105's exact hash — so
     // pivot the 8 per-subspace terms into columns and add them in an
     // explicit ((s0+s1)+s2)+... chain instead.
-    val pivotCols = (0 until 8)
-      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
-      .mkString(", ")
-    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    val pivotCols = pqPivotCols
+    val chainSum = pqChainSum
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
        pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
@@ -1178,10 +1200,8 @@ object SparkEntry {
     val distCols = (0 until 8)
       .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
     val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
-    val pivotCols = (0 until 8)
-      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
-      .mkString(", ")
-    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    val pivotCols = pqPivotCols
+    val chainSum = pqChainSum
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
        pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
@@ -1220,13 +1240,8 @@ object SparkEntry {
     * (row_number ORDER BY cos DESC, cidx), matching the kernel's
     * strict-greater scan and probeIds' stable sort. */
   private val ivfPortableOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        h AS (SELECT vec_id, v,
               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
@@ -1265,16 +1280,11 @@ object SparkEntry {
     * of q132's oracle. */
   private val lshPortableOracle: String = {
     val planes = graft.operators.SimilarityOps.portablePlanes(64, 8)
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
+    def dot(a: String, b: String): String = sqlDot(a, b)
     def planeDot(a: String, i: Int): String =
-      chain((1 to 64).map(j =>
+      sqlChain((1 to 64).map(j =>
         s"$a[$j]*(${if (planes(i)(j - 1) > 0) "1.0" else "-1.0"})"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     val bucket = (0 until 8).map(i =>
       s"(CASE WHEN ${planeDot("v", i)} >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
@@ -1301,25 +1311,12 @@ object SparkEntry {
     * ascending-j chain), encode/assignment ties break low exactly as
     * the strict-compare kernel scans do. */
   private val ivfPqOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
-    def subDist(a: String, b: String, j: Int): String =
-      (1 to 8).map { i =>
-        val o = j * 8 + i
-        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
-      }.mkString("(", " + ", ")")
-    val distCols = (0 until 8)
-      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
-    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
-    val pivotCols = (0 until 8)
-      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
-      .mkString(", ")
-    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    val distCols = pqDistCols
+    val caseArms = pqCaseArms
+    val pivotCols = pqPivotCols
+    val chainSum = pqChainSum
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        h AS (SELECT vec_id, v,
               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
@@ -1364,25 +1361,12 @@ object SparkEntry {
     * query to ITS OWN probed clusters (probes keyed by query_id).
     * Same exact-accumulation chains throughout. */
   private val ivfPqBatchOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
-    def subDist(a: String, b: String, j: Int): String =
-      (1 to 8).map { i =>
-        val o = j * 8 + i
-        s"($a[$o]-$b[$o])*($a[$o]-$b[$o])"
-      }.mkString("(", " + ", ")")
-    val distCols = (0 until 8)
-      .map(j => s"${subDist("x.v", "c.v", j)} AS d$j").mkString(", ")
-    val caseArms = (0 until 8).map(j => s"WHEN $j THEN d$j").mkString(" ")
-    val pivotCols = (0 until 8)
-      .map(j => s"max(CASE WHEN j = $j THEN dist END) AS s$j")
-      .mkString(", ")
-    val chainSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    val distCols = pqDistCols
+    val caseArms = pqCaseArms
+    val pivotCols = pqPivotCols
+    val chainSum = pqChainSum
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        h AS (SELECT vec_id, v,
               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
@@ -1437,13 +1421,8 @@ object SparkEntry {
     * would otherwise coerce per engine convention), per-query top-10
     * by (cos DESC, id). */
   private val hardNegativesOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
        dn AS (SELECT q.query_id, x.vec_id, ${dot("x.v", "q.qv")} AS dt,
@@ -1465,13 +1444,8 @@ object SparkEntry {
     * chains over the 16 dims. Ties (duplicate chunk texts embed
     * identically) break by (doc_id, chunk_id) in both engines. */
   private val ragRetrieveOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 16).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def dot(a: String, b: String): String = sqlDot(a, b, dims = 16)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     s"""WITH chunks AS (SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
            substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk_text
          FROM documents, UNNEST(generate_series(0, length(text) - 1, 150))
@@ -1498,13 +1472,8 @@ object SparkEntry {
     * and the two arms add in a single commutative addition, so the
     * doubles match the Spark side bit for bit. */
   private val hybridRrfOracle: String = {
-    def chain(terms: Seq[String]): String =
-      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
-    def dot(a: String, b: String): String =
-      chain((1 to 64).map(i => s"$a[$i]*$b[$i]"))
-    def cos(d: String, na: String, nb: String): String =
-      s"CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN -2.0" +
-        s" ELSE $d/(sqrt($na)*sqrt($nb)) END"
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     s"""WITH toks AS (SELECT doc_id, u.w AS word
            FROM (SELECT doc_id, string_split(text, ' ') AS ws
                  FROM documents), unnest(ws) AS u(w)

@@ -70,20 +70,22 @@ object CorpusOps {
     val bSh = DedupOps.shingleHashArrays(benchmark, textCol, idCol,
         shingleN)
       .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
-    val cExpl = cSh.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    // set sizes ride WITH the exploded shingles (first() recovers them
+    // after the pair aggregation): the corpus is shingled exactly once
+    // and no corpus-scale relation is ever shuffled to serve the
+    // candidate-scale verify — only candidate rows reach the groupBy
+    val cExpl = cSh.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n1"),
+      explode(col("shs")).as("shingle"))
     val bExpl = bSh.select(col("bench_id"),
+      size(col("bshs")).cast("long").as("n2"),
       explode(col("bshs")).as("shingle"))
     // per-doc shingle sets are distinct, so the join-then-count is
     // exactly |intersection| per (corpus, bench) pair
-    val inter = cExpl.join(broadcast(bExpl), Seq("shingle"))
+    val bad = cExpl.join(broadcast(bExpl), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("inter"))
-    val cSizes = cSh.select(col("doc_id"),
-      size(col("shs")).cast("long").as("n1"))
-    val bSizes = bSh.select(col("bench_id"),
-      size(col("bshs")).cast("long").as("n2"))
-    val bad = inter.join(cSizes, "doc_id")
-      .join(broadcast(bSizes), "bench_id")
+      .agg(count(lit(1)).as("inter"),
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
       .filter(col("inter") / (col("n1") + col("n2") - col("inter"))
         >= minJaccard)
       .select(col("doc_id")).distinct()
@@ -122,8 +124,12 @@ object CorpusOps {
     val d2 = graft.Tables.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         col(domainCol).as("domain"))
+    // a null domain is its own group (getString returns null; sort and
+    // join must both be null-safe or one stray null row crashes the
+    // query / silently drops its group)
     val cnts = d2.groupBy(col("domain")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(t => Option(t._1))
     val total = cnts.map(_._2).sum
     val budget = total / 2
     def band(x: Double): BigDecimal =
@@ -138,12 +144,12 @@ object CorpusOps {
     }
     val ss = docs.sparkSession
     import ss.implicits._
-    val tDf = targets.toSeq.toDF("domain", "k")
+    val tDf = targets.toSeq.toDF("_dom", "k")
     val w = Window.partitionBy(col("domain"))
       .orderBy(expr("md5(cast(cast(doc_id as string) as binary))"),
         col("doc_id"))
     d2.withColumn("rn", row_number().over(w))
-      .join(broadcast(tDf), Seq("domain"))
+      .join(broadcast(tDf), col("domain") <=> col("_dom"))
       .filter(col("rn") <= col("k"))
       .select(col("doc_id"), col("domain"))
   }

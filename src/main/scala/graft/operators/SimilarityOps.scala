@@ -119,6 +119,46 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic PQ codebooks: sub-vector slices of the `codes`
+    * lowest-id vectors. ONE definition shared by every PQ build path
+    * (flat pqTopK/pqPersist and the composed ivfPqPersist) — the
+    * oracles pin this construction bit-for-bit, so a divergent copy
+    * would silently split the graded paths. */
+  private def deterministicCodebooks(src: DataFrame, subspaces: Int,
+                                     codes: Int, idCol: String,
+                                     embCol: String)
+      : Array[Array[Array[Double]]] = {
+    val srcRows = src.filter(col(idCol) < codes)
+      .select(col(idCol), col(embCol)).collect().sortBy(_.getLong(0))
+    require(srcRows.length == codes,
+      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
+    val dim = srcRows.head.getSeq[Float](1).length
+    // an indivisible dimension would silently slice the trailing dims
+    // out of every codebook and every code
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Array.tabulate(subspaces, codes) { (j, c) =>
+      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
+    }
+  }
+
+  /** Query -> codebook squared-L2 lookup table, ascending-index
+    * accumulation — the EXACT order PqMath.sqDist uses, shared by
+    * every ADC serve path so the pinned arithmetic lives once. */
+  private def adcLut(codebooks: Array[Array[Array[Double]]],
+                     q: Array[Double]): Array[Array[Double]] = {
+    val subDim = codebooks(0)(0).length
+    Array.tabulate(codebooks.length, codebooks(0).length) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < subDim) {
+        val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d; i += 1
+      }
+      s
+    }
+  }
+
   /** Product-quantization top-k (Jegou et al. 2011): encode every
     * database vector as m per-subspace code ids against DETERMINISTIC
     * codebooks (the sub-vectors of the k lowest-id vectors — no
@@ -141,29 +181,11 @@ object SimilarityOps {
              idCol: String = "vec_id",
              embCol: String = "embedding",
              codebookSource: Option[DataFrame] = None): DataFrame = {
-    val srcRows = codebookSource.getOrElse(vectors)
-      .filter(col(idCol) < codes)
-      .select(col(idCol), col(embCol)).collect()
-      .sortBy(_.getLong(0))
-    require(srcRows.length == codes,
-      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
-    val dim = srcRows.head.getSeq[Float](1).length
-    require(dim % subspaces == 0,
-      s"dim $dim not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
-      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
-    }
+    val codebooks = deterministicCodebooks(
+      codebookSource.getOrElse(vectors), subspaces, codes, idCol, embCol)
     val q = query.select(col(embCol)).head().getSeq[Float](0)
       .map(_.toDouble).toArray
-    val lut = Array.tabulate(subspaces, codes) { (j, c) =>
-      var s = 0.0; var i = 0
-      while (i < subDim) {
-        val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d; i += 1
-      }
-      s
-    }
+    val lut = adcLut(codebooks, q)
     vectors.select(col(idCol),
         graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
           .as("codes"))
@@ -187,21 +209,8 @@ object SimilarityOps {
                 root: String, subspaces: Int = 8, codes: Int = 16,
                 idCol: String = "vec_id", embCol: String = "embedding")
       : (graft.lake.LakeTable, Array[Array[Array[Double]]]) = {
-    val srcRows = vectors.filter(col(idCol) < codes)
-      .select(col(idCol), col(embCol)).collect().sortBy(_.getLong(0))
-    require(srcRows.length == codes,
-      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
-    val dim = srcRows.head.getSeq[Float](1).length
-    // Same guard as pqTopK: an indivisible dimension would silently
-    // slice the trailing dims out of every codebook and every code,
-    // persisting a degraded index with no error.
-    require(dim % subspaces == 0,
-      s"dim $dim not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
-      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
-    }
+    val codebooks = deterministicCodebooks(vectors, subspaces, codes,
+      idCol, embCol)
     val codeRows = vectors.select(col(idCol),
       graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
         .as("codes"))
@@ -218,16 +227,7 @@ object SimilarityOps {
                         query: Array[Double], k: Int,
                         excludeId: Option[Long] = None,
                         idCol: String = "vec_id"): DataFrame = {
-    val subspaces = codebooks.length
-    val subDim = codebooks(0)(0).length
-    val lut = Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
-      var s = 0.0; var i = 0
-      while (i < subDim) {
-        val d = query(j * subDim + i) - codebooks(j)(c)(i); s += d * d
-        i += 1
-      }
-      s
-    }
+    val lut = adcLut(codebooks, query)
     val base = excludeId.map(x => table.read().filter(col(idCol) =!= x))
       .getOrElse(table.read())
     base.select(col(idCol),
@@ -263,16 +263,7 @@ object SimilarityOps {
         s"query $qid has dim ${q.length}, index expects " +
           s"${subspaces * subDim}")
     }
-    val luts = queries.map { case (_, q) =>
-      Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
-        var s = 0.0; var i = 0
-        while (i < subDim) {
-          val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d
-          i += 1
-        }
-        s
-      }
-    }.toArray
+    val luts = queries.map { case (_, q) => adcLut(codebooks, q) }.toArray
     val qids = queries.map(_._1)
     val scored = table.read()
       .select(col(idCol),
@@ -325,19 +316,8 @@ object SimilarityOps {
                    embCol: String = "embedding",
                    codebookSource: Option[DataFrame] = None)
       : (graft.lake.LakeTable, Array[Array[Array[Double]]]) = {
-    val srcRows = codebookSource.getOrElse(vectors)
-      .filter(col(idCol) < codes)
-      .select(col(idCol), col(embCol)).collect().sortBy(_.getLong(0))
-    require(srcRows.length == codes,
-      s"pq codebook needs vec ids 0..${codes - 1}, found ${srcRows.length}")
-    val dim = srcRows.head.getSeq[Float](1).length
-    require(dim % subspaces == 0,
-      s"dim $dim not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val cbVecs = srcRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val codebooks = Array.tabulate(subspaces, codes) { (j, c) =>
-      cbVecs(c).slice(j * subDim, (j + 1) * subDim)
-    }
+    val codebooks = deterministicCodebooks(
+      codebookSource.getOrElse(vectors), subspaces, codes, idCol, embCol)
     val codeRows = IvfIndex.assign(vectors, model, embCol)
       .select(col(idCol),
         graft.functions.PqFunctions.pq_encode(col(embCol), codebooks)
@@ -369,14 +349,9 @@ object SimilarityOps {
     require(query.length == subspaces * subDim,
       s"query has dim ${query.length}, index expects ${subspaces * subDim}")
     val probes = IvfIndex.probeIds(query, model, nprobe)
-    val lut = Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
-      var s = 0.0; var i = 0
-      while (i < subDim) {
-        val d = query(j * subDim + i) - codebooks(j)(c)(i); s += d * d
-        i += 1
-      }
-      s
-    }
+    // Float -> Double widening is exact, so this LUT is bit-identical
+    // to the one a double-valued query would produce
+    val lut = adcLut(codebooks, query.map(_.toDouble))
     table.read()
       .filter(col("_cluster").isin(probes: _*))
       .select(col(idCol),
@@ -420,16 +395,8 @@ object SimilarityOps {
       IvfIndex.probeIds(q, model, nprobe).map(c => (qid, c))
     }
     val probedUnion = probePairs.map(_._2).distinct
-    val luts = queries.map { case (_, q) =>
-      Array.tabulate(subspaces, codebooks(0).length) { (j, c) =>
-        var s = 0.0; var i = 0
-        while (i < subDim) {
-          val d = q(j * subDim + i) - codebooks(j)(c)(i); s += d * d
-          i += 1
-        }
-        s
-      }
-    }.toArray
+    val luts = queries
+      .map { case (_, q) => adcLut(codebooks, q.map(_.toDouble)) }.toArray
     val qids = queries.map(_._1)
     val sp = table.read().sparkSession
     import sp.implicits._

@@ -44,23 +44,37 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     * only known once start() returns, so the sink parks on a latch for
     * the first micro-batch — a one-time, sub-ms handshake. */
   def startToLake(name: String, transformed: DataFrame, table: LakeTable,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWriterSink(name, transformed, trigger) { (wid, batch, id) =>
+      table.appendExactlyOnce(batch, wid, id)
+      // per-batch commits accumulate small files; the table's own
+      // compaction policy (if declared) bounds the live-file count —
+      // append-vs-replace races with concurrent writers are safe
+      // (replace commits name exactly the files they supersede)
+      table.autoCompactIfNeeded(); ()
+    }
+
+  /** Shared scaffold for every exactly-once foreachBatch MV: the
+    * writerId = query.id handshake (the id is only known once start()
+    * returns, so the sink parks on a latch for the first micro-batch
+    * — a one-time, sub-ms wait), checkpoint/trigger wiring, and
+    * registration. The six MV classes differ ONLY in their per-batch
+    * body; one definition keeps the exactly-once startup race fix in
+    * one place. */
+  private def startWriterSink(name: String, stream: DataFrame,
+                              trigger: Trigger,
+                              outputMode: Option[String] = None)
+      (body: (String, Dataset[Row], Long) => Unit): StreamingQuery = {
     ensureListener()
     val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
     val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit =
-      (batch, id) => {
-        started.await()
-        table.appendExactlyOnce(batch, writerId.get(), id)
-        // per-batch commits accumulate small files; the table's own
-        // compaction policy (if declared) bounds the live-file count —
-        // append-vs-replace races with concurrent writers are safe
-        // (replace commits name exactly the files they supersede)
-        table.autoCompactIfNeeded(); ()
-      }
-    val q = transformed.writeStream
-      .queryName(name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
+      started.await()
+      body(writerId.get(), batch, id)
+    }
+    var w = stream.writeStream.queryName(name)
+    outputMode.foreach(m => w = w.outputMode(m))
+    val q = w.option("checkpointLocation", s"$checkpointRoot/$name")
       .foreachBatch(sink)
       .trigger(trigger)
       .start()
@@ -69,6 +83,20 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     queries.put(name, q)
     q
   }
+
+  /** Commit-log variant of [[startWriterSink]]: the stream is the
+    * source table's version log, and the body receives the batch's
+    * version range as changesBetween bounds (vMin - 1, vMax]; empty
+    * log batches are skipped. */
+  private def startCommitLogSink(name: String, source: LakeTable,
+                                 trigger: Trigger)
+      (body: (String, Long, Int, Int) => Unit): StreamingQuery =
+    startWriterSink(name,
+      spark.readStream.format("graft-lake-log").load(source.root),
+      trigger) { (wid, logBatch, id) =>
+      val versions = logBatch.select("version").collect().map(_.getInt(0))
+      if (versions.nonEmpty) body(wid, id, versions.min - 1, versions.max)
+    }
 
   /** Continuous incremental-curation MV — the reference's reason to
     * exist (continuous ingestion, ingestor.go:58-102) running our
@@ -93,39 +121,19 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                             nearDupMinJaccard: Option[Double] = None,
                             trigger: Trigger = Trigger.AvailableNow(),
                             postings: Option[LakeTable] = None)
-      : StreamingQuery = {
-    ensureListener()
-    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
-      started.await()
-      val versions = logBatch.select("version").collect().map(_.getInt(0))
-      if (versions.nonEmpty) {
-        // drop the source's derived bucket-layout column: it is the
-        // SOURCE's routing state, not document data, and must not leak
-        // into the curated table (whose own layout derives its own)
-        val docs = source.changesBetween(versions.min - 1, versions.max)
-          .drop(LakeTable.BucketCol)
-        nearDupMinJaccard match {
-          case Some(j) => MVManager.curateStepNearDup(docs, index, out,
-            writerId.get(), id, j, textCol, idCol, postings)
-          case None => MVManager.curateStep(docs, index, out,
-            writerId.get(), id, textCol, idCol)
-        }
+      : StreamingQuery =
+    startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
+      // drop the source's derived bucket-layout column: it is the
+      // SOURCE's routing state, not document data, and must not leak
+      // into the curated table (whose own layout derives its own)
+      val docs = source.changesBetween(lo, hi).drop(LakeTable.BucketCol)
+      nearDupMinJaccard match {
+        case Some(j) => MVManager.curateStepNearDup(docs, index, out,
+          wid, id, j, textCol, idCol, postings)
+        case None => MVManager.curateStep(docs, index, out,
+          wid, id, textCol, idCol)
       }
     }
-    val q = spark.readStream.format("graft-lake-log").load(source.root)
-      .writeStream
-      .queryName(name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
-      .foreachBatch(sink)
-      .trigger(trigger)
-      .start()
-    writerId.set(q.id.toString)
-    started.countDown()
-    queries.put(name, q)
-    q
-  }
 
   /** Continuous LEXICAL-INDEX maintenance MV — the commit-log loop of
     * [[startCurationFromLake]] applied to the persisted BM25 index
@@ -147,32 +155,14 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                                 idCol: String = "doc_id",
                                 trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
-    ensureListener()
     import org.apache.spark.sql.functions.col
-    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
-      started.await()
-      val versions = logBatch.select("version").collect().map(_.getInt(0))
-      if (versions.nonEmpty) {
-        val docs = source.changesBetween(versions.min - 1, versions.max)
-          .drop(LakeTable.BucketCol)
-          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        graft.operators.TextOps.appendToLexicalIndex(postings, docstats,
-          docs, writerId.get(), id)
-      }
+    startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
+      val docs = source.changesBetween(lo, hi)
+        .drop(LakeTable.BucketCol)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      graft.operators.TextOps.appendToLexicalIndex(postings, docstats,
+        docs, wid, id)
     }
-    val q = spark.readStream.format("graft-lake-log").load(source.root)
-      .writeStream
-      .queryName(name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
-      .foreachBatch(sink)
-      .trigger(trigger)
-      .start()
-    writerId.set(q.id.toString)
-    started.countDown()
-    queries.put(name, q)
-    q
   }
 
   /** Continuous VECTOR-INDEX maintenance MV — the commit-log loop of
@@ -196,32 +186,15 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                                embCol: String = "embedding",
                                trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
-    ensureListener()
     import org.apache.spark.sql.functions.col
-    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
-      started.await()
-      val versions = logBatch.select("version").collect().map(_.getInt(0))
-      if (versions.nonEmpty) {
-        val vecs = source.changesBetween(versions.min - 1, versions.max)
-          .drop(LakeTable.BucketCol)
-          .select(col(idCol), col(embCol))
-        graft.operators.IvfIndex.appendToIndex(index, vecs, model,
-          writerId.get(), id, embCol)
-      }
+    startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
+      val vecs = source.changesBetween(lo, hi)
+        .drop(LakeTable.BucketCol)
+        .select(col(idCol), col(embCol))
+      graft.operators.IvfIndex.appendToIndex(index, vecs, model,
+        wid, id, embCol)
+      ()
     }
-    val q = spark.readStream.format("graft-lake-log").load(source.root)
-      .writeStream
-      .queryName(name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
-      .foreachBatch(sink)
-      .trigger(trigger)
-      .start()
-    writerId.set(q.id.toString)
-    started.countDown()
-    queries.put(name, q)
-    q
   }
 
   /** Continuous EMBEDDING curation MV — the commit-log-driven loop of
@@ -242,32 +215,12 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                                      trigger: Trigger =
                                        Trigger.AvailableNow(),
                                      postings: Option[LakeTable] = None)
-      : StreamingQuery = {
-    ensureListener()
-    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit = (logBatch, id) => {
-      started.await()
-      val versions = logBatch.select("version").collect().map(_.getInt(0))
-      if (versions.nonEmpty) {
-        val vecs = source.changesBetween(versions.min - 1, versions.max)
-          .drop(LakeTable.BucketCol)
-        MVManager.curateStepEmbedding(vecs, index, out, writerId.get(),
-          id, threshold, bandBits, bands, idCol, embCol, postings)
-      }
+      : StreamingQuery =
+    startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
+      val vecs = source.changesBetween(lo, hi).drop(LakeTable.BucketCol)
+      MVManager.curateStepEmbedding(vecs, index, out, wid,
+        id, threshold, bandBits, bands, idCol, embCol, postings)
     }
-    val q = spark.readStream.format("graft-lake-log").load(source.root)
-      .writeStream
-      .queryName(name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
-      .foreachBatch(sink)
-      .trigger(trigger)
-      .start()
-    writerId.set(q.id.toString)
-    started.countDown()
-    queries.put(name, q)
-    q
-  }
 
   /** Incrementally-MAINTAINED aggregate MV — the reference system's
     * upstream half (RisingWave keeps MV aggregates current per key;
@@ -286,28 +239,13 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
   def startAggregateToLake(name: String, transformed: DataFrame,
                            table: LakeTable, keyCols: Seq[String],
                            trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery = {
-    ensureListener()
-    val writerId = new java.util.concurrent.atomic.AtomicReference[String]()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
-      started.await()
+      : StreamingQuery =
+    startWriterSink(name, transformed, trigger,
+      outputMode = Some("update")) { (wid, batch, id) =>
       if (!batch.isEmpty) {
-        table.upsertExactlyOnce(batch, keyCols, writerId.get(), id); ()
+        table.upsertExactlyOnce(batch, keyCols, wid, id); ()
       }
     }
-    val q = transformed.writeStream
-      .queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation", s"$checkpointRoot/$name")
-      .foreachBatch(sink)
-      .trigger(trigger)
-      .start()
-    writerId.set(q.id.toString)
-    started.countDown()
-    queries.put(name, q)
-    q
-  }
 
   /** MV whose micro-batches are exported as Arrow IPC directories —
     * the reference's alternate sink format (batch_writer.go:200-222),
