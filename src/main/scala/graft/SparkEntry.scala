@@ -572,6 +572,25 @@ object SparkEntry {
     // integer-valued md5 derivatives, so float storage and the
     // oracle's double chains agree exactly.
     "q145_rag_retrieve" -> ((s, d) => TextOps.ragRetrieve(s, d)),
+    // Metadata-FILTERED vector search (the vector-store "filtered
+    // ANN" surface): candidates restricted to lang='en' documents by
+    // a semi-join BEFORE scoring, then exact cosine top-10. The
+    // modality tables share ids (doc_id == vec_id), so the filter is
+    // a relational predicate over the metadata table.
+    "q146_filtered_ann" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val allowed = Tables.load(s, d, "documents")
+        .filter(col("lang") === "en" && col("doc_id") =!= 0)
+        .select(col("doc_id"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilarityOps.filteredCosineTopK(e, allowed, qv, k = 10)
+    }),
+    // Result-diversified RAG retrieval: per-document best chunk only
+    // (max cosine, ties low), then top-10 documents — one repetitive
+    // document cannot monopolize the retrieved context.
+    "q147_rag_diverse" -> ((s, d) => TextOps.ragRetrieveDiverse(s, d)),
     // the fixture corpus carries no PII, so the query enriches each doc
     // with deterministically derived email/phone/IP strings (pure
     // function of doc_id — reproduced literally in the oracle SQL);
@@ -1443,6 +1462,51 @@ object SparkEntry {
     * Spark's float storage agree exactly), and the standard cosine
     * chains over the 16 dims. Ties (duplicate chunk texts embed
     * identically) break by (doc_id, chunk_id) in both engines. */
+  /** q146's oracle: the q132 cosine chains restricted to lang='en'
+    * ids via the metadata join — exact filtered search. */
+  private val filteredAnnOracle: String = {
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ok AS (SELECT doc_id FROM documents
+              WHERE lang = 'en' AND doc_id <> 0),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       dn AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+              FROM e x JOIN ok ON x.vec_id = ok.doc_id, q)
+       SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
+       FROM dn ORDER BY cos DESC, vec_id LIMIT 10"""
+  }
+
+  /** q147's oracle: q145's scoring CTEs with the per-document
+    * best-chunk collapse (QUALIFY rank 1 by cos DESC, chunk_id) before
+    * the global top-10. */
+  private val ragDiverseOracle: String = {
+    def dot(a: String, b: String): String = sqlDot(a, b, dims = 16)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    s"""WITH chunks AS (SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+           substr(text, CAST(s AS BIGINT) + 1, 200) AS chunk_text
+         FROM documents, UNNEST(generate_series(0, length(text) - 1, 150))
+           AS g(s)
+         WHERE length(text) > 0),
+       emb AS (SELECT doc_id, chunk_id,
+           list_transform(range(0, 16), j ->
+             (('0x' || substr(md5(chunk_text || ':' || j), 1, 15))::BIGINT
+               % 1000)::DOUBLE) AS v
+           FROM chunks),
+       q AS (SELECT v AS qv FROM emb WHERE doc_id = 0 AND chunk_id = 0),
+       dn AS (SELECT x.doc_id, x.chunk_id, ${dot("x.v", "q.qv")} AS dt,
+           ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+           FROM emb x, q WHERE x.doc_id <> 0),
+       sc AS (SELECT doc_id, chunk_id, ${cos("dt", "na", "nb")} AS cos
+           FROM dn),
+       best AS (SELECT doc_id, chunk_id, cos FROM sc
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY cos DESC, chunk_id) = 1)
+       SELECT doc_id, chunk_id, cos FROM best
+       ORDER BY cos DESC, doc_id LIMIT 10"""
+  }
+
   private val ragRetrieveOracle: String = {
     def dot(a: String, b: String): String = sqlDot(a, b, dims = 16)
     def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
@@ -2550,6 +2614,8 @@ object SparkEntry {
     "q140_ivfpq_batch" -> ivfPqBatchOracle,
     "q141_hard_negatives" -> hardNegativesOracle,
     "q145_rag_retrieve" -> ragRetrieveOracle,
+    "q146_filtered_ann" -> filteredAnnOracle,
+    "q147_rag_diverse" -> ragDiverseOracle,
     // the MV converges to the same inverted lists as a from-scratch
     // buildIndex, so q132's oracle grades the continuous loop
     "q138_vector_index_mv" -> ivfPortableOracle,

@@ -422,6 +422,34 @@ object SimilarityOps {
       .select(col(queryIdCol), col(idCol), col("adc_dist"))
   }
 
+  /** Metadata-FILTERED vector search — the production "filtered ANN"
+    * shape every vector store exposes (search only among rows
+    * satisfying a relational predicate): the allowed-id set arrives
+    * as a DataFrame (typically a filter over a metadata table), the
+    * candidate restriction is a semi-join BEFORE any scoring — so
+    * the predicate prunes work instead of post-filtering results —
+    * and the survivors cosine-rank against the query with
+    * TakeOrdered. Exact by construction; the approximate variant
+    * composes the same semi-join under ivfPqSearchPersisted with
+    * over-fetch (the filter can empty out probed lists, so k must
+    * over-provision — the standard filtered-ANN caveat).
+    *
+    * 100 TB shape: one scan of the vector side, the join keyed on id
+    * (broadcast when the allowed set is small, shuffle otherwise),
+    * no corpus self-join, top-k never globally sorts. */
+  def filteredCosineTopK(vectors: DataFrame, allowedIds: DataFrame,
+                         query: Array[Float], k: Int,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val allowed = allowedIds.select(allowedIds.columns.head)
+      .toDF(idCol)
+    vectors.join(allowed, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        cosine_sim(col(embCol), typedlit(query.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/ANCE
     * recipe): for each query vector, the k corpus vectors MOST
     * similar to it that are still below the near-duplicate threshold

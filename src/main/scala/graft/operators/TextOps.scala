@@ -364,6 +364,38 @@ object TextOps {
       .limit(k)
   }
 
+  /** Result-DIVERSIFIED RAG retrieval: [[ragRetrieve]]'s scoring with
+    * the standard per-source collapse — each document contributes
+    * only its BEST chunk (max cosine, ties to the lower chunk_id)
+    * and the top-k then ranks documents, so one long near-duplicate
+    * document cannot monopolize the context window with k copies of
+    * itself. Two windowed ranks over the scored candidates (both
+    * partitioned — per-doc then global top-k via TakeOrdered on the
+    * collapsed per-doc rows); everything else is [[ragRetrieve]]'s
+    * plan. */
+  def ragRetrieveDiverse(s: SparkSession, dir: String,
+                         chunkSize: Int = 200, overlap: Int = 50,
+                         dim: Int = 16, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine_sim
+    val chunks = CorpusOps.chunkDocs(docs(s, dir), chunkSize, overlap)
+      .select(col("doc_id"), col("chunk_id"),
+        hashEmbedExpr("chunk_text", dim).as("emb"))
+    val qv = chunks
+      .filter(col("doc_id") === 0 && col("chunk_id") === 0)
+      .select(col("emb")).head().getSeq[Float](0)
+    val scored = chunks.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), col("chunk_id"),
+        cosine_sim(col("emb"), typedlit(qv)).as("cos"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos").desc, col("chunk_id").asc)
+    scored.withColumn("_rn", row_number().over(perDoc))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("chunk_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
     * (Cormack/Clarke/Buettcher 2009) — the production RAG-stack
     * standard for combining a BM25 arm with an embedding arm without

@@ -856,6 +856,55 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("filtered vector search: results come only from the allowed " +
+    "set and equal post-filtered brute force") {
+    val docs = Tables.load(spark, sf, "documents")
+    val allowed = docs.filter($"lang" === "en" && $"doc_id" =!= 0)
+      .select($"doc_id")
+    val allowedSet = allowed.as[Long].collect().toSet
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val got = SimilarityOps.filteredCosineTopK(emb, allowed, qv, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.forall(r => allowedSet.contains(r._1)),
+      "a result escaped the filter")
+    // exact search: restricting BEFORE scoring == scoring then
+    // filtering (the semi-join is an optimization, not approximation)
+    val post = emb
+      .select($"vec_id", cosine_sim($"embedding", typedlit(
+        emb.filter($"vec_id" === 0).select("embedding")
+          .as[Seq[Float]].head())).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(r => allowedSet.contains(r._1))
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    assert(got == post)
+  }
+
+  test("diversified RAG retrieval: one chunk per document, and it is " +
+    "that document's argmax chunk") {
+    val res = graft.operators.TextOps.ragRetrieveDiverse(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.map(_._1).distinct.length == res.length,
+      "a document appears twice")
+    // recompute every chunk's score; each result must be its doc's best
+    val docs = Tables.load(spark, sf, "documents")
+    val chunks = CorpusOps.chunkDocs(docs, 200, 50)
+      .select($"doc_id", $"chunk_id",
+        graft.operators.TextOps.hashEmbedExpr("chunk_text", 16).as("emb"))
+    val qv = chunks.filter($"doc_id" === 0 && $"chunk_id" === 0)
+      .select($"emb").as[Seq[Float]].head()
+    val all = chunks.filter($"doc_id" =!= 0)
+      .select($"doc_id", $"chunk_id",
+        cosine_sim($"emb", typedlit(qv)).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    res.foreach { case (d, c, s) =>
+      val best = all.filter(_._1 == d)
+        .minBy { case (_, cid, cs) => (-cs, cid) }
+      assert((best._2, best._3) == ((c, s)),
+        s"doc $d: got chunk $c, best is ${best._2}")
+    }
+  }
+
   test("hybrid RRF fusion: fused scores equal 1/(60+rank) arithmetic " +
     "recomputed from the two arms' own rankings") {
     val fused = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
