@@ -61,6 +61,28 @@ case class EmbeddingCurationConfig(
     idCol: String = "vec_id",
     embCol: String = "embedding")
 
+/** Continuous SERVING-index maintenance declared in config: watch lake
+  * table `source` and grow the persisted BM25 index
+  * `<target>_postings` / `<target>_docstats` exactly-once per commit —
+  * GraftEngine.startLexicalIndex from the same YAML surface. */
+case class LexicalIndexConfig(
+    source: String,
+    target: String = "lexical",
+    buckets: Int = 16,
+    textCol: String = "text",
+    idCol: String = "doc_id")
+
+/** The dense twin: watch lake table `source` of (id, embedding) rows
+  * and grow the `_cluster`-partitioned IVF index `<target>_index`
+  * exactly-once per commit under frozen portable centers —
+  * GraftEngine.startVectorIndex from YAML. */
+case class VectorIndexConfig(
+    source: String,
+    target: String = "vectors",
+    clusters: Int = 32,
+    idCol: String = "vec_id",
+    embCol: String = "embedding")
+
 /** Reference flight.servers/port (config.go:22-25). In this engine the
   * ingress stand-in is file-stream polling, so `servers` are the
   * directories `GraftEngine.sourceStreams` polls; when a true Flight
@@ -76,7 +98,9 @@ case class GraftConfig(
     metrics: MetricsConfig = MetricsConfig(),
     flight: FlightConfig = FlightConfig(),
     curation: Option[CurationConfig] = None,
-    embeddingCuration: Option[EmbeddingCurationConfig] = None) {
+    embeddingCuration: Option[EmbeddingCurationConfig] = None,
+    lexicalIndex: Option[LexicalIndexConfig] = None,
+    vectorIndex: Option[VectorIndexConfig] = None) {
   def trigger: Trigger =
     if (batching.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(batching.triggerInterval)
@@ -140,6 +164,24 @@ object GraftConfig {
             idCol = (root / "embeddingCuration" / "idCol").str("vec_id"),
             embCol = (root / "embeddingCuration" / "embCol")
               .str("embedding"))
+        },
+      lexicalIndex =
+        (root / "lexicalIndex" / "source").strOpt.map { src =>
+          LexicalIndexConfig(
+            source = src,
+            target = (root / "lexicalIndex" / "target").str("lexical"),
+            buckets = (root / "lexicalIndex" / "buckets").int(16),
+            textCol = (root / "lexicalIndex" / "textCol").str("text"),
+            idCol = (root / "lexicalIndex" / "idCol").str("doc_id"))
+        },
+      vectorIndex =
+        (root / "vectorIndex" / "source").strOpt.map { src =>
+          VectorIndexConfig(
+            source = src,
+            target = (root / "vectorIndex" / "target").str("vectors"),
+            clusters = (root / "vectorIndex" / "clusters").int(32),
+            idCol = (root / "vectorIndex" / "idCol").str("vec_id"),
+            embCol = (root / "vectorIndex" / "embCol").str("embedding"))
         })
   }
 }
@@ -432,6 +474,70 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       embCol = embCol, trigger = config.trigger,
       postings = Some(postings))
     (out, q)
+  }
+
+  /** The SERVING-index twin of [[startCuration]] on the lexical axis
+    * (q135/q136): watch `sourceTable`'s commit log and grow the
+    * catalog-managed persisted BM25 index — word-bucketed
+    * `<name>_postings` with denormalized doc length plus
+    * `<name>_docstats` — exactly-once per batch, no rebuilds (every
+    * query-time statistic derives from stored rows). Serve with
+    * `TextOps.bm25FromIndex`/`bm25Terms` over the returned pair. */
+  def startLexicalIndex(name: String, sourceTable: String,
+                        buckets: Int = 16, textCol: String = "text",
+                        idCol: String = "doc_id")
+      : (LakeTable, LakeTable, StreamingQuery) = {
+    val ns = config.catalog.namespace
+    val src = table(sourceTable)
+    val (pSchema, dSchema) =
+      graft.operators.TextOps.lexicalIndexSchemas(spark)
+    val pName = s"${name}_postings"
+    val pt =
+      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
+      else catalog.createTable(ns, pName, pSchema,
+        properties = graft.lake.LakeTable.autoCompactProps(buckets),
+        bucketBy = Some(("word", buckets)))
+    val dt = catalog.createOrLoadTable(ns, s"${name}_docstats", dSchema)
+    val q = mvs.startLexicalIndexFromLake(name, src, pt, dt, textCol,
+      idCol, config.trigger)
+    (pt, dt, q)
+  }
+
+  /** The SERVING-index twin on the dense axis (q60/q138): watch
+    * `sourceTable`'s commit log of (id, embedding) rows and grow the
+    * catalog-managed `_cluster`-partitioned IVF index exactly-once
+    * per batch under FROZEN centers (the serving-time IVF contract —
+    * previously-computed probe sets stay valid; retrain offline when
+    * drift matters). Centers come from `model` if given, else a
+    * portable train over the source's CURRENT contents (frozen at
+    * loop start — the source must already hold >= `clusters` rows).
+    * Serve with `IvfIndex.searchPersisted`/`searchPersistedBatch`. */
+  def startVectorIndex(name: String, sourceTable: String,
+                       clusters: Int = 32,
+                       model: Option[graft.operators.IvfIndex.Model] =
+                         None,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding")
+      : (LakeTable, graft.operators.IvfIndex.Model, StreamingQuery) = {
+    import org.apache.spark.sql.types.StructType
+    val ns = config.catalog.namespace
+    val src = table(sourceTable)
+    val m = model.getOrElse(graft.operators.IvfIndex.trainPortable(
+      src.read(), clusters, embCol, idCol))
+    val userSchema = StructType(Seq(src.schema(idCol), src.schema(embCol)))
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], userSchema)
+    val idxSchema =
+      graft.operators.IvfIndex.assign(emptyVecs, m, embCol).schema
+    val idxName = s"${name}_index"
+    val index =
+      if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
+      else catalog.createTable(ns, idxName, idxSchema,
+        properties = graft.lake.LakeTable.autoCompactProps(m.c),
+        partitionBy = Seq("_cluster"))
+    val q = mvs.startVectorIndexFromLake(name, src, index, m, idCol,
+      embCol, config.trigger)
+    (index, m, q)
   }
 
   def table(name: String): LakeTable =

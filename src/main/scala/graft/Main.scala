@@ -36,6 +36,18 @@ object Main {
       println(s"[graft] curating vectors '${c.source}' -> " +
         s"'${c.target}' (cosine >= ${c.threshold}, query ${q.id})")
     }
+    config.lexicalIndex.foreach { c =>
+      val (_, _, q) = engine.startLexicalIndex(c.target, c.source,
+        c.buckets, c.textCol, c.idCol)
+      println(s"[graft] lexical index '${c.source}' -> " +
+        s"'${c.target}_postings' (query ${q.id})")
+    }
+    config.vectorIndex.foreach { c =>
+      val (_, _, q) = engine.startVectorIndex(c.target, c.source,
+        c.clusters, idCol = c.idCol, embCol = c.embCol)
+      println(s"[graft] vector index '${c.source}' -> " +
+        s"'${c.target}_index' (${c.clusters} lists, query ${q.id})")
+    }
     sys.addShutdownHook {
       println("[graft] shutting down")
       engine.shutdown()

@@ -483,6 +483,23 @@ object TextOps {
     (pt, dt)
   }
 
+  /** The (postings, docstats) schemas a lexical-index pair uses —
+    * derived from the builder's own plan over an empty frame, so a
+    * catalog-managed creation can never drift from what
+    * [[buildLexicalIndex]]/[[appendToLexicalIndex]] actually write. */
+  def lexicalIndexSchemas(s: SparkSession)
+      : (org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types._
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val p = postingsOf(empty)
+    val d = p.select(col("doc_id"), col("dl")).distinct()
+    (p.schema, d.schema)
+  }
+
   private def postingsOf(docsDf: DataFrame): DataFrame = {
     val toks = Tables.widen(docsDf)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -285,6 +285,76 @@ class EngineSpec extends SparkSuite {
       .collect().toSet == Set(1L, 3L))
   }
 
+  test("lexicalIndex + vectorIndex sections parse from YAML and drive " +
+    "catalog-managed serving-index loops that converge to from-scratch " +
+    "builds") {
+    import org.apache.spark.sql.functions.col
+    val yaml =
+      s"""storage:
+         |  localPath: ${tmpDir("yidx-wh")}
+         |iceberg:
+         |  defaultNamespace: yserve
+         |lexicalIndex:
+         |  source: rawdocs
+         |  target: lex
+         |  buckets: 8
+         |vectorIndex:
+         |  source: rawvecs
+         |  target: vec
+         |  clusters: 4
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    assert(cfg.lexicalIndex ==
+      Some(LexicalIndexConfig("rawdocs", "lex", buckets = 8)))
+    assert(cfg.vectorIndex ==
+      Some(VectorIndexConfig("rawvecs", "vec", clusters = 4)))
+    val engine = new GraftEngine(spark, cfg)
+
+    // lexical: two commits through the loop == one from-scratch build
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(60).localCheckpoint()
+    val dSrc = engine.catalog.createTable("yserve", "rawdocs", docs.schema)
+    dSrc.append(docs.filter(col("doc_id") % 2 === 0))
+    val lc = cfg.lexicalIndex.get
+    engine.startLexicalIndex(lc.target, lc.source, lc.buckets)
+      ._3.awaitTermination()
+    dSrc.append(docs.filter(col("doc_id") % 2 =!= 0))
+    val (pt, dt, q1) =
+      engine.startLexicalIndex(lc.target, lc.source, lc.buckets)
+    q1.awaitTermination()
+    val (fp, fd) = graft.operators.TextOps.buildLexicalIndex(
+      spark, docs, tmpDir("yidx-fresh"), buckets = 8)
+    val served = graft.operators.TextOps
+      .bm25FromIndex(pt, dt, queryDoc = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = graft.operators.TextOps
+      .bm25FromIndex(fp, fd, queryDoc = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == fresh, "MV-grown lexical index diverged")
+
+    // vector: same contract on the dense axis
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(60).localCheckpoint()
+    val vSrc = engine.catalog.createTable("yserve", "rawvecs", vecs.schema)
+    vSrc.append(vecs)
+    val vc = cfg.vectorIndex.get
+    val (index, model, q2) =
+      engine.startVectorIndex(vc.target, vc.source, vc.clusters)
+    q2.awaitTermination()
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rebuilt = graft.operators.IvfIndex.buildIndex(
+      spark, vecs, model, tmpDir("yidx-vfresh"))
+    val sGrown = graft.operators.IvfIndex
+      .searchPersisted(index, qv, model, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sFresh = graft.operators.IvfIndex
+      .searchPersisted(rebuilt, qv, model, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sGrown == sFresh, "MV-grown vector index diverged")
+  }
+
   test("startCuration: the curation loop as a catalog-managed engine " +
     "MV — near-dups dropped continuously, tables created on first use") {
     val engine = new GraftEngine(spark, GraftConfig(
