@@ -853,8 +853,34 @@ class LakeTable private (
     * existing columns may widen (byte/short/int->long, float->double,
     * Iceberg's promotion rules); new df columns are added to the table
     * schema (additive evolution) with fresh field IDs. */
+  /** CHECK-constraint enforcement (Delta parity): any table property
+    * `constraint.<name> = <sql boolean expression>` is evaluated for
+    * every NEW row inside the write plan itself — a violating row
+    * raises before any file reaches a manifest, so a constraint can
+    * never be half-committed. SQL CHECK semantics: a NULL result
+    * passes (UNKNOWN is not a violation). Rewrite paths (compaction,
+    * z-order, delete's survivor rewrite) are exempt by design — they
+    * move EXISTING rows, and a constraint added after legacy rows
+    * landed must not brick the table's maintenance; upsert enforces
+    * on the incoming source rows only, for the same reason. */
+  private def enforced(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val checks = properties.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        (k.stripPrefix("constraint."), v)
+    }.sortBy(_._1)
+    if (checks.isEmpty) df
+    else df.filter(checks.map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)) === false,
+        raise_error(lit(s"CHECK constraint '$n' violated: $e"))
+          .cast("boolean"))
+        .otherwise(lit(true))
+    }.reduce(_ && _))
+  }
+
   def append(df: DataFrame, appMeta: Map[String, String] = Map.empty): Int =
-    commit(writeData(df), replacedFiles = Set.empty, appMeta, guard = None)
+    commit(writeData(enforced(df)), replacedFiles = Set.empty, appMeta,
+      guard = None)
 
   /** Idempotent append keyed by (writerId, batchId): commits at most
     * once per writer per batch id (exactly-once sink contract for
@@ -871,7 +897,7 @@ class LakeTable private (
     // cheap pre-check saves the data write on obvious replays; the
     // authoritative check is the guard inside the commit loop
     if (highWater(key).exists(_ >= batchId)) currentVersion
-    else commit(writeData(df), Set.empty,
+    else commit(writeData(enforced(df)), Set.empty,
       Map(BatchIdKey -> batchId.toString, WriterIdKey -> writerId),
       Some(MonotoneGuard(key, batchId)))
   }
@@ -894,7 +920,7 @@ class LakeTable private (
   private[lake] def appendCas(df: DataFrame, key: String, expected: Long,
                               value: Long,
                               appMeta: Map[String, String]): Int =
-    commit(writeData(df), Set.empty, appMeta,
+    commit(writeData(enforced(df)), Set.empty, appMeta,
       Some(CasGuard(key, expected, value)))
 
   /** Compaction: rewrite snapshot `currentVersion`'s file set into
@@ -1223,7 +1249,8 @@ class LakeTable private (
     * replace + append rebase as in [[deleteWhere]]. A source with no
     * matching keys degrades to a plain append (no rewrite at all). */
   def upsert(source: DataFrame, keyCols: Seq[String]): Int =
-    upsertWith(source, keyCols, guard = None, extraMeta = Map.empty)
+    upsertWith(enforced(source), keyCols, guard = None,
+      extraMeta = Map.empty)
 
   /** [[upsert]] with the (writerId, batchId) exactly-once guard of
     * [[appendExactlyOnce]]. Deterministic update-mode aggregates are
@@ -1237,7 +1264,7 @@ class LakeTable private (
                         writerId: String, batchId: Long): Int = {
     val key = writerKey(writerId)
     if (highWater(key).exists(_ >= batchId)) currentVersion
-    else upsertWith(source, keyCols,
+    else upsertWith(enforced(source), keyCols,
       guard = Some(MonotoneGuard(key, batchId)),
       extraMeta = Map(BatchIdKey -> batchId.toString,
         WriterIdKey -> writerId))
@@ -1453,7 +1480,9 @@ class LakeTable private (
                          guard: Option[CommitGuard],
                          alter: Option[(StructType, Map[String, Int]) =>
                            (StructType, Map[String, Int])],
-                         strictReplace: Boolean = false): Int = {
+                         strictReplace: Boolean = false,
+                         alterProps: Option[Map[String, String] =>
+                           Map[String, String]] = None): Int = {
     var attempt = 0
     var lastSeen = Int.MinValue
     var stalls = 0
@@ -1531,9 +1560,21 @@ class LakeTable private (
       val newEntries = rewriteFiles ++ stamped
       val refs = mergeManifests(keptRefs ++
         (if (newEntries.nonEmpty) Seq(writeManifest(newEntries)) else Nil))
+      // properties-only alteration re-applies to the freshly-read map
+      // on every retry, so it serializes against racing commits
+      val propsNode: JsonNode = alterProps match {
+        case None => cur.get("properties")
+        case Some(f) =>
+          val curProps = cur.get("properties").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+          val obj = mapper.createObjectNode()
+          f(curProps).toSeq.sortBy(_._1)
+            .foreach { case (k, pv) => obj.put(k, pv) }
+          obj
+      }
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
-        props = cur.get("properties"),
+        props = propsNode,
         manifests = refs, meta = meta,
         partitionBy = partitionBy,
         highWater = newHw,
@@ -1548,6 +1589,20 @@ class LakeTable private (
   }
 
   // ---- schema evolution (rename/drop, Iceberg field-ID semantics) ----
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: a metadata-only commit
+    * through the same optimistic loop as data — the transform
+    * re-applies to the freshly-read properties on every retry, so it
+    * serializes correctly against racing appends. This is how a CHECK
+    * constraint or a compaction policy lands on a LIVE table; a
+    * constraint added later binds only to rows written AFTER the
+    * commit (existing rows are grandfathered — rewrite paths are
+    * exempt by design, see [[enforced]]). */
+  def updateProperties(updates: Map[String, String],
+                       removals: Set[String] = Set.empty): Int =
+    commitWith(None, Set.empty, Map("alter" -> "properties"),
+      guard = None, alter = Some((sch, ids) => (sch, ids)),
+      alterProps = Some(p => (p -- removals) ++ updates))
 
   /** Rename a column, KEEPING its field ID: files written under the old
     * name keep serving their data under the new one (resolved by ID at

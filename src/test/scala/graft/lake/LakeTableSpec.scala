@@ -19,6 +19,68 @@ class LakeTableSpec extends SparkSuite {
   private val abSchema = StructType(Seq(
     StructField("a", LongType), StructField("b", StringType)))
 
+  test("CHECK constraints: violating appends and upserts fail atomically " +
+    "before any commit, NULL passes, rewrites stay exempt") {
+    val t = LakeTable.create(spark, tmpDir("constraints"), abSchema,
+      properties = Map(
+        "constraint.a_positive" -> "a > 0",
+        "constraint.b_present" -> "b IS NOT NULL"))
+    t.append(Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
+    assert(t.read().count() == 2)
+    // a violating batch fails with the constraint named, commits NOTHING
+    val before = t.currentVersion
+    val bad = intercept[Exception] {
+      t.append(Seq((3L, "ok"), (-1L, "bad")).toDF("a", "b"))
+    }
+    assert(bad.getMessage.contains("a_positive"),
+      s"message was ${bad.getMessage}")
+    assert(t.currentVersion == before, "a violating append committed")
+    assert(t.read().count() == 2)
+    // NULL check result passes (SQL CHECK semantics): a > 0 over a
+    // null a is UNKNOWN, not a violation
+    t.append(Seq(Tuple2[java.lang.Long, String](null, "z")).toDF("a", "b"))
+    assert(t.read().count() == 3)
+    // but an explicit IS NOT NULL constraint rejects nulls
+    val nb = intercept[Exception] {
+      t.append(Seq((4L, null.asInstanceOf[String])).toDF("a", "b"))
+    }
+    assert(nb.getMessage.contains("b_present"))
+    // upsert enforces on the incoming source rows
+    val ub = intercept[Exception] {
+      t.upsert(Seq((-5L, "u")).toDF("a", "b"), Seq("a"))
+    }
+    assert(ub.getMessage.contains("a_positive"))
+    t.upsert(Seq((1L, "x2")).toDF("a", "b"), Seq("a"))
+    assert(t.read().filter($"a" === 1L).select("b").as[String]
+      .head() == "x2")
+    // exactly-once append enforces too
+    val eb = intercept[Exception] {
+      t.appendExactlyOnce(Seq((-9L, "e")).toDF("a", "b"), "w1", 0L)
+    }
+    assert(eb.getMessage.contains("a_positive"))
+    // a constraint ADDED LATER (updateProperties = ALTER TABLE SET
+    // TBLPROPERTIES) binds new writes but grandfathers legacy rows:
+    // compaction must keep moving them
+    val t2 = LakeTable.create(spark, tmpDir("constraints2"), abSchema)
+    t2.append(Seq(Tuple2[java.lang.Long, String](null, "legacy"))
+      .toDF("a", "b"))
+    t2.append(Seq((1L, "x")).toDF("a", "b"))
+    t2.updateProperties(Map("constraint.a_set" -> "a IS NOT NULL"))
+    assert(t2.properties.get("constraint.a_set").contains("a IS NOT NULL"))
+    val lb = intercept[Exception] {
+      t2.append(Seq(Tuple2[java.lang.Long, String](null, "new"))
+        .toDF("a", "b"))
+    }
+    assert(lb.getMessage.contains("a_set"))
+    t2.compact(1) // must not throw: maintenance moves existing rows
+    assert(t2.read().count() == 2)
+    // and UNSET lifts the constraint again
+    t2.updateProperties(Map.empty, removals = Set("constraint.a_set"))
+    t2.append(Seq(Tuple2[java.lang.Long, String](null, "ok"))
+      .toDF("a", "b"))
+    assert(t2.read().count() == 3)
+  }
+
   test("create + append + read roundtrip") {
     val t = freshTable("rt", abSchema)
     assert(t.currentVersion == 0)
