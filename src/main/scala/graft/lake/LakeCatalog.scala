@@ -70,4 +70,65 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
       .foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(Paths.get(tablePath(ns, name)))
   }
+
+  // ---- atomic table ALIASES: the blue-green publish pointer ----------
+  //
+  // A pipeline that rebuilds a table (re-dedupe the corpus, recompact
+  // an index under new geometry) needs an atomic cutover that never
+  // renames data. On an object store, renaming a table directory is an
+  // O(files) copy — the anti-pattern this lake's rename-free writes
+  // exist to avoid — so the publish primitive is a POINTER: an alias
+  // is its own tiny version log (the exact mechanism table metadata
+  // uses), each retarget is one CommitStore.putIfAbsent of a new
+  // version file, and readers resolve the latest. Concurrent
+  // retargets serialize per version (one winner, losers retry with a
+  // fresh read); a reader sees the old or the new target, never a
+  // partial state. This is Iceberg's rename-is-a-catalog-pointer
+  // insight, scoped to the one operation that needs it.
+
+  private def aliasDir(ns: String, alias: String) =
+    Paths.get(warehouseDir, ns, s"_alias_$alias")
+
+  /** Point `alias` at table `target` (create or atomically retarget).
+    * The target must exist — an alias can never dangle at creation. */
+  def setAlias(ns: String, alias: String, target: String): Unit = {
+    require(tableExists(ns, target), s"no table $ns.$target")
+    require(!tableExists(ns, alias),
+      s"$ns.$alias is a real table; aliases cannot shadow tables")
+    val dir = aliasDir(ns, alias)
+    Files.createDirectories(dir)
+    var attempts = 0
+    while (true) {
+      val next = currentAliasVersion(ns, alias) + 1
+      if (store.putIfAbsent(dir.resolve(s"v$next.txt"), target)) return
+      attempts += 1
+      require(attempts < 100,
+        s"alias contention at $ns.$alias: no progress after $attempts")
+    }
+  }
+
+  private def currentAliasVersion(ns: String, alias: String): Int =
+    LakeTable.listDir(aliasDir(ns, alias))
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+
+  def aliasExists(ns: String, alias: String): Boolean =
+    currentAliasVersion(ns, alias) > 0
+
+  /** The table name an alias currently points at. */
+  def resolveAlias(ns: String, alias: String): String = {
+    val v = currentAliasVersion(ns, alias)
+    require(v > 0, s"no alias $ns.$alias")
+    new String(Files.readAllBytes(
+      aliasDir(ns, alias).resolve(s"v$v.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+  }
+
+  /** Load through an alias if one exists, else the table directly —
+    * the read surface a blue-green consumer points at. */
+  def tableOrAlias(ns: String, name: String): LakeTable =
+    if (tableExists(ns, name)) table(ns, name)
+    else table(ns, resolveAlias(ns, name))
 }

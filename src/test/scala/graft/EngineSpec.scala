@@ -91,6 +91,46 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("catalog aliases: atomic blue-green retarget, no dangling " +
+    "creation, no table shadowing, concurrent retargets serialize") {
+    val engine = GraftEngine(spark, tmpDir("alias-wh"))
+    val cat = engine.catalog
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType)))
+    val t1 = cat.createTable("ns", "docs_v1", schema)
+    t1.append(Seq(1L, 2L).toDF("a"))
+    val t2 = cat.createTable("ns", "docs_v2", schema)
+    t2.append(Seq(10L, 20L, 30L).toDF("a"))
+    intercept[Exception] { cat.setAlias("ns", "docs", "missing") }
+    assert(!cat.aliasExists("ns", "docs"))
+    cat.setAlias("ns", "docs", "docs_v1")
+    assert(cat.resolveAlias("ns", "docs") == "docs_v1")
+    assert(cat.tableOrAlias("ns", "docs").read().count() == 2)
+    // the atomic cutover: consumers of 'docs' flip to v2 in one call
+    cat.setAlias("ns", "docs", "docs_v2")
+    assert(cat.tableOrAlias("ns", "docs").read().count() == 3)
+    // a real table always wins over an alias of the same name, and an
+    // alias cannot shadow an existing table
+    assert(cat.tableOrAlias("ns", "docs_v1").read().count() == 2)
+    intercept[Exception] { cat.setAlias("ns", "docs_v1", "docs_v2") }
+    // concurrent retargets all land (one version each, no lost update)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        cat.setAlias("ns", "docs",
+          if (i % 2 == 0) "docs_v1" else "docs_v2")
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(60, "s"))
+    pool.shutdown()
+    assert(Set("docs_v1", "docs_v2")(cat.resolveAlias("ns", "docs")))
+  }
+
   test("catalog dropTable removes the table and its files completely") {
     val engine = GraftEngine(spark, tmpDir("drop-wh"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
