@@ -591,6 +591,14 @@ object SparkEntry {
     // (max cosine, ties low), then top-10 documents — one repetitive
     // document cannot monopolize the retrieved context.
     "q147_rag_diverse" -> ((s, d) => TextOps.ragRetrieveDiverse(s, d)),
+    // BATCHED hybrid RRF — the fusion surface answering a 3-query
+    // batch: one shared BM25 statistics pass, one dense corpus scan
+    // scoring all queries from a broadcast list, per-query windowed
+    // ranks, per-query fusion. Completes the batch-serving symmetry
+    // (BM25 q131, PQ q128/q140, IVF q91, fusion here).
+    "q148_hybrid_rrf_batch" -> ((s, d) =>
+      TextOps.hybridRrfRetrieveBatch(s, d, queryDocs = Seq(0L, 1L, 2L),
+        k = 10)),
     // the fixture corpus carries no PII, so the query enriches each doc
     // with deterministically derived email/phone/IP strings (pure
     // function of doc_id — reproduced literally in the oracle SQL);
@@ -1579,6 +1587,65 @@ object SparkEntry {
               FROM lex l FULL OUTER JOIN den d ON l.id = d.id)
        SELECT doc_id, rrf_score FROM fused
        ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+  }
+
+  /** q148's oracle: [[hybridRrfOracle]] keyed by query_id over the
+    * 3-query batch — per-query banded-BM25 and cosine rankings,
+    * per-query integer-rank fusion, per-query top-10. */
+  private val hybridRrfBatchOracle: String = {
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    s"""WITH toks AS (SELECT doc_id, u.w AS word
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents), unnest(ws) AS u(w)
+           WHERE u.w != ''),
+       tf AS (SELECT doc_id, word, count(*) AS tf
+              FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       idf AS (SELECT word,
+              ln(1.0 + ((SELECT count(*)::DOUBLE FROM documents)
+                        - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+              FROM tf GROUP BY word),
+       q AS (SELECT doc_id AS query_id, word FROM tf
+             WHERE doc_id IN (0, 1, 2)),
+       sc AS (SELECT q.query_id, t.doc_id,
+              CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                  (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
+                    (SELECT avg(dl) FROM dl)))
+                AS DECIMAL(18,12))) AS DOUBLE) AS score
+              FROM tf t JOIN q ON t.word = q.word
+              JOIN idf i ON t.word = i.word
+              JOIN dl d ON t.doc_id = d.doc_id
+              WHERE t.doc_id <> q.query_id
+              GROUP BY q.query_id, t.doc_id),
+       lex AS (SELECT query_id, doc_id AS id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS lrank
+              FROM sc QUALIFY lrank <= 20),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+              WHERE vec_id IN (0, 1, 2)),
+       dn AS (SELECT q.query_id, x.vec_id, ${dot("x.v", "q.qvec")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qvec", "q.qvec")} AS nb
+              FROM e x, qv q WHERE x.vec_id <> q.query_id),
+       dcos AS (SELECT query_id, vec_id, ${cos("dt", "na", "nb")} AS cs
+              FROM dn),
+       den AS (SELECT query_id, vec_id AS id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, vec_id) AS drank
+              FROM dcos QUALIFY drank <= 20),
+       fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+              COALESCE(l.id, d.id) AS doc_id,
+              COALESCE(CAST(1.0 AS DOUBLE)/(60 + l.lrank), 0.0) +
+              COALESCE(CAST(1.0 AS DOUBLE)/(60 + d.drank), 0.0)
+                AS rrf_score
+              FROM lex l FULL OUTER JOIN den d
+                ON l.query_id = d.query_id AND l.id = d.id),
+       ranked AS (SELECT query_id, doc_id, rrf_score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id) AS rn
+              FROM fused)
+       SELECT query_id, doc_id, rrf_score FROM ranked WHERE rn <= 10"""
   }
 
   /** q135/q136's oracle: q125's BM25 math — the persisted index and
@@ -2620,6 +2687,7 @@ object SparkEntry {
     // buildIndex, so q132's oracle grades the continuous loop
     "q138_vector_index_mv" -> ivfPortableOracle,
     "q139_hybrid_rrf" -> hybridRrfOracle,
+    "q148_hybrid_rrf_batch" -> hybridRrfBatchOracle,
     // Identical math to q125 (the persisted index changes WHERE the
     // statistics come from, not what they are), decimal-banded like
     // q131 so the serving plan's visit order can't reach the hash.

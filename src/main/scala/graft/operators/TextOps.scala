@@ -449,6 +449,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** Batched [[hybridRrfRetrieve]] — the serving tier's request shape
+    * (a query BATCH per plan) on the fusion surface, completing the
+    * batch-serving symmetry: BM25 (q131), PQ (q128/q140), IVF (q91)
+    * and now the fused ranking. The lexical arm is ONE
+    * bm25RetrieveBatch pass (corpus statistics shared across
+    * queries), the dense arm is ONE corpus scan scoring every query
+    * from a broadcast list, each arm ranks per query (windowed,
+    * partitioned by query over poolK-row candidate lists), and the
+    * fusion is a per-query full-outer join of two tiny lists. Same
+    * integer-rank determinism as the single-query form. */
+  def hybridRrfRetrieveBatch(s: SparkSession, dir: String,
+                             queryDocs: Seq[Long] = Seq(0L, 1L, 2L),
+                             k: Int = 10, poolK: Int = 20,
+                             rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine_sim
+    require(queryDocs.nonEmpty, "empty query batch")
+    val lexW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lexRanked = bm25RetrieveBatch(s, dir, queryDocs, k = poolK)
+      .select(col("query_id"), col("doc_id").as("id"),
+        row_number().over(lexW).as("lrank"))
+    val e = Tables.load(s, dir, "embeddings")
+    val qDf = e.filter(col("vec_id").isin(queryDocs: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+    val denseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val denseRanked = e
+      .join(broadcast(qDf), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_sim(col("embedding"), col("_qv")).as("cos"))
+      .withColumn("_rn", row_number().over(denseW))
+      .filter(col("_rn") <= poolK)
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("_rn").as("drank"))
+    val fused = lexRanked
+      .join(denseRanked, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id").as("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("drank")), lit(0.0)))
+          .as("rrf_score"))
+    val topW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("_rn", row_number().over(topW))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"))
+  }
+
   /** Persisted lexical index — the production BM25 deployment shape,
     * completing the persisted-serving family (IVF inverted lists q60,
     * PQ code table q126): postings (word, doc_id, tf, dl) as a lake

@@ -905,6 +905,21 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("batched hybrid RRF: every query's slice equals the " +
+    "single-query fusion bit-for-bit") {
+    val batch = graft.operators.TextOps.hybridRrfRetrieveBatch(spark,
+        sf, Seq(0L, 1L, 2L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    Seq(0L, 1L, 2L).foreach { q =>
+      val single = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
+          queryDoc = q, k = 10)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q).toSeq == single,
+        s"query $q: batch ${batch(q).toSeq} vs single $single")
+    }
+  }
+
   test("hybrid RRF fusion: fused scores equal 1/(60+rank) arithmetic " +
     "recomputed from the two arms' own rankings") {
     val fused = graft.operators.TextOps.hybridRrfRetrieve(spark, sf,
