@@ -211,6 +211,11 @@ object SparkEntry {
     // is order-independent and the 1-ulp libm/JVM ln divergence
     // cannot reach the driver hash.
     "q143_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
+    // Distinct-n diversity audit per source slice: the ratio of
+    // distinct to total word n-grams (n=1..3) — templated slices
+    // score low, the pre-weighting signal a mixture audit wants.
+    // Integer counts + exact division: hash-graded.
+    "q150_ngram_diversity" -> ((s, d) => TextOps.ngramDiversity(s, d)),
     // Sparse lexical retrieval: tf-idf cosine top-k for doc 0 — the
     // lexical twin of the dense retrieval queries; broadcast query
     // terms, word-keyed join, one doc-keyed sum, TakeOrdered
@@ -317,6 +322,33 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       SimilarityOps.ivfPqSearchPersisted(table, cbs, model, qv,
         k = 10, nprobe = 2)
+    }),
+    // Two-stage IVF-PQ with exact re-ranking (the FAISS refine
+    // pattern): ADC over the 2 probed compressed lists produces a
+    // 40-id shortlist, whose RAW vectors alone are fetched by
+    // id-bucketed probe and re-scored with the exact cosine for the
+    // final top-10 — exact-metric quality at compressed-scan cost.
+    // Both stages' arithmetic is already oracled (q137's ADC chains,
+    // q132's cosine chains), so the composition is too.
+    "q149_ivfpq_refined" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqr")
+      val (codes, cbs) = SimilarityOps.ivfPqPersist(
+        e.filter(col("vec_id") =!= 0), s, s"$dir/codes", model,
+        codebookSource = Some(e))
+      val vecs = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val vt = graft.lake.LakeTable.create(s, s"$dir/vecs", vecs.schema,
+        properties =
+          graft.lake.LakeTable.autoCompactProps(16, Some("vec_id")),
+        bucketBy = Some(("vec_id", 16)))
+      vt.append(vecs)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilarityOps.ivfPqSearchRefined(codes, cbs, model, vt, qv,
+        k = 10, kPrime = 40, nprobe = 2)
     }),
     // The vector index maintained CONTINUOUSLY by a commit-log MV —
     // the q136 loop on the dense axis: two source commits drive two
@@ -1380,6 +1412,62 @@ object SparkEntry {
        adc AS (SELECT vec_id, $chainSum AS adc_dist FROM adcp)
        SELECT vec_id, adc_dist FROM adc
        ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
+  /** q149's oracle, generated: [[ivfPqOracle]] truncated to the
+    * 40-row ADC shortlist, then the exact cosine chains re-rank the
+    * shortlist ids for the final top-10 — both stages in the kernels'
+    * exact accumulation order. */
+  private val ivfPqRefinedOracle: String = {
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    val distCols = pqDistCols
+    val caseArms = pqCaseArms
+    val pivotCols = pqPivotCols
+    val chainSum = pqChainSum
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       h AS (SELECT vec_id, v,
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+              FROM e),
+       cent AS (SELECT v AS cv,
+              row_number() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+              FROM h QUALIFY cidx <= 7),
+       cpair AS (SELECT x.vec_id, c.cidx, ${dot("x.v", "c.cv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("c.cv", "c.cv")} AS nb
+              FROM e x, cent c),
+       cosp AS (SELECT vec_id, cidx, ${cos("dt", "na", "nb")} AS cs
+              FROM cpair),
+       asg AS (SELECT vec_id, cidx AS cluster FROM cosp
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cidx) = 1),
+       probes AS (SELECT cidx FROM cosp WHERE vec_id = 0
+              QUALIFY row_number() OVER (ORDER BY cs DESC, cidx) <= 2),
+       cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+       pairs AS (SELECT x.vec_id, c.code, $distCols FROM e x, cb c),
+       longp AS (SELECT vec_id, code, jj.j AS j,
+              CASE jj.j $caseArms END AS dist
+              FROM pairs, (SELECT unnest(range(8)) AS j) jj),
+       best AS (SELECT vec_id, j, code, dist,
+              row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, code) AS rn
+              FROM longp),
+       lut AS (SELECT j, code, dist FROM longp WHERE vec_id = 0),
+       adcw AS (SELECT b.vec_id, b.j, l.dist
+              FROM best b JOIN lut l ON b.j = l.j AND b.code = l.code
+              JOIN asg a ON b.vec_id = a.vec_id
+              WHERE b.rn = 1 AND b.vec_id <> 0
+                AND a.cluster IN (SELECT cidx FROM probes)),
+       adcp AS (SELECT vec_id, $pivotCols FROM adcw GROUP BY vec_id),
+       adc AS (SELECT vec_id, $chainSum AS adc_dist FROM adcp),
+       short AS (SELECT vec_id FROM adc
+              QUALIFY row_number() OVER (ORDER BY adc_dist, vec_id)
+                <= 40),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       rr AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+              ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
+              FROM e x JOIN short s ON x.vec_id = s.vec_id, q)
+       SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
+       FROM rr ORDER BY cos DESC, vec_id LIMIT 10"""
   }
 
   /** q140's oracle, generated: [[ivfPqOracle]]'s batch form — the
@@ -2679,6 +2767,7 @@ object SparkEntry {
     // q121's encode+ADC CTEs to the probed clusters
     "q137_ivfpq_persisted" -> ivfPqOracle,
     "q140_ivfpq_batch" -> ivfPqBatchOracle,
+    "q149_ivfpq_refined" -> ivfPqRefinedOracle,
     "q141_hard_negatives" -> hardNegativesOracle,
     "q145_rag_retrieve" -> ragRetrieveOracle,
     "q146_filtered_ann" -> filteredAnnOracle,
@@ -2874,6 +2963,28 @@ object SparkEntry {
     // smoothed probability is one double division of exact integers
     // (identical in both engines), and per-bigram ln is banded to
     // DECIMAL(18,9) before the order-independent decimal sum.
+    "q150_ngram_diversity" ->
+      """WITH toks AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws
+             FROM documents),
+         g1 AS (SELECT source,
+                count(DISTINCT u.w)::DOUBLE / count(*) AS distinct_1
+                FROM toks, unnest(ws) AS u(w) GROUP BY source),
+         b2 AS (SELECT source, ws[i] || ' ' || ws[i+1] AS g
+                FROM toks, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 2),
+         g2 AS (SELECT source,
+                count(DISTINCT g)::DOUBLE / count(*) AS distinct_2
+                FROM b2 GROUP BY source),
+         b3 AS (SELECT source,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM toks, UNNEST(generate_series(1, len(ws)-2)) AS t(i)
+                WHERE len(ws) >= 3),
+         g3 AS (SELECT source,
+                count(DISTINCT g)::DOUBLE / count(*) AS distinct_3
+                FROM b3 GROUP BY source)
+         SELECT g1.source, distinct_1, distinct_2, distinct_3
+         FROM g1 JOIN g2 USING (source) JOIN g3 USING (source)""",
     "q143_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x != '') AS ws

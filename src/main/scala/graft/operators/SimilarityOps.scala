@@ -422,6 +422,38 @@ object SimilarityOps {
       .select(col(queryIdCol), col(idCol), col("adc_dist"))
   }
 
+  /** Two-stage IVF-PQ serving with EXACT re-ranking — the production
+    * "refine" pattern (FAISS IndexRefineFlat over IndexIVFPQ): the
+    * compressed index produces a cheap shortlist (ADC top-kPrime over
+    * the probed lists — approximate, since codes quantize), and only
+    * the shortlist's RAW vectors are fetched (id-keyed probe into the
+    * vector table — bucket/manifest-pruned, never a second corpus
+    * scan) and re-scored with the exact cosine for the final top-k.
+    * This recovers exact-metric ranking quality at compressed-scan
+    * cost: the expensive float vectors are touched for kPrime rows
+    * per query, not N. kPrime/k is the recall-vs-cost dial (4x here;
+    * FAISS defaults to a similar small multiple). */
+  def ivfPqSearchRefined(table: graft.lake.LakeTable,
+                         codebooks: Array[Array[Array[Double]]],
+                         model: IvfIndex.Model,
+                         vectors: graft.lake.LakeTable,
+                         query: Array[Float], k: Int, kPrime: Int,
+                         nprobe: Int,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    require(kPrime >= k, s"kPrime $kPrime must be >= k $k")
+    // stage 1: compressed shortlist (driver-side ids — kPrime longs)
+    val shortlist = ivfPqSearchPersisted(table, codebooks, model,
+      query, kPrime, nprobe, idCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    // stage 2: exact re-rank of ONLY the shortlist's raw vectors
+    vectors.probe(idCol, shortlist)
+      .select(col(idCol),
+        cosine_sim(col(embCol), typedlit(query.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Metadata-FILTERED vector search — the production "filtered ANN"
     * shape every vector store exposes (search only among rows
     * satisfying a relational predicate): the allowed-id set arrives

@@ -396,6 +396,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** Distinct-n corpus diversity audit (the Zhu et al. 2018
+    * generation-diversity metric applied per source slice): for
+    * n = 1..3, the ratio of DISTINCT word n-grams to total n-grams —
+    * boilerplate/templated slices score low, which is exactly the
+    * signal a pretraining mixture audit wants before weighting a
+    * source. Integer counts and one exact division per cell; each n
+    * is one explode pass + a source-keyed aggregate with map-side
+    * combine, joined on the tiny per-source result. */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.widen(docs(s, dir))
+      .select(col("source"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+    def grams(n: Int): DataFrame = {
+      val gram = (0 until n).map(j => s"ws[i+$j]")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      base.filter(size(col("ws")) >= n)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(0, size(ws)-$n), i -> $gram)")).as("g"))
+        .groupBy(col("source"))
+        .agg((countDistinct(col("g")) / count(lit(1)))
+          .as(s"distinct_$n"))
+    }
+    grams(1).join(grams(2), Seq("source")).join(grams(3), Seq("source"))
+  }
+
   /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
     * (Cormack/Clarke/Buettcher 2009) — the production RAG-stack
     * standard for combining a BM25 arm with an embedding arm without

@@ -122,6 +122,20 @@ class CorpusOpsSpec extends SparkSuite {
       "cosines not non-increasing")
   }
 
+  test("ngramDiversity: hand-computed distinct-n ratios per source") {
+    val dir = tmpDir("divers-docs")
+    Seq((1L, "x x y", "en", "a", 5L), (2L, "z z z z", "en", "b", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.ngramDiversity(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // a: unigrams {x,x,y} 2/3; bigrams {x x, x y} 2/2; trigrams 1/1
+    assert(got("a") == ((2.0 / 3, 1.0, 1.0)))
+    // b: unigrams 1/4; bigrams {z z}x3 1/3; trigrams {z z z}x2 1/2
+    assert(got("b") == ((0.25, 1.0 / 3, 0.5)))
+  }
+
   test("decontaminate broadcast side is the benchmark (corpus never " +
     "shuffled for the join)") {
     val docs = Tables.load(spark, sf, "documents")

@@ -905,6 +905,50 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ refine: final ranking is the exact cosine over the ADC " +
+    "shortlist, and the raw-vector fetch is id-probe pruned") {
+    val model = IvfIndex.trainPortable(emb, c = 8)
+    val (codes, cbs) = SimilarityOps.ivfPqPersist(
+      emb.filter($"vec_id" =!= 0), spark, tmpDir("ivfpqr"), model,
+      codebookSource = Some(emb))
+    val vecs = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+    val vt = graft.lake.LakeTable.create(spark, tmpDir("ivfpqr-vecs"),
+      vecs.schema,
+      properties =
+        graft.lake.LakeTable.autoCompactProps(16, Some("vec_id")),
+      bucketBy = Some(("vec_id", 16)))
+    vt.append(vecs)
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val refined = SimilarityOps.ivfPqSearchRefined(codes, cbs, model,
+        vt, qv, k = 10, kPrime = 40, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // driver recomputation: exact cosine over the ADC top-40 shortlist
+    val short = SimilarityOps.ivfPqSearchPersisted(codes, cbs, model,
+        qv, k = 40, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else d / den
+    }
+    val qd = qv.map(_.toDouble)
+    val expected = short.toSeq.map(id => (id, cosd(byId(id), qd)))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(refined == expected)
+    // stage 2 touches only the shortlist ids' bucket dirs — 10 ids
+    // can reach at most 10 of the 16 buckets
+    val fetched = vt.probe("vec_id", refined.map(_._1))
+    assert(fetched.inputFiles.length < vt.read().inputFiles.length,
+      "the re-rank fetch read the whole vector table")
+  }
+
   test("batched hybrid RRF: every query's slice equals the " +
     "single-query fusion bit-for-bit") {
     val batch = graft.operators.TextOps.hybridRrfRetrieveBatch(spark,
