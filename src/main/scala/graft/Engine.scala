@@ -520,21 +520,51 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
                        embCol: String = "embedding")
       : (LakeTable, graft.operators.IvfIndex.Model, StreamingQuery) = {
     import org.apache.spark.sql.types.StructType
+    import graft.operators.IvfIndex
     val ns = config.catalog.namespace
     val src = table(sourceTable)
-    val m = model.getOrElse(graft.operators.IvfIndex.trainPortable(
-      src.read(), clusters, embCol, idCol))
-    val userSchema = StructType(Seq(src.schema(idCol), src.schema(embCol)))
-    val emptyVecs = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], userSchema)
-    val idxSchema =
-      graft.operators.IvfIndex.assign(emptyVecs, m, embCol).schema
     val idxName = s"${name}_index"
-    val index =
-      if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
-      else catalog.createTable(ns, idxName, idxSchema,
-        properties = graft.lake.LakeTable.autoCompactProps(m.c),
-        partitionBy = Seq("_cluster"))
+    // The frozen-centers contract must survive RESTARTS: rows already
+    // in the index were assigned under the creation-time centers, so
+    // a restart must ADOPT them (persisted next to the index
+    // metadata), never retrain from the since-grown source — retrained
+    // centers would silently probe the old rows' partitions wrongly.
+    // Training happens exactly once, at index creation.
+    val (index, m) =
+      if (catalog.tableExists(ns, idxName)) {
+        val idx = catalog.table(ns, idxName)
+        val persisted = IvfIndex.loadModel(idx.root)
+        val eff = persisted.orElse(model).getOrElse(throw
+          new IllegalStateException(s"$ns.$idxName predates model " +
+            "persistence: pass the original Model explicitly"))
+        // an explicitly-passed model must agree with the persisted
+        // frozen centers — a mismatch means the caller is about to
+        // serve the wrong geometry
+        (persisted, model) match {
+          case (Some(p), Some(given)) =>
+            require(p.centroids.map(_.toSeq).toSeq ==
+              given.centroids.map(_.toSeq).toSeq,
+              s"$ns.$idxName was frozen under different centers than " +
+                "the model passed in")
+          case _ => ()
+        }
+        if (persisted.isEmpty) IvfIndex.saveModel(idx.root, eff)
+        (idx, eff)
+      } else {
+        val m0 = model.getOrElse(IvfIndex.trainPortable(
+          src.read(), clusters, embCol, idCol))
+        val userSchema =
+          StructType(Seq(src.schema(idCol), src.schema(embCol)))
+        val emptyVecs = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          userSchema)
+        val idxSchema = IvfIndex.assign(emptyVecs, m0, embCol).schema
+        val idx = catalog.createTable(ns, idxName, idxSchema,
+          properties = graft.lake.LakeTable.autoCompactProps(m0.c),
+          partitionBy = Seq("_cluster"))
+        IvfIndex.saveModel(idx.root, m0)
+        (idx, m0)
+      }
     val q = mvs.startVectorIndexFromLake(name, src, index, m, idCol,
       embCol, config.trigger)
     (index, m, q)

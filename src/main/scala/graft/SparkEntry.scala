@@ -1553,11 +1553,6 @@ object SparkEntry {
        SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10"""
   }
 
-  /** q145's oracle, generated: q82's chunk CTE, the 16-component
-    * md5-hash embedding (integer-valued, so DuckDB's DOUBLE math and
-    * Spark's float storage agree exactly), and the standard cosine
-    * chains over the 16 dims. Ties (duplicate chunk texts embed
-    * identically) break by (doc_id, chunk_id) in both engines. */
   /** q146's oracle: the q132 cosine chains restricted to lang='en'
     * ids via the metadata join — exact filtered search. */
   private val filteredAnnOracle: String = {
@@ -1603,6 +1598,11 @@ object SparkEntry {
        ORDER BY cos DESC, doc_id LIMIT 10"""
   }
 
+  /** q145's oracle, generated: q82's chunk CTE, the 16-component
+    * md5-hash embedding (integer-valued, so DuckDB's DOUBLE math and
+    * Spark's float storage agree exactly), and the standard cosine
+    * chains over the 16 dims. Ties (duplicate chunk texts embed
+    * identically) break by (doc_id, chunk_id) in both engines. */
   private val ragRetrieveOracle: String = {
     def dot(a: String, b: String): String = sqlDot(a, b, dims = 16)
     def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
@@ -2959,10 +2959,8 @@ object SparkEntry {
          SELECT t.doc_id, count(*) AS n_tokens, avg(l.lp) AS avg_logprob
          FROM toks t JOIN lm l ON t.word = l.word
          GROUP BY t.doc_id""",
-    // q143: add-one bigram LM — counts and V are integer-exact, the
-    // smoothed probability is one double division of exact integers
-    // (identical in both engines), and per-bigram ln is banded to
-    // DECIMAL(18,9) before the order-independent decimal sum.
+    // q150: distinct-to-total word n-gram ratios per source — integer
+    // counts and one exact division per cell in both engines.
     "q150_ngram_diversity" ->
       """WITH toks AS (SELECT source,
              list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -2985,6 +2983,10 @@ object SparkEntry {
                 FROM b3 GROUP BY source)
          SELECT g1.source, distinct_1, distinct_2, distinct_3
          FROM g1 JOIN g2 USING (source) JOIN g3 USING (source)""",
+    // q143: add-one bigram LM — counts and V are integer-exact, the
+    // smoothed probability is one double division of exact integers
+    // (identical in both engines), and per-bigram ln is banded to
+    // DECIMAL(18,9) before the order-independent decimal sum.
     "q143_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x != '') AS ws

@@ -117,9 +117,11 @@ object CorpusOps {
     * two-phase selection tree generalizes if a single domain
     * outgrows a partition). */
   def temperatureMixture(docs: DataFrame, alpha: Double = 0.7,
+                         budgetDivisor: Long = 2,
                          idCol: String = "doc_id",
                          domainCol: String = "lang"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]: <1 flattens")
+    require(budgetDivisor >= 1, "budgetDivisor must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val d2 = graft.Tables.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -131,7 +133,8 @@ object CorpusOps {
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(t => Option(t._1))
     val total = cnts.map(_._2).sum
-    val budget = total / 2
+    // integer division keeps the budget portable (the oracle's t // N)
+    val budget = total / budgetDivisor
     def band(x: Double): BigDecimal =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val weights = cnts.map { case (dom, c) =>

@@ -22,6 +22,40 @@ object IvfIndex {
     def c: Int = centroids.length
   }
 
+  /** Persist the FROZEN centers next to an index's metadata — written
+    * once (putIfAbsent: first writer wins, racers adopt) so the
+    * serving contract survives process restarts: rows already
+    * assigned under these centers stay probe-able forever, no matter
+    * what the source has grown to since. Double.toString round-trips
+    * exactly, so the reloaded model is bit-identical. */
+  def saveModel(indexRoot: String, model: Model,
+                store: graft.lake.CommitStore =
+                  graft.lake.PosixCommitStore): Unit = {
+    val path = java.nio.file.Paths.get(indexRoot, "metadata",
+      "ivf-model.json")
+    java.nio.file.Files.createDirectories(path.getParent)
+    val body = model.centroids
+      .map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    store.putIfAbsent(path, body); ()
+  }
+
+  /** Reload the frozen centers persisted by [[saveModel]]; None when
+    * the index predates model persistence (caller must then supply
+    * the original model explicitly). */
+  def loadModel(indexRoot: String): Option[Model] = {
+    val path = java.nio.file.Paths.get(indexRoot, "metadata",
+      "ivf-model.json")
+    if (!java.nio.file.Files.exists(path)) None
+    else {
+      val body = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val rows = body.stripPrefix("[").stripSuffix("]")
+        .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]"))
+      Some(Model(rows.map(_.split(",").map(_.toDouble))))
+    }
+  }
+
   private def collectCentroids(assigned: DataFrame, embCol: String,
                                prev: Array[Array[Double]]): Array[Array[Double]] = {
     // elementwise mean per cluster: posexplode -> (cluster, pos) avg

@@ -473,8 +473,13 @@ object SimilarityOps {
                          query: Array[Float], k: Int,
                          idCol: String = "vec_id",
                          embCol: String = "embedding"): DataFrame = {
-    val allowed = allowedIds.select(allowedIds.columns.head)
-      .toDF(idCol)
+    // a multi-column metadata frame would silently key the join on
+    // whatever column happens first (under an implicit cast) — fail
+    // loudly instead; callers pass .select(<the id column>)
+    require(allowedIds.columns.length == 1,
+      s"allowedIds must be a single id column, got " +
+        allowedIds.columns.mkString("(", ", ", ")"))
+    val allowed = allowedIds.toDF(idCol)
     vectors.join(allowed, Seq(idCol), "left_semi")
       .select(col(idCol),
         cosine_sim(col(embCol), typedlit(query.toSeq)).as("cos"))

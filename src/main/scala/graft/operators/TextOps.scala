@@ -480,9 +480,11 @@ object TextOps {
     * and now the fused ranking. The lexical arm is ONE
     * bm25RetrieveBatch pass (corpus statistics shared across
     * queries), the dense arm is ONE corpus scan scoring every query
-    * from a broadcast list, each arm ranks per query (windowed,
-    * partitioned by query over poolK-row candidate lists), and the
-    * fusion is a per-query full-outer join of two tiny lists. Same
+    * from a broadcast list, each arm ranks per query with a windowed
+    * row_number whose `<= poolK` filter Spark rewrites into
+    * WindowGroupLimit (partial per-partition top-poolK BEFORE the
+    * rank exchange — plan-verified, see BENCH_NOTES), and the fusion
+    * is a per-query full-outer join of two tiny lists. Same
     * integer-rank determinism as the single-query form. */
   def hybridRrfRetrieveBatch(s: SparkSession, dir: String,
                              queryDocs: Seq[Long] = Seq(0L, 1L, 2L),

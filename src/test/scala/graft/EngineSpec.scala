@@ -91,6 +91,40 @@ class EngineSpec extends SparkSuite {
     }
   }
 
+  test("startVectorIndex restart adopts the persisted frozen centers " +
+    "even after the source grows; a mismatched explicit model fails") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(tmpDir("vfreeze-wh")),
+      CatalogConfig(namespace = "vz"),
+      BatchingConfig(availableNow = true)))
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(40)
+      .localCheckpoint()
+    val src = engine.catalog.createTable("vz", "rawvecs", vecs.schema)
+    src.append(vecs.filter(col("vec_id") < 20))
+    val (_, m1, q1) = engine.startVectorIndex("vec", "rawvecs",
+      clusters = 4)
+    q1.awaitTermination()
+    // grow the source: a restart that retrained would now pick
+    // centers from a different candidate pool
+    src.append(vecs.filter(col("vec_id") >= 20))
+    val (_, m2, q2) = engine.startVectorIndex("vec", "rawvecs",
+      clusters = 4)
+    q2.awaitTermination()
+    assert(m1.centroids.map(_.toSeq).toSeq ==
+      m2.centroids.map(_.toSeq).toSeq,
+      "restart retrained the frozen centers")
+    // an explicit model that disagrees with the frozen centers must
+    // fail loudly, not silently serve the wrong geometry
+    val rogue = graft.operators.IvfIndex.Model(
+      m1.centroids.map(_.map(_ + 1.0)))
+    intercept[IllegalArgumentException] {
+      engine.startVectorIndex("vec", "rawvecs", clusters = 4,
+        model = Some(rogue))
+    }
+  }
+
   test("catalog aliases: atomic blue-green retarget, no dangling " +
     "creation, no table shadowing, concurrent retargets serialize") {
     val engine = GraftEngine(spark, tmpDir("alias-wh"))
