@@ -2899,7 +2899,8 @@ object SparkEntry {
          spans AS (SELECT doc_id, span_id, min(pos) AS s,
                max(pos) + 8 AS e
              FROM sp GROUP BY doc_id, span_id)
-         SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens
+         SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS dup_tokens
          FROM spans GROUP BY doc_id""",
     "q125_bm25_retrieval" ->
       """WITH toks AS (SELECT doc_id, u.w AS word
