@@ -493,8 +493,26 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       graft.operators.TextOps.lexicalIndexSchemas(spark)
     val pName = s"${name}_postings"
     val pt =
-      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
-      else catalog.createTable(ns, pName, pSchema,
+      if (catalog.tableExists(ns, pName)) {
+        // Adopt must verify, not assume: the postings layout (and the
+        // auto-compaction gate sized from it below) is frozen at
+        // creation, so a later config change to `buckets` would
+        // silently disagree with the table's actual fan-out — probes
+        // would hash words to dirs that don't match the stored layout.
+        // Mirror of startVectorIndex's frozen-model adopt check.
+        val t = catalog.table(ns, pName)
+        val props = t.properties
+        val actual = props.get("bucket.count").map(_.toInt)
+        require(actual.contains(buckets),
+          s"$ns.$pName was created with ${actual.getOrElse("no")} " +
+            s"buckets; cannot adopt under buckets=$buckets — pass the " +
+            "creation-time value or rebuild the index")
+        require(props.get("bucket.column").contains("word"),
+          s"$ns.$pName is bucketed by " +
+            s"${props.getOrElse("bucket.column", "nothing")}, not word " +
+            "— not a lexical postings table")
+        t
+      } else catalog.createTable(ns, pName, pSchema,
         properties = graft.lake.LakeTable.autoCompactProps(buckets),
         bucketBy = Some(("word", buckets)))
     val dt = catalog.createOrLoadTable(ns, s"${name}_docstats", dSchema)
@@ -533,7 +551,7 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val (index, m) =
       if (catalog.tableExists(ns, idxName)) {
         val idx = catalog.table(ns, idxName)
-        val persisted = IvfIndex.loadModel(idx.root)
+        val persisted = IvfIndex.loadModel(idx.root, idx.store)
         val eff = persisted.orElse(model).getOrElse(throw
           new IllegalStateException(s"$ns.$idxName predates model " +
             "persistence: pass the original Model explicitly"))
@@ -548,7 +566,7 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
                 "the model passed in")
           case _ => ()
         }
-        if (persisted.isEmpty) IvfIndex.saveModel(idx.root, eff)
+        if (persisted.isEmpty) IvfIndex.saveModel(idx.root, eff, idx.store)
         (idx, eff)
       } else {
         val m0 = model.getOrElse(IvfIndex.trainPortable(
@@ -562,7 +580,7 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
         val idx = catalog.createTable(ns, idxName, idxSchema,
           properties = graft.lake.LakeTable.autoCompactProps(m0.c),
           partitionBy = Seq("_cluster"))
-        IvfIndex.saveModel(idx.root, m0)
+        IvfIndex.saveModel(idx.root, m0, idx.store)
         (idx, m0)
       }
     val q = mvs.startVectorIndexFromLake(name, src, index, m, idCol,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BandHashes, CosineSimilarity, MinHashAgg, MinHashSig, PairExplode, ShingleHashes, SignBits, SimHashAgg, SimHashSig, ZOrderKey}
+import graft.functions.{BandHashes, CosineSimilarity, L2Distance, MinHashAgg, MinHashSig, PairExplode, ShingleHashes, SignBits, SimHashAgg, SimHashSig, ZOrderKey}
 
 /** SQL registration of graft's native Catalyst functions, so SQL-first
   * users (the reference system's audience) can call them directly:
@@ -35,6 +35,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "l2_dist" -> (es => L2Distance(es(0), es(1))),
     "simhash_agg" -> (es => SimHashAgg(es.head)),
     "minhash_agg" -> (minhashBuilder _),
     // SELECT ... ORDER BY zorder_key(x_norm, y_norm) — see ZOrderKey's

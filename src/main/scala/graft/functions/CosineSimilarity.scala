@@ -87,9 +87,90 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Native Catalyst squared-L2 distance over two numeric arrays — the
+  * exact-metric twin of [[CosineSimilarity]] (same codegen'd single
+  * loop, same double accumulation in ascending index order, so an
+  * unrolled left-associative SQL chain reproduces it bit-for-bit).
+  * Exists so the IVF-PQ refine path can re-rank in the SAME metric its
+  * ADC shortlist was ranked by: the PQ sub-distance tables are squared
+  * L2, and FAISS's IndexRefineFlat convergence argument only holds when
+  * stage 1 and stage 2 agree on the metric. Null if either side is
+  * null; missing trailing elements (length mismatch) are ignored, as in
+  * cosine_sim. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_dist expects array<float|double> args, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = get(a, ta, i) - get(b, tb, i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(elemType(left).get, a, i)} -
+         |    ${getter(elemType(right).get, b, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "l2_dist"
+}
+
 object VectorFunctions {
   /** Codegen'd cosine similarity between two array<float|double> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd squared-L2 distance between two array<float|double>
+    * columns (ascending-index accumulation — oracle-chainable). */
+  def l2_dist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2Distance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

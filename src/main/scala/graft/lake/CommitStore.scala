@@ -41,6 +41,17 @@ import java.util.UUID
 trait CommitStore {
   def putIfAbsent(path: Path, content: String): Boolean
 
+  /** Read a previously-published object, None if absent. The read half
+    * of the seam: anything a component persists through
+    * [[putIfAbsent]] must be re-read through the SAME store, or a
+    * non-POSIX deployment would write into the object store and then
+    * look for the file on local disk (the frozen-IVF-model bug class).
+    * Object-store form: a plain GET mapping 404 to None. Objects are
+    * immutable once published, so no read-consistency subtlety beyond
+    * the putIfAbsent visibility contract applies. */
+  def read(path: Path): Option[String] =
+    if (Files.exists(path)) Some(Files.readString(path)) else None
+
   /** Best-effort last-writer-wins overwrite, used ONLY for advisory
     * state (the `_latest` version hint that makes `currentVersion` a
     * single read instead of a directory listing). NOT part of the

@@ -46,6 +46,13 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
                   partitionBy: Seq[String] = Seq.empty,
                   bucketBy: Option[(String, Int)] = None): LakeTable = {
     createNamespace(ns)
+    // mirror of setAlias's no-shadow check: a table created under an
+    // existing alias's name would make tableOrAlias silently prefer
+    // the new table over the published pointer — the blue-green
+    // consumer's reads would flip to an unrelated table
+    require(!aliasExists(ns, name),
+      s"$ns.$name is an alias (-> ${resolveAlias(ns, name)}); " +
+        "tables cannot shadow aliases")
     LakeTable.create(spark, tablePath(ns, name), schema, properties,
       partitionBy, bucketBy, store)
   }
@@ -63,9 +70,22 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
   /** Drop a table: data, metadata, and the catalog entry (the directory)
     * are removed together — there is no half-dropped state a subsequent
     * create could trip over. Fails if the table doesn't exist, like the
-    * reference catalog's delete. */
+    * reference catalog's delete. Also fails while any alias in the
+    * namespace still points at the table — dropping an alias target
+    * would leave the published pointer dangling, failing blue-green
+    * consumers at RESOLVE time instead of at this (retargetable)
+    * decision point. Retarget or remove the alias first.
+    *
+    * These guards (and setAlias's) are best-effort: a drop racing a
+    * concurrent setAlias can still interleave past both checks. The
+    * catalog's atomicity unit is the single CommitStore slot; cross-
+    * object invariants are advisory, same as Iceberg's REST catalog. */
   def dropTable(ns: String, name: String): Unit = {
     require(tableExists(ns, name), s"no table $ns.$name")
+    val pointing = listAliases(ns).filter(resolveAlias(ns, _) == name)
+    require(pointing.isEmpty,
+      s"cannot drop $ns.$name: alias(es) ${pointing.mkString(", ")} " +
+        "still point at it; retarget them first")
     LakeTable.walkDir(Paths.get(tablePath(ns, name))).reverse
       .foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(Paths.get(tablePath(ns, name)))
@@ -117,13 +137,22 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
   def aliasExists(ns: String, alias: String): Boolean =
     currentAliasVersion(ns, alias) > 0
 
+  /** All aliases published in a namespace. */
+  def listAliases(ns: String): Seq[String] =
+    LakeTable.listDir(nsPath(ns))
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("_alias_") =>
+        n.stripPrefix("_alias_") }
+      .filter(aliasExists(ns, _)).sorted
+
   /** The table name an alias currently points at. */
   def resolveAlias(ns: String, alias: String): String = {
     val v = currentAliasVersion(ns, alias)
     require(v > 0, s"no alias $ns.$alias")
-    new String(Files.readAllBytes(
-      aliasDir(ns, alias).resolve(s"v$v.txt")),
-      java.nio.charset.StandardCharsets.UTF_8).trim
+    store.read(aliasDir(ns, alias).resolve(s"v$v.txt"))
+      .getOrElse(throw new IllegalStateException(
+        s"alias $ns.$alias v$v won its slot but is not yet readable"))
+      .trim
   }
 
   /** Load through an alias if one exists, else the table directly —

@@ -54,6 +54,11 @@ class LakeTable private (
 
   import LakeTable._
 
+  /** The table's commit seam, exposed so sidecar persistence (frozen
+    * IVF models, serving-index metadata) writes AND reads through the
+    * same storage abstraction as the table's own commits. */
+  def store: CommitStore = commitStore
+
   private def metaDir = Paths.get(root, "metadata")
 
   // ---- snapshot state ------------------------------------------------

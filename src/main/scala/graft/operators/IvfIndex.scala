@@ -42,17 +42,21 @@ object IvfIndex {
 
   /** Reload the frozen centers persisted by [[saveModel]]; None when
     * the index predates model persistence (caller must then supply
-    * the original model explicitly). */
-  def loadModel(indexRoot: String): Option[Model] = {
+    * the original model explicitly). Reads through the SAME
+    * [[graft.lake.CommitStore]] the model was saved through —
+    * Engine.startVectorIndex threads the index table's store into
+    * both calls, so on an object-store deployment the model is found
+    * where it was written instead of silently tripping the
+    * predates-persistence path. */
+  def loadModel(indexRoot: String,
+                store: graft.lake.CommitStore =
+                  graft.lake.PosixCommitStore): Option[Model] = {
     val path = java.nio.file.Paths.get(indexRoot, "metadata",
       "ivf-model.json")
-    if (!java.nio.file.Files.exists(path)) None
-    else {
-      val body = new String(java.nio.file.Files.readAllBytes(path),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val rows = body.stripPrefix("[").stripSuffix("]")
+    store.read(path).map { raw =>
+      val rows = raw.trim.stripPrefix("[").stripSuffix("]")
         .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]"))
-      Some(Model(rows.map(_.split(",").map(_.toDouble))))
+      Model(rows.map(_.split(",").map(_.toDouble)))
     }
   }
 

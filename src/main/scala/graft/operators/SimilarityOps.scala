@@ -101,18 +101,36 @@ object SimilarityOps {
     lshTopKWith(vectors, query, k, bits, probeHamming,
       portablePlanes(64, bits), idCol, embCol)
 
+  /** XOR masks of the Hamming ball of radius `r` over `bits` bits:
+    * the identity plus every <=r-bit flip combination — sum of
+    * C(bits, d) for d in 0..r masks (1 + b + b(b-1)/2 at the default
+    * r=2), generated directly instead of enumerating and filtering
+    * all 2^bits bucket ids. The old explode(sequence(0, 2^b-1))
+    * formulation was plan-constant at b=16 (65k rows/query) but the
+    * band-geometry analysis recommends WIDER signatures as indexes
+    * grow, and at b=24 it becomes a 16M-row explode per query; the
+    * ball is O(b^r) at any width. Probed buckets = qb XOR mask —
+    * identical bucket set by construction (spec-pinned). */
+  private[operators] def hammingBallMasks(bits: Int, r: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    (0 to math.min(r, bits)).flatMap { d =>
+      (0 until bits).combinations(d)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+    }
+  }
+
   private def lshTopKWith(vectors: DataFrame, query: DataFrame, k: Int,
                           bits: Int, probeHamming: Int,
                           planes: Seq[Array[Double]],
                           idCol: String, embCol: String): DataFrame = {
     val bucketed = vectors.withColumn("_bucket", bucketExpr(embCol, planes))
+    val masks = hammingBallMasks(bits, probeHamming)
     val probed = query
       .select(col(embCol).as("_qv"), bucketExpr(embCol, planes).as("_qb"))
       .select(col("_qv"), col("_qb"),
-        expr(s"explode(sequence(0L, ${(1L << bits) - 1}L))").as("_bucket"))
-      .filter(bit_count(col("_qb").bitwiseXOR(col("_bucket")))
-        <= probeHamming)
-      .select(col("_qv"), col("_bucket"))
+        explode(typedlit(masks)).as("_mask"))
+      .select(col("_qv"),
+        col("_qb").bitwiseXOR(col("_mask")).as("_bucket"))
     bucketed.join(broadcast(probed), Seq("_bucket"))
       .select(col(idCol), cosine_sim(col(embCol), col("_qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -367,14 +385,20 @@ object SimilarityOps {
     * compressed code table. Per-query probe sets come from the
     * driver-side model exactly as in [[ivfPqSearchPersisted]]; their
     * UNION (at most C ints) is the static `_cluster IN (...)`
-    * planning-time filter, and a broadcast (query, cluster) pair
-    * list restricts each scanned row to the queries that actually
-    * probed its list — so rows of unprobed lists are never read AND
-    * a row never scores against a query that didn't probe it. All Q
-    * LUTs ride as one plan constant into a single PqAdcBatch kernel
-    * pass per row; per-query top-k is a windowed rank (ties to the
-    * lower id), the `searchPersistedBatch`/`pqSearchPersistedBatch`
-    * shape. `excludeSelf` drops each query's own corpus row. */
+    * planning-time filter, so rows of unprobed lists are never READ;
+    * a broadcast (query, cluster) pair join then keeps only
+    * (row, query) pairs whose query actually probed the row's list.
+    * Note the scoring itself is NOT probe-pruned: all Q LUTs ride as
+    * one plan constant into a single PqAdcBatch kernel pass, so every
+    * scanned row computes all Q ADC distances (O(Q*m) per row) and
+    * the pair join discards the unprobed ones AFTERWARD. That trade
+    * is deliberate — one branch-free kernel pass beats per-cluster
+    * LUT dispatch up to batch sizes far beyond the serving shape
+    * (Q <= ~100); for very large batches with disjoint probe sets,
+    * group queries by probed cluster and serve groups separately.
+    * Per-query top-k is a windowed rank (ties to the lower id), the
+    * `searchPersistedBatch`/`pqSearchPersistedBatch` shape.
+    * `excludeSelf` drops each query's own corpus row. */
   def ivfPqSearchPersistedBatch(table: graft.lake.LakeTable,
                                 codebooks: Array[Array[Array[Double]]],
                                 model: IvfIndex.Model,
@@ -422,17 +446,33 @@ object SimilarityOps {
       .select(col(queryIdCol), col(idCol), col("adc_dist"))
   }
 
-  /** Two-stage IVF-PQ serving with EXACT re-ranking — the production
+  /** Two-stage IVF-PQ serving with exact re-ranking — the production
     * "refine" pattern (FAISS IndexRefineFlat over IndexIVFPQ): the
     * compressed index produces a cheap shortlist (ADC top-kPrime over
     * the probed lists — approximate, since codes quantize), and only
     * the shortlist's RAW vectors are fetched (id-keyed probe into the
     * vector table — bucket/manifest-pruned, never a second corpus
-    * scan) and re-scored with the exact cosine for the final top-k.
-    * This recovers exact-metric ranking quality at compressed-scan
-    * cost: the expensive float vectors are touched for kPrime rows
-    * per query, not N. kPrime/k is the recall-vs-cost dial (4x here;
-    * FAISS defaults to a similar small multiple). */
+    * scan) and re-scored with an exact kernel for the final top-k.
+    * The expensive float vectors are touched for kPrime rows per
+    * query, not N; kPrime/k is the recall-vs-cost dial (FAISS
+    * defaults to a similar small multiple).
+    *
+    * METRIC MATTERS: the ADC shortlist always ranks by squared L2
+    * (that is what the PQ sub-distance tables encode).
+    *   - `metric = "l2"` re-ranks by exact squared L2 — both stages
+    *     agree, the FAISS IndexRefineFlat contract: as kPrime grows
+    *     toward the probed-list size, results converge to the exact
+    *     L2 top-k of the probed lists.
+    *   - `metric = "cosine"` re-ranks the SAME L2-shortlisted pool by
+    *     exact cosine. For unnormalized vectors L2 systematically
+    *     penalizes large-norm candidates, so a true cosine top-k row
+    *     can be excluded from the shortlist and no kPrime short of
+    *     the list size guarantees convergence; results are exact
+    *     cosine RELATIVE TO the L2 shortlist only. Use it when the
+    *     corpus is L2-normalized (where the two metrics rank
+    *     identically) or when that pool semantics is acceptable.
+    * RecallScale (BENCH_NOTES) measures both modes against brute
+    * force so the dial is data, not folklore. */
   def ivfPqSearchRefined(table: graft.lake.LakeTable,
                          codebooks: Array[Array[Array[Double]]],
                          model: IvfIndex.Model,
@@ -440,18 +480,28 @@ object SimilarityOps {
                          query: Array[Float], k: Int, kPrime: Int,
                          nprobe: Int,
                          idCol: String = "vec_id",
-                         embCol: String = "embedding"): DataFrame = {
+                         embCol: String = "embedding",
+                         metric: String = "cosine"): DataFrame = {
     require(kPrime >= k, s"kPrime $kPrime must be >= k $k")
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got $metric")
     // stage 1: compressed shortlist (driver-side ids — kPrime longs)
     val shortlist = ivfPqSearchPersisted(table, codebooks, model,
       query, kPrime, nprobe, idCol)
       .select(col(idCol)).collect().map(_.getLong(0)).toSeq
     // stage 2: exact re-rank of ONLY the shortlist's raw vectors
-    vectors.probe(idCol, shortlist)
-      .select(col(idCol),
-        cosine_sim(col(embCol), typedlit(query.toSeq)).as("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    val fetched = vectors.probe(idCol, shortlist)
+    if (metric == "l2")
+      fetched.select(col(idCol),
+          graft.functions.VectorFunctions
+            .l2_dist(col(embCol), typedlit(query.toSeq)).as("l2"))
+        .orderBy(col("l2").asc, col(idCol).asc)
+        .limit(k)
+    else
+      fetched.select(col(idCol),
+          cosine_sim(col(embCol), typedlit(query.toSeq)).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
   }
 
   /** Metadata-FILTERED vector search — the production "filtered ANN"

@@ -163,6 +163,19 @@ class EngineSpec extends SparkSuite {
       scala.concurrent.duration.Duration(60, "s"))
     pool.shutdown()
     assert(Set("docs_v1", "docs_v2")(cat.resolveAlias("ns", "docs")))
+    // the mirror guard: a table cannot be created under an alias name
+    // (tableOrAlias would silently flip consumers to the new table)
+    intercept[Exception] { cat.createTable("ns", "docs", schema) }
+    // dropping an alias target would dangle the published pointer —
+    // blocked until the alias is retargeted away
+    val target = cat.resolveAlias("ns", "docs")
+    intercept[Exception] { cat.dropTable("ns", target) }
+    assert(cat.listAliases("ns") == Seq("docs"))
+    val other = if (target == "docs_v1") "docs_v2" else "docs_v1"
+    cat.setAlias("ns", "docs", other)
+    cat.dropTable("ns", target) // no alias points here anymore
+    assert(!cat.tableExists("ns", target))
+    assert(cat.tableOrAlias("ns", "docs").root.endsWith(other))
   }
 
   test("catalog dropTable removes the table and its files completely") {

@@ -11,6 +11,17 @@ class GraftFunctionsSpec extends SparkSuite {
         |  AS c""".stripMargin).as[Double].head()
     assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-12)
 
+    val l2 = spark.sql(
+      """SELECT l2_dist(array(cast(1.0 as float), cast(3.0 as float)),
+        |               array(cast(4.0 as float), cast(-1.0 as float)))
+        |  AS d""".stripMargin).as[Double].head()
+    assert(l2 == 25.0) // (1-4)^2 + (3+1)^2, exact in doubles
+    val l2n = spark.sql(
+      """SELECT l2_dist(CAST(NULL AS ARRAY<FLOAT>),
+        |               array(cast(1.0 as float))) AS d""".stripMargin)
+      .collect()
+    assert(l2n.head.isNullAt(0))
+
     Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("id", "tok")
       .createOrReplaceTempView("toks")
     val sim = spark.sql(

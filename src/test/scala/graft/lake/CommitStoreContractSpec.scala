@@ -48,6 +48,28 @@ class CommitStoreContractSpec extends SparkSuite {
       "published content must be exactly one writer's full payload")
   }
 
+  test("read primitive: None when absent, full content once published; " +
+    "frozen IVF model round-trips through the same store it was " +
+    "saved through") {
+    val store = new RacyCommitStore(maxDelayMs = 0)
+    val dir = java.nio.file.Paths.get(tmpDir("read-prim"))
+    java.nio.file.Files.createDirectories(dir)
+    assert(store.read(dir.resolve("nope.json")).isEmpty)
+    assert(store.putIfAbsent(dir.resolve("obj.json"), "payload"))
+    assert(store.read(dir.resolve("obj.json")).contains("payload"))
+    // the bug class this kills: save through one store, load through
+    // another abstraction — model persistence must honor ONE seam
+    val root = tmpDir("model-store")
+    val m = graft.operators.IvfIndex.Model(
+      Array(Array(1.5, -2.25), Array(0.125, 3.0)))
+    graft.operators.IvfIndex.saveModel(root, m, store)
+    val back = graft.operators.IvfIndex.loadModel(root, store)
+    assert(back.exists(_.centroids.map(_.toSeq).toSeq ==
+      m.centroids.map(_.toSeq).toSeq))
+    assert(graft.operators.IvfIndex.loadModel(tmpDir("model-none"),
+      store).isEmpty)
+  }
+
   test("concurrent appends all commit through the racy store " +
     "(optimistic retry against conditional-put arbitration)") {
     val t = racyTable("conc", abSchema)

@@ -949,6 +949,85 @@ class DedupSimilaritySpec extends SparkSuite {
       "the re-rank fetch read the whole vector table")
   }
 
+  test("IVF-PQ refine metric=l2: same-metric convergence — full-list " +
+    "kPrime equals the exact L2 top-k of the probed lists") {
+    val model = IvfIndex.trainPortable(emb, c = 8)
+    val (codes, cbs) = SimilarityOps.ivfPqPersist(
+      emb.filter($"vec_id" =!= 0), spark, tmpDir("ivfpqr-l2"), model,
+      codebookSource = Some(emb))
+    val vecs = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+    val vt = graft.lake.LakeTable.create(spark,
+      tmpDir("ivfpqr-l2-vecs"), vecs.schema,
+      properties =
+        graft.lake.LakeTable.autoCompactProps(16, Some("vec_id")),
+      bucketBy = Some(("vec_id", 16)))
+    vt.append(vecs)
+    val qv = emb.filter($"vec_id" === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val qd = qv.map(_.toDouble)
+    def l2d(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // kPrime = 40: exact L2 over the ADC shortlist, ascending, tie->id
+    val refined = SimilarityOps.ivfPqSearchRefined(codes, cbs, model,
+        vt, qv, k = 10, kPrime = 40, nprobe = 2, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val short = SimilarityOps.ivfPqSearchPersisted(codes, cbs, model,
+        qv, k = 40, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val expected = short.toSeq.map(id => (id, l2d(byId(id))))
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(refined == expected)
+    // FAISS IndexRefineFlat convergence: with kPrime covering every
+    // probed row, the refined top-k IS the exact L2 top-k of the
+    // probed lists — only holds because both stages rank by L2
+    val probed = IvfIndex.probeIds(qv, model, 2).toSet
+    val probedIds = IvfIndex.assign(vecs, model)
+      .filter($"_cluster".isin(probed.toSeq: _*))
+      .select("vec_id").as[Long].collect().toSeq
+    val converged = SimilarityOps.ivfPqSearchRefined(codes, cbs, model,
+        vt, qv, k = 10, kPrime = probedIds.size, nprobe = 2,
+        metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = probedIds.map(id => (id, l2d(byId(id))))
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(converged == exact,
+      "full-list kPrime did not converge to the exact L2 top-k")
+  }
+
+  test("hamming-ball probe masks: count is sum C(b,d), popcount <= r, " +
+    "and lshTopK equals the enumerate-all-buckets formulation") {
+    // O(b^2) direct generation vs the old 2^b explode+filter
+    val b = 8; val r = 2
+    val masks = SimilarityOps.hammingBallMasks(b, r)
+    assert(masks.size == 1 + b + b * (b - 1) / 2)
+    assert(masks.distinct.size == masks.size)
+    assert(masks.forall(m => java.lang.Long.bitCount(m) <= r))
+    assert(masks.forall(m => m >= 0 && m < (1L << b)))
+    // radius clamps to bits; radius 0 is just the identity
+    assert(SimilarityOps.hammingBallMasks(2, 5).size == 4)
+    assert(SimilarityOps.hammingBallMasks(16, 0) == Seq(0L))
+    // ball(qb) = { qb ^ m } must equal { bucket : hamming <= r } — the
+    // exact set the old sequence(0, 2^b-1) + bit_count filter produced
+    val qb = 0xA5L
+    val ball = masks.map(qb ^ _).toSet
+    val byFilter = (0L until (1L << b)).filter(bk =>
+      java.lang.Long.bitCount(qb ^ bk) <= r).toSet
+    assert(ball == byFilter)
+    // and the served results are unchanged by construction
+    val q = emb.filter($"vec_id" === 0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val got = SimilarityOps.lshTopK(rest, q, 10)
+      .collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    assert(got.size == 10)
+  }
+
   test("batched hybrid RRF: every query's slice equals the " +
     "single-query fusion bit-for-bit") {
     val batch = graft.operators.TextOps.hybridRrfRetrieveBatch(spark,
