@@ -935,6 +935,32 @@ object SparkEntry {
     // replays delete + merge semantics in plain SQL over the original
     // events table, so the hash match grades file-pruned rewrites,
     // NULL-safe delete, and key-replacement semantics end-to-end.
+    // MERGE-ON-READ row-level deletes (Iceberg-v2 position deletes,
+    // q75's copy-on-write twin): two overlapping positional deletes
+    // commit O(matched positions) each — ZERO data files rewritten —
+    // and a late append proves new rows are untouched by earlier
+    // delete files. The read serves THROUGH the live delete files
+    // (the (file,pos) anti-join path), which is exactly the state a
+    // 100 TB table sits in between GDPR sweeps and its next
+    // compaction. Oracle: the surviving rows recomputed in SQL.
+    "q151_mor_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-mor")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.repartition(8)) // several files so covers/pruning are real
+      t.deleteWherePositional(col("event_type") === "view")
+      t.deleteWherePositional(col("event_id") % 3 === 0)
+      val late = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 11 === 0)
+        .withColumn("event_id", col("event_id") + 2000000000L)
+        .withColumn("event_type", lit("late"))
+      t.append(late)
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     "q75_lake_row_ops" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -2336,6 +2362,21 @@ object SparkEntry {
          GROUP BY 1""",
     // delete-then-merge replayed in plain SQL: rows whose key appears
     // in the merge source are replaced, unseen keys are inserted
+    // Mirrors q151: rows surviving both positional deletes, plus the
+    // late append (committed AFTER the deletes, so never filtered).
+    "q151_mor_delete" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         kept AS (SELECT * FROM base
+           WHERE event_type IS DISTINCT FROM 'view'
+             AND event_id % 3 <> 0),
+         late AS (SELECT event_id + 2000000000 AS event_id, user_id,
+             'late' AS event_type, value
+           FROM base
+           WHERE event_type = 'purchase' AND event_id % 11 = 0),
+         allr AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM allr GROUP BY event_type""",
     "q75_lake_row_ops" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value
            FROM events),

@@ -186,6 +186,85 @@ class LakeTable private (
     refs
   }
 
+  // ---- position-delete manifests (merge-on-read DELETE) --------------
+  //
+  // The delete half of the metadata mirrors the data half exactly:
+  // snapshots reference immutable `dm-*.json` delete manifests, each
+  // holding a group of [[DeleteEntry]]s; appends reference the
+  // unchanged refs untouched, so a positional delete commits O(its
+  // own positions) metadata and a plain append commits none.
+
+  private def deleteRefsOf(node: JsonNode): Seq[ManifestRef] =
+    Option(node.get("deleteManifests")).map(_.elements().asScala.map(m =>
+      ManifestRef(m.get("path").asText(), m.get("entries").asInt())
+    ).toSeq).getOrElse(Nil)
+
+  private def readDeleteManifest(ref: ManifestRef): Seq[DeleteEntry] = {
+    val p = metaDir.resolve(ref.path).toAbsolutePath.normalize()
+    val key = p.toString
+    val cached = deleteManifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      val es = node.get("deletes").elements().asScala.map { d =>
+        DeleteEntry(d.get("path").asText(), d.get("rows").asLong(),
+          d.get("covers").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq
+      if (deleteManifestCache.size > ManifestCacheMax)
+        deleteManifestCache.clear()
+      deleteManifestCache.put(key, es)
+      es
+    }
+  }
+
+  private def writeDeleteManifest(entries: Seq[DeleteEntry]): ManifestRef = {
+    val name = s"dm-${java.util.UUID.randomUUID()}.json"
+    val n = mapper.createObjectNode()
+    val arr = n.putArray("deletes")
+    entries.foreach { e =>
+      val en = arr.addObject()
+      en.put("path", e.path); en.put("rows", e.rows)
+      val cv = en.putArray("covers"); e.covers.foreach(cv.add)
+    }
+    val p = metaDir.resolve(name)
+    require(commitStore.putIfAbsent(p,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)),
+      s"uuid delete-manifest name collision at $p")
+    deleteManifestCache.put(p.toAbsolutePath.normalize().toString, entries)
+    ManifestRef(name, entries.size)
+  }
+
+  /** Same size-class ladder as [[mergeManifests]], over delete
+    * manifests — a long run of small positional deletes stays
+    * O(fanout * log(deleteFiles)) refs per snapshot. */
+  private def mergeDeleteManifests(refs0: Seq[ManifestRef])
+      : Seq[ManifestRef] = {
+    def sizeClass(r: ManifestRef): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, r.entries))
+    var refs = refs0
+    var changed = true
+    while (changed) {
+      changed = false
+      refs.groupBy(sizeClass).toSeq.sortBy(_._1)
+        .find(_._2.size >= ManifestMergeFanout) match {
+        case Some((_, group)) =>
+          val merged = writeDeleteManifest(group.flatMap(readDeleteManifest))
+          refs = refs.filterNot(group.contains) :+ merged
+          changed = true
+        case None => ()
+      }
+    }
+    refs
+  }
+
+  private def deletesOf(node: JsonNode): Seq[DeleteEntry] =
+    deleteRefsOf(node).flatMap(readDeleteManifest)
+
+  /** Live position-delete files of the current snapshot (empty unless
+    * [[deleteWherePositional]] has committed and compaction has not
+    * yet absorbed them). */
+  def deleteEntries: Seq[DeleteEntry] = deletesOf(latest()._2)
+
   private def fieldIdsOf(node: JsonNode): Map[String, Int] =
     node.get("fieldIds").properties().asScala
       .map(e => e.getKey -> e.getValue.asInt()).toMap
@@ -443,7 +522,8 @@ class LakeTable private (
   def readVersion(v: Int): DataFrame = {
     val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
     val snapSchema = DataTypeBridge.fromJson(node.get("schemaJson").asText())
-    readEntries(filesOf(node), snapSchema, fieldIdsOf(node))
+    readEntries(filesOf(node), snapSchema, fieldIdsOf(node),
+      deletes = deletesOf(node))
   }
 
   /** Plan a read of `entries` under `snapSchema`, resolving each file's
@@ -457,13 +537,52 @@ class LakeTable private (
   private def readEntries(entries: Seq[FileEntry], snapSchema: StructType,
                           ids: Map[String, Int],
                           tag: Boolean = false,
-                          claimBucket: Boolean = true): DataFrame = {
+                          claimBucket: Boolean = true,
+                          tagPos: Boolean = false,
+                          deletes: Seq[DeleteEntry] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol}
-    val tagged = if (tag) StructType(snapSchema.fields :+
-      StructField(FileTag, StringType, nullable = false)) else snapSchema
+    val tagged = StructType(snapSchema.fields ++
+      (if (tag) Seq(StructField(FileTag, StringType, nullable = false))
+       else Nil) ++
+      (if (tagPos) Seq(StructField(PosTag, LongType, nullable = false))
+       else Nil))
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagged)
+    // merge-on-read position deletes: rows named by any RELEVANT
+    // delete file (covers-pruned — a delete file referencing none of
+    // the scanned data files cannot match) are anti-joined away on
+    // (file, position). Both sides key on the qualified absolute path
+    // the scan's _metadata.file_path reports; the delete parquet
+    // stores root-relative paths, re-qualified here so the table can
+    // be relocated wholesale without rewriting delete files.
+    val entryPaths = entries.map(_.path).toSet
+    val relevantDeletes = deletes.filter(_.covers.exists(entryPaths.contains))
+    lazy val delKeyed: DataFrame = {
+      import org.apache.spark.sql.functions.{concat, lit}
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val qroot = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(root)).toString
+      spark.read.schema(deleteSchema)
+        .parquet(relevantDeletes.map(e => s"$root/${e.path}"): _*)
+        .select(concat(lit(qroot + "/"), fcol(DeleteFileCol)).as("__dfp"),
+          fcol(DeletePosCol).as("__dpp"))
+    }
+    def finish(df: DataFrame): DataFrame = {
+      val needFp = tag || relevantDeletes.nonEmpty
+      val needPos = tagPos || relevantDeletes.nonEmpty
+      var d = df
+      if (needFp) d = d.withColumn(FileTag, fcol("_metadata.file_path"))
+      if (needPos) d = d.withColumn(PosTag, fcol("_metadata.row_index"))
+      if (relevantDeletes.nonEmpty)
+        d = d.join(delKeyed,
+          d(FileTag) === delKeyed("__dfp") &&
+            d(PosTag) === delKeyed("__dpp"), "left_anti")
+      if (needFp && !tag) d = d.drop(FileTag)
+      if (needPos && !tagPos) d = d.drop(PosTag)
+      d
+    }
     val idToField: Map[Int, StructField] =
       snapSchema.fields.flatMap(f => ids.get(f.name).map(_ -> f)).toMap
     val currentNames = snapSchema.fieldNames.toSet
@@ -589,8 +708,7 @@ class LakeTable private (
       else {
         val b = manifestRead(byName, snapSchema).getOrElse(
           baseRead(byName.map(e => s"$root/${e.path}"), snapSchema))
-        Seq(if (tag) b.withColumn(FileTag, fcol("_metadata.file_path"))
-            else b)
+        Seq(finish(b))
       }
 
     val idScans = byId.groupBy(_.cols).map { case (cols, es) =>
@@ -607,9 +725,9 @@ class LakeTable private (
           case Some(physName) => col(physName).as(f.name)
           case None           => lit(null).cast(f.dataType).as(f.name)
         }
-      } ++ (if (tag) Seq(col("_metadata.file_path").as(FileTag)) else Nil)
-      baseRead(es.map(e => s"$root/${e.path}"), physSchema)
-        .select(projection.toSeq: _*)
+      }
+      finish(baseRead(es.map(e => s"$root/${e.path}"), physSchema)
+        .select(projection.toSeq: _*))
     }
 
     (nameScan ++ idScans).reduce(_ unionByName _)
@@ -720,7 +838,8 @@ class LakeTable private (
   def readWhere(condition: org.apache.spark.sql.Column,
                 claimBucket: Boolean = true): DataFrame =
     readEntries(pruneFiles(condition), schema, fieldIds,
-      claimBucket = claimBucket).filter(condition)
+      claimBucket = claimBucket, deletes = deleteEntries)
+      .filter(condition)
 
   /** The files a range analysis of `condition` cannot exclude. */
   private[lake] def pruneFiles(condition: org.apache.spark.sql.Column)
@@ -1148,9 +1267,11 @@ class LakeTable private (
   private def compactSubset(subset: Seq[FileEntry],
                             sortBy: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
+    val dels = deleteEntries
     // no join downstream — the bucket claim would only cap the
     // rewrite's read parallelism at numBuckets
-    val base = readEntries(subset, schema, fieldIds, claimBucket = false)
+    val base = readEntries(subset, schema, fieldIds, claimBucket = false,
+      deletes = dels)
     val shaped =
       if (bucketSpec.isDefined) {
         val n = bucketSpec.get._2
@@ -1173,7 +1294,8 @@ class LakeTable private (
       Map("compaction" -> "true") ++
         (if (sortBy.isEmpty) Map.empty[String, String]
          else Map("compaction.sortBy" -> sortBy.mkString(","))),
-      guard = None, alter = None, strictReplace = true)
+      guard = None, alter = None, strictReplace = true,
+      appliedDeletes = dels.map(_.path).toSet)
   }
 
   /** Z-order compaction: files are clustered on the Morton interleave
@@ -1226,20 +1348,126 @@ class LakeTable private (
   def deleteWhere(condition: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val entries = dataFiles
+    val dels = deleteEntries
     // stats narrow the provenance scan before any file opens: only
     // files whose ranges might match are even read to find matches
     val candidates = pruneFiles(condition)
     val affected = affectedFiles(
-      readEntries(candidates, schema, fieldIds, tag = true)
-        .filter(condition),
+      readEntries(candidates, schema, fieldIds, tag = true,
+        deletes = dels).filter(condition),
       entries)
     if (affected.isEmpty) return currentVersion
+    // survivors computed WITH existing position deletes applied — a
+    // copy-on-write rewrite must not resurrect MOR-deleted rows
     val survivors =
-      readEntries(entries.filter(e => affected(e.path)), schema, fieldIds)
+      readEntries(entries.filter(e => affected(e.path)), schema, fieldIds,
+        deletes = dels)
         .filter(not(coalesce(condition, lit(false))))
     commitWith(Some(writeData(survivors)), affected,
       Map("delete.predicate" -> condition.toString),
-      guard = None, alter = None, strictReplace = true)
+      guard = None, alter = None, strictReplace = true,
+      appliedDeletes = dels.map(_.path).toSet)
+  }
+
+  /** MERGE-ON-READ DELETE (Iceberg-v2-style position deletes): mark
+    * rows matching `condition` deleted by committing a POSITION-DELETE
+    * file — a parquet of (data file, row position) pairs under
+    * `deletes/data/` — instead of rewriting any data file. Write cost
+    * is O(matched rows), not O(files containing them): a 1-row GDPR
+    * delete in a 1 GB file commits a few hundred bytes where
+    * [[deleteWhere]] rewrites the gigabyte, and scattered deletes
+    * across a 100 TB table commit O(total matched) instead of
+    * rewriting the table. Every read path (read/readVersion/
+    * readWhere/probe, rewrites, CDC through readVersion) applies live
+    * delete files as a (file, pos) anti-join; the size-ladder
+    * compaction absorbs them lazily — a rewrite drops each delete
+    * file once all its covered data files leave the live set, so the
+    * read-side join cost is bounded by the compaction cadence.
+    *
+    * Same three-valued semantics as [[deleteWhere]] (NULL predicate
+    * keeps the row), snapshot-isolated (positions name rows of the
+    * snapshot read at entry; the commit aborts with
+    * ConcurrentModificationException if a concurrent rewrite
+    * superseded any covered file — retry to re-resolve positions),
+    * and symmetric with the rewrite-side guard (a copy-on-write /
+    * compaction commit aborts if an unapplied delete file landed
+    * since its base). Returns the committed version (unchanged when
+    * nothing matches). */
+  def deleteWherePositional(condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dels = deleteEntries
+    val candidates = pruneFiles(condition)
+    if (candidates.isEmpty) return currentVersion
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val qroot = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(root)).toString
+    // positions of matching rows, already-deleted rows excluded; the
+    // scan's absolute file path is re-relativized so delete files
+    // survive a wholesale table relocation
+    // range-clustered on (file, pos): positions of one data file land
+    // contiguously in few delete files (tight covers, pruned reads);
+    // partition count scales with the candidate file set, bounded so
+    // a small delete never fans out into per-task confetti
+    val numParts = math.max(1, math.min(candidates.size, 32))
+    val positions =
+      readEntries(candidates, schema, fieldIds, tag = true,
+        tagPos = true, deletes = dels)
+        .filter(condition)
+        .select(
+          expr(s"substring($FileTag, ${qroot.length + 2})")
+            .as(DeleteFileCol),
+          col(PosTag).as(DeletePosCol))
+        .repartitionByRange(numParts, col(DeleteFileCol),
+          col(DeletePosCol))
+        .sortWithinPartitions(DeleteFileCol, DeletePosCol)
+    // rename-free write through the same task-committed protocol as
+    // data files, into the sibling deletes/ namespace
+    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
+      positions, s"$root/deletes", Seq.empty)
+    def absRel(r: String) = s"$root/deletes/data/$r"
+    val metas = footerMetas(rels.map(r =>
+      Paths.get(root, "deletes", "data", r).toUri.toString), deleteSchema)
+    val rowsByRel = rels.zip(metas.map(_._1)).toMap
+    if (rowsByRel.values.sum == 0L) {
+      // nothing matched: reclaim the empty write, commit nothing
+      rels.foreach(r => Files.deleteIfExists(
+        Paths.get(root, "deletes", "data", r)))
+      return currentVersion
+    }
+    val live = rels.filter(rowsByRel(_) > 0)
+    // a rare empty shard (all its rows were range-partitioned away)
+    // would just be an orphan — reclaim it now instead of at vacuum
+    rels.filterNot(live.contains).foreach(r =>
+      Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
+    // exact covered data files PER written delete file — the commit
+    // conflict check and the compaction drop rule key on this set;
+    // driver-bounded by (delete files x covered data files), both
+    // metadata-scale
+    val coversByFile = spark.read.schema(deleteSchema)
+      .parquet(live.map(absRel): _*)
+      .select(col(DeleteFileCol),
+        org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("__w"))
+      .groupBy("__w")
+      .agg(org.apache.spark.sql.functions.collect_set(DeleteFileCol)
+        .as("__cv"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
+    val entries = live.map { r =>
+      val covers = coversByFile.collectFirst {
+        case (w, cv) if w.endsWith("/" + r) => cv
+      }.getOrElse(throw new IllegalStateException(
+        s"no read-back provenance for delete file $r at $root"))
+      DeleteEntry(s"deletes/data/$r", rowsByRel(r), covers)
+    }
+    val rowCount = rowsByRel.values.sum
+    commitWith(None, Set.empty,
+      Map("delete.positional" -> condition.toString,
+        "delete.rows" -> rowCount.toString),
+      guard = None, alter = Some((s, ids) => (s, ids)),
+      newDeletes = entries,
+      requireLive = entries.flatMap(_.covers).toSet)
   }
 
   /** MERGE / upsert keyed on `keyCols`: every target row whose key
@@ -1296,18 +1524,21 @@ class LakeTable private (
     }
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val entries = dataFiles
+    val dels = deleteEntries
     val affected = affectedFiles(
-      readEntries(entries, s, fieldIds, tag = true)
+      readEntries(entries, s, fieldIds, tag = true, deletes = dels)
         .join(srcKeys, keyCols, "left_semi"),
       entries)
     val rewritten =
       if (affected.isEmpty) src
-      else readEntries(entries.filter(e => affected(e.path)), s, fieldIds)
+      else readEntries(entries.filter(e => affected(e.path)), s, fieldIds,
+          deletes = dels)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src)
     commitWith(Some(writeData(rewritten)), affected,
       Map("merge.keys" -> keyCols.mkString(",")) ++ extraMeta,
-      guard = guard, alter = None, strictReplace = true)
+      guard = guard, alter = None, strictReplace = true,
+      appliedDeletes = dels.map(_.path).toSet)
   }
 
   /** Distinct relative paths of the files the tagged rows live in. */
@@ -1332,10 +1563,14 @@ class LakeTable private (
     val baseNode = mapper.readTree(
       Files.readString(versionPath(metaDir, baseVersion)))
     val replaced = filesOf(baseNode).map(_.path).toSet
+    // readVersion applies the base's position deletes, so the rewrite
+    // ABSORBS them: the commit drops every delete file whose covered
+    // data files all got replaced (here: all of them)
     commitWith(Some(writeData(shape(readVersion(baseVersion)))),
       replacedFiles = replaced,
       Map("compaction" -> "true") ++ extraMeta, guard = None,
-      alter = None, strictReplace = true)
+      alter = None, strictReplace = true,
+      appliedDeletes = deletesOf(baseNode).map(_.path).toSet)
   }
 
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()
@@ -1487,7 +1722,10 @@ class LakeTable private (
                            (StructType, Map[String, Int])],
                          strictReplace: Boolean = false,
                          alterProps: Option[Map[String, String] =>
-                           Map[String, String]] = None): Int = {
+                           Map[String, String]] = None,
+                         newDeletes: Seq[DeleteEntry] = Nil,
+                         requireLive: Set[String] = Set.empty,
+                         appliedDeletes: Set[String] = Set.empty): Int = {
     var attempt = 0
     var lastSeen = Int.MinValue
     var stalls = 0
@@ -1515,6 +1753,30 @@ class LakeTable private (
           throw new java.util.ConcurrentModificationException(
             s"rewrite conflict at $root: ${missing.size} base file(s) " +
               "superseded by a concurrent commit")
+        // ...and must not resurrect rows a POSITION DELETE marked
+        // since the rewrite's base was read: any live delete file
+        // covering a replaced data file must be one this rewrite
+        // already applied, else the rewritten survivors contain rows
+        // the concurrent delete committed away
+        val unapplied = deletesOf(cur).filter(e =>
+          e.covers.exists(replacedFiles.contains) &&
+            !appliedDeletes.contains(e.path))
+        if (unapplied.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite conflict at $root: ${unapplied.size} position-" +
+              "delete file(s) landed since the rewrite's base; " +
+              "committing would resurrect their deleted rows")
+      }
+      if (requireLive.nonEmpty) {
+        // a positional delete names (file, pos) pairs of a specific
+        // snapshot's files: if a concurrent rewrite superseded any
+        // covered file, the positions no longer denote the same rows
+        // and committing them would silently drop the delete
+        val gone = requireLive -- filesOf(cur).map(_.path).toSet
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"positional delete conflict at $root: ${gone.size} " +
+              "covered data file(s) rewritten by a concurrent commit")
       }
       val hw = highWaterOf(cur)
       guard match {
@@ -1565,6 +1827,39 @@ class LakeTable private (
       val newEntries = rewriteFiles ++ stamped
       val refs = mergeManifests(keptRefs ++
         (if (newEntries.nonEmpty) Seq(writeManifest(newEntries)) else Nil))
+      // Delete-manifest update, the mirror of the data rule: plain
+      // appends reference the refs untouched (O(0) delete metadata);
+      // a positional delete adds one manifest of its own entries; a
+      // rewrite drops delete files whose covered data files ALL left
+      // the live set (their positions can no longer match any scanned
+      // row — compaction thereby absorbs deletes lazily), rewriting
+      // only the manifests that actually held a dropped entry.
+      val deleteRefs: Seq[ManifestRef] = {
+        val cur0 = deleteRefsOf(cur)
+        val withNew =
+          if (newDeletes.isEmpty) cur0
+          else mergeDeleteManifests(cur0 :+ writeDeleteManifest(newDeletes))
+        if (replacedFiles.isEmpty || withNew.isEmpty) withNew
+        else {
+          // dead = no covered data file remains LIVE after this commit
+          // (not merely "replaced by this commit": covered files may
+          // have died one-by-one across earlier rewrites — q75-style
+          // upsert chains — and the entry must drop once the LAST one
+          // goes). Manifest reads here hit the process-wide cache and
+          // run only on rewrite commits, never appends.
+          val liveAfter = (keptRefs.flatMap(readManifest) ++ newEntries)
+            .map(_.path).toSet
+          def dead(e: DeleteEntry): Boolean =
+            !e.covers.exists(liveAfter.contains)
+          val (touched, untouched) = withNew.partition(r =>
+            readDeleteManifest(r).exists(dead))
+          val survivors = touched.flatMap(readDeleteManifest)
+            .filterNot(dead)
+          mergeDeleteManifests(untouched ++
+            (if (survivors.nonEmpty) Seq(writeDeleteManifest(survivors))
+             else Nil))
+        }
+      }
       // properties-only alteration re-applies to the freshly-read map
       // on every retry, so it serializes against racing commits
       val propsNode: JsonNode = alterProps match {
@@ -1583,7 +1878,8 @@ class LakeTable private (
         manifests = refs, meta = meta,
         partitionBy = partitionBy,
         highWater = newHw,
-        lastFieldId = curLast)
+        lastFieldId = curLast,
+        deleteManifests = deleteRefs)
       if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(System.nanoTime() < deadline,
@@ -1695,7 +1991,8 @@ class LakeTable private (
         meta = Map("rollback.to" -> version.toString),
         partitionBy = partitionBy,
         highWater = highWaterOf(cur),
-        lastFieldId = lastFieldIdOf(cur))
+        lastFieldId = lastFieldIdOf(cur),
+        deleteManifests = deleteRefsOf(target))
       if (tryCommit(commitStore, metaDir, v + 1, node)) return v + 1
       attempt += 1
       require(System.nanoTime() < deadline,
@@ -1753,43 +2050,50 @@ class LakeTable private (
 
   private def vacuumAgainst(versions: Seq[Int],
                             minAgeMs: Long = 0L): Int = {
+    val nodes = versions.map(v =>
+      mapper.readTree(Files.readString(versionPath(metaDir, v))))
     val referenced: Set[Path] =
-      versions.flatMap { v =>
-        val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
-        filesOf(n).map(f => Paths.get(root, f.path).normalize())
-      }.toSet
+      nodes.flatMap(n =>
+        filesOf(n).map(f => Paths.get(root, f.path).normalize())).toSet ++
+      nodes.flatMap(n =>
+        deletesOf(n).map(e => Paths.get(root, e.path).normalize())).toSet
     var deleted = 0
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       minAgeMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     val dataDir = Paths.get(root, "data")
-    walkDir(dataDir).reverse.foreach { p =>
-      // deleteIfExists / tolerate non-empty: a concurrent policy
-      // enforcer may reclaim the same orphan first, and a concurrent
-      // writer may drop a new file into a dir between the emptiness
-      // check and the delete — neither race is an error here (the
-      // caller's append already committed; vacuum is best-effort)
-      if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
-          && !referenced.contains(p.normalize()) && oldEnough(p)) {
-        if (Files.deleteIfExists(p)) deleted += 1
-      } else if (Files.isDirectory(p) && listDir(p).isEmpty && p != dataDir) {
-        try Files.deleteIfExists(p)
-        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    // deletes/ holds position-delete parquet (same orphan story:
+    // absorbed-by-compaction delete files and losers of commit races)
+    val deletesDir = Paths.get(root, "deletes")
+    Seq(dataDir, deletesDir).foreach { top =>
+      walkDir(top).reverse.foreach { p =>
+        // deleteIfExists / tolerate non-empty: a concurrent policy
+        // enforcer may reclaim the same orphan first, and a concurrent
+        // writer may drop a new file into a dir between the emptiness
+        // check and the delete — neither race is an error here (the
+        // caller's append already committed; vacuum is best-effort)
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+            && !referenced.contains(p.normalize()) && oldEnough(p)) {
+          if (Files.deleteIfExists(p)) deleted += 1
+        } else if (Files.isDirectory(p) && listDir(p).isEmpty && p != top) {
+          try Files.deleteIfExists(p)
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
       }
     }
     // manifests referenced by no retained snapshot: crashed/lost
     // commit attempts and the pre-merge inputs of ladder merges. Same
     // age guard as data files (an in-flight commit writes its
-    // manifest before winning its snapshot slot).
-    val refedManifests: Set[Path] = versions.flatMap { v =>
-      val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
-      manifestRefsOf(n).getOrElse(Nil)
+    // manifest before winning its snapshot slot). Delete manifests
+    // (dm-*.json) get the identical treatment.
+    val refedManifests: Set[Path] = nodes.flatMap { n =>
+      (manifestRefsOf(n).getOrElse(Nil) ++ deleteRefsOf(n))
         .map(r => metaDir.resolve(r.path).toAbsolutePath.normalize())
     }.toSet
     listDir(metaDir)
       .filter { p =>
         val nm = p.getFileName.toString
-        nm.startsWith("m-") && nm.endsWith(".json")
+        (nm.startsWith("m-") || nm.startsWith("dm-")) && nm.endsWith(".json")
       }
       .filterNot(p => refedManifests.contains(p.toAbsolutePath.normalize()))
       .filter(oldEnough)
@@ -1929,11 +2233,31 @@ object LakeTable {
     * manifest. */
   private[lake] case class ManifestRef(path: String, entries: Int)
 
+  /** One committed POSITION-DELETE file (Iceberg v2 merge-on-read
+    * shape): a parquet of (`_del_file`, `_del_pos`) rows marking
+    * individual rows of live data files as deleted, applied as an
+    * anti-join at read time instead of rewriting the data files.
+    * `path` is root-relative (under `deletes/data/`); `covers` is the
+    * exact distinct set of data files the positions reference — the
+    * commit-time conflict check and the compaction drop rule both key
+    * on it (a delete file whose covered data files have ALL left the
+    * live set can no longer match any scanned row and is dropped). */
+  case class DeleteEntry(path: String, rows: Long, covers: Seq[String])
+
+  private[lake] val DeleteFileCol = "_del_file"
+  private[lake] val DeletePosCol = "_del_pos"
+  private[lake] val PosTag = "_gf_row_pos"
+  private[lake] def deleteSchema: StructType = StructType(Seq(
+    StructField(DeleteFileCol, StringType, nullable = false),
+    StructField(DeletePosCol, LongType, nullable = false)))
+
   /** Process-wide immutable-manifest parse cache (manifests are
     * UUID-named and never rewritten, so entries cannot go stale;
     * crude clear-on-overflow keeps it bounded). */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  private val deleteManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DeleteEntry]]()
   private val ManifestCacheMax = 4096
 
   /** Manifests per size class before the ladder merges them. */
@@ -2131,7 +2455,8 @@ object LakeTable {
       manifests: Seq[ManifestRef], meta: Map[String, String],
       partitionBy: Seq[String] = Seq.empty,
       highWater: Map[String, Long] = Map.empty,
-      lastFieldId: Int = 0): JsonNode = {
+      lastFieldId: Int = 0,
+      deleteManifests: Seq[ManifestRef] = Nil): JsonNode = {
     val n = mapper.createObjectNode()
     n.put("version", version)
     n.put("parent", parent)
@@ -2152,6 +2477,13 @@ object LakeTable {
     manifests.foreach { m =>
       val mn = mArr.addObject()
       mn.put("path", m.path); mn.put("entries", m.entries)
+    }
+    if (deleteManifests.nonEmpty) {
+      val dArr = n.putArray("deleteManifests")
+      deleteManifests.foreach { m =>
+        val mn = dArr.addObject()
+        mn.put("path", m.path); mn.put("entries", m.entries)
+      }
     }
     val metaNode = n.putObject("appMeta")
     meta.foreach { case (k, v) => metaNode.put(k, v) }
