@@ -118,7 +118,14 @@ object IvfIndex {
   }
 
   /** Deterministic training: k-means‖-style sampled seed + `iters`
-    * Lloyd rounds. */
+    * Lloyd rounds. MEASURED CAVEAT (tools/RecallScale, BENCH_NOTES
+    * r10): on near-isotropic corpora — data with no real cluster
+    * structure, like the synthetic fixture embeddings — the averaged
+    * Lloyd centers collapse toward the global mean and serve WORSE
+    * recall than [[trainPortable]]'s corpus-sample centers at every
+    * nprobe (.19 vs .79 at nprobe=1, equal cluster balance). Prefer
+    * trainPortable unless a recall measurement on the actual corpus
+    * shows Lloyd ahead. */
   def train(vectors: DataFrame, c: Int, iters: Int = 3,
             embCol: String = "embedding", idCol: String = "vec_id"): Model = {
     var cents: Array[Array[Double]] = seedCentroids(vectors, c, embCol, idCol)

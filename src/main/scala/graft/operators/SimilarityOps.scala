@@ -74,6 +74,13 @@ object SimilarityOps {
 
   /** LSH-bucketed approximate top-k: bucket all vectors once (cacheable /
     * persistable as a bucketed table in production), then multi-probe —
+    * Width dial (measured, tools/RecallScale r10): `bits` must track
+    * corpus size, roughly log2(N / desired candidates) — at N=2000,
+    * bits=8 radius=2 probes 37/256 buckets for recall@10 ~.3 while
+    * bits=16 leaves ~1 row per bucket and recall collapses to noise
+    * (.01). hammingBallMasks keeps probe generation O(bits^2), so
+    * widening with N costs plan constants, not an explode.
+    *
     * brute-force only the buckets within `probeHamming` sign-flips of the
     * query's bucket (37/256 buckets at bits=8, hamming<=2), since nearby
     * cosine implies nearby sign pattern. The probe list is a tiny
@@ -356,7 +363,14 @@ object SimilarityOps {
     * ADC-scored against the query's LUT (one plan-constant kernel
     * pass per row, same as pqSearchPersisted) with top-k via
     * TakeOrdered, ties to the lower id. The raw vectors are not
-    * touched anywhere in the serve path. */
+    * touched anywhere in the serve path.
+    *
+    * nprobe dial (measured, tools/RecallScale r10): UNREFINED ADC
+    * recall can DECREASE as nprobe widens (.33 at 2 -> .15 at 16 on
+    * the sf fixture) — coarse codebooks admit ADC-false-positives
+    * from every extra list. Widen nprobe only together with the
+    * [[ivfPqSearchRefined]] stage, whose exact re-rank restores
+    * monotonicity (kPrime 2k/4k/8k -> .36/.56/.75 at nprobe=8). */
   def ivfPqSearchPersisted(table: graft.lake.LakeTable,
                            codebooks: Array[Array[Array[Double]]],
                            model: IvfIndex.Model,

@@ -98,6 +98,14 @@ object RecallScale {
         "ivf-lloyd" -> IvfIndex.train(emb, c, iters = 3))) {
       val idx = IvfIndex.buildIndex(spark, emb, model,
         s"$dir/$label")
+      // cluster balance: recall@nprobe is only comparable across
+      // quantizers at similar occupancy skew
+      val sizes = IvfIndex.assign(emb, model)
+        .groupBy("_cluster").count().select("count")
+        .collect().map(_.getLong(0)).sorted.reverse
+      println(s"$label cluster sizes: n=${sizes.length} " +
+        s"max=${sizes.head} top5=${sizes.take(5).mkString(",")} " +
+        s"median=${sizes(sizes.length / 2)}")
       for (nprobe <- Seq(1, 2, 4, 8, 16)) {
         import spark.implicits._
         val qdf = qids.map(q => (q, byId(q).map(_.toFloat).toSeq))
