@@ -961,6 +961,32 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // HIDDEN PARTITIONING (Iceberg transform specs): the table is
+    // declared `days(ts)` — the writer derives the day column and
+    // lays out day directories; the reader prunes with a RAW
+    // timestamp range, never naming the layout. The graded read
+    // serves a 3-day window from day-pruned dirs (bounds derived
+    // from min(ts), day-aligned so both engines' literals are
+    // micros-exact). Oracle: the same window recomputed in SQL.
+    "q152_hidden_partition" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp").as("ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-hp")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema,
+        partitionBy = Seq("days(ts)"))
+      t.append(ev.repartition(8))
+      val loUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val dayUs = 86400000000L
+      val aMs = (Math.floorDiv(loUs, dayUs) + 2) * 86400L * 1000
+      val bMs = (Math.floorDiv(loUs, dayUs) + 5) * 86400L * 1000
+      t.readWhere(
+          col("ts") >= lit(new java.sql.Timestamp(aMs)) &&
+            col("ts") < lit(new java.sql.Timestamp(bMs)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     "q75_lake_row_ops" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -2362,6 +2388,18 @@ object SparkEntry {
          GROUP BY 1""",
     // delete-then-merge replayed in plain SQL: rows whose key appears
     // in the merge source are replaced, unseen keys are inserted
+    // Mirrors q152: the same day-aligned 3-day window recomputed in
+    // SQL (// is DuckDB floor division; day-aligned bounds make the
+    // timestamp literals micros-exact on both engines).
+    "q152_hidden_partition" ->
+      """WITH lo AS (SELECT
+             (epoch_us(min(ts)) // 86400000000 + 2) * 86400000000 AS a,
+             (epoch_us(min(ts)) // 86400000000 + 5) * 86400000000 AS b
+           FROM events)
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events, lo
+         WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
+         GROUP BY event_type""",
     // Mirrors q151: rows surviving both positional deletes, plus the
     // late append (committed AFTER the deletes, so never filtered).
     "q151_mor_delete" ->

@@ -350,6 +350,19 @@ class LakeTable private (
     else n.elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Declared hidden-partitioning transforms (empty for plain tables).
+    * Re-parsed from the frozen creation-time property against the
+    * current schema, so the source column's presence/type is
+    * re-validated on every use (a rename/drop of a transform source
+    * is blocked the same way bucket columns are). */
+  def partitionTransforms: Seq[PTransform] =
+    properties.get(TransformsProp)
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(s => parseTransformSpec(s, schema).getOrElse(
+          throw new IllegalStateException(
+            s"unparseable partition transform '$s' at $root"))))
+      .getOrElse(Nil)
+
   /** Hash-bucket layout, when declared at create time: (column, count).
     * Rows land in hive partition `_bucket = pmod(hash(col), count)`
     * (hash family stamped at create time, see [[bucketHash]]),
@@ -967,7 +980,59 @@ class LakeTable private (
           }
         }
       }
-    dataFiles.filter(f => checks.forall(_(f)))
+    // hidden partitioning: map each raw-column conjunct onto its
+    // transform's derived partition column, whose [v, v] partition
+    // stats prune whole directories. All transforms are monotone
+    // non-decreasing, so strict bounds relax to inclusive ones
+    // (src < v => T(src) <= T(v)) — never a wrong prune.
+    val transforms = partitionTransforms
+    val tchecks: Seq[FileEntry => Boolean] =
+      if (transforms.isEmpty) Nil
+      else {
+        def litTyped(e: Expression): Option[(Any, DataType)] = e match {
+          case Literal(v, t) if v != null => Some((v, t))
+          case _ => None
+        }
+        def canoTyped(e: Expression)
+            : Option[(String, String, (Any, DataType))] =
+          binOp(e).flatMap {
+            case (op, a, l) if attrName(a).isDefined =>
+              litTyped(l).map((attrName(a).get, op, _))
+            case (op, l, a) if attrName(a).isDefined =>
+              litTyped(l).map((attrName(a).get, flip(op), _))
+            case _ => None
+          }
+        def relax(op: String): String = op match {
+          case "<"  => "<="
+          case ">"  => ">="
+          case o    => o
+        }
+        conjuncts(cond).flatMap { c =>
+          inList(c) match {
+            case Some((a, vs)) if attrName(a).isDefined =>
+              val n = attrName(a).get
+              transforms.filter(_.src == n).flatMap { t =>
+                val typed = vs.flatMap(litTyped)
+                val mapped = typed.flatMap { case (v, dt) =>
+                  t.mapValue(v, dt) }
+                // only prune when EVERY listed value mapped
+                if (typed.size != vs.size || mapped.size != typed.size)
+                  None
+                else Some((f: FileEntry) =>
+                  f.stats.get(t.phys).forall(st =>
+                    mapped.exists(v => possible("=", v, st))))
+              }
+            case _ => canoTyped(c).toSeq.flatMap {
+              case (n, op, (v, dt)) =>
+                transforms.filter(_.src == n).flatMap(t =>
+                  t.mapValue(v, dt).map(tv =>
+                    (f: FileEntry) => f.stats.get(t.phys).forall(st =>
+                      possible(relax(op), tv, st))))
+            }
+          }
+        }
+      }
+    dataFiles.filter(f => (checks ++ tchecks).forall(_(f)))
   }
 
   // ---- write ---------------------------------------------------------
@@ -1512,16 +1577,19 @@ class LakeTable private (
     keyCols.foreach(c => require(s.fieldNames.contains(c),
       s"upsert key $c not in schema at $root"))
     // align source to the table's columns/types loudly (a missing
-    // column is an analysis error, not a silent null); the derived
-    // bucket column is the writer's job, never the caller's
+    // column is an analysis error, not a silent null); derived
+    // columns — bucket and transform partitions — are the writer's
+    // job, never the caller's
+    val transformPhys = partitionTransforms.map(_.phys).toSet
     val userFields = s.fields.filterNot(f =>
-      bucketSpec.isDefined && f.name == BucketCol)
+      (bucketSpec.isDefined && f.name == BucketCol) ||
+        transformPhys.contains(f.name))
     val aligned = source.select(
       userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
-    val src = bucketSpec match {
+    val src = withTransformCols(bucketSpec match {
       case Some(_) => aligned.withColumn(BucketCol, bucketWriteExpr)
       case None    => aligned
-    }
+    })
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val entries = dataFiles
     val dels = deleteEntries
@@ -1656,7 +1724,16 @@ class LakeTable private (
     * per part file. Crashed attempts leave unreferenced UUID orphans
     * that never reach a manifest; the age-guarded vacuum reclaims
     * them. */
-  private def writeData(df0: DataFrame): PendingWrite = {
+  /** Derive any missing hidden-partitioning columns — the writer owns
+    * them exactly like the bucket column; reads/rewrites already carry
+    * them, so injection is idempotent. */
+  private def withTransformCols(df: DataFrame): DataFrame =
+    partitionTransforms.foldLeft(df)((d, t) =>
+      if (d.columns.contains(t.phys)) d
+      else d.withColumn(t.phys, t.writeExpr))
+
+  private def writeData(df1: DataFrame): PendingWrite = {
+    val df0 = withTransformCols(df1)
     // bucketed layout: the writer owns the bucket column — callers
     // append user rows and the hash lands them in their bucket dir.
     // Reads/rewrites already carry _bucket, so injection is idempotent.
@@ -1918,6 +1995,8 @@ class LakeTable private (
       require(!bucketCols.contains(from),
         s"cannot rename bucket column $from: every file's _bucket was " +
           "derived from it")
+      require(!partitionTransforms.exists(_.src == from),
+        s"cannot rename $from: a partition transform derives from it")
       val ns = StructType(s.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       (ns, ids - from + (to -> ids(from)))
@@ -1935,6 +2014,8 @@ class LakeTable private (
         s"cannot drop partition column $name")
       require(!bucketCols.contains(name),
         s"cannot drop bucket column $name: the layout derives from it")
+      require(!partitionTransforms.exists(_.src == name),
+        s"cannot drop $name: a partition transform derives from it")
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
 
@@ -2233,6 +2314,155 @@ object LakeTable {
     * manifest. */
   private[lake] case class ManifestRef(path: String, entries: Int)
 
+  // ---- hidden partitioning transforms (Iceberg partition specs) ------
+  //
+  // A transform partition is declared as metadata (`days(ts)`,
+  // `hours(ts)`, `months(ts)`, `truncate(n, col)`), the WRITER derives
+  // the physical partition column inside the write plan (callers never
+  // supply or even know it, like the bucket layout's `_bucket`), and
+  // the PRUNER maps raw-column predicates onto the derived column — so
+  // a reader filtering `ts BETWEEN a AND b` prunes whole day
+  // directories without knowing the layout exists. `bucket(n, col)` is
+  // spelled `bucketBy` (the pre-existing hash layout, same idea).
+  //
+  // All supported transforms are MONOTONE NON-DECREASING in their
+  // source (days/hours/months floor time; truncate floors integers
+  // and prefix-truncates strings, both order-preserving), which is
+  // what makes the predicate mapping sound: src < v implies
+  // T(src) <= T(v), and src = v implies T(src) = T(v).
+
+  sealed trait PTransform {
+    def src: String
+    def spec: String
+    def phys: String
+    def physType: DataType
+    /** derive the partition value inside the write plan */
+    def writeExpr: org.apache.spark.sql.Column
+    /** map a typed raw-column literal into the (norm'd) partition
+      * domain; None = unmappable, never prune */
+    def mapValue(v: Any, t: DataType): Option[Any]
+  }
+
+  private def microsOf(v: Any, t: DataType): Option[Long] = (v, t) match {
+    case (x: Long, TimestampType)    => Some(x)
+    case (x: Long, TimestampNTZType) => Some(x)
+    case (x: Int, DateType)          => Some(x.toLong * MicrosPerDay)
+    case _ => None
+  }
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+
+  /** days/hours since epoch (UTC instants — sessions here pin UTC).
+    * Exact integer floor-division in the plan: (x - pmod(x, u)) DIV u
+    * never round-trips through double. */
+  case class TimeFloorTransform(src: String, unit: String,
+                                srcType: DataType) extends PTransform {
+    private val u =
+      if (unit == "days") MicrosPerDay else MicrosPerHour
+    def spec = s"$unit($src)"
+    def phys = s"_p_${unit}_$src"
+    def physType: DataType = IntegerType
+    def writeExpr: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.expr
+      srcType match {
+        case DateType =>
+          expr(s"CAST(datediff($src, DATE'1970-01-01')" +
+            (if (unit == "hours") " * 24" else "") + " AS INT)")
+        case _ =>
+          // NTZ reads its micros through a cast (identity under the
+          // UTC sessions this engine pins — same caveat as months)
+          val m =
+            if (srcType == TimestampNTZType)
+              s"unix_micros(CAST($src AS TIMESTAMP))"
+            else s"unix_micros($src)"
+          expr(s"CAST(($m - pmod($m, $u)) DIV $u AS INT)")
+      }
+    }
+    def mapValue(v: Any, t: DataType): Option[Any] =
+      microsOf(v, t).map(m => Math.floorDiv(m, u))
+  }
+
+  /** months since epoch, from the UTC calendar. */
+  case class MonthsTransform(src: String, srcType: DataType)
+      extends PTransform {
+    def spec = s"months($src)"
+    def phys = s"_p_months_$src"
+    def physType: DataType = IntegerType
+    def writeExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.expr(
+        s"CAST((year($src) - 1970) * 12 + month($src) - 1 AS INT)")
+    def mapValue(v: Any, t: DataType): Option[Any] =
+      microsOf(v, t).map { m =>
+        val d = java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(m, MicrosPerDay))
+        ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toLong
+      }
+  }
+
+  /** Iceberg truncate: integers floor to a multiple of `width`
+    * (toward negative infinity), strings keep their first `width`
+    * characters — both order-preserving. */
+  case class TruncateTransform(src: String, width: Int,
+                               srcType: DataType) extends PTransform {
+    def spec = s"truncate($width,$src)"
+    def phys = s"_p_trunc${width}_$src"
+    def physType: DataType = srcType match {
+      case StringType => StringType
+      case _          => LongType
+    }
+    def writeExpr: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.expr
+      srcType match {
+        case StringType => expr(s"substring($src, 1, $width)")
+        case _ => expr(s"CAST($src - pmod($src, $width) AS BIGINT)")
+      }
+    }
+    def mapValue(v: Any, t: DataType): Option[Any] = (v, t) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(s.toString.take(width))
+      case (s: String, StringType) => Some(s.take(width))
+      case (x: Long, _)  => Some(x - Math.floorMod(x, width.toLong))
+      case (x: Int, _)   =>
+        Some(x.toLong - Math.floorMod(x.toLong, width.toLong))
+      case (x: Short, _) =>
+        Some(x.toLong - Math.floorMod(x.toLong, width.toLong))
+      case (x: Byte, _)  =>
+        Some(x.toLong - Math.floorMod(x.toLong, width.toLong))
+      case _ => None
+    }
+  }
+
+  private val TimeSpecRe = """(days|hours|months)\(\s*(\w+)\s*\)""".r
+  private val TruncSpecRe = """truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+
+  /** Parse one partition spec element against `schema`; None for a
+    * plain identity column name. */
+  private[lake] def parseTransformSpec(spec: String, schema: StructType)
+      : Option[PTransform] = spec.trim match {
+    case TimeSpecRe(unit, c) =>
+      require(schema.fieldNames.contains(c),
+        s"transform source column $c not in schema")
+      val t = schema(c).dataType
+      require(t == TimestampType || t == TimestampNTZType || t == DateType,
+        s"$unit($c) needs a timestamp/date column, got ${t.sql}")
+      Some(if (unit == "months") MonthsTransform(c, t)
+           else TimeFloorTransform(c, unit, t))
+    case TruncSpecRe(w, c) =>
+      require(schema.fieldNames.contains(c),
+        s"transform source column $c not in schema")
+      val t = schema(c).dataType
+      require(t == StringType || t == LongType || t == IntegerType ||
+        t == ShortType || t == ByteType,
+        s"truncate($w,$c) needs a string/integral column, got ${t.sql}")
+      require(w.toInt > 0, s"truncate width must be positive: $spec")
+      Some(TruncateTransform(c, w.toInt, t))
+    case _ => None
+  }
+
+  /** Property under which the declared transform specs persist
+    * (';'-separated — specs themselves contain commas). */
+  private[lake] val TransformsProp = "partition.transforms"
+
   /** One committed POSITION-DELETE file (Iceberg v2 merge-on-read
     * shape): a parquet of (`_del_file`, `_del_pos`) rows marking
     * individual rows of live data files as deleted, applied as an
@@ -2398,8 +2628,19 @@ object LakeTable {
              partitionBy: Seq[String] = Seq.empty,
              bucketBy: Option[(String, Int)] = None,
              store: CommitStore = PosixCommitStore): LakeTable = {
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    // hidden-partitioning specs parse here; plain names are identity
+    // partitions exactly as before
+    val parsedParts: Seq[Either[String, PTransform]] =
+      partitionBy.map(p => parseTransformSpec(p, schema).toRight(p))
+    val transforms = parsedParts.collect { case Right(t) => t }
+    parsedParts.collect { case Left(c) => c }.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in schema"))
+    transforms.foreach(t => require(
+      !schema.fieldNames.contains(t.phys),
+      s"${t.phys} is reserved for the ${t.spec} partition transform"))
+    require(transforms.map(_.phys).distinct.size == transforms.size,
+      s"duplicate partition transforms in $partitionBy")
     bucketBy.foreach { case (c, n) =>
       c.split(",").map(_.trim).foreach(bc => require(
         schema.fieldNames.contains(bc), s"bucket column $bc not in schema"))
@@ -2407,12 +2648,14 @@ object LakeTable {
       require(!schema.fieldNames.contains(BucketCol),
         s"$BucketCol is reserved for the bucket layout")
     }
-    val fullSchema = bucketBy match {
-      case Some(_) => StructType(schema.fields :+
-        StructField(BucketCol, IntegerType, nullable = true))
-      case None => schema
-    }
-    val fullParts = partitionBy ++ bucketBy.map(_ => BucketCol)
+    val fullSchema = StructType(schema.fields ++
+      transforms.map(t => StructField(t.phys, t.physType, nullable = true)) ++
+      bucketBy.map(_ =>
+        StructField(BucketCol, IntegerType, nullable = true)).toSeq)
+    val fullParts = parsedParts.map {
+      case Left(c) => c
+      case Right(t) => t.phys
+    } ++ bucketBy.map(_ => BucketCol)
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val ids = fullSchema.fields.zipWithIndex
@@ -2425,6 +2668,8 @@ object LakeTable {
       bucketBy.map(_ => Map(BucketHashProp -> SparkBucketHash))
         .getOrElse(Map.empty) ++
       properties ++
+      (if (transforms.isEmpty) Map.empty[String, String]
+       else Map(TransformsProp -> transforms.map(_.spec).mkString(";"))) ++
       bucketBy.map(b => Map("bucket.column" -> b._1,
         "bucket.count" -> b._2.toString)).getOrElse(Map.empty))
       .foreach { case (k, v) => propsNode.put(k, v) }
