@@ -299,6 +299,21 @@ object SparkEntry {
         e.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0), k = 10)
     }),
+    // WIDE-signature LSH serve (r10): 20-bit portable signatures with
+    // radius-6 multi-probe — the geometry RecallScale's width
+    // analysis prescribes as indexes grow (bits ~ log2(N)), servable
+    // only because hammingBallMasks generates the 60,460-mask probe
+    // ball directly where the old formulation exploded 2^20 rows per
+    // query. Oracle states the same candidate set as a Hamming-ball
+    // membership test — no enumeration on either engine.
+    "q154_ann_lsh_wide" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      SimilarityOps.lshTopKPortable(
+        e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10,
+        bits = 20, probeHamming = 6)
+    }),
     // IVF-PQ composed — the production billion-scale ANN deployment
     // (FAISS IndexIVFPQ): portable-hash coarse centers prune WHICH
     // inverted lists are read (planning-time partition pruning, the
@@ -349,6 +364,32 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       SimilarityOps.ivfPqSearchRefined(codes, cbs, model, vt, qv,
         k = 10, kPrime = 40, nprobe = 2)
+    }),
+    // q149's SAME-metric twin (r10 advisor fix graded): the refine
+    // re-ranks the ADC shortlist by exact squared L2 — the metric the
+    // shortlist itself ranks by — via the codegen'd l2_dist kernel,
+    // so the FAISS IndexRefineFlat convergence contract holds for
+    // unnormalized corpora too. Oracle shares q149's shortlist CTEs;
+    // the re-rank chain is the kernel's ascending (x-q)^2 order.
+    "q153_ivfpq_refined_l2" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpql2")
+      val (codes, cbs) = SimilarityOps.ivfPqPersist(
+        e.filter(col("vec_id") =!= 0), s, s"$dir/codes", model,
+        codebookSource = Some(e))
+      val vecs = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val vt = graft.lake.LakeTable.create(s, s"$dir/vecs", vecs.schema,
+        properties =
+          graft.lake.LakeTable.autoCompactProps(16, Some("vec_id")),
+        bucketBy = Some(("vec_id", 16)))
+      vt.append(vecs)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilarityOps.ivfPqSearchRefined(codes, cbs, model, vt, qv,
+        k = 10, kPrime = 40, nprobe = 2, metric = "l2")
     }),
     // The vector index maintained CONTINUOUSLY by a commit-log MV —
     // the q136 loop on the dense axis: two source commits drive two
@@ -1389,28 +1430,39 @@ object SparkEntry {
     * 8-bit sign words, multi-probe is the same hamming<=2 expansion
     * over all 256 buckets, and the rescore is the exact cosine chain
     * of q132's oracle. */
-  private val lshPortableOracle: String = {
-    val planes = graft.operators.SimilarityOps.portablePlanes(64, 8)
+  private def lshPortableOracleWith(bits: Int, radius: Int): String = {
+    val planes = graft.operators.SimilarityOps.portablePlanes(64, bits)
     def dot(a: String, b: String): String = sqlDot(a, b)
     def planeDot(a: String, i: Int): String =
       sqlChain((1 to 64).map(j =>
         s"$a[$j]*(${if (planes(i)(j - 1) > 0) "1.0" else "-1.0"})"))
     def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
-    val bucket = (0 until 8).map(i =>
+    val bucket = (0 until bits).map(i =>
       s"(CASE WHEN ${planeDot("v", i)} >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
+    // candidate set stated directly as the Hamming ball membership
+    // test — provably the same set the engine's mask expansion
+    // probes (ball(qb) = {qb ^ m : popcount(m) <= r}), with no
+    // 2^bits enumeration on either engine
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
        q AS (SELECT bucket AS qbv, v AS qv FROM b WHERE vec_id = 0),
-       probes AS (SELECT t.pb FROM (SELECT unnest(range(256)) AS pb) t, q
-              WHERE bit_count(xor(t.pb, q.qbv)) <= 2),
        cand AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
               ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
-              FROM b x JOIN probes p ON x.bucket = p.pb, q
-              WHERE x.vec_id <> 0)
+              FROM b x, q
+              WHERE bit_count(xor(x.bucket, q.qbv)) <= $radius
+                AND x.vec_id <> 0)
        SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
        FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""
   }
+
+  private val lshPortableOracle: String = lshPortableOracleWith(8, 2)
+
+  /** q154's oracle: the 20-bit wide-signature serve — the geometry the
+    * RecallScale width analysis calls for as indexes grow, servable
+    * only because hammingBallMasks generates radius-6 probes as
+    * 60,460 masks instead of a 2^20-row explode. */
+  private val lshWideOracle: String = lshPortableOracleWith(20, 6)
 
   /** q137's oracle, generated: the IVF-PQ composition replayed end to
     * end — q132's center selection / cosine-argmax assignment / probe
@@ -1466,11 +1518,12 @@ object SparkEntry {
        ORDER BY adc_dist, vec_id LIMIT 10"""
   }
 
-  /** q149's oracle, generated: [[ivfPqOracle]] truncated to the
-    * 40-row ADC shortlist, then the exact cosine chains re-rank the
-    * shortlist ids for the final top-10 — both stages in the kernels'
-    * exact accumulation order. */
-  private val ivfPqRefinedOracle: String = {
+  /** Shared CTE prefix of the q149/q153 refine oracles: [[ivfPqOracle]]
+    * truncated to the 40-row ADC shortlist plus the query vector —
+    * the re-rank tail (exact cosine for q149, exact L2 for q153)
+    * plugs in as `tail`, both in the kernels' exact accumulation
+    * order. */
+  private def ivfPqRefinedOracleWith(tail: String): String = {
     def dot(a: String, b: String): String = sqlDot(a, b)
     def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     val distCols = pqDistCols
@@ -1515,12 +1568,31 @@ object SparkEntry {
               QUALIFY row_number() OVER (ORDER BY adc_dist, vec_id)
                 <= 40),
        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       rr AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
+       $tail"""
+  }
+
+  /** q149's oracle: exact-cosine re-rank of the shortlist. */
+  private val ivfPqRefinedOracle: String = {
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
+    ivfPqRefinedOracleWith(
+      s"""rr AS (SELECT x.vec_id, ${dot("x.v", "q.qv")} AS dt,
               ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
               FROM e x JOIN short s ON x.vec_id = s.vec_id, q)
        SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
-       FROM rr ORDER BY cos DESC, vec_id LIMIT 10"""
+       FROM rr ORDER BY cos DESC, vec_id LIMIT 10""")
   }
+
+  /** q153's oracle: SAME-metric (exact squared L2) re-rank of the
+    * shortlist — the L2Distance kernel's ascending-index (x-q)^2
+    * chain, ascending, ties to the lower id. */
+  private val ivfPqRefinedL2Oracle: String =
+    ivfPqRefinedOracleWith(
+      s"""rr AS (SELECT x.vec_id,
+              ${sqlChain((1 to 64).map(i =>
+                s"(x.v[$i]-q.qv[$i])*(x.v[$i]-q.qv[$i])"))} AS l2
+              FROM e x JOIN short s ON x.vec_id = s.vec_id, q)
+       SELECT vec_id, l2 FROM rr ORDER BY l2, vec_id LIMIT 10""")
 
   /** q140's oracle, generated: [[ivfPqOracle]]'s batch form — the
     * q128 pattern (per-query LUTs from vec_id < 4, self-pairs
@@ -2842,11 +2914,13 @@ object SparkEntry {
     "q128_pq_batch" -> pqBatchOracle,
     "q132_ann_ivf_portable" -> ivfPortableOracle,
     "q133_ann_lsh_portable" -> lshPortableOracle,
+    "q154_ann_lsh_wide" -> lshWideOracle,
     // the IVF-PQ composition: q132's assignment/probe CTEs restrict
     // q121's encode+ADC CTEs to the probed clusters
     "q137_ivfpq_persisted" -> ivfPqOracle,
     "q140_ivfpq_batch" -> ivfPqBatchOracle,
     "q149_ivfpq_refined" -> ivfPqRefinedOracle,
+    "q153_ivfpq_refined_l2" -> ivfPqRefinedL2Oracle,
     "q141_hard_negatives" -> hardNegativesOracle,
     "q145_rag_retrieve" -> ragRetrieveOracle,
     "q146_filtered_ann" -> filteredAnnOracle,
