@@ -849,13 +849,29 @@ class LakeTable private (
     * via exact per-file null counts (Iceberg manifest shape), and any
     * value comparison additionally excludes all-null files. */
   def readWhere(condition: org.apache.spark.sql.Column,
-                claimBucket: Boolean = true): DataFrame =
-    readEntries(pruneFiles(condition), schema, fieldIds,
-      claimBucket = claimBucket, deletes = deleteEntries)
+                claimBucket: Boolean = true): DataFrame = {
+    // ONE snapshot read: schema, field ids, file list, and the
+    // position-delete set must come from the same snapshot — separate
+    // latest() calls could interleave with a commit and e.g. plan a
+    // just-added file against a delete set that predates it
+    val node = latest()._2
+    readEntries(
+      pruneFilesAmong(filesOf(node), condition),
+      DataTypeBridge.fromJson(node.get("schemaJson").asText()),
+      fieldIdsOf(node),
+      claimBucket = claimBucket, deletes = deletesOf(node))
       .filter(condition)
+  }
 
-  /** The files a range analysis of `condition` cannot exclude. */
+  /** The files a range analysis of `condition` cannot exclude, from
+    * the CURRENT snapshot. */
   private[lake] def pruneFiles(condition: org.apache.spark.sql.Column)
+      : Seq[FileEntry] = pruneFilesAmong(dataFiles, condition)
+
+  /** [[pruneFiles]] over an explicit (snapshot-consistent) entry
+    * list. */
+  private[lake] def pruneFilesAmong(entries: Seq[FileEntry],
+                                    condition: org.apache.spark.sql.Column)
       : Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions._
@@ -1032,7 +1048,7 @@ class LakeTable private (
           }
         }
       }
-    dataFiles.filter(f => (checks ++ tchecks).forall(_(f)))
+    entries.filter(f => (checks ++ tchecks).forall(_(f)))
   }
 
   // ---- write ---------------------------------------------------------
@@ -1332,11 +1348,15 @@ class LakeTable private (
   private def compactSubset(subset: Seq[FileEntry],
                             sortBy: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    val dels = deleteEntries
+    // one snapshot for schema/ids/deletes (subset entries come from
+    // the caller's read of the same frontier; commit guards police)
+    val node = latest()._2
+    val dels = deletesOf(node)
     // no join downstream — the bucket claim would only cap the
     // rewrite's read parallelism at numBuckets
-    val base = readEntries(subset, schema, fieldIds, claimBucket = false,
-      deletes = dels)
+    val base = readEntries(subset,
+      DataTypeBridge.fromJson(node.get("schemaJson").asText()),
+      fieldIdsOf(node), claimBucket = false, deletes = dels)
     val shaped =
       if (bucketSpec.isDefined) {
         val n = bucketSpec.get._2
@@ -1412,20 +1432,27 @@ class LakeTable private (
     * committed version (unchanged when nothing matches). */
   def deleteWhere(condition: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val entries = dataFiles
-    val dels = deleteEntries
+    // one snapshot: entries, schema, ids, and delete set must agree
+    // (the predicate runs against the snapshot read at entry; the
+    // strict-replace commit guards detect anything that moved since)
+    val (v0, node) = latest()
+    val entries = filesOf(node)
+    val dels = deletesOf(node)
+    val snapSchema = DataTypeBridge.fromJson(
+      node.get("schemaJson").asText())
+    val ids = fieldIdsOf(node)
     // stats narrow the provenance scan before any file opens: only
     // files whose ranges might match are even read to find matches
-    val candidates = pruneFiles(condition)
+    val candidates = pruneFilesAmong(entries, condition)
     val affected = affectedFiles(
-      readEntries(candidates, schema, fieldIds, tag = true,
+      readEntries(candidates, snapSchema, ids, tag = true,
         deletes = dels).filter(condition),
       entries)
-    if (affected.isEmpty) return currentVersion
+    if (affected.isEmpty) return v0
     // survivors computed WITH existing position deletes applied — a
     // copy-on-write rewrite must not resurrect MOR-deleted rows
     val survivors =
-      readEntries(entries.filter(e => affected(e.path)), schema, fieldIds,
+      readEntries(entries.filter(e => affected(e.path)), snapSchema, ids,
         deletes = dels)
         .filter(not(coalesce(condition, lit(false))))
     commitWith(Some(writeData(survivors)), affected,
@@ -1460,9 +1487,15 @@ class LakeTable private (
     * nothing matches). */
   def deleteWherePositional(condition: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{col, expr}
-    val dels = deleteEntries
-    val candidates = pruneFiles(condition)
-    if (candidates.isEmpty) return currentVersion
+    // one snapshot: positions must be resolved against the same file
+    // list the applied delete set belongs to
+    val (v0, node) = latest()
+    val dels = deletesOf(node)
+    val snapSchema = DataTypeBridge.fromJson(
+      node.get("schemaJson").asText())
+    val ids = fieldIdsOf(node)
+    val candidates = pruneFilesAmong(filesOf(node), condition)
+    if (candidates.isEmpty) return v0
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(
@@ -1476,7 +1509,7 @@ class LakeTable private (
     // a small delete never fans out into per-task confetti
     val numParts = math.max(1, math.min(candidates.size, 32))
     val positions =
-      readEntries(candidates, schema, fieldIds, tag = true,
+      readEntries(candidates, snapSchema, ids, tag = true,
         tagPos = true, deletes = dels)
         .filter(condition)
         .select(
@@ -1573,7 +1606,11 @@ class LakeTable private (
                          extraMeta: Map[String, String]): Int = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert requires at least one key column")
-    val s = schema
+    // one snapshot for schema + files + deletes (same rationale as
+    // deleteWhere; the strict-replace guards police the commit)
+    val node = latest()._2
+    val s = DataTypeBridge.fromJson(node.get("schemaJson").asText())
+    val ids = fieldIdsOf(node)
     keyCols.foreach(c => require(s.fieldNames.contains(c),
       s"upsert key $c not in schema at $root"))
     // align source to the table's columns/types loudly (a missing
@@ -1591,15 +1628,15 @@ class LakeTable private (
       case None    => aligned
     })
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
-    val entries = dataFiles
-    val dels = deleteEntries
+    val entries = filesOf(node)
+    val dels = deletesOf(node)
     val affected = affectedFiles(
-      readEntries(entries, s, fieldIds, tag = true, deletes = dels)
+      readEntries(entries, s, ids, tag = true, deletes = dels)
         .join(srcKeys, keyCols, "left_semi"),
       entries)
     val rewritten =
       if (affected.isEmpty) src
-      else readEntries(entries.filter(e => affected(e.path)), s, fieldIds,
+      else readEntries(entries.filter(e => affected(e.path)), s, ids,
           deletes = dels)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src)
