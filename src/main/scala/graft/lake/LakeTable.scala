@@ -134,8 +134,11 @@ class LakeTable private (
     val cached = manifestCache.get(key)
     if (cached != null) cached
     else {
-      val fs = parseFileArray(
-        mapper.readTree(Files.readString(p)).get("files"))
+      // through the SAME store the manifest was published through
+      // (CommitStore.read's contract) — never a bare local-disk read
+      val raw = commitStore.read(p).getOrElse(
+        throw new java.nio.file.NoSuchFileException(p.toString))
+      val fs = parseFileArray(mapper.readTree(raw).get("files"))
       if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
       manifestCache.put(key, fs)
       fs
@@ -166,8 +169,13 @@ class LakeTable private (
     * per class on its way up, so amortized metadata rewrite per
     * committed entry is O(log(liveFiles)/log(fanout)) and the
     * manifest count stays O(fanout * log(liveFiles)) — commits never
-    * degenerate to rewriting the whole live-file list. */
-  private def mergeManifests(refs0: Seq[ManifestRef]): Seq[ManifestRef] = {
+    * degenerate to rewriting the whole live-file list. ONE ladder
+    * serves both manifest kinds (data files and position deletes):
+    * the invariant lives in a single place by construction. */
+  private def mergeLadder[T](refs0: Seq[ManifestRef],
+                             read: ManifestRef => Seq[T],
+                             write: Seq[T] => ManifestRef)
+      : Seq[ManifestRef] = {
     def sizeClass(r: ManifestRef): Int =
       63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, r.entries))
     var refs = refs0
@@ -177,7 +185,7 @@ class LakeTable private (
       refs.groupBy(sizeClass).toSeq.sortBy(_._1)
         .find(_._2.size >= ManifestMergeFanout) match {
         case Some((_, group)) =>
-          val merged = writeManifest(group.flatMap(readManifest))
+          val merged = write(group.flatMap(read))
           refs = refs.filterNot(group.contains) :+ merged
           changed = true
         case None => ()
@@ -185,6 +193,9 @@ class LakeTable private (
     }
     refs
   }
+
+  private def mergeManifests(refs: Seq[ManifestRef]): Seq[ManifestRef] =
+    mergeLadder(refs, readManifest, writeManifest)
 
   // ---- position-delete manifests (merge-on-read DELETE) --------------
   //
@@ -205,7 +216,9 @@ class LakeTable private (
     val cached = deleteManifestCache.get(key)
     if (cached != null) cached
     else {
-      val node = mapper.readTree(Files.readString(p))
+      val raw = commitStore.read(p).getOrElse(
+        throw new java.nio.file.NoSuchFileException(p.toString))
+      val node = mapper.readTree(raw)
       val es = node.get("deletes").elements().asScala.map { d =>
         DeleteEntry(d.get("path").asText(), d.get("rows").asLong(),
           d.get("covers").elements().asScala.map(_.asText()).toSeq)
@@ -234,28 +247,12 @@ class LakeTable private (
     ManifestRef(name, entries.size)
   }
 
-  /** Same size-class ladder as [[mergeManifests]], over delete
-    * manifests — a long run of small positional deletes stays
-    * O(fanout * log(deleteFiles)) refs per snapshot. */
-  private def mergeDeleteManifests(refs0: Seq[ManifestRef])
-      : Seq[ManifestRef] = {
-    def sizeClass(r: ManifestRef): Int =
-      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, r.entries))
-    var refs = refs0
-    var changed = true
-    while (changed) {
-      changed = false
-      refs.groupBy(sizeClass).toSeq.sortBy(_._1)
-        .find(_._2.size >= ManifestMergeFanout) match {
-        case Some((_, group)) =>
-          val merged = writeDeleteManifest(group.flatMap(readDeleteManifest))
-          refs = refs.filterNot(group.contains) :+ merged
-          changed = true
-        case None => ()
-      }
-    }
-    refs
-  }
+  /** The [[mergeLadder]] instantiated for delete manifests — a long
+    * run of small positional deletes stays O(fanout *
+    * log(deleteFiles)) refs per snapshot. */
+  private def mergeDeleteManifests(refs: Seq[ManifestRef])
+      : Seq[ManifestRef] =
+    mergeLadder(refs, readDeleteManifest, writeDeleteManifest)
 
   private def deletesOf(node: JsonNode): Seq[DeleteEntry] =
     deleteRefsOf(node).flatMap(readDeleteManifest)
@@ -565,33 +562,39 @@ class LakeTable private (
     // merge-on-read position deletes: rows named by any RELEVANT
     // delete file (covers-pruned — a delete file referencing none of
     // the scanned data files cannot match) are anti-joined away on
-    // (file, position). Both sides key on the qualified absolute path
-    // the scan's _metadata.file_path reports; the delete parquet
-    // stores root-relative paths, re-qualified here so the table can
-    // be relocated wholesale without rewriting delete files.
+    // (file, position). The file key is the terminal UUID FILE NAME,
+    // not a reconstructed absolute path: _metadata.file_path is
+    // URI-encoded while manifest paths are not, so prefix surgery
+    // would silently fail on roots/partition dirs containing
+    // URI-special characters — UUID names are encoding-invariant and
+    // unique per table by construction (the same uniqueness
+    // writeManifest's putIfAbsent relies on). Name-keying also makes
+    // delete files relocation-proof for free.
     val entryPaths = entries.map(_.path).toSet
     val relevantDeletes = deletes.filter(_.covers.exists(entryPaths.contains))
     lazy val delKeyed: DataFrame = {
-      import org.apache.spark.sql.functions.{concat, lit}
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      val qroot = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(root)).toString
+      import org.apache.spark.sql.functions.substring_index
       spark.read.schema(deleteSchema)
         .parquet(relevantDeletes.map(e => s"$root/${e.path}"): _*)
-        .select(concat(lit(qroot + "/"), fcol(DeleteFileCol)).as("__dfp"),
+        .select(
+          substring_index(fcol(DeleteFileCol), "/", -1).as("__dn"),
           fcol(DeletePosCol).as("__dpp"))
     }
     def finish(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.substring_index
       val needFp = tag || relevantDeletes.nonEmpty
       val needPos = tagPos || relevantDeletes.nonEmpty
       var d = df
       if (needFp) d = d.withColumn(FileTag, fcol("_metadata.file_path"))
       if (needPos) d = d.withColumn(PosTag, fcol("_metadata.row_index"))
-      if (relevantDeletes.nonEmpty)
+      if (relevantDeletes.nonEmpty) {
+        d = d.withColumn("__fn",
+          substring_index(fcol(FileTag), "/", -1))
         d = d.join(delKeyed,
-          d(FileTag) === delKeyed("__dfp") &&
+          d("__fn") === delKeyed("__dn") &&
             d(PosTag) === delKeyed("__dpp"), "left_anti")
+          .drop("__fn")
+      }
       if (needFp && !tag) d = d.drop(FileTag)
       if (needPos && !tagPos) d = d.drop(PosTag)
       d
@@ -1040,7 +1043,8 @@ class LakeTable private (
               }
             case _ => canoTyped(c).toSeq.flatMap {
               case (n, op, (v, dt)) =>
-                transforms.filter(_.src == n).flatMap(t =>
+                transforms.filter(t => t.src == n &&
+                    (op == "=" || t.rangeSafe)).flatMap(t =>
                   t.mapValue(v, dt).map(tv =>
                     (f: FileEntry) => f.stats.get(t.phys).forall(st =>
                       possible(relax(op), tv, st))))
@@ -1486,7 +1490,7 @@ class LakeTable private (
     * since its base). Returns the committed version (unchanged when
     * nothing matches). */
   def deleteWherePositional(condition: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.col
     // one snapshot: positions must be resolved against the same file
     // list the applied delete set belongs to
     val (v0, node) = latest()
@@ -1496,26 +1500,32 @@ class LakeTable private (
     val ids = fieldIdsOf(node)
     val candidates = pruneFilesAmong(filesOf(node), condition)
     if (candidates.isEmpty) return v0
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val qroot = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(root)).toString
-    // positions of matching rows, already-deleted rows excluded; the
-    // scan's absolute file path is re-relativized so delete files
-    // survive a wholesale table relocation
-    // range-clustered on (file, pos): positions of one data file land
+    // positions of matching rows, already-deleted rows excluded. The
+    // recorded `_del_file` is the snapshot's own relative path,
+    // recovered by joining the scan's UUID file NAME against the
+    // candidate entries (a broadcast of metadata-scale rows) — never
+    // by string surgery on _metadata.file_path, whose URI encoding
+    // differs from manifest paths on special characters.
+    // Range-clustered on (file, pos): positions of one data file land
     // contiguously in few delete files (tight covers, pruned reads);
     // partition count scales with the candidate file set, bounded so
-    // a small delete never fans out into per-task confetti
+    // a small delete never fans out into per-task confetti.
     val numParts = math.max(1, math.min(candidates.size, 32))
+    val nameRelDf = {
+      val sp = spark
+      import sp.implicits._
+      candidates.map(e => (e.path.split("/").last, e.path))
+        .toDF("__fn", DeleteFileCol)
+    }
     val positions =
       readEntries(candidates, snapSchema, ids, tag = true,
         tagPos = true, deletes = dels)
         .filter(condition)
-        .select(
-          expr(s"substring($FileTag, ${qroot.length + 2})")
-            .as(DeleteFileCol),
-          col(PosTag).as(DeletePosCol))
+        .withColumn("__fn", org.apache.spark.sql.functions
+          .substring_index(col(FileTag), "/", -1))
+        .join(org.apache.spark.sql.functions.broadcast(nameRelDf),
+          Seq("__fn"))
+        .select(col(DeleteFileCol), col(PosTag).as(DeletePosCol))
         .repartitionByRange(numParts, col(DeleteFileCol),
           col(DeletePosCol))
         .sortWithinPartitions(DeleteFileCol, DeletePosCol)
@@ -2378,6 +2388,14 @@ object LakeTable {
     /** map a typed raw-column literal into the (norm'd) partition
       * domain; None = unmappable, never prune */
     def mapValue(v: Any, t: DataType): Option[Any]
+    /** whether RANGE predicates may map through this transform: the
+      * mapping is order-preserving only if mapValue and the stats
+      * comparator agree on ordering. String truncation does not
+      * qualify — cmpStat orders by UTF-16 compareTo while Spark
+      * orders strings by UTF-8 bytes, and the two disagree around
+      * supplementary characters — so string transforms serve only
+      * equality/IN prunes. */
+    def rangeSafe: Boolean = true
   }
 
   private def microsOf(v: Any, t: DataType): Option[Long] = (v, t) match {
@@ -2389,9 +2407,27 @@ object LakeTable {
   private val MicrosPerDay = 86400000000L
   private val MicrosPerHour = 3600000000L
 
-  /** days/hours since epoch (UTC instants — sessions here pin UTC).
-    * Exact integer floor-division in the plan: (x - pmod(x, u)) DIV u
-    * never round-trips through double. */
+  /** SQL fragment: the epoch-day of `src`, TIMEZONE-INDEPENDENT per
+    * source type — LTZ floors its UTC instant via exact integer
+    * floor-division ((x - pmod(x, u)) DIV u never round-trips through
+    * double and is floor, not truncate, for pre-1970 instants); NTZ
+    * takes its literal calendar date (CAST(ntz AS DATE) reads the
+    * wall-clock fields, no session-timezone dependence); DATE is
+    * already an epoch-day. mapValue always maps in UTC, so the write
+    * side must never consult the session timezone either. */
+  private def epochDaySql(src: String, srcType: DataType): String =
+    srcType match {
+      case DateType =>
+        s"datediff($src, DATE'1970-01-01')"
+      case TimestampNTZType =>
+        s"datediff(CAST($src AS DATE), DATE'1970-01-01')"
+      case _ =>
+        s"((unix_micros($src) - pmod(unix_micros($src), $MicrosPerDay))" +
+          s" DIV $MicrosPerDay)"
+    }
+
+  /** days/hours since epoch (UTC instants for LTZ; wall-clock fields
+    * for NTZ/DATE — both timezone-independent). */
   case class TimeFloorTransform(src: String, unit: String,
                                 srcType: DataType) extends PTransform {
     private val u =
@@ -2401,33 +2437,36 @@ object LakeTable {
     def physType: DataType = IntegerType
     def writeExpr: org.apache.spark.sql.Column = {
       import org.apache.spark.sql.functions.expr
-      srcType match {
-        case DateType =>
-          expr(s"CAST(datediff($src, DATE'1970-01-01')" +
-            (if (unit == "hours") " * 24" else "") + " AS INT)")
-        case _ =>
-          // NTZ reads its micros through a cast (identity under the
-          // UTC sessions this engine pins — same caveat as months)
-          val m =
-            if (srcType == TimestampNTZType)
-              s"unix_micros(CAST($src AS TIMESTAMP))"
-            else s"unix_micros($src)"
-          expr(s"CAST(($m - pmod($m, $u)) DIV $u AS INT)")
+      (srcType, unit) match {
+        case (TimestampType, _) =>
+          expr(s"CAST((unix_micros($src) - pmod(unix_micros($src), $u))" +
+            s" DIV $u AS INT)")
+        case (_, "days") =>
+          expr(s"CAST(${epochDaySql(src, srcType)} AS INT)")
+        case _ => // hours over NTZ/DATE wall-clock fields — tz-free
+          val h = if (srcType == DateType) "0" else s"hour($src)"
+          expr(s"CAST(${epochDaySql(src, srcType)} * 24 + $h AS INT)")
       }
     }
     def mapValue(v: Any, t: DataType): Option[Any] =
       microsOf(v, t).map(m => Math.floorDiv(m, u))
   }
 
-  /** months since epoch, from the UTC calendar. */
+  /** months since epoch, from the UTC calendar — derived through an
+    * epoch-day -> DATE -> year/month chain so the plan never touches
+    * the session timezone (year()/month() of a DATE are pure calendar
+    * reads, unlike over a session-zoned TIMESTAMP). */
   case class MonthsTransform(src: String, srcType: DataType)
       extends PTransform {
     def spec = s"months($src)"
     def phys = s"_p_months_$src"
     def physType: DataType = IntegerType
-    def writeExpr: org.apache.spark.sql.Column =
-      org.apache.spark.sql.functions.expr(
-        s"CAST((year($src) - 1970) * 12 + month($src) - 1 AS INT)")
+    def writeExpr: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.expr
+      val d = s"date_add(DATE'1970-01-01', " +
+        s"CAST(${epochDaySql(src, srcType)} AS INT))"
+      expr(s"CAST((year($d) - 1970) * 12 + month($d) - 1 AS INT)")
+    }
     def mapValue(v: Any, t: DataType): Option[Any] =
       microsOf(v, t).map { m =>
         val d = java.time.LocalDate.ofEpochDay(
@@ -2454,10 +2493,17 @@ object LakeTable {
         case _ => expr(s"CAST($src - pmod($src, $width) AS BIGINT)")
       }
     }
+    override def rangeSafe: Boolean = srcType != StringType
+    // Spark's substring counts CODE POINTS; String.take counts UTF-16
+    // units — they disagree on supplementary characters, and a
+    // mismatch here wrongly prunes files that hold matching rows
+    private def takeCodePoints(s: String): String =
+      if (s.codePointCount(0, s.length) <= width) s
+      else s.substring(0, s.offsetByCodePoints(0, width))
     def mapValue(v: Any, t: DataType): Option[Any] = (v, t) match {
       case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-        Some(s.toString.take(width))
-      case (s: String, StringType) => Some(s.take(width))
+        Some(takeCodePoints(s.toString))
+      case (s: String, StringType) => Some(takeCodePoints(s))
       case (x: Long, _)  => Some(x - Math.floorMod(x, width.toLong))
       case (x: Int, _)   =>
         Some(x.toLong - Math.floorMod(x.toLong, width.toLong))

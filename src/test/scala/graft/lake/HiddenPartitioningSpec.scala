@@ -152,6 +152,54 @@ class HiddenPartitioningSpec extends SparkSuite {
       .filter(col("id") < 10L).count() == 0)
   }
 
+  test("string truncation counts CODE POINTS (supplementary chars) " +
+    "and NTZ sources derive wall-clock days — both without consulting " +
+    "the session timezone") {
+    // U+1D7D8: one code point, two UTF-16 units — writer substring()
+    // counts code points, so the pruner's mapping must agree exactly
+    // (tested against Spark's own substring, since this container's
+    // filesystem jnu encoding cannot hold such dir names on disk)
+    val s0 = new String(Character.toChars(0x1D7D8))
+    val tr = LakeTable.TruncateTransform("s", 2,
+      org.apache.spark.sql.types.StringType)
+    for (v <- Seq(s0 + "ab", s0, "ab", "zz-plain", s0 + s0 + s0)) {
+      val sparkTrunc = Seq(Tuple1(v)).toDF("s")
+        .selectExpr("substring(s, 1, 2)").as[String].head()
+      assert(tr.mapValue(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType).contains(sparkTrunc),
+        s"mapValue disagrees with Spark substring for ${v.length}-unit input")
+    }
+    // ...and string transforms never serve RANGE prunes (UTF-16 vs
+    // UTF-8 ordering hazard), only equality/IN
+    assert(!tr.rangeSafe)
+    assert(LakeTable.TruncateTransform("n", 50,
+      org.apache.spark.sql.types.LongType).rangeSafe)
+    // NTZ day/month transforms read wall-clock fields (CAST AS DATE),
+    // never unix_micros-of-session-zoned casts
+    val ntz = Seq("2024-01-03 23:30:00", "2024-01-04 00:30:00",
+        "2024-02-01 12:00:00")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "st")
+      .select($"id", to_timestamp_ntz($"st").as("ts"))
+    val t2 = LakeTable.create(spark, tmpDir("hp-ntz"), ntz.schema,
+      partitionBy = Seq("days(ts)", "months(ts)"))
+    t2.append(ntz)
+    val base = java.time.LocalDate.of(2024, 1, 3).toEpochDay.toInt
+    val dayDirs = t2.dataFiles.map(_.path.split("/")
+      .find(_.startsWith("_p_days_ts=")).get
+      .stripPrefix("_p_days_ts=").toInt).distinct.sorted
+    assert(dayDirs == Seq(base, base + 1,
+      java.time.LocalDate.of(2024, 2, 1).toEpochDay.toInt))
+    val monthDirs = t2.dataFiles.map(_.path.split("/")
+      .find(_.startsWith("_p_months_ts=")).get
+      .stripPrefix("_p_months_ts=").toInt).distinct.sorted
+    assert(monthDirs == Seq(648, 649))
+    assert(t2.readWhere(
+      $"ts" === to_timestamp_ntz(lit("2024-01-04 00:30:00")))
+      .count() == 1)
+  }
+
   test("transform-partitioned lake scan still plans from manifests " +
     "with partition-level pruning visible to Catalyst") {
     import org.apache.spark.sql.execution.FileSourceScanExec
