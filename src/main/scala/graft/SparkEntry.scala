@@ -1028,6 +1028,32 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // MERGE-ON-READ EQUALITY DELETE (q151's key-scoped twin): "forget
+    // these users" commits the KEY VALUES — O(keys), no provenance
+    // scan, zero data files rewritten — and Iceberg-v2 SEQUENCE
+    // semantics scope it to rows committed before it: the late batch
+    // appended AFTER the delete keeps its rows even for deleted
+    // users. Oracle: pre-delete rows of surviving users + the whole
+    // late batch.
+    "q155_eq_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-eqdel")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.repartition(8))
+      val forget = ev.filter(col("user_id") % 97 === 3)
+        .select(col("user_id")).distinct()
+      t.deleteWhereEqual(forget, Seq("user_id"))
+      val late = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 13 === 0)
+        .withColumn("event_id", col("event_id") + 3000000000L)
+        .withColumn("event_type", lit("late"))
+      t.append(late) // includes rows of forgotten users — above the seq
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     "q75_lake_row_ops" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -2472,6 +2498,20 @@ object SparkEntry {
          FROM events, lo
          WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
          GROUP BY event_type""",
+    // Mirrors q155: pre-delete rows of users outside the forget set,
+    // plus the ENTIRE late batch (appended after the equality delete,
+    // so out of its sequence scope even for forgotten users).
+    "q155_eq_delete" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         kept AS (SELECT * FROM base WHERE user_id % 97 <> 3),
+         late AS (SELECT event_id + 3000000000 AS event_id, user_id,
+             'late' AS event_type, value
+           FROM base
+           WHERE event_type = 'purchase' AND event_id % 13 = 0),
+         allr AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM allr GROUP BY event_type""",
     // Mirrors q151: rows surviving both positional deletes, plus the
     // late append (committed AFTER the deletes, so never filtered).
     "q151_mor_delete" ->

@@ -221,7 +221,12 @@ class LakeTable private (
       val node = mapper.readTree(raw)
       val es = node.get("deletes").elements().asScala.map { d =>
         DeleteEntry(d.get("path").asText(), d.get("rows").asLong(),
-          d.get("covers").elements().asScala.map(_.asText()).toSeq)
+          d.get("covers").elements().asScala.map(_.asText()).toSeq,
+          kind = Option(d.get("kind")).map(_.asText()).getOrElse("pos"),
+          seq = Option(d.get("seq")).map(_.asLong()).getOrElse(0L),
+          keyCols = Option(d.get("keyCols"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil))
       }.toSeq
       if (deleteManifestCache.size > ManifestCacheMax)
         deleteManifestCache.clear()
@@ -238,6 +243,11 @@ class LakeTable private (
       val en = arr.addObject()
       en.put("path", e.path); en.put("rows", e.rows)
       val cv = en.putArray("covers"); e.covers.foreach(cv.add)
+      if (e.kind != "pos") en.put("kind", e.kind)
+      if (e.seq > 0) en.put("seq", e.seq)
+      if (e.keyCols.nonEmpty) {
+        val kc = en.putArray("keyCols"); e.keyCols.foreach(kc.add)
+      }
     }
     val p = metaDir.resolve(name)
     require(commitStore.putIfAbsent(p,
@@ -571,29 +581,72 @@ class LakeTable private (
     // writeManifest's putIfAbsent relies on). Name-keying also makes
     // delete files relocation-proof for free.
     val entryPaths = entries.map(_.path).toSet
-    val relevantDeletes = deletes.filter(_.covers.exists(entryPaths.contains))
+    val posDeletes = deletes.filter(e =>
+      e.kind != "eq" && e.covers.exists(entryPaths.contains))
+    // an equality delete is relevant iff some scanned file PREDATES it
+    // (rows appended at or after its seq are out of its scope); its
+    // key columns must still exist — rename/drop of a live eq-delete
+    // key is blocked at alter time, so absence here is corruption,
+    // not a skippable condition (skipping would resurrect rows)
+    val minEntrySeq =
+      if (entries.isEmpty) Long.MaxValue else entries.map(_.seq).min
+    val eqDeletes = deletes.filter(e =>
+      e.kind == "eq" && e.seq > minEntrySeq)
+    eqDeletes.foreach(e => e.keyCols.foreach(c =>
+      require(snapSchema.fieldNames.contains(c),
+        s"equality-delete key column $c (of ${e.path}) missing from " +
+          s"schema at $root")))
     lazy val delKeyed: DataFrame = {
       import org.apache.spark.sql.functions.substring_index
       spark.read.schema(deleteSchema)
-        .parquet(relevantDeletes.map(e => s"$root/${e.path}"): _*)
+        .parquet(posDeletes.map(e => s"$root/${e.path}"): _*)
         .select(
           substring_index(fcol(DeleteFileCol), "/", -1).as("__dn"),
           fcol(DeletePosCol).as("__dpp"))
     }
+    // per-row data sequence number, recovered from the (metadata-scale)
+    // fileName -> seq map — UUID names are unique and encoding-stable
+    lazy val seqByName: DataFrame = {
+      val sp2 = spark
+      import sp2.implicits._
+      entries.map(e => (e.path.split("/").last, e.seq))
+        .toDF("__fn", "__fseq")
+    }
     def finish(df: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions.substring_index
-      val needFp = tag || relevantDeletes.nonEmpty
-      val needPos = tagPos || relevantDeletes.nonEmpty
+      import org.apache.spark.sql.functions.{broadcast, lit, substring_index}
+      val needFp = tag || posDeletes.nonEmpty || eqDeletes.nonEmpty
+      val needPos = tagPos || posDeletes.nonEmpty
       var d = df
       if (needFp) d = d.withColumn(FileTag, fcol("_metadata.file_path"))
       if (needPos) d = d.withColumn(PosTag, fcol("_metadata.row_index"))
-      if (relevantDeletes.nonEmpty) {
+      if (posDeletes.nonEmpty) {
         d = d.withColumn("__fn",
           substring_index(fcol(FileTag), "/", -1))
         d = d.join(delKeyed,
           d("__fn") === delKeyed("__dn") &&
             d(PosTag) === delKeyed("__dpp"), "left_anti")
           .drop("__fn")
+      }
+      if (eqDeletes.nonEmpty) {
+        d = d.withColumn("__fn",
+            substring_index(fcol(FileTag), "/", -1))
+          .join(broadcast(seqByName), Seq("__fn"))
+        // one anti-join per key-column set: delete keys (null-safe
+        // equality, Iceberg semantics) scoped to rows whose file
+        // predates the delete — re-inserted keys survive
+        eqDeletes.groupBy(_.keyCols).foreach { case (cols, es) =>
+          val keySchema = StructType(cols.map(c => snapSchema(c)))
+          val keysDf = es.map(e =>
+            spark.read.schema(keySchema).parquet(s"$root/${e.path}")
+              .withColumn("__dseq", lit(e.seq)))
+            .reduce(_ unionByName _)
+          val renamed = cols.foldLeft(keysDf)((x, c) =>
+            x.withColumnRenamed(c, s"__eq_$c"))
+          val cond = cols.map(c => d(c) <=> renamed(s"__eq_$c"))
+            .reduce(_ && _) && d("__fseq") < renamed("__dseq")
+          d = d.join(renamed, cond, "left_anti")
+        }
+        d = d.drop("__fn").drop("__fseq")
       }
       if (needFp && !tag) d = d.drop(FileTag)
       if (needPos && !tagPos) d = d.drop(PosTag)
@@ -1578,6 +1631,56 @@ class LakeTable private (
       requireLive = entries.flatMap(_.covers).toSet)
   }
 
+  /** MERGE-ON-READ EQUALITY DELETE (the other Iceberg-v2 shape):
+    * delete every row whose `keyCols` tuple appears in `keys`, by
+    * committing the KEY VALUES themselves — O(|keys|) write cost and,
+    * unlike both [[deleteWhere]] and [[deleteWherePositional]], NO
+    * provenance scan of the table at all: "forget user X" on a 100 TB
+    * table costs one KB-scale commit, full stop. Applied at read time
+    * as a null-safe-equality anti-join scoped by SEQUENCE NUMBER:
+    * only rows of data files committed BEFORE this delete match, so
+    * appending the key again later is visible (Iceberg v2 sequence
+    * semantics). Rewrites absorb the entry once every live file's seq
+    * passes it; rename/drop of a live entry's key column is blocked.
+    * Needs no conflict guard: concurrent appends either land before
+    * this commit's version (in scope — the "as of commit time"
+    * semantics) or after (out of scope); there are no positions to go
+    * stale. Returns the committed version (unchanged for empty
+    * keys). */
+  def deleteWhereEqual(keys: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "equality delete requires key columns")
+    val s = schema
+    keyCols.foreach(c => require(s.fieldNames.contains(c),
+      s"equality-delete key $c not in schema at $root"))
+    val aligned = keys
+      .select(keyCols.map(c => col(c).cast(s(c).dataType)): _*)
+      .distinct()
+    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
+      aligned.coalesce(math.max(1,
+        math.min(8, aligned.rdd.getNumPartitions))),
+      s"$root/deletes", Seq.empty)
+    val keySchema = StructType(keyCols.map(c => s(c)))
+    val metas = footerMetas(rels.map(r =>
+      Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
+    val rowsByRel = rels.zip(metas.map(_._1)).toMap
+    if (rowsByRel.values.sum == 0L) {
+      rels.foreach(r => Files.deleteIfExists(
+        Paths.get(root, "deletes", "data", r)))
+      return currentVersion
+    }
+    val live = rels.filter(rowsByRel(_) > 0)
+    rels.filterNot(live.contains).foreach(r =>
+      Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
+    val entries = live.map(r => DeleteEntry(s"deletes/data/$r",
+      rowsByRel(r), covers = Nil, kind = "eq", keyCols = keyCols))
+    commitWith(None, Set.empty,
+      Map("delete.equality" -> keyCols.mkString(","),
+        "delete.rows" -> rowsByRel.values.sum.toString),
+      guard = None, alter = Some((sc, ids) => (sc, ids)),
+      newDeletes = entries)
+  }
+
   /** MERGE / upsert keyed on `keyCols`: every target row whose key
     * appears in `source` is replaced by the source row; source rows
     * with unseen keys are inserted — Delta/Iceberg copy-on-write MERGE
@@ -1877,14 +1980,16 @@ class LakeTable private (
           throw new java.util.ConcurrentModificationException(
             s"rewrite conflict at $root: ${missing.size} base file(s) " +
               "superseded by a concurrent commit")
-        // ...and must not resurrect rows a POSITION DELETE marked
-        // since the rewrite's base was read: any live delete file
-        // covering a replaced data file must be one this rewrite
-        // already applied, else the rewritten survivors contain rows
-        // the concurrent delete committed away
+        // ...and must not resurrect rows a merge-on-read DELETE marked
+        // since the rewrite's base was read: any live position-delete
+        // file covering a replaced data file — or ANY live equality
+        // delete (its key scope spans every pre-delete file, and the
+        // rewrite re-stamps rows to a seq ABOVE it) — must be one this
+        // rewrite already applied, else the rewritten survivors
+        // contain rows the concurrent delete committed away
         val unapplied = deletesOf(cur).filter(e =>
-          e.covers.exists(replacedFiles.contains) &&
-            !appliedDeletes.contains(e.path))
+          !appliedDeletes.contains(e.path) &&
+            (e.kind == "eq" || e.covers.exists(replacedFiles.contains)))
         if (unapplied.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"rewrite conflict at $root: ${unapplied.size} position-" +
@@ -1927,11 +2032,17 @@ class LakeTable private (
         case Some(t) => t(curSchema, curIds)
         case None => evolve(curSchema, curIds, curLast, pending.get.schema)
       }
-      // new files record physicalName -> fieldId as of THIS commit: the
-      // identity that later renames/drops resolve against
+      // new files record physicalName -> fieldId as of THIS commit (the
+      // identity that later renames/drops resolve against) and the
+      // commit's DATA SEQUENCE NUMBER (what equality deletes compare
+      // their own seq against)
       val stamped = pending.map(_.files.map(f =>
         f.copy(cols = pending.get.schema.fieldNames.toSeq
-          .map(n => n -> newIds(n))))).getOrElse(Nil)
+          .map(n => n -> newIds(n)), seq = v + 1L))).getOrElse(Nil)
+      // an equality delete's seq IS its committed version — stamped
+      // per attempt so the sequence comparison is exact under retries
+      val stampedDeletes = newDeletes.map(e =>
+        if (e.kind == "eq") e.copy(seq = v + 1L) else e)
       // Manifest-list commit: unchanged manifests are REFERENCED, not
       // rewritten — the snapshot write is O(this batch). Only
       // manifests actually holding a replaced file are rewritten
@@ -1961,20 +2072,28 @@ class LakeTable private (
       val deleteRefs: Seq[ManifestRef] = {
         val cur0 = deleteRefsOf(cur)
         val withNew =
-          if (newDeletes.isEmpty) cur0
-          else mergeDeleteManifests(cur0 :+ writeDeleteManifest(newDeletes))
+          if (stampedDeletes.isEmpty) cur0
+          else mergeDeleteManifests(
+            cur0 :+ writeDeleteManifest(stampedDeletes))
         if (replacedFiles.isEmpty || withNew.isEmpty) withNew
         else {
-          // dead = no covered data file remains LIVE after this commit
-          // (not merely "replaced by this commit": covered files may
-          // have died one-by-one across earlier rewrites — q75-style
-          // upsert chains — and the entry must drop once the LAST one
-          // goes). Manifest reads here hit the process-wide cache and
-          // run only on rewrite commits, never appends.
-          val liveAfter = (keptRefs.flatMap(readManifest) ++ newEntries)
-            .map(_.path).toSet
+          // dead rules, evaluated against the post-commit LIVE set
+          // (not merely "replaced by this commit" — covered files may
+          // have died one-by-one across earlier rewrites and the
+          // entry must drop once the LAST one goes):
+          //   pos — no covered data file remains live;
+          //   eq  — every live file's seq >= the entry's seq (no
+          //         pre-delete rows remain for its keys to match).
+          // Manifest reads here hit the process-wide cache and run
+          // only on rewrite commits, never appends.
+          val liveAfter = keptRefs.flatMap(readManifest) ++ newEntries
+          val livePaths = liveAfter.map(_.path).toSet
+          val minLiveSeq =
+            if (liveAfter.isEmpty) Long.MaxValue
+            else liveAfter.map(_.seq).min
           def dead(e: DeleteEntry): Boolean =
-            !e.covers.exists(liveAfter.contains)
+            if (e.kind == "eq") minLiveSeq >= e.seq
+            else !e.covers.exists(livePaths.contains)
           val (touched, untouched) = withNew.partition(r =>
             readDeleteManifest(r).exists(dead))
           val survivors = touched.flatMap(readDeleteManifest)
@@ -2044,6 +2163,10 @@ class LakeTable private (
           "derived from it")
       require(!partitionTransforms.exists(_.src == from),
         s"cannot rename $from: a partition transform derives from it")
+      require(!deleteEntries.exists(e =>
+        e.kind == "eq" && e.keyCols.contains(from)),
+        s"cannot rename $from: a live equality delete keys on it " +
+          "(compact to absorb the delete first)")
       val ns = StructType(s.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       (ns, ids - from + (to -> ids(from)))
@@ -2063,6 +2186,10 @@ class LakeTable private (
         s"cannot drop bucket column $name: the layout derives from it")
       require(!partitionTransforms.exists(_.src == name),
         s"cannot drop $name: a partition transform derives from it")
+      require(!deleteEntries.exists(e =>
+        e.kind == "eq" && e.keyCols.contains(name)),
+        s"cannot drop $name: a live equality delete keys on it " +
+          "(compact to absorb the delete first)")
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
 
@@ -2345,11 +2472,21 @@ object LakeTable {
     * manifest (see [[org.apache.spark.sql.graft.ManifestScan]]) — zero
     * filesystem listing per scan. 0 = unknown (pre-upgrade manifests),
     * which falls back to listing-based planning. */
+  /** `seq` is the DATA SEQUENCE NUMBER (Iceberg v2): the version at
+    * which this file's rows entered the table, stamped by the commit
+    * loop. Equality deletes apply exactly to rows of files with
+    * seq < the delete's own seq — which is what lets a key be deleted
+    * and then legitimately re-inserted. Rewritten (compacted) files
+    * carry the REWRITE commit's seq; that is safe because rewrites
+    * read with all live deletes applied and abort if an unapplied
+    * delete landed since their base. Legacy entries parse as seq 0
+    * (older than every delete — conservative and correct). */
   case class FileEntry(path: String, rows: Long,
                        cols: Seq[(String, Int)] = Nil,
                        stats: Map[String, ColStat] = Map.empty,
                        nullCounts: Map[String, Long] = Map.empty,
-                       sizeBytes: Long = 0L, modTimeMs: Long = 0L)
+                       sizeBytes: Long = 0L, modTimeMs: Long = 0L,
+                       seq: Long = 0L)
   case class SnapshotInfo(version: Int, committedAtMs: Long,
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
@@ -2546,16 +2683,28 @@ object LakeTable {
     * (';'-separated — specs themselves contain commas). */
   private[lake] val TransformsProp = "partition.transforms"
 
-  /** One committed POSITION-DELETE file (Iceberg v2 merge-on-read
-    * shape): a parquet of (`_del_file`, `_del_pos`) rows marking
-    * individual rows of live data files as deleted, applied as an
-    * anti-join at read time instead of rewriting the data files.
-    * `path` is root-relative (under `deletes/data/`); `covers` is the
-    * exact distinct set of data files the positions reference — the
-    * commit-time conflict check and the compaction drop rule both key
-    * on it (a delete file whose covered data files have ALL left the
-    * live set can no longer match any scanned row and is dropped). */
-  case class DeleteEntry(path: String, rows: Long, covers: Seq[String])
+  /** One committed merge-on-read DELETE file (Iceberg v2 shapes).
+    *
+    * kind = "pos": a parquet of (`_del_file`, `_del_pos`) rows
+    * marking individual rows of live data files deleted, applied as a
+    * (file, position) anti-join. `covers` is the exact distinct set
+    * of data files the positions reference — the commit-time conflict
+    * check and the drop rule key on it (the entry drops once NO
+    * covered file remains live).
+    *
+    * kind = "eq": a parquet of KEY VALUES (`keyCols`, in table
+    * types); every row of any data file with fileSeq < this entry's
+    * `seq` whose key matches is deleted — O(keys) commit cost with NO
+    * provenance scan (the GDPR "forget user X" path at 100 TB), and
+    * rows appended AFTER the delete (fileSeq >= seq) are untouched,
+    * so a deleted key can be legitimately re-inserted. `covers` is
+    * empty; the entry drops once every live file's seq >= its seq
+    * (compaction re-stamps rows forward, absorbing it).
+    *
+    * `path` is root-relative (under `deletes/data/`) for both. */
+  case class DeleteEntry(path: String, rows: Long, covers: Seq[String],
+                         kind: String = "pos", seq: Long = 0L,
+                         keyCols: Seq[String] = Nil)
 
   private[lake] val DeleteFileCol = "_del_file"
   private[lake] val DeletePosCol = "_del_pos"
@@ -2605,7 +2754,8 @@ object LakeTable {
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), cols, stats,
         nulls,
         sizeBytes = Option(f.get("size")).map(_.asLong()).getOrElse(0L),
-        modTimeMs = Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
+        modTimeMs = Option(f.get("mtime")).map(_.asLong()).getOrElse(0L),
+        seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
     }.toSeq
   }
 
@@ -2620,6 +2770,7 @@ object LakeTable {
       fn.put("path", f.path); fn.put("rows", f.rows)
       if (f.sizeBytes > 0) fn.put("size", f.sizeBytes)
       if (f.modTimeMs > 0) fn.put("mtime", f.modTimeMs)
+      if (f.seq > 0) fn.put("seq", f.seq)
       if (f.cols.nonEmpty) {
         val cn = fn.putObject("cols")
         f.cols.foreach { case (name, id) => cn.put(name, id) }

@@ -10,10 +10,11 @@ import graft.streaming.MVManager
 
 /** The engine under CONCURRENT MV load (VERDICT r07 item 6): every
   * graded number runs one loop in isolation, while P1's production
-  * story is N loops sharing one session. This harness runs six loops
-  * — ingestion MV, exact-dedup curation, embedding curation,
-  * incremental aggregate MV, lexical-index MV (q136 shape), and
-  * vector-index MV (q138 shape)
+  * story is N loops sharing one session. This harness runs seven
+  * loops — ingestion MV, exact-dedup curation, embedding curation,
+  * incremental aggregate MV, lexical-index MV (q136 shape),
+  * vector-index MV (q138 shape), and a GDPR sweep (append +
+  * positional delete + mid-run absorbing compaction, r10)
   * — first SOLO (sequentially, same session)
   * and then CONCURRENTLY under FAIR scheduler pools (one pool per
   * query; Structured Streaming's micro-batch thread inherits the
@@ -184,10 +185,30 @@ object ConcurrentLoad {
         () => q.stop())
     }
 
+    def gdprLoop(root: String, s: SparkSession): Loop = {
+      // r10 shape: a GDPR sweep co-resident with the MV loops — each
+      // batch appends a slice then POSITIONALLY deletes a user slice
+      // of everything committed so far (O(matched) commits, zero data
+      // files rewritten), with one mid-run compaction absorbing the
+      // accumulated delete files. Tables are loop-private; what is
+      // shared — and what this exercises — is the FAIR scheduler,
+      // the driver, and the commit machinery under contention.
+      val table = LakeTable.create(s, s"$root/t", ev.schema)
+      Loop("gdpr",
+        i => {
+          table.append(ev.filter(col("event_id") % Batches === i))
+          table.deleteWherePositional(col("user_id") % 50 === i % 50)
+          if (i == Batches / 2) { table.compact(4); () }
+        },
+        () => table.dataCommitCount, () => table.read().count(),
+        () => ())
+    }
+
     val shapes: Seq[(String, (String, SparkSession) => Loop)] = Seq(
       "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
       "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _),
-      "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _))
+      "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _),
+      "gdpr" -> (gdprLoop _))
 
     // each loop runs in its OWN session (shared SparkContext, own
     // SQLConf) with shuffle partitions sized to its core share — N

@@ -210,6 +210,77 @@ class MorDeleteSpec extends SparkSuite {
     assert(delta.toSeq == Seq(500L))
   }
 
+  test("equality delete: O(keys) commit with no table scan, sequence " +
+    "semantics let deleted keys be re-inserted, all read paths apply") {
+    val (t, _) = freshTable("eq-basic", 210)
+    val before = dataState(t)
+    // delete three grp keys — no data file touched, no provenance scan
+    val v1 = t.deleteWhereEqual(
+      Seq(1L, 4L, 6L).toDF("grp"), Seq("grp"))
+    assert(dataState(t) == before, "a data file was rewritten")
+    val kept = (0 until 210).filterNot(i => Set(1, 4, 6)(i % 7))
+    assert(t.read().count() == kept.size)
+    assert(t.readWhere($"grp" === 4L).count() == 0)
+    assert(t.probe("id", Seq(1L, 2L, 4L)).count() == 1) // grp 1,2,4 -> only 2
+    assert(t.deleteEntries.exists(e =>
+      e.kind == "eq" && e.seq == v1 && e.keyCols == Seq("grp")))
+    // SEQUENCE semantics: a row with a deleted key appended AFTER the
+    // delete is visible — its file's seq is above the delete's
+    t.append(Seq((1000L, 4L, "reborn")).toDF("id", "grp", "v"))
+    assert(t.read().filter($"grp" === 4L).count() == 1)
+    assert(t.read().filter($"id" === 1000L).count() == 1)
+    // ...and a SECOND eq delete of the same key removes the reborn row
+    // too (it predates the new delete)
+    t.deleteWhereEqual(Seq(4L).toDF("grp"), Seq("grp"))
+    assert(t.read().filter($"grp" === 4L).count() == 0)
+    // time travel sees the intermediate state
+    assert(t.readVersion(v1 + 1).filter($"grp" === 4L).count() == 1)
+    // empty keys: no-op
+    val dels = t.deleteEntries
+    assert(t.deleteWhereEqual(Seq.empty[Long].toDF("grp"), Seq("grp"))
+      == t.currentVersion)
+    assert(t.deleteEntries == dels)
+  }
+
+  test("equality + positional deletes compose; compaction absorbs " +
+    "both kinds; rename of an eq key is blocked until absorption") {
+    val (t, _) = freshTable("eq-compose", 140)
+    t.deleteWherePositional($"id" < 20L)
+    t.deleteWhereEqual(Seq(3L).toDF("grp"), Seq("grp"))
+    val expect = (20 until 140).count(_ % 7 != 3)
+    assert(t.read().count() == expect)
+    // composite-key equality delete
+    t.deleteWhereEqual(
+      Seq((5L, "row-40")).toDF("grp", "v"), Seq("grp", "v"))
+    assert(t.read().count() == expect - 1)
+    assert(t.read().filter($"id" === 40L).count() == 0)
+    // rename of a live eq-delete key column is blocked...
+    intercept[IllegalArgumentException] { t.renameColumn("grp", "g2") }
+    // ...compaction absorbs BOTH kinds (post-compact min file seq is
+    // above every delete's seq) and unblocks the rename
+    t.compact(2)
+    assert(t.deleteEntries.isEmpty)
+    assert(t.read().count() == expect - 1)
+    t.renameColumn("grp", "g2")
+    assert(t.read().columns.contains("g2"))
+  }
+
+  test("copy-on-write upsert after an equality delete does not " +
+    "resurrect; its inserted rows sit above the delete's sequence") {
+    val (t, _) = freshTable("eq-upsert", 70)
+    t.deleteWhereEqual(Seq(2L).toDF("grp"), Seq("grp"))
+    val n0 = t.read().count()
+    // upsert touches a file that held deleted-grp rows: survivors are
+    // re-stamped ABOVE the delete but were read with it applied
+    t.upsert(Seq((0L, 0L, "upserted")).toDF("id", "grp", "v"), Seq("id"))
+    assert(t.read().count() == n0)
+    assert(t.read().filter($"grp" === 2L).count() == 0)
+    // an upsert INSERTING a deleted-key row is a post-delete write:
+    // visible (MERGE semantics)
+    t.upsert(Seq((2000L, 2L, "back")).toDF("id", "grp", "v"), Seq("id"))
+    assert(t.read().filter($"grp" === 2L).count() == 1)
+  }
+
   test("concurrent positional deletes of disjoint predicates all land " +
     "(or retry past CME) with exact final state") {
     val (t, dir) = freshTable("mor-concurrent", 400, batches = 4)
