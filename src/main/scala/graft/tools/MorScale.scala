@@ -46,7 +46,8 @@ object MorScale {
     def freshTable(name: String): LakeTable = {
       val dir = Files.createTempDirectory(s"mor-scale-$name").toString
       val df = spark.range(n)
-        .select($"id", (rand(42) * 1000).as("v"),
+        .select($"id", ($"id" % 1000).as("user"),
+          (rand(42) * 1000).as("v"),
           concat(lit("payload-"), $"id").as("s"))
       val t = LakeTable.create(spark, dir, df.schema)
       (0 until files).foreach(i =>
@@ -61,7 +62,9 @@ object MorScale {
     }
 
     def measure(label: String, cond: org.apache.spark.sql.Column,
-                expectDeleted: Long): Unit = {
+                expectDeleted: Long,
+                eqKeys: Option[(org.apache.spark.sql.DataFrame,
+                  Seq[String])] = None): Unit = {
       val tp = freshTable(s"$label-pos")
       val tc = freshTable(s"$label-cow")
       val bp0 = tableBytes(tp.root); val bc0 = tableBytes(tc.root)
@@ -74,6 +77,18 @@ object MorScale {
       println(f"$label%-22s positional: $bp%,12d B $sp%6.2f s   " +
         f"copy-on-write: $bc%,12d B $sc%6.2f s   ratio ${
           bc.toDouble / math.max(1L, bp)}%8.1fx")
+      // equality mode when the predicate is key-expressible: commits
+      // the KEYS — no provenance scan at all, the wall-time win the
+      // positional path's fixed scan cost can't reach
+      eqKeys.foreach { case (keys, keyCols) =>
+        val te = freshTable(s"$label-eq")
+        val be0 = tableBytes(te.root)
+        val (_, se) = timed(te.deleteWhereEqual(keys, keyCols))
+        val be = tableBytes(te.root) - be0
+        assert(te.read().count() == n - expectDeleted)
+        println(f"$label%-22s equality:   $be%,12d B $se%6.2f s   " +
+          "(no scan)")
+      }
       // read-back with live delete files vs after absorption
       val (_, rLive) = timed(tp.read().agg(sum($"v")).collect())
       tp.compact(files)
@@ -84,7 +99,11 @@ object MorScale {
     }
 
     println(s"table: $files files x $rowsPerFile rows = $n rows")
-    measure("one-row", $"id" === 123456L, 1L)
+    import spark.implicits._
+    measure("one-row", $"id" === 123456L, 1L,
+      eqKeys = Some((Seq(123456L).toDF("id"), Seq("id"))))
+    measure("forget-user", $"user" === 777L, n / 1000,
+      eqKeys = Some((Seq(777L).toDF("user"), Seq("user"))))
     measure("scattered-0.1pct", $"id" % 1000 === 7, n / 1000)
     spark.stop()
   }
