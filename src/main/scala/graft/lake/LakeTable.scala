@@ -506,7 +506,11 @@ class LakeTable private (
     else if (values.length <= maxProbe) probeBuckets(keyCol, values)
     else read()
 
-  /** Retained snapshots only (expired versions are absent). */
+  /** Retained snapshots only (expired versions are absent). `rows`
+    * is the REFERENCED file-row total; live merge-on-read delete
+    * files (deleteEntries) are not subtracted — an exact live count
+    * needs a read (concurrent overlapping deletes may record a
+    * position twice, so metadata alone cannot be exact). */
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion)
       .filter(v => Files.exists(versionPath(metaDir, v)))

@@ -122,26 +122,34 @@ object RecallScale {
       }
     }
 
-    // ---- flat PQ (ADC over every code row) -------------------------
-    val (pqTable, pqCbs) = SimilarityOps.pqPersist(emb, spark,
-      s"$dir/pq-flat")
-    val gotPq = SimilarityOps.pqSearchPersistedBatch(pqTable, pqCbs,
-        qids.map(q => q -> byId(q)).toSeq, k = k)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSeq }
-    report("pq-flat m=8 codes=16", gotPq)
+    // ---- flat PQ (ADC over every code row), codebook-size sweep ----
+    // codes=16 is the oracle-portability fixture; a production
+    // deployment would raise it — this measures how much ADC noise
+    // (finding 2's nprobe inversion) richer codebooks buy back
+    for (codes <- Seq(16, 64, 256)) {
+      val (pqTable, pqCbs) = SimilarityOps.pqPersist(emb, spark,
+        s"$dir/pq-flat-$codes", codes = codes)
+      val gotPq = SimilarityOps.pqSearchPersistedBatch(pqTable, pqCbs,
+          qids.map(q => q -> byId(q)).toSeq, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSeq }
+      report(f"pq-flat m=8 codes=$codes%3d", gotPq)
+    }
 
-    // ---- IVF-PQ composed, nprobe sweep -----------------------------
+    // ---- IVF-PQ composed, nprobe x codebook-size sweep -------------
     val modelP = IvfIndex.trainPortable(emb, c)
-    val (codes, cbs) = SimilarityOps.ivfPqPersist(emb, spark,
-      s"$dir/ivfpq", modelP)
-    for (nprobe <- Seq(2, 4, 8, 16)) {
+    val ivfpqByCodes = Seq(16, 256).map { nc =>
+      nc -> SimilarityOps.ivfPqPersist(emb, spark,
+        s"$dir/ivfpq-$nc", modelP, codes = nc)
+    }.toMap
+    for (nc <- Seq(16, 256); nprobe <- Seq(2, 4, 8, 16)) {
+      val (codes, cbs) = ivfpqByCodes(nc)
       val got = SimilarityOps.ivfPqSearchPersistedBatch(codes, cbs,
           modelP, qids.map(q => q -> qvsF(q)).toSeq, k = k,
           nprobe = nprobe)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSeq }
-      report(f"ivfpq nprobe=$nprobe%2d", got)
+      report(f"ivfpq codes=$nc%3d nprobe=$nprobe%2d", got)
     }
 
     // ---- IVF-PQ refined: kPrime x metric ---------------------------
@@ -152,10 +160,11 @@ object RecallScale {
         Some("vec_id")),
       bucketBy = Some(("vec_id", 16)))
     vt.append(vecs)
+    val (codes16, cbs16) = ivfpqByCodes(16)
     for (kPrime <- Seq(2 * k, 4 * k, 8 * k); metric <- Seq("l2", "cosine")) {
       val got = qids.map { q =>
-        q -> SimilarityOps.ivfPqSearchRefined(codes, cbs, modelP, vt,
-            qvsF(q), k = k + 1, kPrime = kPrime + 1, nprobe = 8,
+        q -> SimilarityOps.ivfPqSearchRefined(codes16, cbs16, modelP,
+            vt, qvsF(q), k = k + 1, kPrime = kPrime + 1, nprobe = 8,
             metric = metric)
           .collect().map(_.getLong(0)).filter(_ != q).take(k).toSeq
       }.toMap
