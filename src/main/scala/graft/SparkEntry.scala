@@ -1054,6 +1054,29 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // SNAPSHOT TAGS (q117's durable-name sibling): the exact corpus a
+    // training run consumed, pinned under a NAME that survives
+    // retention — the table moves on (two more appends, compaction,
+    // expireSnapshots(1) destroys all untagged history), and readTag
+    // still serves the tagged snapshot byte-exactly. Oracle: the
+    // first batch recomputed in SQL.
+    "q156_snapshot_tag" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-tag")
+      val t = graft.lake.LakeTable.create(s, s"$dir/li", li.schema)
+      t.append(li.filter(col("l_orderkey") % 3 === 0).repartition(4))
+      t.createTag("train-v1")
+      t.append(li.filter(col("l_orderkey") % 3 === 1))
+      t.append(li.filter(col("l_orderkey") % 3 === 2))
+      t.compact(2)
+      t.expireSnapshots(keepLast = 1)
+      t.readTag("train-v1").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"))
+    }),
     "q75_lake_row_ops" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -2498,6 +2521,14 @@ object SparkEntry {
          FROM events, lo
          WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
          GROUP BY event_type""",
+    // Mirrors q156: the tagged snapshot IS the first batch, whatever
+    // the table did afterwards.
+    "q156_snapshot_tag" ->
+      """SELECT l_returnflag, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_price
+         FROM lineitem WHERE l_orderkey % 3 = 0
+         GROUP BY l_returnflag""",
     // Mirrors q155: pre-delete rows of users outside the forget set,
     // plus the ENTIRE late batch (appended after the equality delete,
     // so out of its sequence scope even for forgotten users).

@@ -2278,17 +2278,79 @@ class LakeTable private (
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = currentVersion
     val cutoff = cur - keepLast + 1
+    val pinned = tags.values.toSet
+    // tagged versions are PINNED: retention never expires a snapshot
+    // a tag names, and the vacuum below keeps every file it
+    // references — that is the tag's whole contract
     val expired = (0 until cutoff).filter(v =>
-      Files.exists(versionPath(metaDir, v)))
+      !pinned.contains(v) && Files.exists(versionPath(metaDir, v)))
     // deleteIfExists: two policy enforcers racing to expire the same
     // version must both succeed (the file being gone IS the goal)
     expired.foreach(v => Files.deleteIfExists(versionPath(metaDir, v)))
     val removedFiles = vacuumAgainst(
-      (math.max(0, cutoff) to cur).filter(v =>
-        Files.exists(versionPath(metaDir, v))),
+      ((math.max(0, cutoff) to cur) ++ pinned.toSeq).distinct.sorted
+        .filter(v => Files.exists(versionPath(metaDir, v))),
       minAgeMs)
     (expired.size, removedFiles)
   }
+
+  // ---- TAGS: named, retention-pinned snapshot references -------------
+  //
+  // Iceberg's tag refs, scoped to what a training-data lake actually
+  // needs them for: "the exact corpus run X trained on" as a durable
+  // name. A tag is an immutable pointer (one putIfAbsent of a tiny
+  // JSON — first writer wins, no version log needed because tags
+  // never retarget; delete + recreate is the rename), resolved at
+  // read time and honored by retention: expireSnapshots never expires
+  // a tagged version and the vacuum keeps every file it references,
+  // so `readTag` stays exact forever at the cost of pinning that
+  // snapshot's files.
+
+  private def tagPath(name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"),
+      s"invalid tag name '$name'")
+    metaDir.resolve(s"tag-$name.json")
+  }
+
+  /** Pin `version` under `name`. Fails if the tag exists (tags are
+    * immutable — drop and recreate to move one) or the version is not
+    * retained. */
+  def createTag(name: String, version: Int): Unit = {
+    requireRetained(version)
+    require(version >= 0 && version <= currentVersion,
+      s"no version $version at $root")
+    val body = s"""{"version":$version,"createdAtMs":${
+      System.currentTimeMillis()}}"""
+    require(commitStore.putIfAbsent(tagPath(name), body),
+      s"tag $name already exists at $root")
+  }
+
+  /** Pin the CURRENT snapshot — the publish step of a training run. */
+  def createTag(name: String): Unit = createTag(name, currentVersion)
+
+  def dropTag(name: String): Unit = {
+    require(Files.deleteIfExists(tagPath(name)), s"no tag $name at $root")
+  }
+
+  /** All tags: name -> pinned version. */
+  def tags: Map[String, Int] =
+    listDir(metaDir).flatMap { p =>
+      val nm = p.getFileName.toString
+      if (!nm.startsWith("tag-") || !nm.endsWith(".json")) None
+      else commitStore.read(p).map(raw =>
+        nm.stripPrefix("tag-").stripSuffix(".json") ->
+          mapper.readTree(raw).get("version").asInt())
+    }.toMap
+
+  def tagVersion(name: String): Int =
+    commitStore.read(tagPath(name))
+      .map(raw => mapper.readTree(raw).get("version").asInt())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag $name at $root"))
+
+  /** Read the exact snapshot a tag pins (schema, files, and
+    * merge-on-read delete set all as of that version). */
+  def readTag(name: String): DataFrame = readVersion(tagVersion(name))
 
   /** Garbage-collect files no snapshot references: leftovers from
     * crashed writers (written but never committed — the failure mode the
