@@ -1054,6 +1054,38 @@ object SparkEntry {
       t.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     }),
+    // MERGE-ON-READ UPSERT (q75's O(source)-commit twin): each merge
+    // is ONE commit carrying both the source rows and an
+    // equality-delete on their keys at the same sequence number — no
+    // provenance scan, zero data files rewritten. Two layered merges
+    // (the second overlaps the first, so last-writer-wins crosses
+    // delete generations) plus inserts in the same commit. Oracle:
+    // the two merges replayed as anti-join-then-union in SQL.
+    "q157_mor_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-morup")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.repartition(8))
+      val adjust = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("event_type", lit("adjusted"))
+      t.upsertMor(adjust, Seq("event_id"))
+      val second = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 5)
+        .withColumn("event_type", lit("readjusted"))
+        .unionByName(ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+          .withColumn("event_type", lit("backfill")))
+      t.upsertMor(second, Seq("event_id"))
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     // SNAPSHOT TAGS (q117's durable-name sibling): the exact corpus a
     // training run consumed, pinned under a NAME that survives
     // retention — the table moves on (two more appends, compaction,
@@ -2543,6 +2575,32 @@ object SparkEntry {
          allr AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
          SELECT event_type, count(*) AS n, sum(value) AS sum_value
          FROM allr GROUP BY event_type""",
+    // Mirrors q157: two sequential MOR merges replayed in plain SQL —
+    // each merge is source UNION ALL (prior state anti-joined on the
+    // source's keys); the second source overlaps the first, so
+    // last-writer-wins must cross merge generations.
+    "q157_mor_upsert" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         m1 AS (SELECT event_id, user_id, 'adjusted' AS event_type,
+             value * 2 AS value
+           FROM base WHERE event_type = 'purchase' AND event_id % 5 = 0),
+         s1 AS (SELECT * FROM m1
+           UNION ALL
+           SELECT * FROM base
+           WHERE event_id NOT IN (SELECT event_id FROM m1)),
+         m2 AS (SELECT event_id, user_id, 'readjusted' AS event_type,
+             value * 5 AS value
+           FROM base WHERE event_type = 'purchase' AND event_id % 10 = 0
+           UNION ALL
+           SELECT event_id + 1000000000, user_id, 'backfill', value
+           FROM base WHERE event_type = 'purchase' AND event_id % 7 = 0),
+         s2 AS (SELECT * FROM m2
+           UNION ALL
+           SELECT * FROM s1
+           WHERE event_id NOT IN (SELECT event_id FROM m2))
+         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         FROM s2 GROUP BY event_type""",
     // Mirrors q151: rows surviving both positional deletes, plus the
     // late append (committed AFTER the deletes, so never filtered).
     "q151_mor_delete" ->

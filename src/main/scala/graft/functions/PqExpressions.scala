@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -149,6 +149,136 @@ case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
   override def prettyName: String = "pq_adc_batch"
 }
 
+/** Residual to the row's assigned centroid — array<double> of
+  * `v[i] - centroids(cluster)(i)` — the FAISS-IVFPQ `by_residual`
+  * encode input: residuals concentrate near 0 with far smaller
+  * variance than raw vectors, so the same codebook budget quantizes
+  * them with much less error (measured in tools/RecallScale). The
+  * centroid matrix is a plan constant (C x d doubles — KBs); the
+  * cluster id is the row's `_cluster` column, so the subtraction is
+  * a single per-row pass with no join. */
+case class VecResidual(left: Expression, right: Expression,
+                       centroids: Array[Array[Double]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"vec_residual expects (array<float|double>, int), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(v: Any, cl: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cent = centroids(cl.asInstanceOf[Int])
+    val isFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val out = new Array[Double](cent.length)
+    var i = 0
+    while (i < cent.length) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x - cent(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "vec_residual"
+}
+
+/** Cluster-dispatched ADC — residual serving needs a PER-CLUSTER
+  * lookup table (the query's residual `q - c_p` differs per probed
+  * list, exactly FAISS's precomputed per-list tables). `luts` is
+  * indexed by cluster id with null for unprobed clusters; the scan's
+  * `_cluster IN probes` filter guarantees only probed rows reach the
+  * kernel, so a null hit is a caller bug and throws. Accumulation is
+  * ascending-j like [[PqAdc]]. */
+case class PqAdcClustered(left: Expression, right: Expression,
+                          luts: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"pq_adc_clustered expects (array<int>, int), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(v: Any, cl: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val lut = luts(cl.asInstanceOf[Int])
+    require(lut != null,
+      s"pq_adc_clustered: row from unprobed cluster $cl reached the kernel")
+    var s = 0.0
+    var j = 0
+    while (j < lut.length) { s += lut(j)(a.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_clustered"
+}
+
+/** Batched cluster-dispatched ADC: `luts(cluster)(q)` is query q's
+  * table against cluster's residual frame — array<double> of length Q
+  * per row, ascending-q/ascending-j. A query that did not probe the
+  * row's cluster carries a null slot and yields +Infinity (the pair
+  * join discards those rows afterward, same post-filter economics as
+  * [[PqAdcBatch]]). */
+case class PqAdcClusteredBatch(left: Expression, right: Expression,
+                               luts: Array[Array[Array[Array[Double]]]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"pq_adc_clustered_batch expects (array<int>, int), got (${l.sql}, ${r.sql})")
+    }
+
+  private val nQueries: Int =
+    luts.collectFirst { case ls if ls != null => ls.length }.getOrElse(0)
+
+  override def nullSafeEval(v: Any, cl: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val clusterLuts = luts(cl.asInstanceOf[Int])
+    val out = new Array[Double](nQueries)
+    var q = 0
+    while (q < nQueries) {
+      val lut = if (clusterLuts == null) null else clusterLuts(q)
+      if (lut == null) out(q) = Double.PositiveInfinity
+      else {
+        var s = 0.0
+        var j = 0
+        while (j < lut.length) { s += lut(j)(a.getInt(j)); j += 1 }
+        out(q) = s
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_clustered_batch"
+}
+
 object PqFunctions {
   def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(emb), codebooks))
@@ -157,4 +287,16 @@ object PqFunctions {
   def pq_adc_batch(codes: Column,
                    luts: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcBatch(ColumnBridge.expression(codes), luts))
+  def vec_residual(emb: Column, cluster: Column,
+                   centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(VecResidual(ColumnBridge.expression(emb),
+      ColumnBridge.expression(cluster), centroids))
+  def pq_adc_clustered(codes: Column, cluster: Column,
+                       luts: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcClustered(ColumnBridge.expression(codes),
+      ColumnBridge.expression(cluster), luts))
+  def pq_adc_clustered_batch(codes: Column, cluster: Column,
+      luts: Array[Array[Array[Array[Double]]]]): Column =
+    ColumnBridge.column(PqAdcClusteredBatch(ColumnBridge.expression(codes),
+      ColumnBridge.expression(cluster), luts))
 }

@@ -1763,6 +1763,95 @@ class LakeTable private (
       appliedDeletes = dels.map(_.path).toSet)
   }
 
+  /** Merge-on-read MERGE / upsert keyed on `keyCols` — [[upsert]]'s
+    * O(source)-commit twin (the Iceberg-v2 MOR shape). ONE atomic
+    * commit carries BOTH the appended source rows and an
+    * equality-delete entry on the source's keys; both sides are
+    * stamped with the same data sequence number, and the reader's
+    * strict `fileSeq < deleteSeq` comparison masks every PRE-existing
+    * row of a merged key while keeping the just-appended replacement
+    * alive. Nothing is scanned and no data file is rewritten: the
+    * commit cost is the source rows plus a KB-scale key file — the
+    * 100 TB streaming-CDC-apply path, where copy-on-write [[upsert]]
+    * rewrites every file a scattered key set touches. Reads pay one
+    * broadcast anti-join per outstanding entry until compaction
+    * absorbs it (same economics as [[deleteWhereEqual]], measured in
+    * MorScale); size the compaction cadence to the merge rate. Same
+    * contract as [[upsert]]: at most one source row per key — dedupe
+    * upstream. */
+  def upsertMor(source: DataFrame, keyCols: Seq[String]): Int =
+    upsertMorWith(enforced(source), keyCols, guard = None,
+      extraMeta = Map.empty)
+
+  /** [[upsertMor]] with the (writerId, batchId) exactly-once guard of
+    * [[appendExactlyOnce]] — the MOR twin of [[upsertExactlyOnce]],
+    * for streaming merge sinks whose micro-batches must apply once. */
+  def upsertMorExactlyOnce(source: DataFrame, keyCols: Seq[String],
+                           writerId: String, batchId: Long): Int = {
+    val key = writerKey(writerId)
+    if (highWater(key).exists(_ >= batchId)) currentVersion
+    else upsertMorWith(enforced(source), keyCols,
+      guard = Some(MonotoneGuard(key, batchId)),
+      extraMeta = Map(BatchIdKey -> batchId.toString,
+        WriterIdKey -> writerId))
+  }
+
+  private def upsertMorWith(source: DataFrame, keyCols: Seq[String],
+                            guard: Option[CommitGuard],
+                            extraMeta: Map[String, String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val s = schema
+    keyCols.foreach(c => require(s.fieldNames.contains(c),
+      s"upsert key $c not in schema at $root"))
+    val transformPhys = partitionTransforms.map(_.phys).toSet
+    val userFields = s.fields.filterNot(f =>
+      (bucketSpec.isDefined && f.name == BucketCol) ||
+        transformPhys.contains(f.name))
+    val aligned = source.select(
+      userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    // data files first (invisible until commit). The delete keys are
+    // then read back from the WRITTEN files, not recomputed from the
+    // source plan — under a non-deterministic source the two sides of
+    // the commit could otherwise disagree on which keys were merged.
+    val pending = writeData(aligned)
+    val dataRows = pending.files.map(_.rows).sum
+    if (dataRows == 0L) {
+      // empty merge: a no-op, not an empty commit (but the guard's
+      // high-water must still advance, or a crash-replay would re-run
+      // every later batch's predecessor check against a stale mark)
+      pending.files.foreach(f =>
+        Files.deleteIfExists(Paths.get(root, f.path)))
+      return guard match {
+        case Some(_) =>
+          commitWith(None, Set.empty, extraMeta, guard,
+            alter = Some((sc, ids) => (sc, ids)))
+        case None => currentVersion
+      }
+    }
+    val keySchema = StructType(keyCols.map(c => s(c)))
+    val keys = spark.read.schema(keySchema)
+      .parquet(pending.files.map(f => s"$root/${f.path}"): _*)
+      .distinct()
+    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
+      keys.coalesce(math.max(1,
+        math.min(8, keys.rdd.getNumPartitions))),
+      s"$root/deletes", Seq.empty)
+    val metas = footerMetas(rels.map(r =>
+      Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
+    val rowsByRel = rels.zip(metas.map(_._1)).toMap
+    val live = rels.filter(rowsByRel(_) > 0)
+    rels.filterNot(live.contains).foreach(r =>
+      Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
+    val delEntries = live.map(r => DeleteEntry(s"deletes/data/$r",
+      rowsByRel(r), covers = Nil, kind = "eq", keyCols = keyCols))
+    commitWith(Some(pending), Set.empty,
+      Map("merge.keys" -> keyCols.mkString(","),
+        "merge.mor" -> "true",
+        "merge.rows" -> dataRows.toString) ++ extraMeta,
+      guard = guard, alter = None, newDeletes = delEntries)
+  }
+
   /** Distinct relative paths of the files the tagged rows live in. */
   private def affectedFiles(tagged: DataFrame,
                             entries: Seq[FileEntry]): Set[String] = {
