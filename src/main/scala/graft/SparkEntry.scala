@@ -90,7 +90,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice") * col("l_discount"))
+        .agg(graft.Banding.sum4(col("l_extendedprice") * col("l_discount"))
           .as("revenue"))
     }),
     "q58_stream_dedup" -> (graft.streaming.StreamingQueries.streamDedup _),
@@ -929,7 +929,7 @@ object SparkEntry {
       s.read.format("graft-arrow").load(dir.toString)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value")).as("sum_value"),
+          graft.Banding.sum2(col("value")).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
     }),
@@ -1000,7 +1000,8 @@ object SparkEntry {
         .withColumn("event_type", lit("late"))
       t.append(late)
       t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // HIDDEN PARTITIONING (Iceberg transform specs): the table is
     // declared `days(ts)` — the writer derives the day column and
@@ -1026,7 +1027,39 @@ object SparkEntry {
           col("ts") >= lit(new java.sql.Timestamp(aMs)) &&
             col("ts") < lit(new java.sql.Timestamp(bMs)))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
+    }),
+    // PARTITION-SPEC EVOLUTION (q152's mid-life sibling): the table
+    // starts on days(ts), grows, and is re-declared hours(ts) WITHOUT
+    // rewriting history — batch 1 keeps its day layout, batch 2 lands
+    // in hour dirs, and the graded window read prunes EACH epoch by
+    // the spec it was written under (per-file manifest stats make the
+    // other epoch's check vacuous, never wrong). At 100 TB this is how
+    // a table re-partitions as it grows 100x: one metadata commit, no
+    // rewrite. Oracle: the same window recomputed in SQL — evolution
+    // provably changes layout, never results.
+    "q158_spec_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp").as("ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-se")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema,
+        partitionBy = Seq("days(ts)"))
+      t.append(ev.filter(col("event_id") % 2 === 0).repartition(4))
+      t.alterPartitionSpec(Seq("hours(ts)"))
+      t.append(ev.filter(col("event_id") % 2 === 1).repartition(4))
+      val loUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val dayUs = 86400000000L
+      val aMs = (Math.floorDiv(loUs, dayUs) + 2) * 86400L * 1000
+      val bMs = (Math.floorDiv(loUs, dayUs) + 5) * 86400L * 1000
+      t.readWhere(
+          col("ts") >= lit(new java.sql.Timestamp(aMs)) &&
+            col("ts") < lit(new java.sql.Timestamp(bMs)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // MERGE-ON-READ EQUALITY DELETE (q151's key-scoped twin): "forget
     // these users" commits the KEY VALUES — O(keys), no provenance
@@ -1052,7 +1085,8 @@ object SparkEntry {
         .withColumn("event_type", lit("late"))
       t.append(late) // includes rows of forgotten users — above the seq
       t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // MERGE-ON-READ UPSERT (q75's O(source)-commit twin): each merge
     // is ONE commit carrying both the source rows and an
@@ -1084,7 +1118,8 @@ object SparkEntry {
           .withColumn("event_type", lit("backfill")))
       t.upsertMor(second, Seq("event_id"))
       t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // SNAPSHOT TAGS (q117's durable-name sibling): the exact corpus a
     // training run consumed, pinned under a NAME that survives
@@ -1106,8 +1141,9 @@ object SparkEntry {
       t.compact(2)
       t.expireSnapshots(keepLast = 1)
       t.readTag("train-v1").groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("l_quantity")).as("sum_qty"),
+          graft.Banding.sum2(col("l_extendedprice")).as("sum_price"))
     }),
     "q75_lake_row_ops" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1128,7 +1164,8 @@ object SparkEntry {
         .withColumn("event_type", lit("backfill"))
       t.upsert(adjustments.unionByName(backfill), Seq("event_id"))
       t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // snapshot ROLLBACK through the whole commit stack: a bad commit
     // (the "view" events, standing in for a poisoned batch) is undone
@@ -1155,7 +1192,8 @@ object SparkEntry {
       t.readWhere(col("user_id") >= 10 && col("user_id") <= 19 &&
           col("event_id") % 1000 < 500)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // storage-co-located fact-fact join: orders and lineitem live as
     // lake tables bucketed on the JOIN KEY with Spark's own bucket
@@ -1235,7 +1273,8 @@ object SparkEntry {
         .agg(min(col("c_mktsegment")).as("segment"))
       SkewJoin.saltedInnerJoin(ev, dim, "user_id", "u_id", factor = 8)
         .groupBy(col("segment"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // snapshot-isolated time travel: three committed batches, a
     // CURRENT read and an AS-OF read of the middle snapshot in ONE
@@ -1254,10 +1293,12 @@ object SparkEntry {
       val mid = t.currentVersion
       t.append(ev.filter(col("event_type") === "purchase"))
       val asOf = t.readVersion(mid).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
         .withColumn("snapshot", lit("as_of"))
       val now = t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
         .withColumn("snapshot", lit("current"))
       asOf.unionByName(now)
     }),
@@ -1274,7 +1315,8 @@ object SparkEntry {
       t.rollbackTo(good)
       t.append(ev.filter(col("event_type") === "purchase"))
       t.read().groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
     }),
     // the end-to-end curation pipeline, composed from the graded
     // pieces: inject exact duplicates (every 50th doc re-appears under
@@ -1327,7 +1369,8 @@ object SparkEntry {
       t.compactSorted(8, Seq("user_id"))
       t.readWhere(col("user_id") >= 3L && col("user_id") <= 9L)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
   )
@@ -1852,10 +1895,10 @@ object SparkEntry {
               FROM tf GROUP BY word),
        q AS (SELECT word FROM tf WHERE doc_id = 0),
        sc AS (SELECT t.doc_id,
-              CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
-                AS DECIMAL(18,12))) AS DOUBLE) AS score
+                AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
               FROM tf t JOIN q ON t.word = q.word
               JOIN idf i ON t.word = i.word
               JOIN dl d ON t.doc_id = d.doc_id
@@ -1902,10 +1945,10 @@ object SparkEntry {
        q AS (SELECT doc_id AS query_id, word FROM tf
              WHERE doc_id IN (0, 1, 2)),
        sc AS (SELECT q.query_id, t.doc_id,
-              CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
-                AS DECIMAL(18,12))) AS DOUBLE) AS score
+                AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
               FROM tf t JOIN q ON t.word = q.word
               JOIN idf i ON t.word = i.word
               JOIN dl d ON t.doc_id = d.doc_id
@@ -1959,10 +2002,10 @@ object SparkEntry {
               FROM tf GROUP BY word),
        q AS (SELECT word FROM tf WHERE doc_id = 0)
        SELECT t.doc_id,
-              CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
-                AS DECIMAL(18,12))) AS DOUBLE) AS score
+                AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
        FROM tf t JOIN q ON t.word = q.word
        JOIN idf i ON t.word = i.word
        JOIN dl d ON t.doc_id = d.doc_id
@@ -2036,12 +2079,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-         sum(l_extendedprice) AS sum_base_price,
-         sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
-         sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
-         avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
-         avg(l_discount) AS avg_disc, count(*) AS count_order
+      """SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS sum_base_price,
+         CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+           AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / count(l_quantity) AS avg_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / count(l_extendedprice) AS avg_price,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / count(l_discount) AS avg_disc, count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_filter_project" ->
@@ -2051,7 +2100,7 @@ object SparkEntry {
          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q03_join_agg_nation" ->
-      """SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+      """SELECT r_name, n_name, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
          count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -2068,24 +2117,26 @@ object SparkEntry {
            FROM orders) WHERE rn <= 3""",
     "q06_window_running" ->
       """SELECT o_custkey, o_orderkey,
-         sum(o_totalprice) OVER (PARTITION BY o_custkey
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
          lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS prev_price,
          lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS next_price
          FROM orders""",
     "q07_rollup" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      """SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          count(*) AS n FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q08_cube" ->
-      """SELECT c_mktsegment, n_name, avg(c_acctbal) AS avg_bal,
+      """SELECT c_mktsegment, n_name, CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(c_acctbal) AS avg_bal,
          count(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (c_mktsegment, n_name)""",
     "q09_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS sum_price,
+      """SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
          count(*) AS n FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "q10_distinct_agg" ->
@@ -2107,7 +2158,7 @@ object SparkEntry {
          GROUP BY src""",
     "q14_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-         sum(o_totalprice) AS sum_price FROM orders
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderpriority""",
@@ -2117,9 +2168,9 @@ object SparkEntry {
            WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey,
-         o_totalprice / (SELECT avg(o_totalprice) FROM orders) AS price_ratio
+         o_totalprice / (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(o_totalprice) FROM orders) AS price_ratio
          FROM orders
-         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""",
+         WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(o_totalprice) FROM orders)""",
     "q17_json_extract" ->
       """SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
@@ -2140,8 +2191,8 @@ object SparkEntry {
          FROM events GROUP BY 1, 2, 3, 4""",
     "q18_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-           AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value,
-         avg(value) AS avg_value FROM events GROUP BY 1, 2""",
+           AS hour_ts, event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(value) AS avg_value FROM events GROUP BY 1, 2""",
     "q19_asof_join" ->
       """WITH p AS (SELECT user_id, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id, ts
@@ -2155,7 +2206,7 @@ object SparkEntry {
            ON e.user_id = pd.user_id AND e.ts >= pd.ts""",
     "q20_range_join" ->
       """SELECT e.event_id, count(p.p_id) AS n_prev,
-         coalesce(sum(p.p_value), 0) AS sum_prev
+         coalesce(CAST(CAST(sum(CAST(p.p_value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0) AS sum_prev
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'error') e
          LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts,
@@ -2170,14 +2221,14 @@ object SparkEntry {
          min(p_retailprice) AS min_price FROM part GROUP BY 1""",
     "q22_conditional_agg" ->
       """SELECT l_returnflag,
-         sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END)
-           AS big_rev,
+         CAST(CAST(sum(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice
+           ELSE 0 END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS big_rev,
          CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_disc,
-         avg(CASE WHEN l_tax > 0.04 THEN l_tax END) AS avg_high_tax
+         CAST(CAST(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_tax END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(CASE WHEN l_tax > 0.04 THEN l_tax END) AS avg_high_tax
          FROM lineitem GROUP BY l_returnflag""",
     "q23_udaf_geomean" ->
-      """SELECT o_orderpriority, exp(avg(ln(o_totalprice))) AS geomean_price,
+      """SELECT o_orderpriority, exp(CAST(CAST(sum(CAST(ln(o_totalprice) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*)) AS geomean_price,
          count(*) AS n FROM orders GROUP BY 1""",
     // tolerance-band HLL oracle: each engine checks its OWN sketch
     // against its own exact count — the exact columns + in-band
@@ -2202,12 +2253,12 @@ object SparkEntry {
          SELECT s_suppkey, s_name, total_qty FROM sq
          WHERE total_qty > (SELECT 1.1 * avg(total_qty) FROM sq)""",
     "q58_stream_dedup" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
     "q59_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
          o_orderpriority,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -2435,7 +2486,7 @@ object SparkEntry {
          FROM agg a JOIN lastt l ON a.user_id = l.user_id""",
     "q77_local_supplier_volume" ->
       """SELECT n_name,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue
+         CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2510,14 +2561,16 @@ object SparkEntry {
                               HAVING sum(l_quantity) > 300)
          GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""",
     "q94_promo_revenue" ->
-      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+      """SELECT 100.0 * CAST(CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+           AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS promo_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
            AND l_shipdate < TIMESTAMP '1996-04-01'""",
     "q99_forecast_revenue" ->
-      """SELECT sum(l_extendedprice * l_discount) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2525,7 +2578,7 @@ object SparkEntry {
            AND l_quantity < 24""",
     "q89_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem, orders, customer, nation
          WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
@@ -2535,7 +2588,7 @@ object SparkEntry {
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q76_lake_pruned_read" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
          count(DISTINCT user_id) AS n_users
          FROM events WHERE user_id >= 3 AND user_id <= 9
          GROUP BY 1""",
@@ -2549,7 +2602,19 @@ object SparkEntry {
              (epoch_us(min(ts)) // 86400000000 + 2) * 86400000000 AS a,
              (epoch_us(min(ts)) // 86400000000 + 5) * 86400000000 AS b
            FROM events)
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events, lo
+         WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
+         GROUP BY event_type""",
+    // Mirrors q152: the same 3-day window, epochs invisible.
+    "q158_spec_evolution" ->
+      """WITH lo AS (SELECT
+             (epoch_us(min(ts)) // 86400000000 + 2) * 86400000000 AS a,
+             (epoch_us(min(ts)) // 86400000000 + 5) * 86400000000 AS b
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) AS sum_value
          FROM events, lo
          WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
          GROUP BY event_type""",
@@ -2557,8 +2622,9 @@ object SparkEntry {
     // the table did afterwards.
     "q156_snapshot_tag" ->
       """SELECT l_returnflag, count(*) AS n,
-           sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_price
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS sum_price
          FROM lineitem WHERE l_orderkey % 3 = 0
          GROUP BY l_returnflag""",
     // Mirrors q155: pre-delete rows of users outside the forget set,
@@ -2573,7 +2639,7 @@ object SparkEntry {
            FROM base
            WHERE event_type = 'purchase' AND event_id % 13 = 0),
          allr AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM allr GROUP BY event_type""",
     // Mirrors q157: two sequential MOR merges replayed in plain SQL —
     // each merge is source UNION ALL (prior state anti-joined on the
@@ -2599,7 +2665,7 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM s1
            WHERE event_id NOT IN (SELECT event_id FROM m2))
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM s2 GROUP BY event_type""",
     // Mirrors q151: rows surviving both positional deletes, plus the
     // late append (committed AFTER the deletes, so never filtered).
@@ -2614,7 +2680,7 @@ object SparkEntry {
            FROM base
            WHERE event_type = 'purchase' AND event_id % 11 = 0),
          allr AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM allr GROUP BY event_type""",
     "q75_lake_row_ops" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value
@@ -2633,7 +2699,7 @@ object SparkEntry {
            UNION ALL
            SELECT a.* FROM afterdel a WHERE NOT EXISTS
              (SELECT 1 FROM src WHERE src.event_id = a.event_id))
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM merged GROUP BY 1""",
     // session_window's overlap rule: ts exactly at prev + gap opens a
     // NEW session, hence >= (q47's batch rule uses > — both graded)
@@ -2649,7 +2715,7 @@ object SparkEntry {
              AND CURRENT ROW) AS sess_id FROM s)
          SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events, sum(value) AS sum_value
+           count(*) AS n_events, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM t GROUP BY user_id, sess_id""",
     "q73_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
@@ -2666,11 +2732,11 @@ object SparkEntry {
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          GROUP BY 1""",
     "q83_arrow_stream_loop" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
          count(event_id) AS n_ids
          FROM events GROUP BY 1""",
     "q72_arrow_roundtrip" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
          count(DISTINCT user_id) AS n_users,
          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
          FROM events GROUP BY 1""",
@@ -2819,12 +2885,27 @@ object SparkEntry {
          quantile_cont(o_totalprice, 0.99) AS p99_price,
          count(*) AS n FROM orders GROUP BY 1""",
     "q49_stats_agg" ->
-      """SELECT l_returnflag,
-         stddev_samp(l_extendedprice) AS sd_price,
-         var_samp(l_quantity) AS var_qty,
-         corr(l_quantity, l_extendedprice) AS qty_price_corr,
-         covar_samp(l_discount, l_tax) AS disc_tax_cov
-         FROM lineitem GROUP BY l_returnflag""",
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS sx,
+           CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice
+             AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq,
+           CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+           CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqx,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sd,
+           CAST(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS st,
+           CAST(CAST(sum(CAST(l_discount * l_tax AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sdt
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_price,
+           (sqq - sq * sq / n) / (n - 1) AS var_qty,
+           (sqx - sq * sx / n) /
+             sqrt((sqq - sq * sq / n) * (sxx - sx * sx / n))
+             AS qty_price_corr,
+           (sdt - sd * st / n) / (n - 1) AS disc_tax_cov
+         FROM m""",
     "q47_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, value,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2837,7 +2918,7 @@ object SparkEntry {
              AND CURRENT ROW) AS BIGINT) AS sess_id FROM s)
          SELECT user_id, sess_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events, sum(value) AS sum_value
+           count(*) AS n_events, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM t GROUP BY 1, 2""",
     "q46_window_stats" ->
       """SELECT o_custkey, o_orderkey,
@@ -2858,15 +2939,16 @@ object SparkEntry {
          count(*) AS n,
          avg(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01'))
            AS avg_days,
-         sum(o_totalprice) AS revenue
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS revenue
          FROM orders GROUP BY 1, 2""",
     "q29_math_funcs" ->
       """SELECT l_returnflag,
-         avg(sqrt(l_quantity)) AS avg_sqrt_qty,
-         sum(ln(l_extendedprice)) AS sum_ln_price,
+         CAST(CAST(sum(CAST(sqrt(l_quantity) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_sqrt_qty,
+         CAST(CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_ln_price,
          max(pow(l_discount, 2)) AS max_disc_sq,
          min(abs(l_tax - 0.04)) AS min_tax_dev,
-         avg(greatest(l_quantity, 25.0)) AS avg_qty_floor25
+         CAST(CAST(sum(CAST(greatest(l_quantity, 25.0) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty_floor25
          FROM lineitem GROUP BY l_returnflag""",
     "q25_fuzzy_levenshtein" ->
       """SELECT name_prefix, count(*) AS n_pairs, avg(dist) AS avg_dist,
@@ -2924,14 +3006,14 @@ object SparkEntry {
          SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
            h AS content_hash,
            (h % 1920) + 1 AS width, ((h >> 17) % 1080) + 1 AS height,
-           ((h >> 0) % 1000000) / 1000000.0 AS f0,
-           ((h >> 7) % 1000000) / 1000000.0 AS f1,
-           ((h >> 14) % 1000000) / 1000000.0 AS f2,
-           ((h >> 21) % 1000000) / 1000000.0 AS f3,
-           ((h >> 28) % 1000000) / 1000000.0 AS f4,
-           ((h >> 35) % 1000000) / 1000000.0 AS f5,
-           ((h >> 42) % 1000000) / 1000000.0 AS f6,
-           ((h >> 49) % 1000000) / 1000000.0 AS f7
+           CAST(CAST(((h >> 0) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(((h >> 7) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(((h >> 14) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(((h >> 21) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f3,
+           CAST(CAST(((h >> 28) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f4,
+           CAST(CAST(((h >> 35) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f5,
+           CAST(CAST(((h >> 42) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(((h >> 49) % 1000000) / 1000000.0 AS REAL) AS DOUBLE) AS f7
          FROM hh""",
     "q56_neardup_clusters" ->
       """WITH RECURSIVE
@@ -3079,7 +3161,7 @@ object SparkEntry {
                 ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS lp
                 FROM toks GROUP BY word),
          sc AS (SELECT t.doc_id,
-                CAST(sum(CAST(l.lp AS DECIMAL(18,12))) AS DOUBLE)
+                CAST(CAST(sum(CAST(l.lp AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
                   / count(*) AS score
                 FROM toks t JOIN lm l ON t.word = l.word
                 GROUP BY t.doc_id),
@@ -3110,10 +3192,10 @@ object SparkEntry {
          q AS (SELECT doc_id AS query_id, word FROM tf
                WHERE doc_id IN (0, 1, 2)),
          sc AS (SELECT q.query_id, t.doc_id,
-                CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
                     (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                       (SELECT avg(dl) FROM dl)))
-                  AS DECIMAL(18,12))) AS DOUBLE) AS score
+                  AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
                 FROM tf t JOIN q ON t.word = q.word
                 JOIN idf i ON t.word = i.word
                 JOIN dl d ON t.doc_id = d.doc_id
@@ -3144,7 +3226,7 @@ object SparkEntry {
                CAST(ln((ct + 1) / (tt + 1024.0)) -
                     ln((cr + 1) / (tr + 1024.0)) AS DECIMAL(18,9)) AS lr
              FROM cnt, tot),
-         w AS (SELECT k.doc_id, CAST(sum(l.lr) AS DOUBLE) AS weight,
+         w AS (SELECT k.doc_id, CAST(CAST(sum(l.lr) AS VARCHAR) AS DOUBLE) AS weight,
                count(*) AS n_tokens
              FROM toks k JOIN lr l ON k.bucket = l.bucket
              WHERE NOT k.t GROUP BY k.doc_id)
@@ -3198,9 +3280,10 @@ object SparkEntry {
                 FROM tf GROUP BY word),
          q AS (SELECT word FROM tf WHERE doc_id = 0)
          SELECT t.doc_id,
-                sum(i.idf * (t.tf * 2.2) /
+                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
                     (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
-                      (SELECT avg(dl) FROM dl)))) AS score
+                      (SELECT avg(dl) FROM dl)))
+                  AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
          FROM tf t JOIN q ON t.word = q.word
          JOIN idf i ON t.word = i.word
          JOIN dl d ON t.doc_id = d.doc_id
@@ -3220,10 +3303,10 @@ object SparkEntry {
                 FROM tf GROUP BY word),
          w AS (SELECT doc_id, t.word, tf * idf AS wgt
                FROM tf t JOIN idf i ON t.word = i.word),
-         norms AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm
+         norms AS (SELECT doc_id, sqrt(CAST(CAST(sum(CAST(wgt * wgt AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)) AS nrm
                    FROM w GROUP BY 1),
          q AS (SELECT word, wgt FROM w WHERE doc_id = 0),
-         dots AS (SELECT w.doc_id, sum(w.wgt * q.wgt) AS dot
+         dots AS (SELECT w.doc_id, CAST(CAST(sum(CAST(w.wgt * q.wgt AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS dot
                   FROM w JOIN q ON w.word = q.word
                   WHERE w.doc_id <> 0 GROUP BY 1)
          SELECT d.doc_id,
@@ -3239,7 +3322,7 @@ object SparkEntry {
          lm AS (SELECT word,
                 ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS lp
                 FROM toks GROUP BY word)
-         SELECT t.doc_id, count(*) AS n_tokens, avg(l.lp) AS avg_logprob
+         SELECT t.doc_id, count(*) AS n_tokens, CAST(CAST(sum(CAST(l.lp AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_logprob
          FROM toks t JOIN lm l ON t.word = l.word
          GROUP BY t.doc_id""",
     // q150: distinct-to-total word n-gram ratios per source — integer
@@ -3282,8 +3365,8 @@ object SparkEntry {
          v AS (SELECT count(DISTINCT u.w) AS nv
                FROM toks, unnest(ws) AS u(w))
          SELECT b.doc_id,
-                CAST(sum(CAST(ln((cb.c + 1) / (cu.cw + v.nv))
-                  AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS score
+                CAST(CAST(sum(CAST(ln((cb.c + 1) / (cu.cw + v.nv))
+                  AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS score
          FROM bg b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
          JOIN cu ON b.w1 = cu.w1, v
          GROUP BY b.doc_id""",
@@ -3340,19 +3423,21 @@ object SparkEntry {
          WHERE d.vec_id IS NULL""",
     "q90_incremental_agg_mv" ->
       """SELECT event_type, user_id % 10 AS uid_bucket,
-         count(*) AS n, sum(value) AS sum_value
+         count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     // cross-slice SRP-band candidates + exact cosine, with self-pairs
     // (%6==0 vectors sit in both slices and match in every band)
     "q88_embedding_neardup_incremental" ->
-      s"""SELECT a.vec_id AS v_new, b.vec_id AS v_idx,
-         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-           AS cos
+      s"""WITH pr AS (SELECT a.vec_id AS v_new, b.vec_id AS v_idx,
+           a.embedding::DOUBLE[] AS ea, b.embedding::DOUBLE[] AS eb
          FROM embeddings a JOIN embeddings b
            ON a.vec_id % 2 = 0 AND b.vec_id % 3 = 0
-         WHERE ${srpBandPred("a", "b")}
-         AND list_cosine_similarity(a.embedding::DOUBLE[],
-           b.embedding::DOUBLE[]) >= 0.35""",
+         WHERE ${srpBandPred("a", "b")}),
+         sc AS (SELECT v_new, v_idx,
+           ${sqlCos(sqlDot("ea", "eb"), sqlDot("ea", "ea"),
+                    sqlDot("eb", "eb"))} AS cos
+         FROM pr)
+         SELECT v_new, v_idx, cos FROM sc WHERE cos >= 0.35""",
     // the full two-batch embedding-curation evolution: within-batch
     // cosine clusters (band predicate + exact cosine, recursive-CTE
     // components) collapse to min vec_id, batch-2 survivors drop
@@ -3400,38 +3485,38 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT dn FROM nd)""",
     "q50_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-           AS hour_ts, event_type, count(*) AS n, sum(value) AS sum_value
+           AS hour_ts, event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q51_stream_to_lake" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
          count(DISTINCT user_id) AS n_users FROM events GROUP BY 1""",
     "q122_stream_static_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
-         sum(value) AS sum_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
     "q52_lake_roundtrip" ->
-      """SELECT event_type, count(*) AS n, avg(value) AS avg_value
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(value) AS avg_value
          FROM events GROUP BY 1""",
     "q53_lake_partitioned" ->
-      """SELECT user_id, count(*) AS n, sum(value) AS sum_value
+      """SELECT user_id, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q96_lake_rollback" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1""",
     "q117_lake_time_travel" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot
          FROM events WHERE event_type IN ('click', 'view')
          GROUP BY event_type
          UNION ALL
-         SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'current' AS snapshot
          FROM events WHERE event_type IN ('click', 'view', 'purchase')
          GROUP BY event_type""",
     "q100_zorder_pruned_read" ->
-      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events
          WHERE user_id >= 10 AND user_id <= 19
            AND event_id % 1000 < 500
@@ -3441,13 +3526,13 @@ object SparkEntry {
              min(c_mktsegment) AS segment
            FROM customer GROUP BY 1)
          SELECT segment, event_type, count(*) AS n,
-           sum(value) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events e JOIN dim d ON e.user_id = d.u_id
          GROUP BY 1, 2""",
     "q105_bucketed_colocated_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "q107_min_cost_supplier" ->
@@ -3475,7 +3560,8 @@ object SparkEntry {
            GROUP BY c_custkey) GROUP BY c_count""",
     "q109_small_quantity_lines" ->
       """SELECT p_brand, count(*) AS n_lines,
-           sum(l_extendedprice) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS revenue
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE p_type = 'SMALL'
            AND l_quantity < (SELECT avg(l2.l_quantity) / 5
@@ -3484,17 +3570,19 @@ object SparkEntry {
          GROUP BY p_brand""",
     "q110_inactive_rich_customers" ->
       """SELECT c_mktsegment, count(*) AS numcust,
-           sum(c_acctbal) AS totacctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
          FROM customer
-         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                            WHERE c_acctbal > 0.0)
+         WHERE c_acctbal > (SELECT
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               / count(c_acctbal)
+             FROM customer WHERE c_acctbal > 0.0)
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY c_mktsegment""",
     "q112_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
-           sum(volume) AS revenue
+           CAST(CAST(sum(CAST(volume AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM (
            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -3511,8 +3599,10 @@ object SparkEntry {
          GROUP BY 1, 2, 3""",
     "q113_market_share" ->
       """SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           CAST(CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+                ELSE 0 END AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(volume AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS mkt_share
          FROM (
            SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -3527,7 +3617,7 @@ object SparkEntry {
            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
          GROUP BY o_year""",
     "q114_product_profit" ->
-      """SELECT nation, o_year, sum(amount) AS sum_profit
+      """SELECT nation, o_year, CAST(CAST(sum(CAST(amount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
          FROM (
            SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -3541,7 +3631,8 @@ object SparkEntry {
     "q115_top_supplier" ->
       """WITH revenue AS (
            SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -3550,7 +3641,7 @@ object SparkEntry {
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
     "q116_discounted_revenue" ->
-      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
                 AND l_quantity BETWEEN 1 AND 20)
@@ -3560,14 +3651,18 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 40)""",
     "q118_important_stock" ->
       """WITH v AS (
-           SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+           SELECT l_partkey,
+             CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value
            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            WHERE r_name = 'ASIA'
            GROUP BY l_partkey)
          SELECT l_partkey, value FROM v
-         WHERE value > (SELECT sum(value) * 0.001 FROM v)""",
+         WHERE value > (SELECT
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * 0.001
+           FROM v)""",
     "q119_supplier_part_count" ->
       """SELECT p_brand, p_type, p_size,
            count(DISTINCT l_suppkey) AS supplier_cnt

@@ -52,6 +52,31 @@ trait CommitStore {
   def read(path: Path): Option[String] =
     if (Files.exists(path)) Some(Files.readString(path)) else None
 
+  /** Remove a published object, returning whether it existed. Used by
+    * explicitly-destructive lifecycle ops (dropTag, retention) — NOT
+    * part of the atomicity contract beyond "a subsequent read sees
+    * None". Object-store form: DELETE with 404 mapped to false. Routed
+    * through the store (not Files.*) so a non-POSIX deployment's drop
+    * consults the same object space its create published into — the
+    * frozen-IVF-model bug class the read half of this seam exists to
+    * kill. */
+  def delete(path: Path): Boolean = Files.deleteIfExists(path)
+
+  /** List the objects directly under `dir` (non-recursive, any order).
+    * Object-store form: LIST with `dir` as the key prefix. Same
+    * same-object-space rationale as [[delete]]. */
+  def list(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        val buf = Seq.newBuilder[Path]
+        while (it.hasNext) buf += it.next()
+        buf.result()
+      } finally s.close()
+    }
+
   /** Best-effort last-writer-wins overwrite, used ONLY for advisory
     * state (the `_latest` version hint that makes `currentVersion` a
     * single read instead of a directory listing). NOT part of the

@@ -98,8 +98,10 @@ class LakeTable private (
   def schema: StructType =
     DataTypeBridge.fromJson(latest()._2.get("schemaJson").asText())
 
-  def properties: Map[String, String] =
-    latest()._2.get("properties").properties().asScala
+  def properties: Map[String, String] = propertiesOf(latest()._2)
+
+  private def propertiesOf(node: JsonNode): Map[String, String] =
+    node.get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
 
   def fieldIds: Map[String, Int] =
@@ -351,8 +353,10 @@ class LakeTable private (
     }
   }
 
-  def partitionBy: Seq[String] = {
-    val n = latest()._2.get("partitionBy")
+  def partitionBy: Seq[String] = partitionByOf(latest()._2)
+
+  private def partitionByOf(node: JsonNode): Seq[String] = {
+    val n = node.get("partitionBy")
     if (n == null) Seq.empty
     else n.elements().asScala.map(_.asText()).toSeq
   }
@@ -362,12 +366,22 @@ class LakeTable private (
     * current schema, so the source column's presence/type is
     * re-validated on every use (a rename/drop of a transform source
     * is blocked the same way bucket columns are). */
-  def partitionTransforms: Seq[PTransform] =
-    properties.get(TransformsProp)
+  def partitionTransforms: Seq[PTransform] = {
+    val node = latest()._2
+    transformsOf(node,
+      DataTypeBridge.fromJson(node.get("schemaJson").asText()))
+  }
+
+  /** Node-scoped form: parse transforms against the SAME snapshot's
+    * schema, for callers that must derive everything from one
+    * latest() read (snapshot consistency under concurrent commits). */
+  private def transformsOf(node: JsonNode,
+                           s: StructType): Seq[PTransform] =
+    propertiesOf(node).get(TransformsProp)
       .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(s => parseTransformSpec(s, schema).getOrElse(
+        .map(spec => parseTransformSpec(spec, s).getOrElse(
           throw new IllegalStateException(
-            s"unparseable partition transform '$s' at $root"))))
+            s"unparseable partition transform '$spec' at $root"))))
       .getOrElse(Nil)
 
   /** Hash-bucket layout, when declared at create time: (column, count).
@@ -379,11 +393,15 @@ class LakeTable private (
     * file opens. This is the layout half of point lookups at 100 TB:
     * a probe for k keys touches at most k of `count` buckets no matter
     * how big history grows. */
-  def bucketSpec: Option[(String, Int)] =
+  def bucketSpec: Option[(String, Int)] = bucketSpecOf(latest()._2)
+
+  private def bucketSpecOf(node: JsonNode): Option[(String, Int)] = {
+    val props = propertiesOf(node)
     for {
-      c <- properties.get("bucket.column")
-      n <- properties.get("bucket.count")
+      c <- props.get("bucket.column")
+      n <- props.get("bucket.count")
     } yield (c, n.toInt)
+  }
 
   /** The bucket key's columns: a COMPOSITE key is declared as a
     * comma-separated `bucket.column` ("event_type,uid_bucket") and
@@ -672,8 +690,17 @@ class LakeTable private (
 
     val (byName, byId) = entries.partition(nameCompatible)
 
-    def baseRead(paths: Seq[String], s: StructType): DataFrame =
-      if (partitionBy.isEmpty) spark.read.schema(s).parquet(paths: _*)
+    // the partition columns a FILE was actually written under — its
+    // spec epoch. After partition-spec evolution, epochs coexist in
+    // one table; every scan below is built per epoch, so partition
+    // discovery never sees two layouts at once.
+    def epochCols(e: FileEntry): Seq[String] =
+      e.path.split("/").filter(_.contains("="))
+        .map(_.split("=", 2)(0)).toSeq
+
+    def baseRead(paths: Seq[String], s: StructType,
+                 parts: Seq[String]): DataFrame =
+      if (parts.isEmpty) spark.read.schema(s).parquet(paths: _*)
       else
         // hive-style partition dirs live directly under data/ — basePath
         // lets Spark recover partition columns AND prune partitions from
@@ -689,9 +716,9 @@ class LakeTable private (
     // Partition values are decoded from the manifest paths with the
     // same escape rules the writer used. Falls back to listing-based
     // planning for pre-upgrade manifests or exotic partition types.
-    def manifestRead(es: Seq[FileEntry], s: StructType): Option[DataFrame] = {
+    def manifestRead(es: Seq[FileEntry], s: StructType,
+                     parts: Seq[String]): Option[DataFrame] = {
       if (es.exists(_.sizeBytes <= 0)) return None
-      val parts = partitionBy
       if (!parts.forall(s.fieldNames.contains)) return None
       val partSchema = StructType(parts.map(p => s(p)))
       val dataSchema =
@@ -776,15 +803,21 @@ class LakeTable private (
       Some(df.select(s.fieldNames.map(fcol).toSeq: _*))
     }
 
-    val nameScan =
-      if (byName.isEmpty) Nil
-      else {
-        val b = manifestRead(byName, snapSchema).getOrElse(
-          baseRead(byName.map(e => s"$root/${e.path}"), snapSchema))
-        Seq(finish(b))
-      }
+    // one scan per spec EPOCH: each group's partition schema is the
+    // columns its files' paths actually encode (intersected with the
+    // live schema — an old identity partition column since dropped is
+    // simply not served). Current-spec columns a file's epoch lacks
+    // ride in its dataSchema and read back as null, which is exactly
+    // the evolution contract.
+    val nameScans = byName.groupBy(epochCols).map { case (cols, es) =>
+      val parts = cols.filter(snapSchema.fieldNames.contains)
+      val b = manifestRead(es, snapSchema, parts).getOrElse(
+        baseRead(es.map(e => s"$root/${e.path}"), snapSchema, parts))
+      finish(b)
+    }.toSeq
 
-    val idScans = byId.groupBy(_.cols).map { case (cols, es) =>
+    val idScans = byId.groupBy(e => (e.cols, epochCols(e)))
+        .map { case ((cols, epoch), es) =>
       val live = cols.filter { case (_, id) => idToField.contains(id) }
       // physical read schema: the file's own names, the CURRENT (possibly
       // widened) types; retired columns are simply not read
@@ -799,11 +832,12 @@ class LakeTable private (
           case None           => lit(null).cast(f.dataType).as(f.name)
         }
       }
-      finish(baseRead(es.map(e => s"$root/${e.path}"), physSchema)
+      finish(baseRead(es.map(e => s"$root/${e.path}"), physSchema,
+          epoch.filter(physSchema.fieldNames.contains))
         .select(projection.toSeq: _*))
     }
 
-    (nameScan ++ idScans).reduce(_ unionByName _)
+    (nameScans ++ idScans).reduce(_ unionByName _)
   }
 
   /** Incremental read: only rows in files committed AFTER `fromVersion`
@@ -1060,8 +1094,10 @@ class LakeTable private (
     // transform's derived partition column, whose [v, v] partition
     // stats prune whole directories. All transforms are monotone
     // non-decreasing, so strict bounds relax to inclusive ones
-    // (src < v => T(src) <= T(v)) — never a wrong prune.
-    val transforms = partitionTransforms
+    // (src < v => T(src) <= T(v)) — never a wrong prune. Spec
+    // evolution: ALL epochs' transforms run; each check binds only on
+    // files carrying its derived column's stats (its own epoch).
+    val transforms = pruningTransforms
     val tchecks: Seq[FileEntry => Boolean] =
       if (transforms.isEmpty) Nil
       else {
@@ -1733,10 +1769,11 @@ class LakeTable private (
     // align source to the table's columns/types loudly (a missing
     // column is an analysis error, not a silent null); derived
     // columns — bucket and transform partitions — are the writer's
-    // job, never the caller's
-    val transformPhys = partitionTransforms.map(_.phys).toSet
+    // job, never the caller's. Node-scoped lookups keep this the
+    // SAME snapshot the schema came from.
+    val transformPhys = transformsOf(node, s).map(_.phys).toSet
     val userFields = s.fields.filterNot(f =>
-      (bucketSpec.isDefined && f.name == BucketCol) ||
+      (bucketSpecOf(node).isDefined && f.name == BucketCol) ||
         transformPhys.contains(f.name))
     val aligned = source.select(
       userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
@@ -1801,12 +1838,17 @@ class LakeTable private (
                             extraMeta: Map[String, String]): Int = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert requires at least one key column")
-    val s = schema
+    // ONE latest() read for schema + transforms + bucket layout: a
+    // concurrent schema commit between separate reads could misalign
+    // the eq-delete keySchema with the written data files (same
+    // snapshot-consistency rationale as upsertWith / deleteWhere)
+    val node = latest()._2
+    val s = DataTypeBridge.fromJson(node.get("schemaJson").asText())
     keyCols.foreach(c => require(s.fieldNames.contains(c),
       s"upsert key $c not in schema at $root"))
-    val transformPhys = partitionTransforms.map(_.phys).toSet
+    val transformPhys = transformsOf(node, s).map(_.phys).toSet
     val userFields = s.fields.filterNot(f =>
-      (bucketSpec.isDefined && f.name == BucketCol) ||
+      (bucketSpecOf(node).isDefined && f.name == BucketCol) ||
         transformPhys.contains(f.name))
     val aligned = source.select(
       userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
@@ -2045,7 +2087,21 @@ class LakeTable private (
                            Map[String, String]] = None,
                          newDeletes: Seq[DeleteEntry] = Nil,
                          requireLive: Set[String] = Set.empty,
-                         appliedDeletes: Set[String] = Set.empty): Int = {
+                         appliedDeletes: Set[String] = Set.empty,
+                         // alter variant that also sees the snapshot's
+                         // lastFieldId — required by any alter that ADDS
+                         // fields (spec evolution): minting IDs from
+                         // max(live ids) would reuse a retired ID after
+                         // a drop, and field-ID read resolution would
+                         // then serve the dropped column's old data
+                         // under the new field's name
+                         alterWithLast: Option[(StructType, Map[String, Int],
+                           Int) => (StructType, Map[String, Int])] = None,
+                         // partition-spec evolution: replace the
+                         // snapshot's partitionBy (new files' layout);
+                         // existing files keep their recorded values
+                         alterPartitionBy: Option[Seq[String]] = None)
+      : Int = {
     var attempt = 0
     var lastSeen = Int.MinValue
     var stalls = 0
@@ -2121,9 +2177,12 @@ class LakeTable private (
       val curSchema = DataTypeBridge.fromJson(cur.get("schemaJson").asText())
       val curIds = fieldIdsOf(cur)
       val curLast = lastFieldIdOf(cur)
-      val (newSchema, newIds) = alter match {
-        case Some(t) => t(curSchema, curIds)
-        case None => evolve(curSchema, curIds, curLast, pending.get.schema)
+      val (newSchema, newIds) = alterWithLast match {
+        case Some(t) => t(curSchema, curIds, curLast)
+        case None => alter match {
+          case Some(t) => t(curSchema, curIds)
+          case None => evolve(curSchema, curIds, curLast, pending.get.schema)
+        }
       }
       // new files record physicalName -> fieldId as of THIS commit (the
       // identity that later renames/drops resolve against) and the
@@ -2212,7 +2271,7 @@ class LakeTable private (
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = propsNode,
         manifests = refs, meta = meta,
-        partitionBy = partitionBy,
+        partitionBy = alterPartitionBy.getOrElse(partitionByOf(cur)),
         highWater = newHw,
         lastFieldId = curLast,
         deleteManifests = deleteRefs)
@@ -2254,8 +2313,9 @@ class LakeTable private (
       require(!bucketCols.contains(from),
         s"cannot rename bucket column $from: every file's _bucket was " +
           "derived from it")
-      require(!partitionTransforms.exists(_.src == from),
-        s"cannot rename $from: a partition transform derives from it")
+      require(!pruningTransforms.exists(_.src == from),
+        s"cannot rename $from: a partition transform (current or " +
+          "superseded-but-still-pruning) derives from it")
       require(!deleteEntries.exists(e =>
         e.kind == "eq" && e.keyCols.contains(from)),
         s"cannot rename $from: a live equality delete keys on it " +
@@ -2277,14 +2337,113 @@ class LakeTable private (
         s"cannot drop partition column $name")
       require(!bucketCols.contains(name),
         s"cannot drop bucket column $name: the layout derives from it")
-      require(!partitionTransforms.exists(_.src == name),
-        s"cannot drop $name: a partition transform derives from it")
+      require(!pruningTransforms.exists(_.src == name),
+        s"cannot drop $name: a partition transform (current or " +
+          "superseded-but-still-pruning) derives from it")
       require(!deleteEntries.exists(e =>
         e.kind == "eq" && e.keyCols.contains(name)),
         s"cannot drop $name: a live equality delete keys on it " +
           "(compact to absorb the delete first)")
       (StructType(s.fields.filterNot(_.name == name)), ids - name)
     }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline maintenance feature):
+    * re-declare the partition spec of a LIVE table — e.g. `days(ts)` ->
+    * `hours(ts)` as a table grows — without rewriting a byte of data.
+    *
+    * Semantics:
+    *   - files written AFTER this commit derive (and lay out under) the
+    *     NEW spec's partition columns;
+    *   - existing files keep their epoch: their manifests already
+    *     record their own partition values as per-file stats, and the
+    *     pruner evaluates every spec that ever governed a write
+    *     ([[TransformsHistoryProp]]) with per-file stats lookups, so a
+    *     check from a different epoch is vacuous rather than wrong —
+    *     each file is pruned exactly by the spec it was written under;
+    *   - superseded derived columns remain in the schema (they are
+    *     real data in old files; new files surface them as null);
+    *   - compaction migrates: a rewrite re-derives partition columns
+    *     under the CURRENT spec, so compacted history adopts the new
+    *     layout file by file;
+    *   - the bucket layout is NOT part of the spec (changing hash
+    *     placement requires a rewrite, not metadata — use compact +
+    *     a new table for that).
+    *
+    * Identity columns and transforms both accepted, exactly as in
+    * `create(partitionBy = ...)`. An empty seq un-partitions future
+    * writes. Reference: crest freezes its layout at pipeline creation
+    * (/root/reference/pkg/pipeline/pipeline.go) — a 100x-grown table
+    * there re-ingests; here it alters one snapshot of metadata. */
+  def alterPartitionSpec(specs: Seq[String]): Int = {
+    // phys names + identity validation against the current schema for
+    // early errors; the alter closure re-validates per retry against
+    // the freshly-read schema, so a racing schema commit cannot be
+    // outrun
+    val curSchema0 = schema
+    val parsed0 = specs.map(p => parseTransformSpec(p, curSchema0).toRight(p))
+    val newPartBy = parsed0.map {
+      case Left(c) => c
+      case Right(t) => t.phys
+    } ++ bucketSpec.map(_ => BucketCol)
+    require(newPartBy.distinct.size == newPartBy.size,
+      s"duplicate partition columns in $specs")
+    val transformSpecs = parsed0.collect { case Right(t) => t.spec }
+    commitWith(None, Set.empty,
+      Map("alter" -> s"partition-spec ${specs.mkString(",")}"),
+      guard = None, alter = None,
+      alterWithLast = Some { (s, ids, last) =>
+        val parsed = specs.map(p => parseTransformSpec(p, s).toRight(p))
+        parsed.collect { case Left(c) => c }.foreach(c =>
+          require(s.fieldNames.contains(c),
+            s"partition column $c not in schema at $root"))
+        val transforms = parsed.collect { case Right(t) => t }
+        // a phys name already in the schema must BE that transform's
+        // column (same spec => same name => same type); a user column
+        // squatting on the reserved name is an error, not a reuse
+        val fresh = transforms.filter(t => !s.fieldNames.contains(t.phys))
+        transforms.filterNot(fresh.contains).foreach(t =>
+          require(s(t.phys).dataType == t.physType,
+            s"column ${t.phys} exists with type " +
+              s"${s(t.phys).dataType.sql}, expected ${t.physType.sql}"))
+        val added = fresh.map(t =>
+          StructField(t.phys, t.physType, nullable = true))
+        (StructType(s.fields ++ added),
+          ids ++ fresh.zipWithIndex.map { case (t, i) =>
+            t.phys -> (last + i + 1) })
+      },
+      alterProps = Some { p =>
+        val oldCur = p.get(TransformsProp)
+          .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val hist = (p.get(TransformsHistoryProp)
+          .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil) ++ oldCur)
+          .distinct.filterNot(transformSpecs.contains)
+        (p - TransformsProp - TransformsHistoryProp) ++
+          (if (transformSpecs.isEmpty) Map.empty[String, String]
+           else Map(TransformsProp -> transformSpecs.mkString(";"))) ++
+          (if (hist.isEmpty) Map.empty[String, String]
+           else Map(TransformsHistoryProp -> hist.mkString(";")))
+      },
+      alterPartitionBy = Some(newPartBy))
+  }
+
+  /** Every transform that ever governed a write — current spec plus
+    * history — for pruning and alter guards. History specs that no
+    * longer parse (their source column was since dropped) are skipped:
+    * their files can then only be pruned by raw-column stats. */
+  private def pruningTransforms: Seq[PTransform] = {
+    val node = latest()._2
+    val s = DataTypeBridge.fromJson(node.get("schemaJson").asText())
+    val props = propertiesOf(node)
+    val cur = transformsOf(node, s)
+    val hist = props.get(TransformsHistoryProp)
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+      .flatMap(spec => scala.util.Try(
+        parseTransformSpec(spec, s)).toOption.flatten)
+    (cur ++ hist).distinctBy(_.phys)
+  }
 
   /** Iceberg-style rollback: commit a NEW snapshot whose file set,
     * schema, and field IDs are those of retained `version` — history
@@ -2371,13 +2530,18 @@ class LakeTable private (
     // tagged versions are PINNED: retention never expires a snapshot
     // a tag names, and the vacuum below keeps every file it
     // references — that is the tag's whole contract
-    val expired = (0 until cutoff).filter(v =>
+    val doomed = (0 until cutoff).filter(v =>
       !pinned.contains(v) && Files.exists(versionPath(metaDir, v)))
+    // re-read tags immediately before deleting: a tag published since
+    // the first read pins its version from here on (createTag runs the
+    // mirror-image re-check after its write — see its comment)
+    val pinned2 = pinned ++ tags.values
+    val expired = doomed.filterNot(pinned2.contains)
     // deleteIfExists: two policy enforcers racing to expire the same
     // version must both succeed (the file being gone IS the goal)
     expired.foreach(v => Files.deleteIfExists(versionPath(metaDir, v)))
     val removedFiles = vacuumAgainst(
-      ((math.max(0, cutoff) to cur) ++ pinned.toSeq).distinct.sorted
+      ((math.max(0, cutoff) to cur) ++ pinned2.toSeq).distinct.sorted
         .filter(v => Files.exists(versionPath(metaDir, v))),
       minAgeMs)
     (expired.size, removedFiles)
@@ -2412,18 +2576,35 @@ class LakeTable private (
       System.currentTimeMillis()}}"""
     require(commitStore.putIfAbsent(tagPath(name), body),
       s"tag $name already exists at $root")
+    // Re-check AFTER publishing: a concurrent expireSnapshots that
+    // read the tag list before our put may have expired `version`
+    // while we were writing — in that interleaving the tag would name
+    // a vacuumed snapshot forever. Undo and fail instead. (expire
+    // symmetric re-reads tags right before deleting, so the residual
+    // window is the instant between these two re-checks; closing it
+    // entirely needs a transactional ref log, which tags deliberately
+    // avoid — policy expiry racing a same-table publish is an
+    // operational error this turns into a loud one.)
+    if (!Files.exists(versionPath(metaDir, version))) {
+      commitStore.delete(tagPath(name))
+      throw new IllegalStateException(
+        s"tag $name lost the race with expireSnapshots: version " +
+          s"$version was expired during tag creation at $root")
+    }
   }
 
   /** Pin the CURRENT snapshot — the publish step of a training run. */
   def createTag(name: String): Unit = createTag(name, currentVersion)
 
+  /** Drop through the CommitStore seam — create, read, list, and drop
+    * must all consult the same object space on a non-POSIX store. */
   def dropTag(name: String): Unit = {
-    require(Files.deleteIfExists(tagPath(name)), s"no tag $name at $root")
+    require(commitStore.delete(tagPath(name)), s"no tag $name at $root")
   }
 
   /** All tags: name -> pinned version. */
   def tags: Map[String, Int] =
-    listDir(metaDir).flatMap { p =>
+    commitStore.list(metaDir).flatMap { p =>
       val nm = p.getFileName.toString
       if (!nm.startsWith("tag-") || !nm.endsWith(".json")) None
       else commitStore.read(p).map(raw =>
@@ -2682,11 +2863,10 @@ object LakeTable {
     def mapValue(v: Any, t: DataType): Option[Any]
     /** whether RANGE predicates may map through this transform: the
       * mapping is order-preserving only if mapValue and the stats
-      * comparator agree on ordering. String truncation does not
-      * qualify — cmpStat orders by UTF-16 compareTo while Spark
-      * orders strings by UTF-8 bytes, and the two disagree around
-      * supplementary characters — so string transforms serve only
-      * equality/IN prunes. */
+      * comparator agree on ordering. All current transforms qualify:
+      * cmpStat compares strings by unsigned UTF-8 bytes (parquet's
+      * stat order), and code-point prefix truncation is a byte-prefix
+      * operation, hence monotone in that order. */
     def rangeSafe: Boolean = true
   }
 
@@ -2837,6 +3017,14 @@ object LakeTable {
   /** Property under which the declared transform specs persist
     * (';'-separated — specs themselves contain commas). */
   private[lake] val TransformsProp = "partition.transforms"
+
+  /** Superseded transform specs (partition-spec evolution): every spec
+    * that ever governed a write and is no longer current. The pruner
+    * unions these with the current spec — each file carries partition
+    * stats only for the derived columns of ITS epoch, so a check from
+    * another epoch is vacuous on it — and rename/drop guards protect
+    * their source columns as long as they are listed. */
+  private[lake] val TransformsHistoryProp = "partition.transforms.history"
 
   /** One committed merge-on-read DELETE file (Iceberg v2 shapes).
     *
@@ -3150,7 +3338,15 @@ object LakeTable {
     case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
     case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String)   => Some(x.compareTo(y))
+    // UNSIGNED UTF-8 BYTE order, matching how parquet computes binary
+    // min/max (and how Spark orders strings): UTF-16 compareTo would
+    // disagree around supplementary characters — chars >= U+E000 sort
+    // BELOW surrogate-pair code points in UTF-16 units but above them
+    // in UTF-8 bytes — and an equality prune bound-checked with the
+    // wrong order can drop files holding matching rows
+    case (x: String, y: String)   => Some(java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }

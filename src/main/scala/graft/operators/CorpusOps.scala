@@ -126,33 +126,38 @@ object CorpusOps {
     val d2 = graft.Tables.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         col(domainCol).as("domain"))
-    // a null domain is its own group (getString returns null; sort and
-    // join must both be null-safe or one stray null row crashes the
-    // query / silently drops its group)
+    // The per-domain histogram STAYS DISTRIBUTED (VERDICT r10 item 3:
+    // at web scale `domain` is a URL host — 10^7-10^8 values — and a
+    // driver collect of it is a multi-GB driver structure). Only two
+    // SCALARS ever reach the driver: the exact decimal weight sum and
+    // the total count. A null domain is its own group (the join below
+    // is null-safe or one stray null row silently drops its group).
     val cnts = d2.groupBy(col("domain")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(t => Option(t._1))
-    val total = cnts.map(_._2).sum
+    // the ONE non-integer step (pow) banded to DECIMAL(28,6) per
+    // domain, so the weight sum is exact and order-independent and
+    // its correctly-rounded double is engine-portable
+    val cntsW = cnts.withColumn("wd",
+      pow(col("c").cast("double"), lit(alpha)).cast("decimal(28,6)"))
+    val scal = cntsW.agg(sum(col("wd")).as("sumw"),
+      sum(col("c")).as("total")).head()
+    // empty corpus: sums are null; every downstream relation is empty,
+    // so any finite placeholders keep the plan valid
+    val sumw = if (scal.isNullAt(0)) 1.0 else scal.getDecimal(0).doubleValue
+    val total = if (scal.isNullAt(1)) 0L else scal.getLong(1)
     // integer division keeps the budget portable (the oracle's t // N)
     val budget = total / budgetDivisor
-    def band(x: Double): BigDecimal =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val weights = cnts.map { case (dom, c) =>
-      dom -> band(math.pow(c.toDouble, alpha))
-    }
-    val sumw = weights.map(_._2).sum.toDouble
-    val targets = weights.zip(cnts).map { case ((dom, wd), (_, c)) =>
-      (dom, math.min(c,
-        math.floor(budget.toDouble * wd.toDouble / sumw).toLong))
-    }
-    val ss = docs.sparkSession
-    import ss.implicits._
-    val tDf = targets.toSeq.toDF("_dom", "k")
+    // per-domain targets computed WHERE THE COUNTS LIVE — a |domains|-
+    // row relation, never driver state. AQE broadcasts it when small
+    // and shuffle-joins when `domain` is web-scale (the packSequences
+    // broadcast-up-to-a-bound-else-join behavior, chosen at runtime).
+    val tDf = cntsW.select(col("domain").as("_dom"),
+      least(col("c"), floor(lit(budget.toDouble) *
+        col("wd").cast("double") / lit(sumw)).cast("long")).as("k"))
     val w = Window.partitionBy(col("domain"))
       .orderBy(expr("md5(cast(cast(doc_id as string) as binary))"),
         col("doc_id"))
     d2.withColumn("rn", row_number().over(w))
-      .join(broadcast(tDf), col("domain") <=> col("_dom"))
+      .join(tDf, col("domain") <=> col("_dom"))
       .filter(col("rn") <= col("k"))
       .select(col("doc_id"), col("domain"))
   }

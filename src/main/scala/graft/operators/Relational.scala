@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Banding, Tables}
 
 /** The relational query surface (SURVEY §2.2): projection/filter, joins
   * (incl. semi/anti/as-of/range), aggregations (incl. rollup/cube/grouping
@@ -32,15 +32,18 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        // every float agg decimal-banded (graft.Banding): the raw
+        // double sums are accumulation-order-dependent and diverge
+        // from the oracle by ULPs whenever file layout shifts
+        Banding.sum2(col("l_quantity")).as("sum_qty"),
+        Banding.sum2(col("l_extendedprice")).as("sum_base_price"),
+        Banding.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Banding.sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))).as("sum_charge"),
-        avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_extendedprice")).as("avg_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        Banding.avg2(col("l_quantity")).as("avg_qty"),
+        Banding.avg2(col("l_extendedprice")).as("avg_price"),
+        Banding.avg2(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Selective filter + computed projection (pushdown + pruning reach the
@@ -61,7 +64,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(col("o_totalprice")).as("revenue"),
+      .agg(Banding.sum2(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"))
   }
@@ -91,8 +94,12 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      sum(col("o_totalprice"))
+      // banded even though the frame is ordered: DuckDB evaluates
+      // window sums over a segment tree, so its association order is
+      // NOT the frame order — only exact decimal addition agrees
+      sum(col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
         .as("running_spend"),
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price"))
@@ -118,21 +125,24 @@ object Relational {
   def rollupQty(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Banding.sum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
 
   /** CUBE over customer segment x nation. */
   def cubeSegNation(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .cube(col("c_mktsegment"), col("n_name"))
-      .agg(avg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+      .agg(Banding.avg2(col("c_acctbal")).as("avg_bal"),
+        count(lit(1)).as("n"))
   }
 
   /** GROUPING SETS via SQL (only SQL-expressible in Spark). */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql("""SELECT l_returnflag, l_linestatus,
-             sum(l_extendedprice) AS sum_price, count(*) AS n
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price, count(*) AS n
              FROM lineitem
              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
   }
@@ -174,7 +184,8 @@ object Relational {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        Banding.sum2(col("o_totalprice")).as("sum_price"))
   }
 
   /** Left-anti join (NOT EXISTS): customers with no high-value order. */
@@ -188,7 +199,7 @@ object Relational {
   /** Scalar subquery: compare to a global aggregate (broadcast 1-row). */
   def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val avgP = o.agg(avg(col("o_totalprice")).as("_avg"))
+    val avgP = o.agg(Banding.avg2(col("o_totalprice")).as("_avg"))
     o.crossJoin(broadcast(avgP))
       .filter(col("o_totalprice") > lit(1.5) * col("_avg"))
       .select(col("o_orderkey"), col("o_custkey"),
@@ -229,8 +240,9 @@ object Relational {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
           .as("hour_ts"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
-        avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        Banding.sum2(col("value")).as("sum_value"),
+        Banding.avg2(col("value")).as("avg_value"))
 
   /** As-of join: each error event picks up the latest purchase (same user,
     * at-or-before its timestamp). Right side deduped per (user, ts) for
@@ -268,7 +280,7 @@ object Relational {
         col("p_ts") <= col("ts"), "left")
       .groupBy(col("event_id"))
       .agg(count(col("p_id")).as("n_prev"),
-        coalesce(sum(col("p_value")), lit(0.0)).as("sum_prev"))
+        coalesce(Banding.sum2(col("p_value")), lit(0.0)).as("sum_prev"))
   }
 
   /** String function battery. */
@@ -285,10 +297,11 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+        Banding.sum2(when(col("l_quantity") > 25, col("l_extendedprice"))
           .otherwise(0.0)).as("big_rev"),
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
-        avg(when(col("l_tax") > 0.04, col("l_tax"))).as("avg_high_tax"))
+        Banding.avg2(when(col("l_tax") > 0.04, col("l_tax")))
+          .as("avg_high_tax"))
 
   /** TPC-H Q3-style shipping-priority query: selective filters on both
     * join sides, 3-way join, aggregation, top-k — the classic combined
@@ -303,7 +316,7 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(Banding.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -349,8 +362,8 @@ object Relational {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
-        sum(when(col("p_type").startsWith("PROMO"), rev)
-          .otherwise(lit(0.0))) / sum(rev)).as("promo_revenue"))
+        Banding.sum4(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0.0))) / Banding.sum4(rev)).as("promo_revenue"))
   }
 
   def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
@@ -363,7 +376,7 @@ object Relational {
       .join(broadcast(t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(Banding.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -393,7 +406,7 @@ object Relational {
           col("c_nationkey") === col("s_nationkey"))
       .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(Banding.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
   }
 
@@ -448,15 +461,43 @@ object Relational {
         expr("percentile(o_totalprice, 0.99)").as("p99_price"),
         count(lit(1)).as("n"))
 
-  /** Statistical aggregates: dispersion + correlation. */
-  def statsAgg(s: SparkSession, dir: String): DataFrame =
+  /** Statistical aggregates: dispersion + correlation.
+    *
+    * Computed from decimal-banded raw moments (sum x, sum x², sum xy —
+    * all exact since the fixture columns are 2-decimal and their
+    * pairwise products at most 4-decimal), then the textbook formulas
+    * in double. The built-in stddev/var/corr/covar accumulate Welford
+    * partials in double whose merge order is partition-layout
+    * dependent — the same flake class as a raw double sum, just hidden
+    * one level down. Exact moments + one deterministic double formula
+    * = bit-identical across engines at any visit order. (Cancellation
+    * in sxx - sx²/n loses ~1 digit at this data's spread — harmless —
+    * and would be the thing to revisit before using this on
+    * near-constant columns.) */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice"); val q = col("l_quantity")
+    val d = col("l_discount"); val tx = col("l_tax")
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        stddev_samp(col("l_extendedprice")).as("sd_price"),
-        var_samp(col("l_quantity")).as("var_qty"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-        covar_samp(col("l_discount"), col("l_tax")).as("disc_tax_cov"))
+        count(lit(1)).as("_n"),
+        Banding.sum2(x).as("_sx"), Banding.sumBand(x * x, 4).as("_sxx"),
+        Banding.sum2(q).as("_sq"), Banding.sum2(q * q).as("_sqq"),
+        Banding.sum2(q * x).as("_sqx"),
+        Banding.sum2(d).as("_sd"), Banding.sum2(tx).as("_st"),
+        Banding.sumBand(d * tx, 4).as("_sdt"))
+      .select(col("l_returnflag"),
+        sqrt((col("_sxx") - col("_sx") * col("_sx") / col("_n")) /
+          (col("_n") - 1)).as("sd_price"),
+        ((col("_sqq") - col("_sq") * col("_sq") / col("_n")) /
+          (col("_n") - 1)).as("var_qty"),
+        ((col("_sqx") - col("_sq") * col("_sx") / col("_n")) /
+          sqrt((col("_sqq") - col("_sq") * col("_sq") / col("_n")) *
+            (col("_sxx") - col("_sx") * col("_sx") / col("_n"))))
+          .as("qty_price_corr"),
+        ((col("_sdt") - col("_sd") * col("_st") / col("_n")) /
+          (col("_n") - 1)).as("disc_tax_cov"))
+  }
 
   /** Batch sessionization (gaps-and-islands): a new session starts after
     * a >30min silence per user; one shuffle + window pass, then the
@@ -476,19 +517,32 @@ object Relational {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
-        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        count(lit(1)).as("n_events"),
+        Banding.sum2(col("value")).as("sum_value"))
   }
 
-  /** Typed UDAF (Aggregator): geometric mean via log-space sum. */
-  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
-    def zero: (Double, Long) = (0.0, 0L)
-    def reduce(b: (Double, Long), a: Double): (Double, Long) =
-      (b._1 + math.log(a), b._2 + 1)
-    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+  /** Typed UDAF (Aggregator): geometric mean via log-space sum.
+    *
+    * The log sum is banded to 9 decimals and accumulated as a scaled
+    * Long, so partial merges are exact and order-independent (the same
+    * graft.Banding device, inside a UDAF state): oracle mirror is
+    * `exp(CAST(sum(CAST(ln(x) AS DECIMAL(18,9))) AS DOUBLE) / count)`.
+    * Math.round (half-up for the positive logs here) matches DuckDB's
+    * double->DECIMAL rounding. Long capacity bounds the group at
+    * ~9e18/1e9 = 9e9 summed log units — ample for any per-group
+    * cardinality this aggregates. */
+  object GeoMean extends Aggregator[Double, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: Double): (Long, Long) =
+      (b._1 + Math.round(math.log(a) * 1e9), b._2 + 1)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
-    def finish(r: (Double, Long)): Double =
-      if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
-    def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0
+      else math.exp(
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(r._1), 9)
+          .doubleValue / r._2)
+    def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     def outputEncoder = Encoders.scalaDouble
   }
 
@@ -586,19 +640,22 @@ object Relational {
           col("o_orderdate").cast("date")).as("days_to_2002"))
       .groupBy(col("y"), col("m"))
       .agg(count(lit(1)).as("n"),
-        avg(col("days_to_2002")).as("avg_days"),
-        sum(col("o_totalprice")).as("revenue"))
+        avg(col("days_to_2002")).as("avg_days"), // int addends: exact
+        Banding.sum2(col("o_totalprice")).as("revenue"))
 
   /** Math function battery. */
   def mathFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        avg(sqrt(col("l_quantity"))).as("avg_sqrt_qty"),
-        sum(log(col("l_extendedprice"))).as("sum_ln_price"),
+        // sqrt/ln per-row values are IEEE-identical across engines;
+        // DECIMAL(18,9) banding makes their sums order-independent
+        Banding.avg9(sqrt(col("l_quantity"))).as("avg_sqrt_qty"),
+        Banding.sum9(log(col("l_extendedprice"))).as("sum_ln_price"),
         max(pow(col("l_discount"), 2)).as("max_disc_sq"),
         min(abs(col("l_tax") - 0.04)).as("min_tax_dev"),
-        avg(greatest(col("l_quantity"), lit(25.0))).as("avg_qty_floor25"))
+        Banding.avg2(greatest(col("l_quantity"), lit(25.0)))
+          .as("avg_qty_floor25"))
 
   /** EXCEPT ALL (multiset difference — keeps duplicate cardinality). */
   def exceptAll(s: SparkSession, dir: String): DataFrame =
@@ -797,7 +854,8 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """SELECT p_brand, count(*) AS n_lines,
-        |  sum(l_extendedprice) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_type = 'SMALL'
         |  AND l_quantity < (SELECT avg(l2.l_quantity) / 5
@@ -820,10 +878,13 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """SELECT c_mktsegment, count(*) AS numcust,
-        |  sum(c_acctbal) AS totacctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |                   WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(c_acctbal)
+        |    FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
@@ -842,7 +903,7 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """SELECT supp_nation, cust_nation, l_year,
-        |  sum(volume) AS revenue
+        |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    year(l_shipdate) AS l_year,
@@ -871,8 +932,10 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """SELECT o_year,
-        |  sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-        |    / sum(volume) AS mkt_share
+        |  CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume
+        |                     ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS mkt_share
         |FROM (
         |  SELECT year(o_orderdate) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -899,7 +962,9 @@ object Relational {
   def productProfit(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql(
-      """SELECT nation, o_year, sum(amount) AS sum_profit
+      """SELECT nation, o_year,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_profit
         |FROM (
         |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
         |    l_extendedprice * (1 - l_discount)
@@ -925,7 +990,8 @@ object Relational {
     s.sql(
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -947,7 +1013,8 @@ object Relational {
   def discountedRevenue(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql(
-      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
         |       AND l_quantity BETWEEN 1 AND 20)
@@ -971,14 +1038,18 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql(
       """WITH v AS (
-        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))) AS DOUBLE) AS value
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'ASIA'
         |  GROUP BY l_partkey)
         |SELECT l_partkey, value FROM v
-        |WHERE value > (SELECT sum(value) * 0.001 FROM v)
+        |WHERE value > (SELECT
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+        |  FROM v)
         |""".stripMargin)
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Banding, Tables}
 import graft.functions.TextFunctions._
 
 /** Text-analysis query surface over the documents table: stats, quality,
@@ -73,7 +73,10 @@ object TextOps {
     toks.join(lm, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(col("lp")).as("avg_logprob"))
+        // per-token lp banded to DECIMAL(18,12) (qualityBuckets'
+        // device) so the doc mean is visit-order independent
+        (Banding.sumBand(col("lp"), 12) / count(lit(1)))
+          .as("avg_logprob"))
   }
 
   /** Sparse lexical retrieval: tf-idf cosine top-k for a query
@@ -104,7 +107,7 @@ object TextOps {
       .select(col("doc_id"), col("word"),
         (col("tf") * col("idf")).as("wgt"))
     val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+      .agg(sqrt(Banding.sumBand(col("wgt") * col("wgt"), 12)).as("nrm"))
     val qTerms = w.filter(col("doc_id") === queryDoc)
       .select(col("word"), col("wgt").as("qwgt"))
     val qNorm = norms.filter(col("doc_id") === queryDoc)
@@ -112,7 +115,7 @@ object TextOps {
     w.filter(col("doc_id") =!= queryDoc)
       .join(broadcast(qTerms), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("wgt") * col("qwgt")).as("dot"))
+      .agg(Banding.sumBand(col("wgt") * col("qwgt"), 12).as("dot"))
       .join(norms, Seq("doc_id"))
       .crossJoin(broadcast(qNorm)) // scalar side
       .select(col("doc_id"),
@@ -157,7 +160,7 @@ object TextOps {
         (col("tf") + lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl") / lit(avgdl)))).as("w"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("w")).as("score"))
+      .agg(Banding.sumBand(col("w"), 12).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.Tables
+import graft.{Banding, Tables}
 import graft.lake.LakeTable
 
 /** Streaming query surface: the SURVEY §7 step-4 minimum slice (file
@@ -117,7 +117,7 @@ object StreamingQueries {
       .parquet(s"$tmp/src")
       .groupBy(col("event_type"),
         pmod(col("user_id"), lit(10)).as("uid_bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"))
     // bucketed by the COMPOSITE MV key: a delta batch's upsert rewrite
     // touches only the bucket dirs holding its changed keys, so a
     // hot-key micro-batch can't scatter a rewrite across the table
@@ -145,7 +145,7 @@ object StreamingQueries {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"))
     withShufflePartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
@@ -180,7 +180,7 @@ object StreamingQueries {
       .join(org.apache.spark.sql.functions.broadcast(dim.read()),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"))
     withShufflePartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
@@ -210,7 +210,7 @@ object StreamingQueries {
     q.awaitTermination()
     table.read()
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
@@ -314,7 +314,7 @@ object StreamingQueries {
     val qname = "sess_" + UUID.randomUUID().toString.replace("-", "")
     val agg = eventsStream(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Banding.sum2(col("value")).as("sum_value"))
     withShufflePartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
@@ -408,7 +408,7 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     s.table(qname).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"),
         count(col("event_id")).as("n_ids"))
   }
 
@@ -428,7 +428,7 @@ object StreamingQueries {
     }
     s.table(qname)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"))
   }
 
   /** Partitioned LakeTable: hive-layout partitions by event_type, then a
@@ -445,7 +445,7 @@ object StreamingQueries {
     table.read()
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Banding.sum2(col("value")).as("sum_value"))
   }
 
   /** Batch LakeTable roundtrip: create, two appends (two snapshots),
@@ -459,6 +459,6 @@ object StreamingQueries {
     table.append(ev.filter(col("event_id") % 2 === 1))
     table.read()
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"), Banding.avg2(col("value")).as("avg_value"))
   }
 }

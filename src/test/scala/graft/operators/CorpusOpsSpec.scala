@@ -319,6 +319,42 @@ class CorpusOpsSpec extends SparkSuite {
     assert(viaBroadcast.forall(_._3 == 0L))
   }
 
+  test("temperatureMixture at 100k synthetic domains: no driver " +
+    "histogram, exact targets on a spot-checked skewed slice") {
+    // VERDICT r10 item 3: `domain` at web scale is a URL host, so the
+    // per-domain histogram must never be collect()ed. 100k domains:
+    // one fat head domain (1000 docs) + 99,999 singletons. With
+    // alpha=0.7 and budgetDivisor=1: total=100999, budget=100999,
+    // w_head=1000^0.7 (banded 125.892541), w_single=1, sumw =
+    // 99999 + 125.892541. Head target = min(1000, floor(budget *
+    // w_head / sumw)) — flattened well below its natural share;
+    // singleton target = min(1, floor(budget / sumw)) = 1.
+    val nDom = 100000
+    val head = spark.range(1000).select(
+      $"id".as("doc_id"), lit("host-0").as("lang"))
+    val tail = spark.range(1L, nDom.toLong).select(
+      ($"id" + 1000000L).as("doc_id"),
+      concat(lit("host-"), $"id").as("lang"))
+    val docs = head.unionByName(tail)
+    val sel = CorpusOps.temperatureMixture(
+      docs, alpha = 0.7, budgetDivisor = 1)
+    val byDom = sel.groupBy($"domain").count()
+    // every singleton keeps its one doc; the head is flattened to
+    // exactly floor(budget * w_head / sumw)
+    val sumw = 99999.0 + BigDecimal(math.pow(1000.0, 0.7))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val headK = math.floor(100999.0 *
+      BigDecimal(math.pow(1000.0, 0.7))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / sumw)
+      .toLong
+    assert(headK < 1000, "head must be flattened below natural count")
+    val got = byDom.filter($"domain" === "host-0").head().getLong(1)
+    assert(got == headK, s"head target $got != $headK")
+    assert(byDom.filter($"domain" =!= "host-0").agg(max($"count"))
+      .head().getLong(0) == 1L)
+    assert(sel.count() == headK + (nDom - 1))
+  }
+
   test("chunkDocs: hand-computed boundaries, full coverage, portability") {
     val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
       .toDF("doc_id", "text")
