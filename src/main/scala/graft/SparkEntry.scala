@@ -1030,6 +1030,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.Banding.sum2(col("value")).as("sum_value"))
     }),
+    // WRITE-AUDIT-PUBLISH branch (q156's movable sibling): curation
+    // output STAGES on a named branch — main consumers keep serving
+    // the pinned snapshot through two staged commits (an append AND a
+    // row-level delete) — the audit runs over readBranch, and publish
+    // fast-forwards main in ONE atomic step. The graded result holds
+    // all three phases (pinned main, staged view, published+late), so
+    // the oracle hash proves staging isolation end-to-end. At 100 TB
+    // this is how a curation batch ships: no consumer ever reads a
+    // half-audited corpus.
+    "q159_wap_branch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-wap")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.filter(col("event_type") =!= "purchase").repartition(4))
+      t.createBranch("curation")
+      t.append(ev.filter(col("event_type") === "purchase"))
+      t.deleteWhere(col("event_type") === "view")
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.Banding.sum2(col("value")).as("sum_value"))
+          .withColumn("phase", lit(phase))
+      val pinned = agg(t.read(), "main_pinned")
+      val staged = agg(t.readBranch("curation"), "staged")
+      t.publishBranch("curation")
+      val late = ev
+        .filter(col("event_type") === "error" && col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + 4000000000L)
+        .withColumn("event_type", lit("late"))
+      t.append(late)
+      pinned.unionByName(staged).unionByName(agg(t.read(), "published"))
+    }),
     // PARTITION-SPEC EVOLUTION (q152's mid-life sibling): the table
     // starts on days(ts), grows, and is re-declared hours(ts) WITHOUT
     // rewriting history — batch 1 keeps its day layout, batch 2 lands
@@ -2606,6 +2641,34 @@ object SparkEntry {
          FROM events, lo
          WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
          GROUP BY event_type""",
+    // Mirrors q159: the three WAP phases recomputed in SQL.
+    "q159_wap_branch" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         b1 AS (SELECT * FROM base WHERE event_type <> 'purchase'),
+         staged AS (SELECT * FROM b1 WHERE event_type <> 'view'
+           UNION ALL
+           SELECT * FROM base WHERE event_type = 'purchase'),
+         late AS (SELECT event_id + 4000000000 AS event_id, user_id,
+             'late' AS event_type, value
+           FROM base WHERE event_type = 'error' AND event_id % 7 = 0),
+         pub AS (SELECT * FROM staged UNION ALL SELECT * FROM late),
+         a AS (SELECT 'main_pinned' AS phase, event_type,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS sum_value
+           FROM b1 GROUP BY event_type),
+         b AS (SELECT 'staged' AS phase, event_type, count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS sum_value
+           FROM staged GROUP BY event_type),
+         c AS (SELECT 'published' AS phase, event_type, count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS sum_value
+           FROM pub GROUP BY event_type)
+         SELECT phase, event_type, n, sum_value FROM a
+         UNION ALL SELECT phase, event_type, n, sum_value FROM b
+         UNION ALL SELECT phase, event_type, n, sum_value FROM c""",
     // Mirrors q152: the same 3-day window, epochs invisible.
     "q158_spec_evolution" ->
       """WITH lo AS (SELECT

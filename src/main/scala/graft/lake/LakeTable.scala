@@ -540,7 +540,10 @@ class LakeTable private (
 
   // ---- read ----------------------------------------------------------
 
-  def read(): DataFrame = readVersion(currentVersion)
+  /** The MAIN-visible table: the latest snapshot, unless a WAP branch
+    * is staging — then the version pinned at `createBranch` (staged
+    * commits are invisible here until `publishBranch`). */
+  def read(): DataFrame = readVersion(mainVersion)
 
   /** Time travel by timestamp (Iceberg's `TIMESTAMP AS OF`): read the
     * latest snapshot committed at or before `tsMs`. Fails when the
@@ -844,7 +847,8 @@ class LakeTable private (
     * (CDC-style append diff — the snapshot log makes this a file-list
     * set difference, no data diffing). */
   def changesSince(fromVersion: Int): DataFrame =
-    changesBetween(fromVersion, currentVersion)
+    changesBetween(fromVersion, mainVersion) // WAP: staged commits
+                                             // are not deltas yet
 
   /** Fail an incremental read whose checkpoint lags the retention
     * policy, instead of the raw NoSuchFileException a vacuumed
@@ -947,8 +951,10 @@ class LakeTable private (
     // ONE snapshot read: schema, field ids, file list, and the
     // position-delete set must come from the same snapshot — separate
     // latest() calls could interleave with a commit and e.g. plan a
-    // just-added file against a delete set that predates it
-    val node = latest()._2
+    // just-added file against a delete set that predates it. Resolves
+    // the MAIN-visible snapshot (WAP pin while a branch stages).
+    val node = mapper.readTree(
+      Files.readString(versionPath(metaDir, mainVersion)))
     readEntries(
       pruneFilesAmong(filesOf(node), condition),
       DataTypeBridge.fromJson(node.get("schemaJson").asText()),
@@ -2526,7 +2532,9 @@ class LakeTable private (
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = currentVersion
     val cutoff = cur - keepLast + 1
-    val pinned = tags.values.toSet
+    // tags pin forever; an active WAP branch pins the main-visible
+    // version for the session's duration (publish/abandon releases it)
+    val pinned = tags.values.toSet ++ activeBranch.map(_._2)
     // tagged versions are PINNED: retention never expires a snapshot
     // a tag names, and the vacuum below keeps every file it
     // references — that is the tag's whole contract
@@ -2535,7 +2543,7 @@ class LakeTable private (
     // re-read tags immediately before deleting: a tag published since
     // the first read pins its version from here on (createTag runs the
     // mirror-image re-check after its write — see its comment)
-    val pinned2 = pinned ++ tags.values
+    val pinned2 = pinned ++ tags.values ++ activeBranch.map(_._2)
     val expired = doomed.filterNot(pinned2.contains)
     // deleteIfExists: two policy enforcers racing to expire the same
     // version must both succeed (the file being gone IS the goal)
@@ -2564,6 +2572,99 @@ class LakeTable private (
       s"invalid tag name '$name'")
     metaDir.resolve(s"tag-$name.json")
   }
+
+  // ---- BRANCH (write-audit-publish) ---------------------------------
+  //
+  // Iceberg's branch refs, scoped to what the curation pipelines need
+  // them for: STAGE a batch of commits, AUDIT them (CHECK constraints
+  // fire at write time; quality gates run any query over
+  // `readBranch`), then PUBLISH main atomically — or abandon without
+  // a trace on main. The mechanism is one marker object through the
+  // CommitStore seam: `createBranch` putIfAbsent-publishes
+  // `wap-active.json` recording the branch name and the main-visible
+  // version; while it exists,
+  // `read`/`readWhere`/`changesSince` serve that pinned version (so
+  // consumers — MVs, training jobs — never see staged data) while
+  // commits append to the snapshot log as usual; `publishBranch`
+  // DELETES the marker, atomically fast-forwarding main to the staged
+  // head (conditional delete: exactly one of any concurrent
+  // publishers wins). The snapshot log stays linear — a branch is a
+  // named WAP session, one active at a time (the second createBranch
+  // loses its putIfAbsent loudly), not a DAG of forks; that is the
+  // audit workflow's shape, and it keeps every existing commit-path
+  // invariant untouched.
+
+  // ONE well-known marker object (not per-name): every read resolves
+  // main through it, so it must be a single O(1) GET — a LIST per
+  // read would pay O(metadata objects) on the hot path. Single-name
+  // also makes "one session at a time" the store's own putIfAbsent
+  // guarantee rather than a check-then-act.
+  private def wapPath: Path = metaDir.resolve("wap-active.json")
+
+  /** The active WAP branch, if any: (name, pinned main version). */
+  def activeBranch: Option[(String, Int)] =
+    commitStore.read(wapPath).map { raw =>
+      val n = mapper.readTree(raw)
+      n.get("branch").asText() -> n.get("mainVersion").asInt()
+    }
+
+  /** The version `read()` serves: the WAP pin while a branch is
+    * staging, else the latest snapshot. */
+  def mainVersion: Int =
+    activeBranch.map(_._2).getOrElse(currentVersion)
+
+  /** Open a WAP session: pin main at the current snapshot and stage
+    * every subsequent commit on `name`. One session at a time (the
+    * log is linear); exactly one of any concurrent creators wins. */
+  def createBranch(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"),
+      s"invalid branch name '$name'")
+    val cur = currentVersion
+    val body = s"""{"branch":"$name","mainVersion":$cur,"createdAtMs":${
+      System.currentTimeMillis()}}"""
+    if (!commitStore.putIfAbsent(wapPath, body))
+      throw new IllegalStateException(
+        s"branch ${activeBranch.map(_._1).getOrElse("?")} is already " +
+          s"staging at $root (publish or abandon it first — the " +
+          "snapshot log is linear)")
+  }
+
+  /** The staged view: main's pinned content plus every commit staged
+    * since `createBranch` — what audits run against. */
+  def readBranch(name: String): DataFrame = {
+    requireActive(name)
+    readVersion(currentVersion)
+  }
+
+  /** Atomically fast-forward main to the staged head: one conditional
+    * delete of the marker — concurrent publishers serialize (exactly
+    * one wins), and a reader either still sees the pin or sees the
+    * full staged lineage, never a partial state. */
+  def publishBranch(name: String): Int = {
+    requireActive(name)
+    val head = currentVersion
+    require(commitStore.delete(wapPath),
+      s"branch $name already published or abandoned at $root")
+    head
+  }
+
+  /** Discard the staged commits: restore main's pinned file set as a
+    * NEW snapshot (rollback semantics — staged history stays
+    * retained until expiry), then release the pin. Order matters: the
+    * restore lands first, so a reader never sees staged data even in
+    * the instant between the two steps. */
+  def abandonBranch(name: String): Int = {
+    val (_, pinned) = requireActive(name)
+    val v = rollbackTo(pinned)
+    require(commitStore.delete(wapPath),
+      s"branch $name already published or abandoned at $root")
+    v
+  }
+
+  private def requireActive(name: String): (String, Int) =
+    activeBranch.filter(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch $name staging at $root"))
 
   /** Pin `version` under `name`. Fails if the tag exists (tags are
     * immutable — drop and recreate to move one) or the version is not
