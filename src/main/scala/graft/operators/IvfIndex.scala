@@ -118,14 +118,19 @@ object IvfIndex {
   }
 
   /** Deterministic training: k-means‖-style sampled seed + `iters`
-    * Lloyd rounds. MEASURED CAVEAT (tools/RecallScale, BENCH_NOTES
-    * r10): on near-isotropic corpora — data with no real cluster
-    * structure, like the synthetic fixture embeddings — the averaged
-    * Lloyd centers collapse toward the global mean and serve WORSE
-    * recall than [[trainPortable]]'s corpus-sample centers at every
-    * nprobe (.19 vs .79 at nprobe=1, equal cluster balance). Prefer
-    * trainPortable unless a recall measurement on the actual corpus
-    * shows Lloyd ahead. */
+    * Lloyd rounds. MEASURED IN BOTH REGIMES (tools/RecallScale,
+    * BENCH_NOTES r10 + r11): on near-isotropic corpora (no cluster
+    * structure, like the synthetic fixture) the averaged Lloyd
+    * centers collapse toward the global mean and serve WORSE recall
+    * than [[trainPortable]]'s corpus-sample centers at every nprobe
+    * (.19 vs .79 at nprobe=1); on a CLUSTERED fixture (64-Gaussian
+    * mixture, the regime Lloyd should win) both quantizers reach
+    * recall 1.0 by nprobe=4 and portable still leads at nprobe=1
+    * (.875 vs .800) — Lloyd's only measured edge is occupancy
+    * balance (max cluster 655 vs 1057 at c=64), which matters for
+    * tail latency, not recall. Default to trainPortable; reach for
+    * Lloyd when a probe-cost budget is dominated by the fattest
+    * cluster. */
   def train(vectors: DataFrame, c: Int, iters: Int = 3,
             embCol: String = "embedding", idCol: String = "vec_id"): Model = {
     var cents: Array[Array[Double]] = seedCentroids(vectors, c, embCol, idCol)

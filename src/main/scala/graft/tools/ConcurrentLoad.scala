@@ -204,11 +204,35 @@ object ConcurrentLoad {
         () => ())
     }
 
+    def wapLoop(root: String, s: SparkSession): Loop = {
+      // r11 shape: every batch ships through write-audit-publish —
+      // open a branch, stage an append (and periodically a
+      // copy-on-write delete), ASSERT the main view did not move (the
+      // staging-isolation contract, checked under full concurrent
+      // load), publish atomically. Exercises the WAP marker's
+      // putIfAbsent/delete path and pin-aware reads while six other
+      // loops hammer the same driver and scheduler.
+      val table = LakeTable.create(s, s"$root/t", ev.schema)
+      Loop("wap",
+        i => {
+          val mainBefore = table.read().count()
+          table.createBranch(s"b$i")
+          table.append(ev.filter(col("event_id") % Batches === i))
+          if (i % 3 == 2)
+            table.deleteWhere(col("user_id") % 60 === i % 60)
+          require(table.read().count() == mainBefore,
+            s"staged rows leaked to main in batch $i")
+          table.publishBranch(s"b$i")
+        },
+        () => table.dataCommitCount, () => table.read().count(),
+        () => ())
+    }
+
     val shapes: Seq[(String, (String, SparkSession) => Loop)] = Seq(
       "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
       "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _),
       "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _),
-      "gdpr" -> (gdprLoop _))
+      "gdpr" -> (gdprLoop _), "wap" -> (wapLoop _))
 
     // each loop runs in its OWN session (shared SparkContext, own
     // SQLConf) with shuffle partitions sized to its core share — N

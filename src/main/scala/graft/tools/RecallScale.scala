@@ -171,6 +171,131 @@ object RecallScale {
       report(f"ivfpq-refined kPrime=$kPrime%3d $metric nprobe=8", got)
     }
 
+    // ---- LSH derived-width sweep (mode=width): derived vs fixed ----
+    // bits across three corpus decades, on synthetic deterministic
+    // vectors — the proof behind SimilarityOps.derivedLshBits.
+    if (sys.env.get("SPARK_GRAFT_RECALL_MODE").contains("width")) {
+      import spark.implicits._
+      // two regimes: isotropic Gaussian (no neighbor structure — the
+      // adversarial floor) and a 64-center mixture (what embedding
+      // corpora actually look like). The cost column is the expected
+      // candidate count n * |ball| / 2^bits — recall is only
+      // comparable at comparable cost.
+      def ballSize(b: Int): Long = 1L + b + b.toLong * (b - 1) / 2
+      for (regime <- Seq("isotropic", "clustered");
+           n <- Seq(2000, 20000, 200000)) {
+        val rnd = new java.util.Random(7L)
+        val centers =
+          Array.fill(64)(Array.fill(64)(rnd.nextGaussian()))
+        val synth: Array[(Long, Array[Double])] =
+          Array.tabulate(n)(i =>
+            i.toLong -> (regime match {
+              case "isotropic" => Array.fill(64)(rnd.nextGaussian())
+              case _ =>
+                val ct = centers(rnd.nextInt(64))
+                ct.map(_ + 0.15 * rnd.nextGaussian())
+            }))
+        val sById = synth.toMap
+        val sdf = synth.map { case (id, v) =>
+          (id, v.map(_.toFloat).toSeq) }.toSeq
+          .toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            col("embedding").cast("array<float>"))
+          .repartition(32).cache()
+        sdf.count()
+        val sQids = synth.map(_._1).sortBy(id => (h(id), id)).take(Q)
+        val sGt: Map[Long, Set[Long]] = sQids.map { qid =>
+          val qv = sById(qid)
+          qid -> synth.filter(_._1 != qid)
+            .map { case (id, v) => (id, cos(v, qv)) }
+            .sortBy { case (id, c2) => (-c2, id) }
+            .take(k).map(_._1).toSet
+        }.toMap
+        def sRecall(got: Map[Long, Seq[Long]]): Double =
+          sQids.map(q2 =>
+            got.getOrElse(q2, Nil).count(sGt(q2)).toDouble / k)
+            .sum / sQids.length
+        val derived = SimilarityOps.derivedLshBits(n)
+        for (bits <- Seq(8, derived, 20).distinct) {
+          val got = sQids.map { q2 =>
+            val qdf = sdf.filter(col("vec_id") === q2)
+            val rest = sdf.filter(col("vec_id") =!= q2)
+            q2 -> SimilarityOps.lshTopK(rest, qdf, k, bits, 2)
+              .collect().map(_.getLong(0)).toSeq
+          }.toMap
+          val tag = if (bits == derived) "derived" else "fixed"
+          val expCand =
+            n.toDouble * ballSize(bits) / math.pow(2.0, bits)
+          println(f"lsh-width $regime%-9s N=$n%6d bits=$bits%2d " +
+            f"($tag%7s) recall@10=${sRecall(got)}%.3f " +
+            f"E[cand]=$expCand%.0f")
+        }
+        sdf.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    // ---- quantizer regime sweep (mode=cluster): portable corpus
+    // sample vs maximin+Lloyd on a CLUSTERED fixture (mixture of 32
+    // Gaussians) — finding 1 of r10 measured near-isotropic data,
+    // which structurally penalizes Lloyd; this is the other regime.
+    if (sys.env.get("SPARK_GRAFT_RECALL_MODE").contains("cluster")) {
+      import spark.implicits._
+      val n = 20000; val trueC = 32; val sigma = 0.15
+      val rnd = new java.util.Random(11L)
+      val centers = Array.fill(trueC)(Array.fill(64)(rnd.nextGaussian()))
+      val synth: Array[(Long, Array[Double])] = Array.tabulate(n) { i =>
+        val ct = centers(rnd.nextInt(trueC))
+        i.toLong -> ct.map(_ + sigma * rnd.nextGaussian())
+      }
+      val sById = synth.toMap
+      val sdf = synth.map { case (id, v) =>
+        (id, v.map(_.toFloat).toSeq) }.toSeq
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .repartition(32).cache()
+      sdf.count()
+      val sQids = synth.map(_._1).sortBy(id => (h(id), id)).take(Q)
+      val sGt: Map[Long, Set[Long]] = sQids.map { qid =>
+        val qv = sById(qid)
+        qid -> synth.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(v, qv)) }
+          .sortBy { case (id, c2) => (-c2, id) }
+          .take(k).map(_._1).toSet
+      }.toMap
+      def sRecall(got: Map[Long, Seq[Long]]): Double =
+        sQids.map(q2 =>
+          got.getOrElse(q2, Nil).count(sGt(q2)).toDouble / k)
+          .sum / sQids.length
+      for ((label, model) <- Seq(
+          "ivf-portable" -> IvfIndex.trainPortable(sdf, c),
+          "ivf-lloyd" -> IvfIndex.train(sdf, c, iters = 3))) {
+        val idx = IvfIndex.buildIndex(spark, sdf, model,
+          s"$dir/clustered-$label")
+        val sizes = IvfIndex.assign(sdf, model)
+          .groupBy("_cluster").count().select("count")
+          .collect().map(_.getLong(0)).sorted.reverse
+        println(s"clustered $label sizes: n=${sizes.length} " +
+          s"max=${sizes.head} median=${sizes(sizes.length / 2)}")
+        for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+          val qdf = sQids.map(q2 =>
+            (q2, sById(q2).map(_.toFloat).toSeq)).toSeq
+            .toDF("query_id", "embedding")
+            .select(col("query_id"),
+              col("embedding").cast("array<float>"))
+          val got = IvfIndex.searchPersistedBatch(idx, qdf, model,
+              k = k + 1, nprobe = nprobe)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1)
+            .map { case (q2, rows) =>
+              q2 -> rows.map(_._2).filter(_ != q2).take(k).toSeq }
+          println(f"clustered $label%-14s nprobe=$nprobe%2d " +
+            f"recall@10=${sRecall(got)}%.3f")
+        }
+      }
+      spark.stop(); return
+    }
+
     // ---- LSH: seeded + portable, bits x radius ---------------------
     for (portable <- Seq(false, true); bits <- Seq(8, 16);
          radius <- Seq(1, 2)) {

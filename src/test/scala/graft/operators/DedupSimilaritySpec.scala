@@ -11,6 +11,26 @@ class DedupSimilaritySpec extends SparkSuite {
   lazy val docs = Tables.load(spark, sf, "documents").cache()
   lazy val emb = Tables.load(spark, sf, "embeddings").cache()
 
+  test("derivedLshBits tracks log2(N) with clamps; lshTopKAuto equals " +
+    "lshTopK at the derived width") {
+    // round(log2 N) - 3, clamped to [4, 24]
+    assert(SimilarityOps.derivedLshBits(100) == 4)     // 7 - 3
+    assert(SimilarityOps.derivedLshBits(2000) == 8)    // 11 - 3
+    assert(SimilarityOps.derivedLshBits(20000) == 11)  // 14 - 3
+    assert(SimilarityOps.derivedLshBits(200000) == 15) // 18 - 3
+    assert(SimilarityOps.derivedLshBits(1L << 40) == 24) // clamp hi
+    assert(SimilarityOps.derivedLshBits(8) == 4)         // clamp lo
+    val q = emb.filter($"vec_id" === 0L)
+    val rest = emb.filter($"vec_id" =!= 0L)
+    val n = rest.count()
+    val auto = SimilarityOps.lshTopKAuto(rest, q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val manual = SimilarityOps.lshTopK(rest, q, 5,
+        bits = SimilarityOps.derivedLshBits(n))
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto == manual)
+  }
+
   test("semantic dedup: deterministic clustering, seeds self-cluster, " +
     "planted duplicate dropped, equality with brute force") {
     val got = SimilarityOps.semanticDedup(emb, k = 8, threshold = 0.35)
