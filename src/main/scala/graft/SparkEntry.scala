@@ -1039,6 +1039,129 @@ object SparkEntry {
     // the oracle hash proves staging isolation end-to-end. At 100 TB
     // this is how a curation batch ships: no consumer ever reads a
     // half-audited corpus.
+    // DELETE-AWARE LEXICAL INDEX MV (q162): the q136 commit-log loop
+    // upgraded to CDC — a GDPR equality delete on the source
+    // PROPAGATES to the serving BM25 index (the insert-only loop can
+    // grow an index but structurally cannot shrink one). The delete
+    // step consumes the row-level changelog (a key semi-join, no diff
+    // shuffle) and lands as equality deletes on postings + docstats:
+    // O(|keys|), zero index files rewritten, and df/N/avgdl reflect
+    // the removal instantly because they derive from stored rows.
+    // Oracle: the q135/q136 BM25 math over the SURVIVOR corpus.
+    "q162_lexical_cdc_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-lexcdc")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", docs.schema)
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), docs.schema)
+      val (pt, dt) = TextOps.buildLexicalIndex(s, empty, s"$dir/idx")
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(docs.filter(col("doc_id") % 2 === 0))
+      mv.startLexicalIndexCdc("lexcdc", src, pt, dt).awaitTermination()
+      src.append(docs.filter(col("doc_id") % 2 =!= 0))
+      src.deleteWhereEqual(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), Seq("doc_id"))
+      mv.startLexicalIndexCdc("lexcdc", src, pt, dt).awaitTermination()
+      TextOps.bm25FromIndex(pt, dt, queryDoc = 0L, k = 10)
+    }),
+    // DELETE-AWARE VECTOR INDEX MV (q163): q162's dense-axis twin —
+    // forgotten vectors leave the serving IVF inverted lists via an
+    // equality delete on vec_id, and the partition-pruned serve
+    // (searchPersisted) answers over exactly the survivors. Centers
+    // stay frozen (trained pre-delete — the serving-time IVF
+    // contract), so the oracle is q132's pipeline with the forgotten
+    // ids filtered from the candidate set.
+    "q163_vector_cdc_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.load(s, d, "embeddings")
+      val model = IvfIndex.trainPortable(e, c = 8)
+      val vecs = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-veccdc")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", vecs.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        IvfIndex.assign(vecs, model).schema,
+        properties = graft.lake.LakeTable.autoCompactProps(model.c),
+        partitionBy = Seq("_cluster"))
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(vecs.filter(col("vec_id") % 2 === 0))
+      mv.startVectorIndexCdc("veccdc", src, index, model)
+        .awaitTermination()
+      src.append(vecs.filter(col("vec_id") % 2 =!= 0))
+      src.deleteWhereEqual(vecs.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")), Seq("vec_id"))
+      mv.startVectorIndexCdc("veccdc", src, index, model)
+        .awaitTermination()
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 2)
+    }),
+    // METADATA TABLES (q160): the lake introspects ITSELF — per-
+    // partition row totals come from the manifest stats the pruner
+    // trusts (no data file opened: the whole answer is metadata), and
+    // per-snapshot operations are DERIVED by diffing each retained
+    // snapshot against its predecessor. The oracle recomputes both
+    // from raw data in SQL, so this grades (a) manifest row stats
+    // stay exact through partitioned appends AND a copy-on-write
+    // delete's survivor rewrite, (b) the operation classifier tells
+    // append/delete apart by file-set + row-total evidence alone.
+    "q160_meta_tables" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-meta")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema,
+        partitionBy = Seq("event_type"))
+      t.append(ev.repartition(4)) // v1
+      t.append(ev.filter(col("event_type") =!= "view")
+        .withColumn("event_id", col("event_id") + 1000000000L)) // v2
+      t.deleteWhere(col("event_type") === "error" &&
+        col("event_id") < 1000000000L) // v3: CoW rewrite
+      val parts = t.meta("partitions")
+        .select(lit("partition").as("kind"), col("partition").as("key"),
+          col("row_count"))
+      val snaps = t.meta("snapshots")
+        .select(lit("snapshot").as("kind"),
+          concat(lit("v"), col("version").cast("string"), lit(":"),
+            col("operation")).as("key"),
+          col("rows").as("row_count"))
+      parts.unionByName(snaps)
+    }),
+    // ROW-LEVEL CHANGELOG (q161): net `_change_type`-tagged diff
+    // between two snapshots of a table that took a GDPR equality
+    // delete, a post-delete late append (out of the delete's sequence
+    // scope), and a merge-on-read upsert — the feed a downstream
+    // index/replica needs to mirror deletes, which the insert-only
+    // incremental feed (changesBetween, q71/q84) structurally cannot
+    // carry. Computed over CHANGED FILES only: at 100 TB the diff
+    // touches the delta, never the table. Oracle: the four commits'
+    // net row algebra recomputed in SQL.
+    "q161_changelog" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
+      val t = graft.lake.LakeTable.create(s, s"$dir/events", ev.schema)
+      t.append(ev.repartition(4)) // v1: baseline
+      t.deleteWhereEqual(ev.filter(col("user_id") % 53 === 7)
+        .select(col("user_id")).distinct(), Seq("user_id")) // v2: forget
+      t.append(ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 9 === 0)
+        .withColumn("event_id", col("event_id") + 2000000000L)
+        .withColumn("event_type", lit("late"))) // v3: late, incl. forgotten
+      t.upsertMor(ev
+        .filter(col("event_type") === "click" && col("event_id") % 4 === 0 &&
+          col("user_id") % 53 =!= 7)
+        .withColumn("event_type", lit("adjusted"))
+        .withColumn("value", col("value") * 2), Seq("event_id")) // v4
+      t.readChangelog(1, 4)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Banding.sum2(col("value")).as("sum_value"))
+    }),
     "q159_wap_branch" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -1550,7 +1673,15 @@ object SparkEntry {
     * probe top-2 both break ties to the LOWER centroid index
     * (row_number ORDER BY cos DESC, cidx), matching the kernel's
     * strict-greater scan and probeIds' stable sort. */
-  private val ivfPortableOracle: String = {
+  private val ivfPortableOracle: String = ivfPortableOracleWhere("")
+
+  /** q132/q138's IVF serve math with an extra candidate predicate —
+    * the CDC-MV variant (q163) serves the SURVIVOR corpus after a
+    * GDPR delete, so its oracle is the same pipeline with the
+    * forgotten ids filtered out of the candidate set (centers still
+    * derive from the full corpus: the frozen model is trained before
+    * the delete, exactly like the engine's). */
+  private def ivfPortableOracleWhere(extraCand: String): String = {
     def dot(a: String, b: String): String = sqlDot(a, b)
     def cos(d: String, na: String, nb: String): String = sqlCos(d, na, nb)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1575,7 +1706,7 @@ object SparkEntry {
               ${dot("x.v", "x.v")} AS na, ${dot("q.qv", "q.qv")} AS nb
               FROM e x JOIN asg a ON x.vec_id = a.vec_id, q
               WHERE x.vec_id <> 0
-                AND a.cluster IN (SELECT cidx FROM probes))
+                AND a.cluster IN (SELECT cidx FROM probes)$extraCand)
        SELECT vec_id, ${cos("dt", "na", "nb")} AS cos
        FROM cand ORDER BY cos DESC, vec_id LIMIT 10"""
   }
@@ -2023,10 +2154,17 @@ object SparkEntry {
     * the maintenance MV change WHERE the statistics live, not what
     * they are — with N = docs having tokens (what docstats stores)
     * and the q131 DECIMAL(18,12) score banding. */
-  private val bm25PersistedOracle: String =
-    """WITH toks AS (SELECT doc_id, u.w AS word
+  private val bm25PersistedOracle: String = bm25PersistedOracleWhere("")
+
+  /** The same BM25-from-index math over a corpus SLICE — the CDC-MV
+    * variant (q162) serves the survivors of a GDPR delete, and all
+    * statistics (df, N, avgdl) must reflect the removal because they
+    * derive from stored rows. `corpusWhere` filters the source docs
+    * (e.g. " WHERE doc_id % 7 <> 3"). */
+  private def bm25PersistedOracleWhere(corpusWhere: String): String =
+    s"""WITH toks AS (SELECT doc_id, u.w AS word
            FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents), unnest(ws) AS u(w)
+                 FROM documents$corpusWhere), unnest(ws) AS u(w)
            WHERE u.w != ''),
        tf AS (SELECT doc_id, word, count(*) AS tf
               FROM toks GROUP BY 1, 2),
@@ -2641,6 +2779,70 @@ object SparkEntry {
          FROM events, lo
          WHERE epoch_us(ts) >= a AND epoch_us(ts) < b
          GROUP BY event_type""",
+    // Mirrors q162: BM25 from the index over the survivor corpus —
+    // all statistics recomputed without the forgotten documents.
+    "q162_lexical_cdc_mv" ->
+      bm25PersistedOracleWhere(" WHERE doc_id % 7 <> 3"),
+    // Mirrors q163: the IVF serve with forgotten ids out of the
+    // candidate set (frozen full-corpus centers, like the engine).
+    "q163_vector_cdc_mv" ->
+      ivfPortableOracleWhere("\n                AND x.vec_id % 7 <> 3"),
+    // Mirrors q160: per-partition totals and per-snapshot referenced
+    // row counts recomputed from raw data — v1 all rows, v2 adds the
+    // shifted non-view batch, v3's copy-on-write delete removes
+    // exactly v1's error rows.
+    "q160_meta_tables" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         b2 AS (SELECT event_id + 1000000000 AS event_id, user_id,
+             event_type, value
+           FROM base WHERE event_type <> 'view'),
+         allr AS (SELECT * FROM base UNION ALL SELECT * FROM b2),
+         fin AS (SELECT * FROM allr
+           WHERE NOT (event_type = 'error' AND event_id < 1000000000)),
+         parts AS (SELECT 'partition' AS kind,
+             'event_type=' || event_type AS key,
+             count(*) AS row_count
+           FROM fin GROUP BY event_type),
+         snaps AS (
+           SELECT 'snapshot' AS kind, 'v0:create' AS key,
+             0::BIGINT AS row_count
+           UNION ALL SELECT 'snapshot', 'v1:append',
+             (SELECT count(*) FROM base)
+           UNION ALL SELECT 'snapshot', 'v2:append',
+             (SELECT count(*) FROM allr)
+           UNION ALL SELECT 'snapshot', 'v3:delete',
+             (SELECT count(*) FROM fin))
+         SELECT kind, key, row_count FROM parts
+         UNION ALL SELECT kind, key, row_count FROM snaps""",
+    // Mirrors q161: the net row algebra of forget + late append +
+    // MOR upsert. Deletes = forgotten users' baseline rows plus the
+    // old versions of surviving upserted clicks; inserts = the late
+    // batch (whole — appended after the delete's sequence) plus the
+    // adjusted click rows.
+    "q161_changelog" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+           FROM events),
+         forg AS (SELECT * FROM base WHERE user_id % 53 = 7),
+         sclk AS (SELECT * FROM base
+           WHERE event_type = 'click' AND event_id % 4 = 0
+             AND user_id % 53 <> 7),
+         dels AS (SELECT * FROM forg UNION ALL SELECT * FROM sclk),
+         late AS (SELECT event_id + 2000000000 AS event_id, user_id,
+             'late' AS event_type, value
+           FROM base WHERE event_type = 'purchase' AND event_id % 9 = 0),
+         adj AS (SELECT event_id, user_id, 'adjusted' AS event_type,
+             value * 2 AS value FROM sclk),
+         ins AS (SELECT * FROM late UNION ALL SELECT * FROM adj)
+         SELECT 'delete' AS _change_type, event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) AS sum_value
+         FROM dels GROUP BY event_type
+         UNION ALL
+         SELECT 'insert', event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) AS sum_value
+         FROM ins GROUP BY event_type""",
     // Mirrors q159: the three WAP phases recomputed in SQL.
     "q159_wap_branch" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value

@@ -930,6 +930,197 @@ class LakeTable private (
     readEntries(newEntries.result(), toSchema, toFids)
   }
 
+  /** True iff snapshot `v` may have REMOVED rows relative to its
+    * predecessor (new merge-on-read delete entries, or data files
+    * dropped/rewritten) — the cheap metadata gate a CDC consumer uses
+    * to skip the delete half of a changelog step on pure appends
+    * (the overwhelmingly common commit). Conservative: a compaction
+    * answers true and the changelog then proves the zero. */
+  def versionRemovesRows(v: Int): Boolean = {
+    if (v <= 0) return false
+    requireRetained(v); requireRetained(v - 1)
+    val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+    val p = mapper.readTree(Files.readString(versionPath(metaDir, v - 1)))
+    val prevD = deletesOf(p).map(_.path).toSet
+    val paths = filesOf(n).map(_.path).toSet
+    deletesOf(n).exists(e => !prevD.contains(e.path)) ||
+      filesOf(p).exists(f => !paths.contains(f.path))
+  }
+
+  // ---- ROW-LEVEL CHANGELOG (Iceberg changelog scan / Delta CDF) ------
+  //
+  // [[changesBetween]] is the INSERT-ONLY incremental feed (what a
+  // curation MV consumes; re-emission allowed, deletes invisible).
+  // This is the full-fidelity sibling: NET row-level changes between
+  // two retained snapshots, each row tagged `_change_type` `insert` or
+  // `delete` — what a downstream index, replica, or audit needs to
+  // stay exactly in sync with a table that takes merge-on-read
+  // deletes and upserts (a GDPR forget MUST propagate as deletes; the
+  // insert-only feed structurally cannot carry it).
+  //
+  // Cost is the whole design: the diff runs over CHANGED FILES ONLY.
+  // A data file contributes identically to both snapshots iff it is
+  // present in both with the same effective delete scope (the set of
+  // delete files applying to it — position deletes by `covers`,
+  // equality deletes by seq predicate), so those files cancel out of
+  // the multiset difference BY METADATA and are never read. Pure
+  // appends therefore cost O(new files) with no shuffle at all (fast
+  // path below); a merge-on-read delete costs O(files it covers). A
+  // compaction in range nets to ZERO rows — an all-compaction range
+  // short-circuits to empty by the `compaction=true` marker; a mixed
+  // range pays a diff of the rewritten files to prove the zero
+  // (cost O(rewritten in range), correctness unconditional — rewrites
+  // rename files, so path identity cannot cancel them by metadata).
+  // At 100 TB the changelog for a daily delta touches the delta,
+  // never the table.
+  //
+  // Net semantics: a row inserted then deleted INSIDE the range emits
+  // nothing; an upsert emits the old version as `delete` and the new
+  // as `insert`. Schema changes in range are aligned by FIELD ID onto
+  // the `to` snapshot's column set (renamed columns diff as one
+  // column; columns added in range surface `from`-side rows as null,
+  // exactly how a reader of the new schema sees them).
+  def readChangelog(fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changelog range is [from <= to], got ($fromVersion, $toVersion)")
+    requireRetained(fromVersion); requireRetained(toVersion)
+    val nF = mapper.readTree(
+      Files.readString(versionPath(metaDir, fromVersion)))
+    val nT = mapper.readTree(
+      Files.readString(versionPath(metaDir, toVersion)))
+    // all-compaction range: row-preserving by the strict-replace
+    // commit contract, so the changelog is empty by metadata alone
+    val steps = (fromVersion + 1) to toVersion
+    if (steps.nonEmpty &&
+        steps.forall(v => Files.exists(versionPath(metaDir, v))) &&
+        steps.forall { v =>
+          Option(mapper.readTree(Files.readString(versionPath(metaDir, v)))
+            .get("appMeta"))
+            .flatMap(m => Option(m.get("compaction")))
+            .exists(_.asText() == "true")
+        }) {
+      val sT0 = DataTypeBridge.fromJson(nT.get("schemaJson").asText())
+      return readEntries(Nil, sT0, fieldIdsOf(nT))
+        .withColumn("_change_type", lit("insert"))
+    }
+    val filesF = filesOf(nF); val filesT = filesOf(nT)
+    val delF = deletesOf(nF); val delT = deletesOf(nT)
+    // Effective delete scope of one data file under one snapshot's
+    // delete set — the METADATA identity that decides whether the
+    // file's visible rows can differ between the snapshots. Equality
+    // deletes key on the seq predicate (e.seq > f.seq), position
+    // deletes on explicit covers; the sorted delete-file paths are a
+    // stable fingerprint because delete files are immutable and
+    // UUID-named (same reasoning as the manifest cache).
+    def scope(f: FileEntry, dels: Seq[DeleteEntry]): Set[String] =
+      dels.collect {
+        case e if e.kind == "eq" && e.seq > f.seq => e.path
+        case e if e.kind != "eq" && e.covers.contains(f.path) => e.path
+      }.toSet
+    val scopeF = filesF.map(f => f.path -> scope(f, delF)).toMap
+    val scopeT = filesT.map(f => f.path -> scope(f, delT)).toMap
+    val unchanged: Set[String] = filesF.collect {
+      case f if scopeT.get(f.path).contains(scopeF(f.path)) => f.path
+    }.toSet
+    // GDPR fast path: a file present in BOTH snapshots whose scope
+    // grew ONLY by equality deletes sharing one key-column set can
+    // only have LOST rows, and exactly those matching the entries'
+    // committed keys — so its deletes come from one key semi-join
+    // (broadcast-sized right side) instead of a two-sided multiset
+    // diff. A "forget these users" commit on a large table thus
+    // produces its changelog with ZERO exceptAll shuffles: one scan
+    // of the covered files, key-filtered map-side. Excluding these
+    // files from the general diff preserves it exactly: they appear
+    // on both sides with identical surviving-row multisets, which
+    // cancel regardless.
+    val delTByPath = delT.map(e => e.path -> e).toMap
+    val pathsT = filesT.map(_.path).toSet
+    val grewByEq: Map[Seq[String], Seq[FileEntry]] = filesF
+      .filter(f => pathsT.contains(f.path) && !unchanged.contains(f.path))
+      .flatMap { f =>
+        val added = (scopeT(f.path) -- scopeF(f.path)).toSeq.sorted
+        val shrank = (scopeF(f.path) -- scopeT(f.path)).nonEmpty
+        val es = added.flatMap(delTByPath.get)
+        if (!shrank && es.nonEmpty && es.size == added.size &&
+            es.forall(e => e.kind == "eq" &&
+              e.keyCols == es.head.keyCols))
+          Some(added -> f)
+        else None
+      }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
+    val fastPaths: Set[String] =
+      grewByEq.values.flatten.map(_.path).toSet
+    val chF = filesF.filterNot(f =>
+      unchanged.contains(f.path) || fastPaths.contains(f.path))
+    val chT = filesT.filterNot(f =>
+      unchanged.contains(f.path) || fastPaths.contains(f.path))
+    val sT = DataTypeBridge.fromJson(nT.get("schemaJson").asText())
+    val idsT = fieldIdsOf(nT)
+    val sF = DataTypeBridge.fromJson(nF.get("schemaJson").asText())
+    val idsF = fieldIdsOf(nF)
+    val ct = "_change_type"
+    val fastDeletes: Option[DataFrame] =
+      if (grewByEq.isEmpty) None
+      else Some(grewByEq.map { case (entryPaths, fs) =>
+        val keyCols = delTByPath(entryPaths.head).keyCols
+        val keySchema = StructType(keyCols.map(c => sF(c)).toSeq)
+        val keys = spark.read.schema(keySchema)
+          .parquet(entryPaths.map(p => s"$root/$p"): _*)
+        val base = readEntries(fs, sF, idsF, deletes = delF)
+        // null-safe equality on the key tuple — Iceberg eq-delete
+        // semantics, identical to the read path's anti-join
+        val cond = keyCols.map(c => base(c) <=> keys(c)).reduce(_ && _)
+        alignByFieldId(base.join(keys, cond, "left_semi"),
+          sF, idsF, sT, idsT)
+      }.reduce(_ unionByName _))
+    def withFast(df: DataFrame): DataFrame = fastDeletes match {
+      case Some(fd) => df.unionByName(fd.withColumn(ct, lit("delete")))
+      case None => df
+    }
+    // deletes visible on changed from-files still apply (covers /
+    // seq-scoped inside readEntries, restricted to the subset read)
+    def side(entries: Seq[FileEntry], n: JsonNode,
+             dels: Seq[DeleteEntry]): DataFrame = {
+      val s = DataTypeBridge.fromJson(n.get("schemaJson").asText())
+      val df = readEntries(entries, s, fieldIdsOf(n), deletes = dels)
+      alignByFieldId(df, s, fieldIdsOf(n), sT, idsT)
+    }
+    if (chF.isEmpty && chT.isEmpty)
+      return withFast(side(Nil, nT, Nil).withColumn(ct, lit("insert")))
+    if (chF.isEmpty) // pure append(s): no diff shuffle, scan new files
+      return withFast(side(chT, nT, delT).withColumn(ct, lit("insert")))
+    val before = side(chF, nF, delF)
+    val after = side(chT, nT, delT)
+    if (chT.isEmpty)
+      return withFast(before.withColumn(ct, lit("delete")))
+    withFast(after.exceptAll(before).withColumn(ct, lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn(ct, lit("delete"))))
+  }
+
+  /** Project `df` (read under `(fromSchema, fromIds)`) onto the `to`
+    * column set, matching columns BY FIELD ID — the changelog's two
+    * sides must diff under one schema even when a rename/add/widen
+    * landed inside the range. Columns added after `from` surface as
+    * null; columns dropped before `to` drop out of the diff (their
+    * retired values are unobservable under the `to` schema, which is
+    * the changelog's contract). */
+  private def alignByFieldId(df: DataFrame, fromSchema: StructType,
+                             fromIds: Map[String, Int],
+                             toSchema: StructType,
+                             toIds: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    if (fromSchema == toSchema && fromIds == toIds) return df
+    val nameById = fromIds.map(_.swap)
+    df.select(toSchema.fields.toIndexedSeq.map { f =>
+      toIds.get(f.name).flatMap(nameById.get)
+        .filter(n => fromSchema.fieldNames.contains(n)) match {
+        case Some(fromName) =>
+          fcol(s"`$fromName`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
   /** Metadata-pruned read, Iceberg-manifest-style: every data file
     * carries per-column [lo, hi] footer stats in the snapshot, so files
     * whose ranges PROVE no row can match `condition` are dropped before
@@ -1693,7 +1884,27 @@ class LakeTable private (
     * semantics) or after (out of scope); there are no positions to go
     * stale. Returns the committed version (unchanged for empty
     * keys). */
-  def deleteWhereEqual(keys: DataFrame, keyCols: Seq[String]): Int = {
+  def deleteWhereEqual(keys: DataFrame, keyCols: Seq[String]): Int =
+    deleteWhereEqualWith(keys, keyCols, guard = None, extraMeta = Map.empty)
+
+  /** [[deleteWhereEqual]] with the (writerId, batchId) exactly-once
+    * guard of [[appendExactlyOnce]] — what a CDC consumer mirroring
+    * deletes into a downstream index needs: a replayed micro-batch
+    * must NOT re-commit the equality delete, because the re-issued
+    * entry would carry a fresh (higher) sequence number and kill
+    * rows legitimately re-inserted since the original commit. */
+  def deleteWhereEqualExactlyOnce(keys: DataFrame, keyCols: Seq[String],
+                                  writerId: String, batchId: Long): Int = {
+    val key = writerKey(writerId)
+    if (highWater(key).exists(_ >= batchId)) currentVersion
+    else deleteWhereEqualWith(keys, keyCols,
+      Some(MonotoneGuard(key, batchId)),
+      Map(BatchIdKey -> batchId.toString, WriterIdKey -> writerId))
+  }
+
+  private def deleteWhereEqualWith(keys: DataFrame, keyCols: Seq[String],
+                                   guard: Option[CommitGuard],
+                                   extraMeta: Map[String, String]): Int = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "equality delete requires key columns")
     val s = schema
@@ -1722,8 +1933,8 @@ class LakeTable private (
       rowsByRel(r), covers = Nil, kind = "eq", keyCols = keyCols))
     commitWith(None, Set.empty,
       Map("delete.equality" -> keyCols.mkString(","),
-        "delete.rows" -> rowsByRel.values.sum.toString),
-      guard = None, alter = Some((sc, ids) => (sc, ids)),
+        "delete.rows" -> rowsByRel.values.sum.toString) ++ extraMeta,
+      guard = guard, alter = Some((sc, ids) => (sc, ids)),
       newDeletes = entries)
   }
 
@@ -2722,6 +2933,121 @@ class LakeTable private (
   /** Read the exact snapshot a tag pins (schema, files, and
     * merge-on-read delete set all as of that version). */
   def readTag(name: String): DataFrame = readVersion(tagVersion(name))
+
+  // ---- METADATA TABLES (Iceberg's inspection surface) ----------------
+  //
+  // The lake's own state served back as DataFrames, so operators and
+  // audits query table health with the same API they query data
+  // (Iceberg's `db.table.files` / `.snapshots` / `.partitions` /
+  // `.refs`; crest exposes none of this — its catalog is the only
+  // introspection and it answers schema, not state). Everything here
+  // is served from the SNAPSHOT METADATA ALREADY ON THE DRIVER for
+  // query planning — no data file is opened, so `meta("partitions")`
+  // on a 100 TB table costs exactly what planning one read costs, and
+  // per-partition row counts come from the same manifest stats the
+  // pruner trusts. The one caveat is inherited from [[snapshots]]:
+  // `rows` totals are REFERENCED file rows; live merge-on-read delete
+  // files are listed (kind `delete_files`) but not subtracted — an
+  // exact live count needs a read, because concurrently-committed
+  // overlapping deletes may name the same position twice.
+
+  /** Metadata table for the CURRENT snapshot. Kinds:
+    * `snapshots` (version, committed_at_ms, operation, num_files,
+    * num_delete_files, rows, size_bytes — over all retained
+    * versions), `files`, `delete_files`, `partitions`, `manifests`,
+    * `refs`. The `operation` column is derived by diffing each
+    * retained snapshot against its predecessor (append / delete /
+    * overwrite / replace / alter; `create` for v0, `unknown` when the
+    * predecessor is expired), so it stays truthful even for snapshots
+    * committed by pre-metadata-table writers. */
+  def meta(kind: String): DataFrame = meta(kind, currentVersion)
+
+  /** Metadata table as of a specific retained snapshot (time travel
+    * over metadata — `meta("files", taggedVersion)` answers "what did
+    * the corpus physically look like at the v3 training run"). */
+  def meta(kind: String, version: Int): DataFrame = {
+    requireRetained(version)
+    val node = mapper.readTree(
+      Files.readString(versionPath(metaDir, version)))
+    val sp = spark
+    import sp.implicits._
+    // partition identity of one file: its hive-style `k=v` path
+    // segments only (the data-dir prefix and bucket subdirs are
+    // layout, not partition spec); "" for unpartitioned files
+    def partOf(path: String): String =
+      path.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
+    kind match {
+      case "files" =>
+        filesOf(node)
+          .map(f => (f.path, partOf(f.path), f.rows, f.sizeBytes, f.seq))
+          .toDF("path", "partition", "rows", "size_bytes", "seq")
+      case "delete_files" =>
+        deletesOf(node)
+          .map(e => (e.path, e.kind, e.rows, e.seq, e.covers.size,
+            e.keyCols.mkString(",")))
+          .toDF("path", "kind", "rows", "seq", "covers", "key_cols")
+      case "partitions" =>
+        filesOf(node).groupBy(f => partOf(f.path)).toSeq
+          .map { case (part, fs) =>
+            (part, fs.size.toLong, fs.map(_.rows).sum,
+              fs.map(_.sizeBytes).sum)
+          }
+          .toDF("partition", "file_count", "row_count", "size_bytes")
+      case "manifests" =>
+        (manifestRefsOf(node).getOrElse(Nil).map(r => (r.path, "data",
+          r.entries)) ++
+          deleteRefsOf(node).map(r => (r.path, "delete", r.entries)))
+          .toDF("path", "kind", "entries")
+      case "refs" =>
+        (Seq(("main", "branch", version)) ++
+          activeBranch.map { case (n, v) => (n, "wap-branch", v) } ++
+          tags.toSeq.map { case (n, v) => (n, "tag", v) })
+          .toDF("name", "type", "version")
+      case "snapshots" =>
+        val retained = (0 to currentVersion)
+          .filter(v => Files.exists(versionPath(metaDir, v)))
+        val rows = retained.map { v =>
+          val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+          val fs = filesOf(n)
+          val ds = deletesOf(n)
+          val op: String =
+            if (v == 0) "create"
+            else if (!Files.exists(versionPath(metaDir, v - 1))) "unknown"
+            else {
+              val p = mapper.readTree(
+                Files.readString(versionPath(metaDir, v - 1)))
+              val prevFiles = filesOf(p)
+              val prevF = prevFiles.map(_.path).toSet
+              val prevD = deletesOf(p).map(_.path).toSet
+              val added = fs.exists(f => !prevF.contains(f.path))
+              val removed = prevF.exists(pp => !fs.exists(_.path == pp))
+              val newDel = ds.exists(e => !prevD.contains(e.path))
+              val shrank = fs.map(_.rows).sum < prevFiles.map(_.rows).sum
+              val isCompaction = Option(n.get("appMeta"))
+                .flatMap(m => Option(m.get("compaction")))
+                .exists(_.asText() == "true")
+              // a rewrite that both adds and removes is a DELETE when
+              // referenced rows shrank (copy-on-write delete rewrites
+              // survivors); an upsert's source covers every matched
+              // key, so overwrites never shrink the referenced total
+              if (isCompaction) "replace"
+              else if (newDel && added) "overwrite"
+              else if (newDel) "delete"
+              else if (removed && added) { if (shrank) "delete" else "overwrite" }
+              else if (removed) "delete"
+              else if (added) "append"
+              else "alter"
+            }
+          (v, n.get("committedAtMs").asLong(), op, fs.size,
+            ds.size, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum)
+        }
+        rows.toDF("version", "committed_at_ms", "operation", "num_files",
+          "num_delete_files", "rows", "size_bytes")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (expected snapshots, files, " +
+          "delete_files, partitions, manifests, refs)")
+    }
+  }
 
   /** Garbage-collect files no snapshot references: leftovers from
     * crashed writers (written but never committed — the failure mode the

@@ -219,6 +219,22 @@ object IvfIndex {
     v
   }
 
+  /** GDPR propagation to the SERVING ANN index: remove vectors by id
+    * via a merge-on-read EQUALITY delete — O(|keys|) commit, zero
+    * inverted-list files rewritten, no scan (partition-pruned serving
+    * applies the delete as a key anti-join; the list compaction gate
+    * absorbs it physically later). Exactly-once per (writerId,
+    * batchId) — a replayed batch must not re-commit at a fresh
+    * sequence number and kill re-inserted vectors. */
+  def removeFromIndex(index: graft.lake.LakeTable, ids: DataFrame,
+                      writerId: String, batchId: Long,
+                      idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.sql.functions.col
+    index.deleteWhereEqualExactlyOnce(
+      ids.select(col(idCol)).distinct(), Seq(idCol), writerId, batchId)
+    ()
+  }
+
   /** Driver-side probe selection: same cosine scoring as the
     * TopCentroids expression, on the local KB-sized centroid matrix. */
   def probeIds(q: Array[Float], model: Model, nprobe: Int): Seq[Int] = {

@@ -608,6 +608,28 @@ object TextOps {
     postings.autoCompactIfNeeded()
   }
 
+  /** GDPR propagation to the SERVING index: remove every posting and
+    * docstat row of `docIds` via merge-on-read EQUALITY deletes —
+    * O(|keys|) commit cost, zero index files rewritten, no index
+    * scan (the read path applies the delete as a key anti-join and
+    * compaction later absorbs it physically). BM25 statistics need
+    * no fixup: df, N, and avgdl all derive from stored rows at query
+    * time, so they reflect the removal the instant the delete
+    * commits. Exactly-once per (writerId, batchId): a replayed
+    * micro-batch must not re-commit the delete at a fresh sequence
+    * number, which would kill re-inserted documents. */
+  def removeFromLexicalIndex(postings: graft.lake.LakeTable,
+                             docstats: graft.lake.LakeTable,
+                             docIds: DataFrame, writerId: String,
+                             batchId: Long): Unit = {
+    val keys = docIds.select(col("doc_id")).distinct()
+    postings.deleteWhereEqualExactlyOnce(keys, Seq("doc_id"),
+      writerId, batchId)
+    docstats.deleteWhereEqualExactlyOnce(keys, Seq("doc_id"),
+      writerId, batchId)
+    ()
+  }
+
   /** BM25 served from the persisted index. The query document's term
     * list is fetched by a manifest-pruned doc_id probe (bounded: one
     * document's vocabulary — in production the caller passes

@@ -165,6 +165,95 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** CDC variant of [[startLexicalIndexFromLake]]: the serving index
+    * MIRRORS source deletes. The insert-only commit-log loop grows
+    * the index but structurally cannot shrink it — a GDPR forget on
+    * the source would leave the forgotten documents SERVABLE from
+    * postings forever. This loop walks the batch's version range
+    * one commit at a time: pure appends (the overwhelmingly common
+    * step, gated by [[graft.lake.LakeTable.versionRemovesRows]] —
+    * one metadata read, no job) index exactly like the insert-only
+    * loop; a step that removed rows consumes the row-level changelog
+    * (`readChangelog(v-1, v)` — for an equality delete that is a key
+    * semi-join over the covered files, no diff shuffle) and
+    * propagates the deleted doc ids as equality deletes on BOTH
+    * index tables (O(|keys|), zero index files rewritten — BM25's
+    * df/N/avgdl need no fixup, they derive from stored rows).
+    *
+    * Exactly-once at VERSION granularity: batchId = source version,
+    * monotone per writer key, with the delete half on its own writer
+    * key (`#del`) — a crash anywhere in the range replays the
+    * versions, and every already-applied step no-ops on its guard.
+    * Removal precedes insertion within a step, so an upsert commit
+    * (delete+insert of one doc) converges to exactly the new
+    * postings. */
+  def startLexicalIndexCdc(name: String, source: LakeTable,
+                           postings: LakeTable, docstats: LakeTable,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
+      for (v <- lo + 1 to hi) {
+        if (source.versionRemovesRows(v)) {
+          val ch = source.readChangelog(v - 1, v)
+          val dels = ch.filter(col("_change_type") === "delete")
+            .select(col(idCol).as("doc_id"))
+          graft.operators.TextOps.removeFromLexicalIndex(postings,
+            docstats, dels, s"$wid#del", v)
+          val ins = ch.filter(col("_change_type") === "insert")
+            .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          graft.operators.TextOps.appendToLexicalIndex(postings,
+            docstats, ins, wid, v)
+        } else {
+          val docs = source.changesBetween(v - 1, v)
+            .drop(LakeTable.BucketCol)
+            .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          graft.operators.TextOps.appendToLexicalIndex(postings,
+            docstats, docs, wid, v)
+        }
+      }
+    }
+  }
+
+  /** CDC variant of [[startVectorIndexFromLake]] — the dense-axis
+    * twin of [[startLexicalIndexCdc]]: deleted source vectors leave
+    * the serving inverted lists via an equality delete on the id
+    * (partition-pruned serving applies it as a key anti-join), and
+    * every surviving step indexes exactly as the insert-only loop
+    * does. Same version-granular exactly-once contract. */
+  def startVectorIndexCdc(name: String, source: LakeTable,
+                          index: LakeTable,
+                          model: graft.operators.IvfIndex.Model,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
+      for (v <- lo + 1 to hi) {
+        if (source.versionRemovesRows(v)) {
+          val ch = source.readChangelog(v - 1, v)
+          graft.operators.IvfIndex.removeFromIndex(index,
+            ch.filter(col("_change_type") === "delete").select(col(idCol)),
+            s"$wid#del", v, idCol)
+          graft.operators.IvfIndex.appendToIndex(index,
+            ch.filter(col("_change_type") === "insert")
+              .select(col(idCol), col(embCol)),
+            model, wid, v, embCol)
+        } else {
+          val vecs = source.changesBetween(v - 1, v)
+            .drop(LakeTable.BucketCol)
+            .select(col(idCol), col(embCol))
+          graft.operators.IvfIndex.appendToIndex(index, vecs, model,
+            wid, v, embCol)
+          ()
+        }
+      }
+    }
+  }
+
   /** Continuous VECTOR-INDEX maintenance MV — the commit-log loop of
     * [[startLexicalIndexFromLake]] on the dense axis: every newly
     * committed batch of (id, embedding) rows is assigned to its
