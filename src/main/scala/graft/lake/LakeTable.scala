@@ -548,9 +548,15 @@ class LakeTable private (
   /** Time travel by timestamp (Iceberg's `TIMESTAMP AS OF`): read the
     * latest snapshot committed at or before `tsMs`. Fails when the
     * timestamp predates every retained snapshot (same contract as
-    * Iceberg after snapshot expiry). */
+    * Iceberg after snapshot expiry). While a WAP branch is staging,
+    * eligibility is capped at the pinned main version — a time-travel
+    * read at "now" must serve the same state as `read()`, never the
+    * staged head (the branch isolation contract; use `readBranch` to
+    * see staged data). */
   def readAsOf(tsMs: Long): DataFrame = {
-    val eligible = snapshots.filter(_.committedAtMs <= tsMs)
+    val cap = mainVersion
+    val eligible = snapshots.filter(s =>
+      s.committedAtMs <= tsMs && s.version <= cap)
     require(eligible.nonEmpty,
       s"no snapshot at or before $tsMs at $root " +
         s"(earliest retained: ${snapshots.headOption.map(_.committedAtMs)})")
@@ -1036,15 +1042,25 @@ class LakeTable private (
     // cancel regardless.
     val delTByPath = delT.map(e => e.path -> e).toMap
     val pathsT = filesT.map(_.path).toSet
+    val sT = DataTypeBridge.fromJson(nT.get("schemaJson").asText())
+    val idsT = fieldIdsOf(nT)
+    val sF = DataTypeBridge.fromJson(nF.get("schemaJson").asText())
+    val idsF = fieldIdsOf(nF)
     val grewByEq: Map[Seq[String], Seq[FileEntry]] = filesF
       .filter(f => pathsT.contains(f.path) && !unchanged.contains(f.path))
       .flatMap { f =>
         val added = (scopeT(f.path) -- scopeF(f.path)).toSeq.sorted
         val shrank = (scopeF(f.path) -- scopeT(f.path)).nonEmpty
         val es = added.flatMap(delTByPath.get)
+        // the fast path semi-joins under the FROM schema, so it only
+        // applies when every key column already exists there — an
+        // equality delete keying on a column ADDED inside the range
+        // falls through to the general multiset diff (which reads both
+        // sides and needs no key projection)
         if (!shrank && es.nonEmpty && es.size == added.size &&
             es.forall(e => e.kind == "eq" &&
-              e.keyCols == es.head.keyCols))
+              e.keyCols == es.head.keyCols) &&
+            es.head.keyCols.forall(sF.fieldNames.contains))
           Some(added -> f)
         else None
       }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) }
@@ -1054,10 +1070,6 @@ class LakeTable private (
       unchanged.contains(f.path) || fastPaths.contains(f.path))
     val chT = filesT.filterNot(f =>
       unchanged.contains(f.path) || fastPaths.contains(f.path))
-    val sT = DataTypeBridge.fromJson(nT.get("schemaJson").asText())
-    val idsT = fieldIdsOf(nT)
-    val sF = DataTypeBridge.fromJson(nF.get("schemaJson").asText())
-    val idsF = fieldIdsOf(nF)
     val ct = "_change_type"
     val fastDeletes: Option[DataFrame] =
       if (grewByEq.isEmpty) None
@@ -2484,10 +2496,30 @@ class LakeTable private (
             .foreach { case (k, pv) => obj.put(k, pv) }
           obj
       }
+      // Stamp the snapshot's OPERATION at commit time — the writer
+      // knows it exactly from the commit's own structure, so
+      // meta("snapshots") reads one field instead of re-reading every
+      // retained snapshot's file list and diffing predecessors (the
+      // labels match the legacy diff classifier, which remains only
+      // as the fallback for pre-stamp snapshots).
+      val operation: String =
+        meta.getOrElse("operation",
+          if (meta.get("compaction").contains("true")) "replace"
+          else if (stampedDeletes.nonEmpty)
+            { if (stamped.nonEmpty) "overwrite" else "delete" }
+          else if (replacedFiles.nonEmpty) {
+            val replacedRows = filesOf(cur)
+              .filter(f => replacedFiles.contains(f.path)).map(_.rows).sum
+            if (stamped.isEmpty || stamped.map(_.rows).sum < replacedRows)
+              "delete"
+            else "overwrite"
+          }
+          else if (stamped.nonEmpty) "append"
+          else "alter")
       val node = snapshotJson(
         version = v + 1, parent = v, schema = newSchema, ids = newIds,
         props = propsNode,
-        manifests = refs, meta = meta,
+        manifests = refs, meta = meta + ("operation" -> operation),
         partitionBy = alterPartitionBy.getOrElse(partitionByOf(cur)),
         highWater = newHw,
         lastFieldId = curLast,
@@ -2712,7 +2744,8 @@ class LakeTable private (
         ids = fieldIdsOf(target),
         props = cur.get("properties"),
         manifests = targetRefs,
-        meta = Map("rollback.to" -> version.toString),
+        meta = Map("rollback.to" -> version.toString,
+          "operation" -> "rollback"),
         partitionBy = partitionBy,
         highWater = highWaterOf(cur),
         lastFieldId = lastFieldIdOf(cur),
@@ -2830,14 +2863,30 @@ class LakeTable private (
   def createBranch(name: String): Unit = {
     require(name.matches("[A-Za-z0-9._-]{1,128}"),
       s"invalid branch name '$name'")
-    val cur = currentVersion
-    val body = s"""{"branch":"$name","mainVersion":$cur,"createdAtMs":${
-      System.currentTimeMillis()}}"""
-    if (!commitStore.putIfAbsent(wapPath, body))
-      throw new IllegalStateException(
-        s"branch ${activeBranch.map(_._1).getOrElse("?")} is already " +
-          s"staging at $root (publish or abandon it first — the " +
-          "snapshot log is linear)")
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion
+      val body = s"""{"branch":"$name","mainVersion":$cur,"createdAtMs":${
+        System.currentTimeMillis()}}"""
+      if (!commitStore.putIfAbsent(wapPath, body))
+        throw new IllegalStateException(
+          s"branch ${activeBranch.map(_._1).getOrElse("?")} is already " +
+            s"staging at $root (publish or abandon it first — the " +
+            "snapshot log is linear)")
+      // A commit racing into the window between the currentVersion read
+      // and the marker publish was already MAIN-VISIBLE; leaving the pin
+      // below it would retroactively un-publish it for the whole staging
+      // session. Re-check after winning and re-pin at the new head (a
+      // concurrent creator slipping in between the delete and the retry
+      // just wins the session — same one-at-a-time contract).
+      if (currentVersion == cur) return
+      require(commitStore.delete(wapPath),
+        s"branch $name vanished while re-pinning at $root")
+      attempts += 1
+      require(attempts < 64,
+        s"createBranch($name) at $root: commits kept landing faster " +
+          "than the pin could be placed (64 attempts)")
+    }
   }
 
   /** The staged view: main's pinned content plus every commit staged
@@ -2853,10 +2902,12 @@ class LakeTable private (
     * full staged lineage, never a partial state. */
   def publishBranch(name: String): Int = {
     requireActive(name)
-    val head = currentVersion
     require(commitStore.delete(wapPath),
       s"branch $name already published or abandoned at $root")
-    head
+    // Re-read AFTER the marker delete: a commit racing into the window
+    // between a pre-delete read and the delete is published too, and
+    // the returned head must never understate what a reader now sees.
+    currentVersion
   }
 
   /** Discard the staged commits: restore main's pinned file set as a
@@ -2905,8 +2956,12 @@ class LakeTable private (
     }
   }
 
-  /** Pin the CURRENT snapshot — the publish step of a training run. */
-  def createTag(name: String): Unit = createTag(name, currentVersion)
+  /** Pin the CURRENT MAIN-VISIBLE snapshot — the publish step of a
+    * training run. While a WAP branch is staging this is the pinned
+    * main version, never the staged head: a default-tag must not make
+    * unaudited staged data immortal (pass the staged version
+    * explicitly to tag a branch head — a deliberate escape hatch). */
+  def createTag(name: String): Unit = createTag(name, mainVersion)
 
   /** Drop through the CommitStore seam — create, read, list, and drop
     * must all consult the same object space on a non-POSIX store. */
@@ -2955,12 +3010,18 @@ class LakeTable private (
     * `snapshots` (version, committed_at_ms, operation, num_files,
     * num_delete_files, rows, size_bytes — over all retained
     * versions), `files`, `delete_files`, `partitions`, `manifests`,
-    * `refs`. The `operation` column is derived by diffing each
-    * retained snapshot against its predecessor (append / delete /
-    * overwrite / replace / alter; `create` for v0, `unknown` when the
-    * predecessor is expired), so it stays truthful even for snapshots
-    * committed by pre-metadata-table writers. */
-  def meta(kind: String): DataFrame = meta(kind, currentVersion)
+    * `refs`. The `operation` column (append / delete / overwrite /
+    * replace / alter / rollback; `create` for v0) is STAMPED into the
+    * snapshot's appMeta at commit time — the writer knows it exactly,
+    * and reading it back costs one field per snapshot instead of an
+    * O(retained × live-files) predecessor diff. Snapshots written
+    * before the stamp existed fall back to the diff classifier
+    * (`unknown` when their predecessor is expired). The no-version default
+    * answers for the MAIN-VISIBLE snapshot — under an active WAP
+    * branch that is the pinned version (`meta("files")` in an audit
+    * dashboard must describe what `read()` serves; inspect the staged
+    * head by passing `currentVersion` explicitly). */
+  def meta(kind: String): DataFrame = meta(kind, mainVersion)
 
   /** Metadata table as of a specific retained snapshot (time travel
     * over metadata — `meta("files", taggedVersion)` answers "what did
@@ -3010,8 +3071,11 @@ class LakeTable private (
           val n = mapper.readTree(Files.readString(versionPath(metaDir, v)))
           val fs = filesOf(n)
           val ds = deletesOf(n)
+          val stampedOp = Option(n.get("appMeta"))
+            .flatMap(m => Option(m.get("operation"))).map(_.asText())
           val op: String =
             if (v == 0) "create"
+            else if (stampedOp.isDefined) stampedOp.get
             else if (!Files.exists(versionPath(metaDir, v - 1))) "unknown"
             else {
               val p = mapper.readTree(

@@ -92,6 +92,64 @@ class BranchSpec extends SparkSuite {
     assert(t.read().count() == 107)
   }
 
+  test("staging isolation covers every default read surface: readAsOf " +
+    "at 'now', the no-arg createTag, and meta() all answer at the pin") {
+    val (t, df) = mkTable("br-default-surfaces")
+    val pinned = t.currentVersion
+    t.createBranch("stage")
+    t.append(df.withColumn("id", $"id" + 1000L)) // staged
+    // timestamp time travel at "now" must serve the pin, not the
+    // staged head (the staged snapshot's commit time is <= now too)
+    assert(t.readAsOf(System.currentTimeMillis() + 60000L).count() == 100)
+    // the default tag pins MAIN, never unaudited staged data
+    t.createTag("release")
+    assert(t.tagVersion("release") == pinned)
+    t.dropTag("release")
+    // metadata defaults describe what read() serves
+    assert(t.meta("files").count() ==
+      t.meta("files", pinned).count())
+    assert(t.meta("refs").filter($"type" === "wap-branch").count() == 1)
+    // the explicit escape hatches still reach the staged head
+    assert(t.readVersion(t.currentVersion).count() == 200)
+    t.publishBranch("stage")
+    assert(t.readAsOf(System.currentTimeMillis() + 60000L).count() == 200)
+  }
+
+  test("createBranch re-pins when a commit races into the pin window; " +
+    "publishBranch returns the head visible AFTER the marker delete") {
+    import java.nio.file.Path
+    // inject the race deterministically: the store fires a hook right
+    // before the wap marker's putIfAbsent — i.e. INSIDE the window
+    // between createBranch's currentVersion read and the marker write
+    val store = new CommitStore {
+      @volatile var hook: () => Unit = null
+      def putIfAbsent(path: Path, content: String): Boolean = {
+        if (path.getFileName.toString.startsWith("wap-") && hook != null) {
+          val h = hook; hook = null; h()
+        }
+        PosixCommitStore.putIfAbsent(path, content)
+      }
+    }
+    val df = (0 until 100).map(i => (i.toLong, s"t-$i", i % 5))
+      .toDF("id", "payload", "grp")
+    val dir = tmpDir("br-pin-race")
+    val t = LakeTable.create(spark, dir, df.schema, store = store)
+    t.append(df) // v1
+    val racer = LakeTable.load(spark, dir) // a plain-store main writer
+    store.hook = () => { racer.append(df.withColumn("id", $"id" + 1000L)) }
+    t.createBranch("pin")
+    // the racer's commit was main-visible BEFORE the marker landed —
+    // the pin must sit at or above it, never retroactively hide it
+    val (_, pinnedAt) = t.activeBranch.get
+    assert(pinnedAt == 2, s"pinned at $pinnedAt (racer's commit hidden)")
+    assert(t.read().count() == 200)
+    t.append(df.withColumn("id", $"id" + 2000L)) // staged
+    assert(t.read().count() == 200)
+    val published = t.publishBranch("pin")
+    assert(published == t.currentVersion)
+    assert(t.read().count() == 300)
+  }
+
   test("retention pins the WAP base: expireSnapshots cannot expire " +
     "the main-visible version while a branch stages") {
     val (t, df) = mkTable("br-retain")

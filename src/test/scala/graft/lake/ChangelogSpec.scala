@@ -155,6 +155,26 @@ class ChangelogSpec extends SparkSuite {
     assert(!ch2.queryExecution.optimizedPlan.toString.contains("Except"))
   }
 
+  test("equality delete keying on a column ADDED inside the range " +
+    "degrades to the general diff instead of throwing") {
+    val (t, df) = mkTable("cl-addcol-key")
+    t.append(df.limit(30).withColumn("id", $"id" + 1000L)
+      .withColumn("owner", concat(lit("u-"), ($"id" % 7).cast("string"))))
+      // v2: additive evolution — `owner` does not exist at v1
+    t.deleteWhereEqual(Seq("u-3").toDF("owner"), Seq("owner")) // v3
+    // the fast path cannot project `owner` under the FROM schema; the
+    // range must fall back to the two-sided diff and still be exact
+    val ch = t.readChangelog(1, 3).cache()
+    val expectedInserts = (0 until 30).map(i => i + 1000L)
+      .filter(id => id % 7 != 3).toSet
+    assert(ch.filter(col(ct) === "insert").select("id").as[Long]
+      .collect().toSet == expectedInserts)
+    // v1 rows carry owner=null, which never equals a delete key —
+    // nothing from the pre-evolution file is deleted
+    assert(ch.filter(col(ct) === "delete").count() == 0)
+    ch.unpersist()
+  }
+
   test("expired endpoints are loud; reversed range is rejected") {
     val (t, df) = mkTable("cl-ret")
     t.append(df.withColumn("id", $"id" + 1000L)) // v2

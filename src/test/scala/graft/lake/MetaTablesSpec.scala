@@ -71,6 +71,27 @@ class MetaTablesSpec extends SparkSuite {
     assert(s6.getAs[Int]("num_delete_files") > 0)
   }
 
+  test("snapshots: operation is STAMPED at commit, not re-derived — " +
+    "labels stay precise after the predecessor is expired, and a " +
+    "rollback is named as such") {
+    val df = (0 until 100).map(i => (i.toLong, s"p-$i")).toDF("id", "payload")
+    val t = LakeTable.create(spark, tmpDir("meta-stamp"), df.schema)
+    t.append(df) // v1
+    t.append(df.withColumn("id", $"id" + 1000L)) // v2
+    t.deleteWhere($"id" < 10L) // v3 CoW delete
+    t.rollbackTo(2) // v4
+    // expire everything below the delete: the legacy diff classifier
+    // would have to answer "unknown" for v3 (its predecessor's file
+    // list is gone); the commit-time stamp still answers exactly —
+    // proving meta("snapshots") reads the stamp and never opens the
+    // predecessor's file list for stamped snapshots
+    t.expireSnapshots(keepLast = 2)
+    val ops = t.meta("snapshots")
+      .select($"version", $"operation").as[(Int, String)]
+      .collect().toMap
+    assert(ops == Map(3 -> "delete", 4 -> "rollback"))
+  }
+
   test("refs lists main, tags, and a staging WAP branch; delete_files " +
     "and manifests reflect merge-on-read state") {
     val df = (0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "grp")
