@@ -1097,6 +1097,106 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       IvfIndex.searchPersisted(index, qv, model, k = 10, nprobe = 2)
     }),
+    // DELETE-AWARE CURATION MV (q164): the q162/q163 CDC pattern on
+    // the curation loop itself — the full GDPR story for the curated
+    // corpus. Batch 1 curates the even documents. Then the source
+    // takes a forget (eq delete of even doc_id%11==4), the forgotten
+    // CONTENT is legitimately RE-SUBMITTED under new ids (+1e6), and
+    // the odd documents arrive as normal growth. The CDC loop must
+    // (a) stop serving forgotten docs from the curated output,
+    // (b) free their fingerprints in the dedup index so the
+    // resubmission is re-admitted — under the insert-only loop it
+    // would be rejected as a duplicate of a document that no longer
+    // exists — and (c) keep rejecting resubmitted content whose
+    // fingerprint still has a SURVIVING owner. Oracle replays the
+    // batch algebra: min-id per fp among evens, minus forgotten;
+    // resubmissions accepted iff their fp lost its owner; odds
+    // accepted against both.
+    "q164_curation_cdc_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-curcdc")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", docs.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        StructType(Seq(StructField("fp", StringType),
+          StructField("doc_id", LongType))),
+        bucketBy = Some(("fp", 8)))
+      val out = graft.lake.LakeTable.create(s, s"$dir/out", docs.schema)
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(docs.filter(col("doc_id") % 2 === 0)) // v1
+      mv.startCurationCdc("curcdc", src, index, out).awaitTermination()
+      src.deleteWhereEqual( // v2: forget
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 11 === 4)
+          .select(col("doc_id")), Seq("doc_id"))
+      src.append(docs // v3: legitimate resubmission, same text, new ids
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 11 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      src.append(docs.filter(col("doc_id") % 2 =!= 0)) // v4: growth
+      mv.startCurationCdc("curcdc", src, index, out).awaitTermination()
+      out.read().select("doc_id")
+    }),
+    // PERCEPTUAL-HASH NEAR-DUP on the BINARY axis (q165): media
+    // payloads frame-sampled into 64-byte chunks, each chunk
+    // md5-fingerprinted, the distinct frame hashes bit-voted into a
+    // 64-bit perceptual SimHash; pairs within hamming <= 3 via the
+    // 4x16-bit banded join (exact pigeonhole recall). The oracle
+    // recomputes the full sketch from the same bytes — so this grades
+    // frame chunking, the portable frame hash, the bit-vote, the
+    // banded candidate join, and the hamming verify, end to end on
+    // binary columns.
+    "q165_phash_neardup" -> ((s, d) => {
+      val media = MultimodalOps.withBinaryPayload(
+        Tables.load(s, d, "documents"))
+      DedupOps.sketchPairs(
+        MultimodalOps.perceptualSketch(media), maxHamming = 3)
+    }),
+    // INCREMENTAL perceptual near-dup vs a PERSISTED sketch index
+    // (q166): the q95 shape on the binary axis — the %3==0 media
+    // slice's sketches are indexed with simhash-layout band postings;
+    // the %2==0 slice probes them (O(batch) candidate generation,
+    // zero index-side shuffles) and verifies hamming <= 3 against
+    // doc_id-pruned sketch fetches. The FIFTH incremental-dedup
+    // modality (exact fp, MinHash text, embeddings, text SimHash,
+    // binary perceptual hash) through the same banded machinery.
+    "q166_phash_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = MultimodalOps.withBinaryPayload(
+        Tables.load(s, d, "documents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-phidx")
+      val rows = MultimodalOps.perceptualSketch(
+        media.filter(col("doc_id") % 3 === 0)).localCheckpoint()
+      val index = graft.lake.LakeTable.create(
+        s, s"$dir/idx", rows.schema, bucketBy = Some(("doc_id", 8)))
+      index.appendExactlyOnce(rows, "q166", 0L)
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.simHashPostingsSchema,
+        properties = DedupOps.simHashPostingsProps,
+        bucketBy = Some(("pbh", 16)))
+      postings.appendExactlyOnce(DedupOps.simHashPostingsRows(rows),
+        "q166", 0L)
+      DedupOps.sketchesAgainstIndex(
+        MultimodalOps.perceptualSketch(
+          media.filter(col("doc_id") % 2 === 0)),
+        index, maxHamming = 3, postings = Some(postings))
+    }),
+    // IMAGE-TEXT PAIR CURATION (q167): the multimodal training-pair
+    // filter — media features (decoded dims from the q42 stub) joined
+    // with the caption's quality score (q43's formula); a pair
+    // survives iff the caption clears the quality bar AND the media
+    // aspect ratio is within 4:1 (the CLIP-style data-curation gate).
+    // All comparisons are per-row and integer/deterministic-double,
+    // so the oracle replays the whole gate exactly.
+    "q167_multimodal_pair_curation" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Tables.load(s, d, "documents")
+      MultimodalOps.documentFeatures(s, docs)
+        .join(TextOps.quality(s, d), "doc_id")
+        .filter(col("quality") >= lit(0.8) &&
+          col("width") <= lit(4L) * col("height") &&
+          col("height") <= lit(4L) * col("width"))
+        .select("doc_id", "n_bytes", "width", "height", "quality")
+    }),
     // METADATA TABLES (q160): the lake introspects ITSELF — per-
     // partition row totals come from the manifest stats the pruner
     // trusts (no data file opened: the whole answer is metadata), and
@@ -2192,6 +2292,30 @@ object SparkEntry {
     * on. Tokenization mirrors the Spark side exactly: lower, split on
     * single space, distinct, drop empties. Each token's hash votes
     * +1/-1 per bit; sketch bit b is set iff the counter is >= 0. */
+  /** Perceptual-hash sketch CTE — the q34 SimHash oracle device with
+    * frames instead of word tokens: 64-byte payload chunks, each
+    * md5-fingerprinted to a 64-bit hash, bit-voted into a SimHash.
+    * Fixture payloads are pure ASCII (byte == char), so DuckDB's
+    * string substring/md5 see exactly the bytes the engine's binary
+    * operators hash. */
+  private val phashSketchCte: String =
+    """WITH fr AS (SELECT doc_id,
+           list_distinct(list_transform(
+             range(0, (length(text) + 63) // 64),
+             i -> md5(substring(text, (i * 64 + 1)::BIGINT, 64)))) AS fs
+           FROM documents WHERE length(text) > 0),
+       th AS (SELECT doc_id,
+              ('0x' || substr(u.f, 1, 16))::UBIGINT AS h
+              FROM fr, unnest(fs) AS u(f)),
+       bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+                FROM th, (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b),
+       sh AS (SELECT doc_id,
+              bit_or(CASE WHEN c >= 0 THEN (1::UBIGINT << b)
+                     ELSE 0::UBIGINT END) AS simhash
+              FROM bits GROUP BY doc_id)"""
+
   private val simHashSketchCte: String =
     """WITH toks AS (SELECT doc_id,
            list_filter(list_distinct(string_split(lower(text), ' ')),
@@ -2787,6 +2911,77 @@ object SparkEntry {
     // candidate set (frozen full-corpus centers, like the engine).
     "q163_vector_cdc_mv" ->
       ivfPortableOracleWhere("\n                AND x.vec_id % 7 <> 3"),
+    // Mirrors q164: the CDC curation algebra replayed version by
+    // version — batch-1 owners are min-id per fingerprint among the
+    // evens; the forget removes owners with id%11==4 AND frees their
+    // fingerprints; the resubmission (+1e6 ids, same text) is accepted
+    // exactly where the fingerprint lost its owner; the odd batch is
+    // accepted against everything admitted so far.
+    "q164_curation_cdc_mv" ->
+      """WITH fp AS (SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         acc1 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+           WHERE doc_id % 2 = 0 GROUP BY fp),
+         fgt AS (SELECT doc_id FROM documents
+           WHERE doc_id % 2 = 0 AND doc_id % 11 = 4),
+         sur1 AS (SELECT fp, doc_id FROM acc1
+           WHERE doc_id NOT IN (SELECT doc_id FROM fgt)),
+         res AS (SELECT f.fp, min(f.doc_id + 1000000) AS doc_id
+           FROM fp f JOIN fgt g USING (doc_id) GROUP BY f.fp),
+         acc3 AS (SELECT fp, doc_id FROM res
+           WHERE fp NOT IN (SELECT fp FROM sur1)),
+         acc4 AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+           WHERE doc_id % 2 <> 0 GROUP BY fp
+           HAVING fp NOT IN (SELECT fp FROM sur1)
+              AND fp NOT IN (SELECT fp FROM acc3))
+         SELECT doc_id FROM sur1
+         UNION ALL SELECT doc_id FROM acc3
+         UNION ALL SELECT doc_id FROM acc4""",
+    // Mirrors q165: the full perceptual sketch recomputed from the
+    // same bytes (frames -> md5 -> bit-vote), then banded pairs.
+    "q165_phash_neardup" -> (phashSketchCte +
+      """ SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    // Mirrors q166: cross-slice perceptual matches (the banded probe
+    // has exact pigeonhole recall at hamming <= 3, so the oracle is
+    // the plain cross join).
+    "q166_phash_incremental" -> (phashSketchCte +
+      """ SELECT n.doc_id AS d_new, i.doc_id AS d_idx,
+             CAST(bit_count(xor(n.simhash, i.simhash)) AS INT) AS hamming
+           FROM sh n, sh i
+           WHERE n.doc_id % 2 = 0 AND i.doc_id % 3 = 0
+             AND bit_count(xor(n.simhash, i.simhash)) <= 3"""),
+    // Mirrors q167: q42's decoded dims + q43's quality formula, the
+    // same per-row gate.
+    "q167_multimodal_pair_curation" ->
+      """WITH hx AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                md5(text) AS m FROM documents),
+         hh AS (SELECT doc_id, n_bytes,
+                list_reduce(list_transform(range(1, 16),
+                  i -> (strpos('0123456789abcdef', substring(m, i, 1))
+                        - 1)::BIGINT),
+                  (a, b) -> a * 16 + b) AS h
+                FROM hx),
+         q AS (SELECT doc_id,
+           least(length(text) / 500.0, 1.0) * 0.4
+           + (CASE WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / (length(text) - length(replace(text, ' ', '')) + 1))
+                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','of','and','to','a','in','is'))) > 0
+                THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+           FROM documents)
+         SELECT hh.doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           (h % 1920) + 1 AS width, ((h >> 17) % 1080) + 1 AS height,
+           quality
+         FROM hh JOIN q USING (doc_id)
+         WHERE quality >= 0.8
+           AND (h % 1920) + 1 <= 4 * (((h >> 17) % 1080) + 1)
+           AND ((h >> 17) % 1080) + 1 <= 4 * ((h % 1920) + 1)""",
     // Mirrors q160: per-partition totals and per-snapshot referenced
     // row counts recomputed from raw data — v1 all rows, v2 adds the
     // shifted non-view batch, v3's copy-on-write delete removes

@@ -640,13 +640,28 @@ object DedupOps {
                           maxHamming: Int = 3, maxProbe: Int = 10000,
                           postings: Option[graft.lake.LakeTable] = None,
                           textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id"): DataFrame =
+    sketchesAgainstIndex(simHash(batch, textCol, idCol), index,
+      maxHamming, maxProbe, postings)
+
+  /** [[simHashAgainstIndex]] over PRE-COMPUTED batch sketches
+    * (doc_id, simhash) — the sketch-agnostic core: any 64-bit
+    * locality-sensitive signature with the 4x16-bit band layout probes
+    * the same way (text-token SimHash, the perceptual frame-hash
+    * sketch of [[MultimodalOps.perceptualSketch]], ...). The index and
+    * postings tables only ever see the sketch column, so one banded
+    * machine serves every modality that can produce one. */
+  def sketchesAgainstIndex(batchSketches: DataFrame,
+                           index: graft.lake.LakeTable,
+                           maxHamming: Int = 3, maxProbe: Int = 10000,
+                           postings: Option[graft.lake.LakeTable] = None)
+      : DataFrame = {
     // the 4-band pigeonhole only guarantees a shared band for
     // distances that can't place one differing bit in every band
     require(maxHamming <= 3,
       s"banded candidate generation is recall-exact only for " +
         s"maxHamming <= 3 (4 bands), got $maxHamming")
-    val newSh = simHash(batch, textCol, idCol).localCheckpoint()
+    val newSh = batchSketches.localCheckpoint()
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))
@@ -690,8 +705,17 @@ object DedupOps {
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
     * by 16-bit bands: distance <= 3 guarantees at least one of the 4 bands
     * matches exactly (pigeonhole), so candidates come from an equi-join. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(docs)
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    sketchPairs(simHash(docs), maxHamming)
+
+  /** [[simHashPairs]] over pre-computed (doc_id, simhash) sketches —
+    * the banded all-pairs core shared with the perceptual-hash
+    * modality (see [[sketchesAgainstIndex]] for the factoring
+    * rationale). */
+  def sketchPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"banded candidate generation is recall-exact only for " +
+        s"maxHamming <= 3 (4 bands), got $maxHamming")
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))

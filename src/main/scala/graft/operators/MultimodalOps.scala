@@ -73,6 +73,50 @@ object MultimodalOps {
         (0 until 8).map(j => col("features")(j).cast("double").as(s"f$j")): _*)
   }
 
+  /** Perceptual-hash sketch over BINARY payloads — near-dup detection
+    * on the media axis, feeding the SAME banded machinery as the text
+    * SimHash family ([[DedupOps.sketchPairs]] batch pairs,
+    * [[DedupOps.sketchesAgainstIndex]] index-probed incremental).
+    *
+    * The payload is frame-sampled into fixed `frameBytes` chunks (the
+    * byte-stream stand-in for video frames / image tiles), each frame
+    * md5-fingerprinted to a portable 64-bit hash, and the document's
+    * sketch is the SimHash bit-vote over its DISTINCT frame hashes —
+    * so two media items sharing most frames (a re-encode with a few
+    * frames changed, a video with an inserted intro) land within a
+    * small Hamming distance, while the 4x16-bit band layout gives
+    * exact pigeonhole recall at hamming <= 3. A real pHash would
+    * replace the frame fingerprint with a DCT over decoded pixels —
+    * the sketch, banding, index, and postings plumbing downstream is
+    * identical (the fakeDecode swap-point argument, applied to
+    * dedup).
+    *
+    * Everything is md5-derived, so the cross-engine oracle recomputes
+    * the exact sketch: the fixture payloads are ASCII text bytes,
+    * hence DuckDB's string `substring`/`md5` see the same bytes the
+    * engine's binary `substring`/`md5` do (verified: zero non-ASCII
+    * documents at every graded SF). Frames are chunked in pure SQL —
+    * substring on the binary column, codegen end-to-end — not via
+    * mapPartitions, so the sketch composes with pushdown and AQE like
+    * any other expression. */
+  def perceptualSketch(media: DataFrame, frameBytes: Int = 64,
+                       idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val parse64 = "(shiftleft(cast(conv(substring(m, 1, 8), 16, 10) " +
+      "as bigint), 32) | cast(conv(substring(m, 9, 8), 16, 10) as bigint))"
+    media
+      .filter(length(col(payloadCol)) > 0)
+      .select(col(idCol).as("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, cast(" +
+          s"(length($payloadCol) + ${frameBytes - 1}) / $frameBytes " +
+          s"as int) - 1), i -> md5(substring($payloadCol, " +
+          s"i * $frameBytes + 1, $frameBytes))))").as("fhex"))
+      .select(col("doc_id"),
+        expr(s"transform(fhex, m -> $parse64)").as("toks"))
+      .select(col("doc_id"),
+        graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
+  }
+
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           thumb: Array[Byte])
 

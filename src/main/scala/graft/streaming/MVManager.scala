@@ -135,6 +135,106 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       }
     }
 
+  /** DELETE-AWARE variant of [[startCurationFromLake]] — the
+    * q162/q163 CDC pattern applied to the curation loop itself, which
+    * closes the last GDPR gap: under the insert-only loop a forget on
+    * the RAW source leaves the forgotten document (a) SERVABLE from
+    * the curated output forever, (b) its fingerprint/shingle-set/
+    * MinHash signature — derived content of a forgotten document —
+    * persisted in the dedup index and postings, and (c) any
+    * legitimate LATER resubmission of the same content rejected as a
+    * duplicate of a document that no longer exists.
+    *
+    * The loop walks the batch's version range one commit at a time.
+    * Pure appends (the common step, decided by
+    * [[graft.lake.LakeTable.versionRemovesRows]] — one metadata read,
+    * no job) curate exactly like the insert-only loop. A step that
+    * removed rows consumes the row-level changelog (for an equality
+    * delete: a key semi-join over covered files, zero diff shuffles)
+    * and propagates the removed ids as equality deletes — O(keys),
+    * zero files rewritten — to the curated OUT table (stops serving),
+    * the signature INDEX (frees the fingerprint frontier, drops the
+    * derived content), and the POSTINGS (stops generating LSH
+    * candidates); the step's insert side then curates normally, so an
+    * upsert on the source converges (removal precedes insertion).
+    *
+    * Exactly-once at VERSION granularity, batchId = source version:
+    * the delete half runs on its own writer key (`#del`) per table,
+    * so a crash at ANY point replays the version and every
+    * already-applied commit no-ops on its guard — the same
+    * no-cross-table-transaction argument as [[curateStep]], now
+    * covering four tables. Note the within-batch collapse scope is
+    * ONE SOURCE COMMIT here (vs the whole trigger range in the
+    * insert-only loop): two copies arriving in different source
+    * commits dedupe via the index frontier, same result. */
+  def startCurationCdc(name: String, source: LakeTable,
+                       index: LakeTable, out: LakeTable,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       nearDupMinJaccard: Option[Double] = None,
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       postings: Option[LakeTable] = None)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
+      for (v <- lo + 1 to hi) {
+        val docs: DataFrame =
+          if (source.versionRemovesRows(v)) {
+            val ch = source.readChangelog(v - 1, v)
+            MVManager.propagateForget(
+              ch.filter(col("_change_type") === "delete")
+                .select(col(idCol)).distinct(),
+              idCol, "doc_id", out, index, postings, wid, v)
+            ch.filter(col("_change_type") === "insert")
+              .drop("_change_type").drop(LakeTable.BucketCol)
+          } else source.changesBetween(v - 1, v).drop(LakeTable.BucketCol)
+        nearDupMinJaccard match {
+          case Some(j) => MVManager.curateStepNearDup(docs, index, out,
+            wid, v, j, textCol, idCol, postings)
+          case None => MVManager.curateStep(docs, index, out,
+            wid, v, textCol, idCol)
+        }
+      }
+    }
+  }
+
+  /** Delete-aware twin of [[startEmbeddingCurationFromLake]] — the
+    * [[startCurationCdc]] contract on the dense axis: a forgotten
+    * source vector leaves the curated output, the vector index (so a
+    * later legitimate re-embedding of the same content is
+    * re-admitted), and the SRP postings, all as O(keys) equality
+    * deletes at version granularity. */
+  def startEmbeddingCurationCdc(name: String, source: LakeTable,
+                                index: LakeTable, out: LakeTable,
+                                threshold: Double,
+                                bandBits: Int = graft.operators
+                                  .SimilarityOps.DefaultIndexBandBits,
+                                bands: Int = graft.operators
+                                  .SimilarityOps.DefaultIndexBands,
+                                idCol: String = "vec_id",
+                                embCol: String = "embedding",
+                                trigger: Trigger = Trigger.AvailableNow(),
+                                postings: Option[LakeTable] = None)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
+      for (v <- lo + 1 to hi) {
+        val vecs: DataFrame =
+          if (source.versionRemovesRows(v)) {
+            val ch = source.readChangelog(v - 1, v)
+            MVManager.propagateForget(
+              ch.filter(col("_change_type") === "delete")
+                .select(col(idCol)).distinct(),
+              idCol, "vec_id", out, index, postings, wid, v)
+            ch.filter(col("_change_type") === "insert")
+              .drop("_change_type").drop(LakeTable.BucketCol)
+          } else source.changesBetween(v - 1, v).drop(LakeTable.BucketCol)
+        MVManager.curateStepEmbedding(vecs, index, out, wid, v,
+          threshold, bandBits, bands, idCol, embCol, postings)
+      }
+    }
+  }
+
   /** Continuous LEXICAL-INDEX maintenance MV — the commit-log loop of
     * [[startCurationFromLake]] applied to the persisted BM25 index
     * (TextOps.buildLexicalIndex): every newly committed batch of
@@ -378,6 +478,31 @@ object MVManager {
 
   private val log =
     org.slf4j.LoggerFactory.getLogger("graft.streaming.MVManager")
+
+  /** Propagate one source commit's forgotten ids to a curation loop's
+    * derived tables as O(keys) equality deletes, exactly-once per
+    * (writer `#del` key, source version): curated OUT stops serving
+    * the documents, the signature INDEX frees the dedup frontier (and
+    * drops derived content — fingerprints/shingle sets/signatures ARE
+    * data about the forgotten text), POSTINGS stop yielding LSH
+    * candidates. Order out -> index -> postings: serving exposure
+    * ends first; each commit is idempotence-guarded per table, so a
+    * crash between any two replays the version and the applied ones
+    * no-op. The ids frame is localCheckpointed — three commits must
+    * delete the same key set, and the changelog scan runs once. */
+  private[streaming] def propagateForget(
+      ids: org.apache.spark.sql.DataFrame, idCol: String,
+      indexIdCol: String, out: LakeTable, index: LakeTable,
+      postings: Option[LakeTable], writerId: String, v: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keys = ids.localCheckpoint()
+    out.deleteWhereEqualExactlyOnce(keys, Seq(idCol), s"$writerId#del", v)
+    val idxKeys = keys.select(col(idCol).as(indexIdCol))
+    index.deleteWhereEqualExactlyOnce(idxKeys, Seq(indexIdCol),
+      s"$writerId#del", v)
+    postings.foreach(_.deleteWhereEqualExactlyOnce(idxKeys,
+      Seq(indexIdCol), s"$writerId#del", v))
+  }
 
   /** One exactly-once curation step: dedupe `docs` against `index`,
     * append the accepted rows to `out`, then advance the frontier in

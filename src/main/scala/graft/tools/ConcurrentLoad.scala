@@ -228,11 +228,62 @@ object ConcurrentLoad {
         () => ())
     }
 
+    def cdcLoop(root: String, s: SparkSession): Loop = {
+      // r12 shape: the DELETE-AWARE curation loop (startCurationCdc)
+      // under load — each batch appends a document slice, and every
+      // 4th batch GDPR-forgets the residue-5 docs that arrived since
+      // the last forget. The loop must propagate each forget through
+      // the row-level changelog to the curated OUT table and the
+      // fingerprint index while eight other loops hammer the same
+      // driver; the stop() hook runs a synchronous catch-up pass and
+      // ASSERTS index-side removal (no forgotten id may survive in
+      // out OR index — the GDPR contract, checked under contention).
+      val src = LakeTable.create(s, s"$root/src", docs.schema)
+      val index = LakeTable.create(s, s"$root/idx",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))),
+        properties = LakeTable.autoCompactProps(32, Some("fp")),
+        bucketBy = Some(("fp", 32)))
+      val out = LakeTable.create(s, s"$root/out", docs.schema)
+      val mv = new MVManager(s, s"$root/ckpt")
+      val q = mv.startCurationCdc("cdc", src, index, out,
+        trigger = trigger)
+      Loop("cdc",
+        i => {
+          src.append(docs.filter(col("doc_id") % Batches === i))
+          if (i % 4 == 3) src.deleteWhereEqual(
+            docs.filter(col("doc_id") % Batches >= i - 3 &&
+                col("doc_id") % Batches <= i &&
+                col("doc_id") % 17 === 5)
+              .select(col("doc_id")), Seq("doc_id"))
+        },
+        () => index.dataCommitCount, () => out.read().count(),
+        () => {
+          q.stop()
+          // catch-up: the continuous trigger may stop before the last
+          // forget version is consumed — drain the log synchronously,
+          // then assert the contract
+          mv.startCurationCdc("cdc", src, index, out,
+            trigger = Trigger.AvailableNow()).awaitTermination()
+          val leftOut = out.read()
+            .filter(col("doc_id") % 17 === 5).count()
+          val leftIdx = index.read()
+            .filter(col("doc_id") % 17 === 5).count()
+          require(leftOut == 0 && leftIdx == 0,
+            s"forgotten docs survived the CDC loop: out=$leftOut " +
+              s"index=$leftIdx")
+        })
+    }
+
     val shapes: Seq[(String, (String, SparkSession) => Loop)] = Seq(
       "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
       "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _),
       "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _),
-      "gdpr" -> (gdprLoop _), "wap" -> (wapLoop _))
+      "gdpr" -> (gdprLoop _), "wap" -> (wapLoop _),
+      "cdc" -> (cdcLoop _))
 
     // each loop runs in its OWN session (shared SparkContext, own
     // SQLConf) with shuffle partitions sized to its core share — N

@@ -137,6 +137,47 @@ object LongHaul {
     println(s"[longhaul] rows: src=$total out=${out.read().count()} " +
       s"index=${index.read().count()}")
 
+    // ---- changelog consumer under compaction interleaving -----------
+    // The CDC loops consume readChangelog one version at a time; this
+    // phase measures that consumption across `batches` commits on a
+    // table that mixes appends, GDPR equality deletes (every 10th
+    // batch), and ladder compaction (autoCompact absorbs the growing
+    // file count mid-run). The claim: per-version changelog cost is
+    // O(that version's delta) — the pure-append fast path scans only
+    // the new files, the eq-delete fast path runs one key semi-join
+    // over covered files, and a compaction step proves its zero via
+    // the `compaction=true` marker without diffing — so the
+    // second-half median must stay flat while the table grows ~2x.
+    locally {
+      val ev = Tables.load(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .localCheckpoint()
+      val t = LakeTable.create(spark, s"$dir/cdcsrc", ev.schema,
+        properties = LakeTable.autoCompactProps(16))
+      println("[longhaul] cdc batch  kind      secs  changeRows  files")
+      val clSecs = (0 until batches).map { i =>
+        val v0 = t.currentVersion
+        val kind = if (i % 10 == 9) "forget" else "append"
+        if (i % 10 == 9)
+          t.deleteWhereEqual(ev.filter(col("user_id") % 97 === i % 97)
+            .select(col("user_id")).distinct(), Seq("user_id"))
+        else t.append(ev.filter(col("event_id") % batches === i))
+        val v1 = t.currentVersion // may include an autoCompact commit
+        val t0 = System.nanoTime()
+        val rows = (v0 + 1 to v1).map(v =>
+          t.readChangelog(v - 1, v).count()).sum
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[longhaul] cdc ${i + 1}%5d  $kind%-8s $s%5.2f  " +
+          f"$rows%10d  ${t.dataFiles.size}%5d")
+        s
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      val (h1, h2) = clSecs.splitAt(batches / 2)
+      println(f"[longhaul] changelog median firstHalf ${med(h1)}%5.2f s  " +
+        f"secondHalf ${med(h2)}%5.2f s  ratio ${med(h2) / med(h1)}%4.2f  " +
+        f"(flat = O(delta), not O(table))")
+    }
+
     // Manifest-split verdict: per-commit METADATA bytes must track
     // the batch, not the table. For every retained version, the
     // metadata this commit wrote = its snapshot json + the manifests

@@ -43,6 +43,82 @@ class MultimodalSpec extends SparkSuite {
     assert(perDoc.count() == 10)
   }
 
+  test("perceptual sketch: frame-set semantics (reorder/repeat = same " +
+    "sketch), exact copies at hamming 0, disjoint payloads far apart") {
+    // 64-byte frames built from distinct fill characters
+    def frame(c: Char) = c.toString * 64
+    val base = ('a' to 't').map(frame).mkString          // 20 frames
+    val looped = ('a' to 't').map(frame).reverse.mkString +
+      frame('a') + frame('b')                            // reordered + repeats
+    val disjoint = ('A' to 'T').map(frame).mkString      // no shared frame
+    val media = MultimodalOps.withBinaryPayload(Seq(
+      (1L, base), (2L, base), (3L, looped), (4L, disjoint))
+      .toDF("doc_id", "text"))
+    val sk = MultimodalOps.perceptualSketch(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L), "exact copy must sketch identically")
+    // the sketch is over DISTINCT frame hashes: frame order and
+    // repetition (a looped video) cannot move it
+    assert(sk(1L) == sk(3L), "frame reorder/repeat must not move sketch")
+    val ham = java.lang.Long.bitCount(sk(1L) ^ sk(4L))
+    assert(ham > 3, s"disjoint payloads at hamming $ham")
+    // banded pairs find exactly the near trio
+    val pairs = DedupOps.sketchPairs(
+        MultimodalOps.perceptualSketch(media), maxHamming = 3)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("incremental perceptual probe matches the banded all-pairs " +
+    "cross-slice, with and without postings") {
+    val media = MultimodalOps.withBinaryPayload(docs)
+    val idxSketches = MultimodalOps.perceptualSketch(
+      media.filter($"doc_id" % 3 === 0)).localCheckpoint()
+    val root = tmpDir("phidx")
+    val index = graft.lake.LakeTable.create(spark, s"$root/idx",
+      idxSketches.schema, bucketBy = Some(("doc_id", 8)))
+    index.appendExactlyOnce(idxSketches, "t", 0L)
+    val postings = graft.lake.LakeTable.create(spark, s"$root/post",
+      DedupOps.simHashPostingsSchema,
+      properties = DedupOps.simHashPostingsProps,
+      bucketBy = Some(("pbh", 16)))
+    postings.appendExactlyOnce(
+      DedupOps.simHashPostingsRows(idxSketches), "t", 0L)
+    val batch = MultimodalOps.perceptualSketch(
+      media.filter($"doc_id" % 2 === 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d_new", $"d_idx", $"hamming".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val viaIndex = rows(DedupOps.sketchesAgainstIndex(batch, index))
+    val viaPostings = rows(DedupOps.sketchesAgainstIndex(batch, index,
+      postings = Some(postings)))
+    // ground truth: full cross-slice hamming join over the sketches
+    val all = MultimodalOps.perceptualSketch(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      (dn, hn) <- all; (di, hi) <- all
+      if dn % 2 == 0 && di % 3 == 0
+      h = java.lang.Long.bitCount(hn ^ hi) if h <= 3
+    } yield (dn, di, h.toLong)).toSet
+    assert(viaIndex == truth, "index probe missed/invented pairs")
+    assert(viaPostings == truth, "postings probe missed/invented pairs")
+  }
+
+  test("multimodal pair curation: quality and aspect gates compose") {
+    val feats = MultimodalOps.documentFeatures(spark, docs)
+    val qual = graft.operators.TextOps.quality(spark, sf)
+    val curated = feats.join(qual, "doc_id")
+      .filter($"quality" >= 0.8 &&
+        $"width" <= lit(4L) * $"height" &&
+        $"height" <= lit(4L) * $"width")
+    val n = curated.count()
+    assert(n > 0 && n < docs.count(),
+      s"gate must be selective, kept $n of ${docs.count()}")
+    assert(curated.filter($"quality" < 0.8).count() == 0)
+    assert(curated.filter($"width" > lit(4L) * $"height" ||
+      $"height" > lit(4L) * $"width").count() == 0)
+  }
+
   test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
       .toDF("doc_id", "text")
