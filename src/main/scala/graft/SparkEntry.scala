@@ -1307,7 +1307,12 @@ object SparkEntry {
         partitionBy = Seq("days(ts)"))
       t.append(ev.filter(col("event_id") % 2 === 0).repartition(4))
       t.alterPartitionSpec(Seq("hours(ts)"))
-      t.append(ev.filter(col("event_id") % 2 === 1).repartition(4))
+      // the fine-spec epoch clusters its write BY THE PARTITION KEY —
+      // the 100 TB idiom for high-cardinality specs (each hour's rows
+      // land in one task, one file per dir instead of tasks x dirs
+      // tiny files; 720 hour dirs here, 2880 files without this)
+      t.append(ev.filter(col("event_id") % 2 === 1)
+        .repartition(8, date_trunc("hour", col("ts"))))
       val loUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
       val dayUs = 86400000000L
       val aMs = (Math.floorDiv(loUs, dayUs) + 2) * 86400L * 1000
