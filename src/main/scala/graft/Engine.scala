@@ -42,13 +42,22 @@ case class MetricsConfig(
   * `source`, dedupe (exact; near-dup too when `minJaccard` is set)
   * against the persisted `<target>_index`, append accepted docs to
   * `<target>` — GraftEngine.startCuration driven from the same YAML
-  * surface that drives ingestion. */
+  * surface that drives ingestion.
+  *
+  * `auditFailIf` turns every accepted-batch commit into a
+  * write-audit-publish cycle (the q159 machinery driven from YAML):
+  * the batch is STAGED on a WAP branch of the target — main consumers
+  * keep serving the pre-batch corpus — audited by the SQL predicate
+  * (any matching row is a violation), and atomically published, or on
+  * violation abandoned and parked in `<target>_quarantine` for human
+  * re-drive. */
 case class CurationConfig(
     source: String,
     target: String = "curated",
     minJaccard: Option[Double] = None,
     textCol: String = "text",
-    idCol: String = "doc_id")
+    idCol: String = "doc_id",
+    auditFailIf: Option[String] = None)
 
 /** The vector twin: watch lake table `source` of (id, embedding)
   * rows, drop cosine near-dups of the persisted `<target>_index` at
@@ -59,7 +68,8 @@ case class EmbeddingCurationConfig(
     target: String = "curated_vectors",
     threshold: Double = 0.35,
     idCol: String = "vec_id",
-    embCol: String = "embedding")
+    embCol: String = "embedding",
+    auditFailIf: Option[String] = None)
 
 /** Continuous SERVING-index maintenance declared in config: watch lake
   * table `source` and grow the persisted BM25 index
@@ -151,7 +161,8 @@ object GraftConfig {
           minJaccard = (root / "curation" / "minJaccard").strOpt
             .map(_.toDouble),
           textCol = (root / "curation" / "textCol").str("text"),
-          idCol = (root / "curation" / "idCol").str("doc_id"))
+          idCol = (root / "curation" / "idCol").str("doc_id"),
+          auditFailIf = (root / "curation" / "auditFailIf").strOpt)
       },
       embeddingCuration =
         (root / "embeddingCuration" / "source").strOpt.map { src =>
@@ -163,7 +174,9 @@ object GraftConfig {
               .strOpt.map(_.toDouble).getOrElse(0.35),
             idCol = (root / "embeddingCuration" / "idCol").str("vec_id"),
             embCol = (root / "embeddingCuration" / "embCol")
-              .str("embedding"))
+              .str("embedding"),
+            auditFailIf =
+              (root / "embeddingCuration" / "auditFailIf").strOpt)
         },
       lexicalIndex =
         (root / "lexicalIndex" / "source").strOpt.map { src =>
@@ -303,7 +316,8 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     * on fp so per-batch probes prune instead of scanning history. */
   def startCuration(name: String, sourceTable: String,
                     minJaccard: Option[Double] = None,
-                    textCol: String = "text", idCol: String = "doc_id")
+                    textCol: String = "text", idCol: String = "doc_id",
+                    auditFailIf: Option[String] = None)
       : (LakeTable, StreamingQuery) = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val ns = config.catalog.namespace
@@ -389,11 +403,17 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     }
     // a bucketed source's schema carries its derived _bucket routing
     // column — strip it so the curated table gets only document data
-    val out = catalog.createOrLoadTable(ns, name,
-      StructType(src.schema.fields.filterNot(
-        _.name == graft.lake.LakeTable.BucketCol)))
+    val outSchema = StructType(src.schema.fields.filterNot(
+      _.name == graft.lake.LakeTable.BucketCol))
+    val out = catalog.createOrLoadTable(ns, name, outSchema)
+    // YAML-declared write-audit-publish: every accepted batch stages
+    // on a WAP branch of the out table, the predicate audits it, and
+    // violations park the batch in the quarantine table instead of
+    // publishing (MVManager.wapAppend crash protocol)
+    val wap = auditFailIf.map(p => MVManager.WapAudit(p,
+      catalog.createOrLoadTable(ns, s"${name}_quarantine", outSchema)))
     val q = mvs.startCurationFromLake(name, src, index, out, textCol,
-      idCol, minJaccard, config.trigger, postings)
+      idCol, minJaccard, config.trigger, postings, wap)
     (out, q)
   }
 
@@ -414,7 +434,8 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
   def startEmbeddingCuration(name: String, sourceTable: String,
                              threshold: Double = 0.35,
                              idCol: String = "vec_id",
-                             embCol: String = "embedding")
+                             embCol: String = "embedding",
+                             auditFailIf: Option[String] = None)
       : (LakeTable, StreamingQuery) = {
     import org.apache.spark.sql.types.StructType
     val ns = config.catalog.namespace
@@ -469,10 +490,12 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
         GraftEngine.PostingsBackfillWriter, 0L)
     }
     val out = catalog.createOrLoadTable(ns, name, userSchema)
+    val wap = auditFailIf.map(p => MVManager.WapAudit(p,
+      catalog.createOrLoadTable(ns, s"${name}_quarantine", userSchema)))
     val q = mvs.startEmbeddingCurationFromLake(name, src, index, out,
       threshold, bandBits = bandBits, bands = bands, idCol = idCol,
       embCol = embCol, trigger = config.trigger,
-      postings = Some(postings))
+      postings = Some(postings), wap = wap)
     (out, q)
   }
 

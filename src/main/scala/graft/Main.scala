@@ -26,15 +26,17 @@ object Main {
     }
     config.curation.foreach { c =>
       val (_, q) = engine.startCuration(c.target, c.source,
-        c.minJaccard, c.textCol, c.idCol)
+        c.minJaccard, c.textCol, c.idCol, c.auditFailIf)
       println(s"[graft] curating '${c.source}' -> '${c.target}' " +
-        s"(near-dup: ${c.minJaccard.getOrElse("off")}, query ${q.id})")
+        s"(near-dup: ${c.minJaccard.getOrElse("off")}, " +
+        s"audit: ${c.auditFailIf.getOrElse("off")}, query ${q.id})")
     }
     config.embeddingCuration.foreach { c =>
       val (_, q) = engine.startEmbeddingCuration(c.target, c.source,
-        c.threshold, c.idCol, c.embCol)
+        c.threshold, c.idCol, c.embCol, c.auditFailIf)
       println(s"[graft] curating vectors '${c.source}' -> " +
-        s"'${c.target}' (cosine >= ${c.threshold}, query ${q.id})")
+        s"'${c.target}' (cosine >= ${c.threshold}, " +
+        s"audit: ${c.auditFailIf.getOrElse("off")}, query ${q.id})")
     }
     config.lexicalIndex.foreach { c =>
       val (_, _, q) = engine.startLexicalIndex(c.target, c.source,

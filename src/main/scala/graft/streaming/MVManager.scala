@@ -120,7 +120,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                             idCol: String = "doc_id",
                             nearDupMinJaccard: Option[Double] = None,
                             trigger: Trigger = Trigger.AvailableNow(),
-                            postings: Option[LakeTable] = None)
+                            postings: Option[LakeTable] = None,
+                            wap: Option[MVManager.WapAudit] = None)
       : StreamingQuery =
     startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
       // drop the source's derived bucket-layout column: it is the
@@ -129,9 +130,9 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       val docs = source.changesBetween(lo, hi).drop(LakeTable.BucketCol)
       nearDupMinJaccard match {
         case Some(j) => MVManager.curateStepNearDup(docs, index, out,
-          wid, id, j, textCol, idCol, postings)
+          wid, id, j, textCol, idCol, postings, wap)
         case None => MVManager.curateStep(docs, index, out,
-          wid, id, textCol, idCol)
+          wid, id, textCol, idCol, wap)
       }
     }
 
@@ -173,7 +174,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                        idCol: String = "doc_id",
                        nearDupMinJaccard: Option[Double] = None,
                        trigger: Trigger = Trigger.AvailableNow(),
-                       postings: Option[LakeTable] = None)
+                       postings: Option[LakeTable] = None,
+                       wap: Option[MVManager.WapAudit] = None)
       : StreamingQuery = {
     import org.apache.spark.sql.functions.col
     startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
@@ -190,9 +192,9 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
           } else source.changesBetween(v - 1, v).drop(LakeTable.BucketCol)
         nearDupMinJaccard match {
           case Some(j) => MVManager.curateStepNearDup(docs, index, out,
-            wid, v, j, textCol, idCol, postings)
+            wid, v, j, textCol, idCol, postings, wap)
           case None => MVManager.curateStep(docs, index, out,
-            wid, v, textCol, idCol)
+            wid, v, textCol, idCol, wap)
         }
       }
     }
@@ -214,7 +216,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                                 idCol: String = "vec_id",
                                 embCol: String = "embedding",
                                 trigger: Trigger = Trigger.AvailableNow(),
-                                postings: Option[LakeTable] = None)
+                                postings: Option[LakeTable] = None,
+                                wap: Option[MVManager.WapAudit] = None)
       : StreamingQuery = {
     import org.apache.spark.sql.functions.col
     startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
@@ -230,7 +233,7 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
               .drop("_change_type").drop(LakeTable.BucketCol)
           } else source.changesBetween(v - 1, v).drop(LakeTable.BucketCol)
         MVManager.curateStepEmbedding(vecs, index, out, wid, v,
-          threshold, bandBits, bands, idCol, embCol, postings)
+          threshold, bandBits, bands, idCol, embCol, postings, wap)
       }
     }
   }
@@ -403,12 +406,14 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                                      embCol: String = "embedding",
                                      trigger: Trigger =
                                        Trigger.AvailableNow(),
-                                     postings: Option[LakeTable] = None)
+                                     postings: Option[LakeTable] = None,
+                                     wap: Option[MVManager.WapAudit] =
+                                       None)
       : StreamingQuery =
     startCommitLogSink(name, source, trigger) { (wid, id, lo, hi) =>
       val vecs = source.changesBetween(lo, hi).drop(LakeTable.BucketCol)
       MVManager.curateStepEmbedding(vecs, index, out, wid,
-        id, threshold, bandBits, bands, idCol, embCol, postings)
+        id, threshold, bandBits, bands, idCol, embCol, postings, wap)
     }
 
   /** Incrementally-MAINTAINED aggregate MV — the reference system's
@@ -479,6 +484,63 @@ object MVManager {
   private val log =
     org.slf4j.LoggerFactory.getLogger("graft.streaming.MVManager")
 
+  /** A write-audit-publish gate for curation commits: every batch of
+    * accepted rows is STAGED on a WAP branch of the out table (main
+    * consumers keep reading the pinned pre-batch version), audited by
+    * `failIf` — a SQL predicate over the staged rows; any match is a
+    * violation — and then atomically published, or, on violation,
+    * abandoned and parked row-for-row in `quarantine` for human
+    * re-drive. The audit scope is the STAGED DELTA (O(batch) per
+    * batch, the Iceberg WAP pattern); table-level invariants can be
+    * audited with a custom gate over readBranch at the caller's cost. */
+  final case class WapAudit(failIf: String, quarantine: LakeTable)
+
+  /** Commit `rows` to `out` under (writerId, batchId), optionally
+    * through a [[WapAudit]] stage-audit-publish cycle.
+    *
+    * Crash-replay analysis on top of [[curateStep]]'s. The branch
+    * name is derived from (writerId, batchId), so a replay finds at
+    * most ITS OWN crashed branch and RESUMES it — never abandons it:
+    * the batchId high-water mark deliberately SURVIVES a rollback
+    * (a replayed delete must not re-commit), so abandoning a crashed
+    * pass-case attempt would make the replayed append no-op into an
+    * empty branch and lose the batch. Resuming is always safe: the
+    * staged commit either landed (append no-ops, the staged rows are
+    * still the branch head) or did not (append lands now). Crash
+    * after publish: the replay stages an empty branch (append no-ops
+    * on its guard), the deterministic audit passes again, publish
+    * releases the no-op pin. Crash after an audit-fail abandon but
+    * before the quarantine commit: the replay's append no-ops (guard
+    * survived the rollback), the audit — which runs over the
+    * RECOMPUTED rows, not the staged delta — fails again, the no-op
+    * abandon releases the pin, and the quarantine append lands under
+    * its own key. A deterministic audit therefore converges to
+    * exactly one of: published once, or quarantined once — never
+    * both, never neither. */
+  private[graft] def wapAppend(out: LakeTable,
+                               rows: org.apache.spark.sql.DataFrame,
+                               writerId: String, batchId: Long,
+                               wap: Option[WapAudit]): Unit = wap match {
+    case None => out.appendExactlyOnce(rows, writerId, batchId)
+    case Some(a) =>
+      import org.apache.spark.sql.functions.expr
+      val br = s"wap-$writerId-$batchId"
+      // resume a crashed attempt of THIS batch; a different branch
+      // name would mean a foreign writer — createBranch throws loudly
+      if (!out.activeBranch.exists(_._1 == br)) out.createBranch(br)
+      out.appendExactlyOnce(rows, writerId, batchId)
+      val violations = rows.filter(expr(a.failIf)).count()
+      if (violations == 0L) { out.publishBranch(br); () }
+      else {
+        out.abandonBranch(br)
+        a.quarantine.appendExactlyOnce(rows, s"$writerId#quarantine",
+          batchId)
+        log.warn(s"curation batch $batchId quarantined: $violations " +
+          s"row(s) match audit predicate '${a.failIf}' — staged " +
+          s"branch abandoned, rows parked in ${a.quarantine.root}")
+      }
+  }
+
   /** Propagate one source commit's forgotten ids to a curation loop's
     * derived tables as O(keys) equality deletes, exactly-once per
     * (writer `#del` key, source version): curated OUT stops serving
@@ -522,16 +584,22 @@ object MVManager {
   def curateStep(docs: org.apache.spark.sql.DataFrame,
                  index: LakeTable, out: LakeTable,
                  writerId: String, batchId: Long,
-                 textCol: String = "text", idCol: String = "doc_id")
+                 textCol: String = "text", idCol: String = "doc_id",
+                 wap: Option[WapAudit] = None)
       : Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val fresh = graft.operators.DedupOps
       .freshAgainstIndex(docs, index, textCol, idCol)
       .localCheckpoint() // one evaluation; both commits see one row set
-    val accepted = docs.join(
+    val accepted0 = docs.join(
       broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
-    out.appendExactlyOnce(accepted, writerId, batchId)
+    // the WAP audit evaluates the frame twice (stage + predicate):
+    // pin it so both see one row set; the unaudited path keeps its
+    // single-evaluation plan
+    val accepted =
+      if (wap.isDefined) accepted0.localCheckpoint() else accepted0
+    wapAppend(out, accepted, writerId, batchId, wap)
     index.appendExactlyOnce(fresh, writerId, batchId)
     // keep both tables' layouts bounded under continuous tiny commits
     out.autoCompactIfNeeded()
@@ -600,7 +668,8 @@ object MVManager {
                         minJaccard: Double = 0.5,
                         textCol: String = "text",
                         idCol: String = "doc_id",
-                        postings: Option[LakeTable] = None): Unit = {
+                        postings: Option[LakeTable] = None,
+                        wap: Option[WapAudit] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.DedupOps
     // ADOPT the postings table's stamped band count (the SRP twin's
@@ -662,7 +731,7 @@ object MVManager {
       .join(sigRows, Seq("doc_id"), "left")
       .select(col("fp"), col("doc_id"), col("shs"), col("sig"))
       .localCheckpoint() // two consumers: postings rows + index commit
-    out.appendExactlyOnce(accepted, writerId, batchId)
+    wapAppend(out, accepted, writerId, batchId, wap)
     postings.foreach(_.appendExactlyOnce(
       DedupOps.bandPostingsRows(idxRows, bands), writerId, batchId))
     index.appendExactlyOnce(idxRows, writerId, batchId)
@@ -696,7 +765,8 @@ object MVManager {
                             .DefaultIndexBands,
                           idCol: String = "vec_id",
                           embCol: String = "embedding",
-                          postings: Option[LakeTable] = None): Unit = {
+                          postings: Option[LakeTable] = None,
+                          wap: Option[WapAudit] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.{DedupOps, SimilarityOps}
     import graft.functions.VectorFunctions.cosine_sim
@@ -759,7 +829,7 @@ object MVManager {
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
       .localCheckpoint()
     val acceptedVecs = accepted.select(col(idCol), col(embCol))
-    out.appendExactlyOnce(accepted, writerId, batchId)
+    wapAppend(out, accepted, writerId, batchId, wap)
     postings.foreach(_.appendExactlyOnce(
       SimilarityOps.srpPostingsRows(acceptedVecs, bandBits, bands,
         idCol, embCol), writerId, batchId))

@@ -372,6 +372,66 @@ class EngineSpec extends SparkSuite {
       .collect().toSet == Set(1L, 3L))
   }
 
+  test("curation auditFailIf from YAML: accepted batches ship through " +
+    "write-audit-publish — violating batches quarantine, clean ones " +
+    "publish, the frontier still advances for quarantined docs") {
+    val yaml =
+      s"""storage:
+         |  localPath: ${tmpDir("wapcur-wh")}
+         |iceberg:
+         |  defaultNamespace: wcorpus
+         |curation:
+         |  source: raw
+         |  target: clean
+         |  auditFailIf: "length(text) < 15"
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    assert(cfg.curation == Some(CurationConfig("raw", "clean",
+      auditFailIf = Some("length(text) < 15"))))
+    val engine = new GraftEngine(spark, cfg)
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = engine.catalog.createTable("wcorpus", "raw", docsSchema)
+    val c = cfg.curation.get
+    def run() = engine.startCuration(c.target, c.source, c.minJaccard,
+      c.textCol, c.idCol, c.auditFailIf)._2.awaitTermination()
+
+    // batch 1: clean — stage, audit passes, publish
+    src.append(Seq((1L, "a perfectly fine long document"),
+      (2L, "another acceptable long document")).toDF("doc_id", "text"))
+    run()
+    assert(engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // batch 2: contains a violation — the WHOLE accepted batch is
+    // abandoned and parked in the quarantine table; main never moves
+    src.append(Seq((3L, "short doc"),
+      (4L, "an innocent bystander in a bad batch"))
+      .toDF("doc_id", "text"))
+    run()
+    assert(engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L), "violating batch leaked to main")
+    assert(engine.readTable("clean_quarantine").select("doc_id").as[Long]
+      .collect().toSet == Set(3L, 4L), "batch not quarantined")
+    // batch 3: clean again — the pin is released, publishing resumes;
+    // an exact copy of a QUARANTINED doc is still deduped (the
+    // frontier advanced when the batch was audited, so quarantine
+    // re-drive is a human decision, not an accidental re-admission)
+    src.append(Seq((5L, "fresh clean content arriving later"),
+      (14L, "an innocent bystander in a bad batch"))
+      .toDF("doc_id", "text"))
+    run()
+    assert(engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 5L))
+    assert(engine.table("clean").activeBranch.isEmpty,
+      "a WAP branch was left pinning the out table")
+    assert(engine.catalog.listTables("wcorpus").toSet ==
+      Set("raw", "clean", "clean_index", "clean_quarantine"))
+  }
+
   test("lexicalIndex + vectorIndex sections parse from YAML and drive " +
     "catalog-managed serving-index loops that converge to from-scratch " +
     "builds") {

@@ -360,6 +360,53 @@ class CurationMVSpec extends SparkSuite {
     assert(out.read().count() == 3, "no doc curated twice")
   }
 
+  test("WAP-audited curateStep: replay is exactly-once at the " +
+    "dangerous crash points (staged-not-published resumes; audit-fail " +
+    "quarantines once)") {
+    val (_, index, out) = mkTables("wap")
+    val quarantine = LakeTable.create(spark, tmpDir("wap-q"),
+      out.schema)
+    val wap = Some(MVManager.WapAudit("length(text) < 6", quarantine))
+
+    // batch 0 publishes clean
+    MVManager.curateStep(Seq((1L, "alpha document")).toDF("doc_id", "text"),
+      index, out, "w", 0L, wap = wap)
+    assert(out.read().count() == 1 && out.activeBranch.isEmpty)
+
+    // crash point: batch 1 STAGED (branch + append landed) but never
+    // audited/published — simulate, then replay the full step: the
+    // replay must RESUME the branch (abandoning would lose the batch:
+    // the batchId guard survives rollback by design) and publish
+    val b1 = Seq((2L, "beta document")).toDF("doc_id", "text")
+    out.createBranch("wap-w-1")
+    out.appendExactlyOnce(b1, "w", 1L) // ...crash here
+    MVManager.curateStep(b1, index, out, "w", 1L, wap = wap)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L), "staged batch lost on replay")
+    assert(out.activeBranch.isEmpty)
+
+    // audit-fail: the batch parks in quarantine; a wholesale replay
+    // (crash after abandon, before/after quarantine) re-converges to
+    // exactly one quarantine copy and a clean out
+    val bad = Seq((3L, "tiny"), (4L, "gamma document"))
+      .toDF("doc_id", "text")
+    MVManager.curateStep(bad, index, out, "w", 2L, wap = wap)
+    MVManager.curateStep(bad, index, out, "w", 2L, wap = wap)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L), "audit-failed batch leaked to out")
+    assert(quarantine.read().select("doc_id").as[Long].collect().toSet
+      == Set(3L, 4L))
+    assert(quarantine.read().count() == 2, "quarantined twice")
+    assert(out.activeBranch.isEmpty)
+
+    // the frontier advanced for the quarantined docs: their copies
+    // dedupe, and later clean batches publish normally
+    MVManager.curateStep(Seq((13L, "tiny"), (5L, "delta document"))
+      .toDF("doc_id", "text"), index, out, "w", 3L, wap = wap)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L))
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
