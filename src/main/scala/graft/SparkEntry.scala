@@ -1197,6 +1197,40 @@ object SparkEntry {
           col("height") <= lit(4L) * col("width"))
         .select("doc_id", "n_bytes", "width", "height", "quality")
     }),
+    // PERCEPTUAL CURATION MV (q168): the continuous curation loop on
+    // the BINARY axis — a lake-backed media source takes two commits
+    // (the %3==0 slice, then the full table re-appended); the
+    // checkpointed loop sketches each version once, collapses
+    // within-batch near-dup clusters to their min id, drops survivors
+    // within hamming 3 of the persisted sketch index (postings-probed
+    // O(batch)), appends accepted media, and advances the frontier —
+    // STOPPED and RESTARTED between the commits, so the hash match
+    // proves exactly-once perceptual curation across a restart (there
+    // is no separate exact frontier: a re-appended payload sketches
+    // identically and band-collides with its indexed original).
+    "q168_perceptual_curation_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = MultimodalOps.withBinaryPayload(
+        Tables.load(s, d, "documents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pcur")
+      val src = graft.lake.LakeTable.create(s, s"$dir/src", media.schema)
+      val index = graft.lake.LakeTable.create(s, s"$dir/idx",
+        MultimodalOps.perceptualSketch(media).schema,
+        bucketBy = Some(("doc_id", 8)))
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.simHashPostingsSchema,
+        properties = DedupOps.simHashPostingsProps,
+        bucketBy = Some(("pbh", 16)))
+      val out = graft.lake.LakeTable.create(s, s"$dir/out", media.schema)
+      val mv = new graft.streaming.MVManager(s, s"$dir/ckpt")
+      src.append(media.filter(col("doc_id") % 3 === 0))
+      mv.startPerceptualCurationFromLake("pcur", src, index, out,
+        postings = Some(postings)).awaitTermination()
+      src.append(media)
+      mv.startPerceptualCurationFromLake("pcur", src, index, out,
+        postings = Some(postings)).awaitTermination()
+      out.read().select("doc_id")
+    }),
     // METADATA TABLES (q160): the lake introspects ITSELF — per-
     // partition row totals come from the manifest stats the pruner
     // trusts (no data file opened: the whole answer is metadata), and
@@ -2166,7 +2200,7 @@ object SparkEntry {
               FROM tf GROUP BY word),
        q AS (SELECT word FROM tf WHERE doc_id = 0),
        sc AS (SELECT t.doc_id,
-              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2::DOUBLE) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
                 AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
@@ -2216,7 +2250,7 @@ object SparkEntry {
        q AS (SELECT doc_id AS query_id, word FROM tf
              WHERE doc_id IN (0, 1, 2)),
        sc AS (SELECT q.query_id, t.doc_id,
-              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2::DOUBLE) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
                 AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
@@ -2280,7 +2314,7 @@ object SparkEntry {
               FROM tf GROUP BY word),
        q AS (SELECT word FROM tf WHERE doc_id = 0)
        SELECT t.doc_id,
-              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+              CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2::DOUBLE) /
                   (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                     (SELECT avg(dl) FROM dl)))
                 AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
@@ -2303,8 +2337,8 @@ object SparkEntry {
     * Fixture payloads are pure ASCII (byte == char), so DuckDB's
     * string substring/md5 see exactly the bytes the engine's binary
     * operators hash. */
-  private val phashSketchCte: String =
-    """WITH fr AS (SELECT doc_id,
+  private val phashSketchBody: String =
+    """fr AS (SELECT doc_id,
            list_distinct(list_transform(
              range(0, (length(text) + 63) // 64),
              i -> md5(substring(text, (i * 64 + 1)::BIGINT, 64)))) AS fs
@@ -2320,6 +2354,8 @@ object SparkEntry {
               bit_or(CASE WHEN c >= 0 THEN (1::UBIGINT << b)
                      ELSE 0::UBIGINT END) AS simhash
               FROM bits GROUP BY doc_id)"""
+
+  private val phashSketchCte: String = "WITH " + phashSketchBody
 
   private val simHashSketchCte: String =
     """WITH toks AS (SELECT doc_id,
@@ -2987,6 +3023,45 @@ object SparkEntry {
          WHERE quality >= 0.8
            AND (h % 1920) + 1 <= 4 * (((h >> 17) % 1080) + 1)
            AND ((h >> 17) % 1080) + 1 <= 4 * ((h % 1920) + 1)""",
+    // Mirrors q168: the two-batch perceptual curation algebra —
+    // batch 1 (%3==0) collapses its hamming<=3 connected clusters to
+    // min-id survivors (all accepted: the index is empty); batch 2
+    // (the full table) collapses likewise, then survivors within
+    // hamming 3 of ANY batch-1 accepted sketch drop (re-appended
+    // copies sketch identically and always drop).
+    "q168_perceptual_curation_mv" -> ("WITH RECURSIVE " + phashSketchBody +
+      """,
+         b1 AS (SELECT doc_id, simhash FROM sh WHERE doc_id % 3 = 0),
+         e1 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM b1 a JOIN b1 b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         e1s AS (SELECT d1 AS a, d2 AS b FROM e1
+                 UNION ALL SELECT d2, d1 FROM e1),
+         cc1 AS (SELECT doc_id, doc_id AS lbl FROM b1
+                 UNION
+                 SELECT e.b, c.lbl FROM cc1 c JOIN e1s e
+                   ON e.a = c.doc_id),
+         acc1 AS (SELECT doc_id, simhash FROM b1
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cc1
+                    WHERE lbl < doc_id)),
+         b2 AS (SELECT doc_id, simhash FROM sh),
+         e2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM b2 a JOIN b2 b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         e2s AS (SELECT d1 AS a, d2 AS b FROM e2
+                 UNION ALL SELECT d2, d1 FROM e2),
+         cc2 AS (SELECT doc_id, doc_id AS lbl FROM b2
+                 UNION
+                 SELECT e.b, c.lbl FROM cc2 c JOIN e2s e
+                   ON e.a = c.doc_id),
+         sur2 AS (SELECT doc_id, simhash FROM b2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cc2
+                    WHERE lbl < doc_id)),
+         acc2 AS (SELECT s.doc_id FROM sur2 s
+                  WHERE NOT EXISTS (SELECT 1 FROM acc1 i
+                    WHERE bit_count(xor(s.simhash, i.simhash)) <= 3))
+         SELECT doc_id FROM acc1
+         UNION ALL SELECT doc_id FROM acc2"""),
     // Mirrors q160: per-partition totals and per-snapshot referenced
     // row counts recomputed from raw data — v1 all rows, v2 adds the
     // shifted non-view batch, v3's copy-on-write delete removes
@@ -3657,7 +3732,7 @@ object SparkEntry {
          q AS (SELECT doc_id AS query_id, word FROM tf
                WHERE doc_id IN (0, 1, 2)),
          sc AS (SELECT q.query_id, t.doc_id,
-                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2::DOUBLE) /
                     (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                       (SELECT avg(dl) FROM dl)))
                   AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score
@@ -3745,7 +3820,7 @@ object SparkEntry {
                 FROM tf GROUP BY word),
          q AS (SELECT word FROM tf WHERE doc_id = 0)
          SELECT t.doc_id,
-                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2) /
+                CAST(CAST(sum(CAST(i.idf * (t.tf * 2.2::DOUBLE) /
                     (t.tf + 1.2 * (0.25 + 0.75 * d.dl /
                       (SELECT avg(dl) FROM dl)))
                   AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score

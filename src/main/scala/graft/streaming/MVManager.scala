@@ -238,6 +238,60 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** Continuous PERCEPTUAL curation MV — the binary-axis member of the
+    * curation-loop family (exact fp, MinHash text, SRP embedding, and
+    * now frame-hash perceptual): watch `source`'s commit log of
+    * (id, payload) media rows, sketch each batch once
+    * ([[graft.operators.MultimodalOps.perceptualSketch]] — 64-byte
+    * frames, md5 frame hashes, SimHash bit-vote), collapse within-batch
+    * near-dup clusters to their min id, drop batch survivors within
+    * `maxHamming` of the persisted sketch `index` (banded candidates
+    * probed through simhash-layout `postings` — O(batch) per batch,
+    * zero index-side shuffles), append accepted media to `out`, and
+    * advance the sketch frontier. There is no separate exact frontier:
+    * an exact copy of an accepted payload sketches identically
+    * (hamming 0) and always band-collides with its indexed original.
+    *
+    * DELETE-AWARE from birth (this loop postdates the q164 CDC
+    * pattern, so it never had an insert-only form): versions are
+    * walked one at a time, a row-removing commit propagates its
+    * forgotten ids as O(keys) equality deletes to out/index/postings
+    * BEFORE its insert side curates ([[MVManager.propagateForget]]),
+    * so a GDPR forget un-serves the media, drops its sketch — derived
+    * content — and frees the frontier for a legitimate re-upload.
+    * Commit order and crash analysis are [[MVManager.curateStepNearDup]]'s
+    * (out -> postings -> index, postings advisory, index last;
+    * exactly-once at version granularity). */
+  def startPerceptualCurationFromLake(name: String, source: LakeTable,
+                                      index: LakeTable, out: LakeTable,
+                                      maxHamming: Int = 3,
+                                      idCol: String = "doc_id",
+                                      payloadCol: String = "payload",
+                                      trigger: Trigger =
+                                        Trigger.AvailableNow(),
+                                      postings: Option[LakeTable] = None,
+                                      wap: Option[MVManager.WapAudit] =
+                                        None)
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startCommitLogSink(name, source, trigger) { (wid, _, lo, hi) =>
+      for (v <- lo + 1 to hi) {
+        val media: DataFrame =
+          if (source.versionRemovesRows(v)) {
+            val ch = source.readChangelog(v - 1, v)
+            MVManager.propagateForget(
+              ch.filter(col("_change_type") === "delete")
+                .select(col(idCol)).distinct(),
+              idCol, "doc_id", out, index, postings, wid, v)
+            ch.filter(col("_change_type") === "insert")
+              .drop("_change_type").drop(LakeTable.BucketCol)
+          } else source.changesBetween(v - 1, v).drop(LakeTable.BucketCol)
+        MVManager.curateStepPerceptual(media, index, out, wid, v,
+          maxHamming, idCol, payloadCol, postings, wap)
+      }
+    }
+  }
+
   /** Continuous LEXICAL-INDEX maintenance MV — the commit-log loop of
     * [[startCurationFromLake]] applied to the persisted BM25 index
     * (TextOps.buildLexicalIndex): every newly committed batch of
@@ -735,6 +789,86 @@ object MVManager {
     postings.foreach(_.appendExactlyOnce(
       DedupOps.bandPostingsRows(idxRows, bands), writerId, batchId))
     index.appendExactlyOnce(idxRows, writerId, batchId)
+    out.autoCompactIfNeeded()
+    postings.foreach(_.autoCompactIfNeeded())
+    index.autoCompactIfNeeded()
+  }
+
+  /** The PERCEPTUAL curation step — the binary-axis twin of
+    * [[curateStepNearDup]]: one sketch pass feeds the within-batch
+    * collapse (banded pairs -> bounded driver union-find, min-id
+    * survivor per connected cluster; distributed contraction
+    * fallback), the index probe
+    * ([[graft.operators.DedupOps.sketchesAgainstIndex]], postings-
+    * probed O(batch)), and — filtered to accepted — the index commit.
+    * Sketch-free payloads (empty/null) are DROPPED and logged, the
+    * zero-norm-vector argument on the binary axis: a frame-less
+    * payload can never match anything, not even its own copies, so
+    * admitting it would re-admit every future duplicate. Commit order
+    * out -> postings -> index with the [[curateStepNearDup]] crash
+    * analysis (postings advisory; the index commit alone advances the
+    * frontier replay determinism rests on). */
+  def curateStepPerceptual(media: org.apache.spark.sql.DataFrame,
+                           index: LakeTable, out: LakeTable,
+                           writerId: String, batchId: Long,
+                           maxHamming: Int = 3,
+                           idCol: String = "doc_id",
+                           payloadCol: String = "payload",
+                           postings: Option[LakeTable] = None,
+                           wap: Option[WapAudit] = None): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, length}
+    import graft.operators.{DedupOps, MultimodalOps}
+    postings.foreach { p =>
+      val kind = DedupOps.requirePostingsProp(p, "postings.kind")
+      require(kind == "simhash",
+        s"postings table at ${p.root} is '$kind', not simhash")
+    }
+    val sketchless = media.filter(
+      col(payloadCol).isNull || length(col(payloadCol)) === 0).count()
+    if (sketchless > 0)
+      log.warn(s"perceptual curation writer=$writerId batch=$batchId: " +
+        s"dropped $sketchless sketch-free payload(s) (empty or null) — " +
+        "they cannot match anything, not even their own copies")
+    val sk = MultimodalOps.perceptualSketch(media,
+        idCol = idCol, payloadCol = payloadCol)
+      .localCheckpoint() // feeds collapse, probe, and the index commit
+    // within-batch collapse: bounded driver union-find over the banded
+    // pairs (sparse by LSH design), distributed contraction fallback
+    val maxWbPairs = 100000
+    val wbPairs = DedupOps.sketchPairs(sk, maxHamming)
+    val somePairs = wbPairs.select(col("d1"), col("d2"))
+      .limit(maxWbPairs + 1).collect()
+    val wbDrop =
+      if (somePairs.length <= maxWbPairs) {
+        val dropIds = DedupOps.nearDupDropIds(
+          somePairs.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        val ss = media.sparkSession
+        import ss.implicits._
+        dropIds.toDF(idCol)
+      } else DedupOps.nearDupClusters(wbPairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol))
+    val survivorSk = sk
+      .join(broadcast(wbDrop.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nearIds = DedupOps
+      .sketchesAgainstIndex(survivorSk, index, maxHamming,
+        postings = postings)
+      .select(col("d_new").as("doc_id")).distinct()
+    val acceptedSk = survivorSk
+      .join(broadcast(nearIds), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // three consumers: out semi-join, postings, index
+    val accepted0 = media.join(
+      broadcast(acceptedSk.select(col("doc_id").as(idCol))), Seq(idCol),
+      "left_semi")
+    // a WAP audit evaluates the frame twice (stage + predicate)
+    val accepted =
+      if (wap.isDefined) accepted0.localCheckpoint() else accepted0
+    wapAppend(out, accepted, writerId, batchId, wap)
+    postings.foreach(_.appendExactlyOnce(
+      DedupOps.simHashPostingsRows(acceptedSk), writerId, batchId))
+    index.appendExactlyOnce(acceptedSk, writerId, batchId)
     out.autoCompactIfNeeded()
     postings.foreach(_.autoCompactIfNeeded())
     index.autoCompactIfNeeded()

@@ -137,6 +137,69 @@ class CurationCdcSpec extends SparkSuite {
       Set(2L, 11L), "forgotten doc's band postings must leave postings")
   }
 
+  test("perceptual curation MV: restart exactly-once on the binary " +
+    "axis, forget propagates to out/index/postings, re-upload of " +
+    "forgotten media re-admits") {
+    import graft.operators.{DedupOps, MultimodalOps}
+    def frame(c: Char) = c.toString * 64
+    val base = ('a' to 't').map(frame).mkString
+    val looped = ('a' to 't').map(frame).reverse.mkString +
+      frame('a') + frame('b') // same frame SET as base -> hamming 0
+    val disjoint = ('A' to 'T').map(frame).mkString
+    def media(rows: Seq[(Long, String)]) =
+      MultimodalOps.withBinaryPayload(rows.toDF("doc_id", "text"))
+    val mediaSchema = media(Seq((0L, "x"))).schema
+    val root = tmpDir("pcur")
+    val src = LakeTable.create(spark, s"$root/src", mediaSchema)
+    val index = LakeTable.create(spark, s"$root/idx",
+      MultimodalOps.perceptualSketch(media(Seq((0L, "x")))).schema,
+      bucketBy = Some(("doc_id", 8)))
+    val postings = LakeTable.create(spark, s"$root/post",
+      DedupOps.simHashPostingsSchema,
+      properties = DedupOps.simHashPostingsProps,
+      bucketBy = Some(("pbh", 16)))
+    val out = LakeTable.create(spark, s"$root/out", mediaSchema)
+    val mv = new MVManager(spark, s"$root/ckpt")
+    def run() = mv.startPerceptualCurationFromLake("pcur", src, index,
+      out, postings = Some(postings)).awaitTermination()
+
+    src.append(media(Seq((1L, base), (5L, disjoint)))) // v1
+    run()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 5L))
+
+    // restart: an exact copy and a frame-reordered/looped re-encode of
+    // accepted media are both rejected THROUGH the postings probe
+    // (hamming 0 by set semantics); within the batch the two copies
+    // also collapse to one cluster
+    src.append(media(Seq((10L, base), (11L, looped)))) // v2
+    run()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 5L), "re-encoded copies leaked past the sketch index")
+
+    // GDPR forget of media 1: its row leaves out, its sketch —
+    // derived content — leaves the index, its bands leave postings
+    src.deleteWhereEqual(Seq(1L).toDF("doc_id"), Seq("doc_id")) // v3
+    // re-upload of the forgotten content (new id) and a looped copy
+    // of the SURVIVING media 5 arrive together: the first re-admits
+    // (frontier freed), the second still rejects
+    src.append(media(Seq((21L, base), (22L, disjoint + frame('A'))))) // v4
+    run()
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(5L, 21L))
+    assert(index.read().select("doc_id").as[Long].collect().toSet ==
+      Set(5L, 21L), "forgotten sketch survived in the index")
+    assert(postings.read().select("doc_id").as[Long].collect().toSet ==
+      Set(5L, 21L), "forgotten bands survived in postings")
+
+    // wholesale replay: nothing moves anywhere
+    val (vo, vi, vp) =
+      (out.currentVersion, index.currentVersion, postings.currentVersion)
+    run()
+    assert(out.currentVersion == vo && index.currentVersion == vi &&
+      postings.currentVersion == vp)
+  }
+
   test("embedding CDC curation: a forgotten vector leaves out/index/" +
     "postings and an exact re-embedding of the content re-admits") {
     import graft.operators.SimilarityOps
