@@ -71,6 +71,20 @@ case class EmbeddingCurationConfig(
     embCol: String = "embedding",
     auditFailIf: Option[String] = None)
 
+/** The binary-axis twin: watch lake table `source` of (id, payload)
+  * media rows, drop perceptual near-dups of the persisted
+  * `<target>_index` within `maxHamming` (frame-hash SimHash,
+  * postings-probed), append accepted media to `<target>` —
+  * GraftEngine.startPerceptualCuration from YAML. Delete-aware:
+  * a GDPR forget on the source propagates to out/index/postings. */
+case class PerceptualCurationConfig(
+    source: String,
+    target: String = "curated_media",
+    maxHamming: Int = 3,
+    idCol: String = "doc_id",
+    payloadCol: String = "payload",
+    auditFailIf: Option[String] = None)
+
 /** Continuous SERVING-index maintenance declared in config: watch lake
   * table `source` and grow the persisted BM25 index
   * `<target>_postings` / `<target>_docstats` exactly-once per commit —
@@ -109,6 +123,7 @@ case class GraftConfig(
     flight: FlightConfig = FlightConfig(),
     curation: Option[CurationConfig] = None,
     embeddingCuration: Option[EmbeddingCurationConfig] = None,
+    perceptualCuration: Option[PerceptualCurationConfig] = None,
     lexicalIndex: Option[LexicalIndexConfig] = None,
     vectorIndex: Option[VectorIndexConfig] = None) {
   def trigger: Trigger =
@@ -177,6 +192,20 @@ object GraftConfig {
               .str("embedding"),
             auditFailIf =
               (root / "embeddingCuration" / "auditFailIf").strOpt)
+        },
+      perceptualCuration =
+        (root / "perceptualCuration" / "source").strOpt.map { src =>
+          PerceptualCurationConfig(
+            source = src,
+            target = (root / "perceptualCuration" / "target")
+              .str("curated_media"),
+            maxHamming =
+              (root / "perceptualCuration" / "maxHamming").int(3),
+            idCol = (root / "perceptualCuration" / "idCol").str("doc_id"),
+            payloadCol =
+              (root / "perceptualCuration" / "payloadCol").str("payload"),
+            auditFailIf =
+              (root / "perceptualCuration" / "auditFailIf").strOpt)
         },
       lexicalIndex =
         (root / "lexicalIndex" / "source").strOpt.map { src =>
@@ -499,6 +528,72 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     (out, q)
   }
 
+  /** The binary-axis member of the curation family: watch
+    * `sourceTable`'s commit log of (id, payload) media rows, collapse
+    * within-batch perceptual clusters, drop survivors within
+    * `maxHamming` of the persisted sketch `<name>_index` (simhash-
+    * layout band postings `<name>_postings`, probed O(batch)), append
+    * accepted media to `<name>` — exactly-once, delete-aware (a GDPR
+    * forget on the source propagates), optionally WAP-audited.
+    * Tables are catalog-managed and created on first use; the sketch
+    * index buckets on doc_id so the hamming-verify fetch prunes, the
+    * postings bucket on pbh so the candidate probe prunes, and both
+    * carry the probed-layout compaction bound (see [[startCuration]]'s
+    * file-count argument). */
+  def startPerceptualCuration(name: String, sourceTable: String,
+                              maxHamming: Int = 3,
+                              idCol: String = "doc_id",
+                              payloadCol: String = "payload",
+                              auditFailIf: Option[String] = None)
+      : (LakeTable, StreamingQuery) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ns = config.catalog.namespace
+    val src = table(sourceTable)
+    val idxName = s"${name}_index"
+    val idxSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("simhash", LongType)))
+    val index =
+      if (catalog.tableExists(ns, idxName)) catalog.table(ns, idxName)
+      else catalog.createTable(ns, idxName, idxSchema,
+        properties =
+          graft.lake.LakeTable.autoCompactProps(32, Some("doc_id")),
+        bucketBy = Some(("doc_id", 32)))
+    val pName = s"${name}_postings"
+    val postings =
+      if (catalog.tableExists(ns, pName)) catalog.table(ns, pName)
+      else catalog.createTable(ns, pName,
+        graft.operators.DedupOps.simHashPostingsSchema,
+        properties =
+          graft.lake.LakeTable.autoCompactProps(32, Some("pbh")) ++
+          graft.operators.DedupOps.simHashPostingsProps,
+        bucketBy = Some(("pbh", 32)))
+    // coverage-diff backfill, keyed exactly-once (see startCuration):
+    // an index populated by direct MVManager use with postings=None
+    // gets its bands present before any batch probes
+    if (postings.lastBatchId(GraftEngine.PostingsBackfillWriter) < 0L) {
+      import org.apache.spark.sql.functions.col
+      val missing =
+        if (index.dataFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            idxSchema)
+        else index.read().select("doc_id", "simhash")
+          .join(postings.read().select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+      postings.appendExactlyOnce(
+        graft.operators.DedupOps.simHashPostingsRows(missing),
+        GraftEngine.PostingsBackfillWriter, 0L)
+    }
+    val outSchema = StructType(src.schema.fields.filterNot(
+      _.name == graft.lake.LakeTable.BucketCol))
+    val out = catalog.createOrLoadTable(ns, name, outSchema)
+    val wap = auditFailIf.map(p => MVManager.WapAudit(p,
+      catalog.createOrLoadTable(ns, s"${name}_quarantine", outSchema)))
+    val q = mvs.startPerceptualCurationFromLake(name, src, index, out,
+      maxHamming, idCol, payloadCol, config.trigger, Some(postings), wap)
+    (out, q)
+  }
+
   /** The SERVING-index twin of [[startCuration]] on the lexical axis
     * (q135/q136): watch `sourceTable`'s commit log and grow the
     * catalog-managed persisted BM25 index — word-bucketed
@@ -615,6 +710,39 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     catalog.table(config.catalog.namespace, name)
 
   def readTable(name: String): DataFrame = table(name).read()
+
+  /** Re-drive a curation quarantine after human review — the second
+    * half of the WAP-audit workflow: every row currently parked in
+    * `<name>_quarantine` is appended to the curated `<name>` table and
+    * removed from the quarantine. Deliberately does NOT re-run the
+    * audit or the dedup probe: the rows already passed dedup when they
+    * were quarantined (their fingerprints advanced the frontier then,
+    * which is also why copies arriving since have been rejected), and
+    * re-driving IS the human override of the audit verdict.
+    *
+    * Exactly-once across crashes without a cross-table transaction:
+    * both commits key on (redrive writer, quarantine version) — a
+    * crash between them replays the append as a no-op and lands the
+    * delete; a full replay no-ops twice; a LATER quarantine commit
+    * raises the version, so the next re-drive is a fresh batch.
+    * Returns the number of rows re-driven. */
+  def redriveQuarantine(name: String, idCol: String = "doc_id"): Long = {
+    val ns = config.catalog.namespace
+    val quarantine = catalog.table(ns, s"${name}_quarantine")
+    val out = catalog.table(ns, name)
+    val v = quarantine.currentVersion
+    // pin the row set to the keyed version: if a crash-replay races a
+    // NEWLY quarantined batch, the replay must re-drive exactly the
+    // rows its idempotence key covers, not the union
+    val rows = quarantine.readVersion(v).localCheckpoint()
+    val n = rows.count()
+    if (n == 0L) return 0L
+    out.appendExactlyOnce(rows, s"$name#redrive", v.toLong)
+    quarantine.deleteWhereEqualExactlyOnce(
+      rows.select(org.apache.spark.sql.functions.col(idCol)),
+      Seq(idCol), s"$name#redrive", v.toLong)
+    n
+  }
 
   /** Reference lifecycle parity (main.go:31-48): block until MV
     * termination / stop everything. */

@@ -38,6 +38,13 @@ object Main {
         s"'${c.target}' (cosine >= ${c.threshold}, " +
         s"audit: ${c.auditFailIf.getOrElse("off")}, query ${q.id})")
     }
+    config.perceptualCuration.foreach { c =>
+      val (_, q) = engine.startPerceptualCuration(c.target, c.source,
+        c.maxHamming, c.idCol, c.payloadCol, c.auditFailIf)
+      println(s"[graft] curating media '${c.source}' -> '${c.target}' " +
+        s"(hamming <= ${c.maxHamming}, " +
+        s"audit: ${c.auditFailIf.getOrElse("off")}, query ${q.id})")
+    }
     config.lexicalIndex.foreach { c =>
       val (_, _, q) = engine.startLexicalIndex(c.target, c.source,
         c.buckets, c.textCol, c.idCol)

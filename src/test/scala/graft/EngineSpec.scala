@@ -430,6 +430,69 @@ class EngineSpec extends SparkSuite {
       "a WAP branch was left pinning the out table")
     assert(engine.catalog.listTables("wcorpus").toSet ==
       Set("raw", "clean", "clean_index", "clean_quarantine"))
+
+    // human re-drive: the quarantined batch enters the corpus, the
+    // quarantine empties, and a replayed re-drive is a no-op (the
+    // device: both commits key on the quarantine version)
+    assert(engine.redriveQuarantine("clean") == 2L)
+    assert(engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 5L, 3L, 4L))
+    assert(engine.readTable("clean_quarantine").count() == 0)
+    assert(engine.redriveQuarantine("clean") == 0L)
+    assert(engine.readTable("clean").count() == 5)
+  }
+
+  test("perceptualCuration section parses from YAML and drives the " +
+    "binary-axis loop: looped re-encodes dedupe, forgets free the " +
+    "frontier for re-upload") {
+    val yaml =
+      s"""storage:
+         |  localPath: ${tmpDir("pcur-wh")}
+         |iceberg:
+         |  defaultNamespace: media
+         |perceptualCuration:
+         |  source: raw_media
+         |  target: curated_media
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    assert(cfg.perceptualCuration ==
+      Some(PerceptualCurationConfig("raw_media", "curated_media")))
+    val engine = new GraftEngine(spark, cfg)
+    def frame(c: Char) = c.toString * 64
+    val base = ('a' to 't').map(frame).mkString
+    val looped = ('a' to 't').map(frame).reverse.mkString + frame('a')
+    val disjoint = ('A' to 'T').map(frame).mkString
+    def media(rows: Seq[(Long, String)]) =
+      graft.operators.MultimodalOps.withBinaryPayload(
+        rows.toDF("doc_id", "text"))
+    val src = engine.catalog.createTable("media", "raw_media",
+      media(Seq((0L, "x"))).schema)
+    val c = cfg.perceptualCuration.get
+    def run() = engine.startPerceptualCuration(c.target, c.source,
+      c.maxHamming, c.idCol, c.payloadCol, c.auditFailIf)
+      ._2.awaitTermination()
+
+    src.append(media(Seq((1L, base), (5L, disjoint))))
+    run()
+    assert(engine.readTable("curated_media").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 5L))
+    // a looped re-encode (same frame set) and a novel payload
+    src.append(media(Seq((10L, looped),
+      (12L, ('0' to '9').map(frame).mkString))))
+    run()
+    assert(engine.readTable("curated_media").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 5L, 12L))
+    assert(engine.catalog.listTables("media").toSet == Set("raw_media",
+      "curated_media", "curated_media_index", "curated_media_postings"))
+    // GDPR forget frees the frontier; a re-upload re-admits
+    src.deleteWhereEqual(Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    src.append(media(Seq((21L, base))))
+    run()
+    assert(engine.readTable("curated_media").select("doc_id").as[Long]
+      .collect().toSet == Set(5L, 12L, 21L))
+    assert(engine.readTable("curated_media_index").select("doc_id")
+      .as[Long].collect().toSet == Set(5L, 12L, 21L))
   }
 
   test("lexicalIndex + vectorIndex sections parse from YAML and drive " +
