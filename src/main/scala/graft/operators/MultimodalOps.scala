@@ -91,6 +91,19 @@ object MultimodalOps {
     * identical (the fakeDecode swap-point argument, applied to
     * dedup).
     *
+    * MEASURED OPERATING CURVE (tools/PhashOperating, BENCH_NOTES r12,
+    * 200 seeded pairs per point): frame order and repetition never
+    * move the sketch (hamming 0, detect 1.0); the production dial
+    * hamming <= 3 is an exact-ish re-encode detector — at 256 frames
+    * it catches 1-2 changed frames (<1%) at .92/.78, but ~5% changed
+    * content already drops detection to ~.12 at every frame count,
+    * and median hamming grows smoothly with the changed fraction
+    * (~6 at 5%, ~14 at 25%). For heavier-edit tolerance the dial is
+    * NOT a larger maxHamming on this machine (banded recall is
+    * pigeonhole-exact only <= 3 under 4x16 bands — 8x8 bands would
+    * buy <= 7) but the MinHash/Jaccard machinery over frame-hash
+    * SETS, which this module's sketch rows already feed.
+    *
     * Everything is md5-derived, so the cross-engine oracle recomputes
     * the exact sketch: the fixture payloads are ASCII text bytes,
     * hence DuckDB's string `substring`/`md5` see the same bytes the
