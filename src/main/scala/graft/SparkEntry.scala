@@ -1231,6 +1231,50 @@ object SparkEntry {
         postings = Some(postings)).awaitTermination()
       out.read().select("doc_id")
     }),
+    // FRAME-SET JACCARD NEAR-DUP (q169): the heavier-edit media dedup
+    // the PhashOperating curve prescribes — distinct frame-hash SETS
+    // compared by exact Jaccard through the shared-element inverted
+    // index (DedupOps.setJaccardPairs, the q32 exact pipeline factored
+    // set-agnostic): recall is exact BY CONSTRUCTION, which matters on
+    // this axis — frame sets are far smaller than shingle sets, and
+    // the MinHash-banded candidate join measurably drops borderline
+    // tiny-set pairs at jaccard ~0.5 that the text fixtures never
+    // exhibit. The banded/incremental variant is q170.
+    "q169_frame_jaccard_neardup" -> ((s, d) =>
+      DedupOps.setJaccardPairs(
+        MultimodalOps.frameSignatureRows(MultimodalOps.withBinaryPayload(
+          Tables.load(s, d, "documents")))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("shs")),
+        minJaccard = 0.5)),
+    // INCREMENTAL frame-set Jaccard vs PERSISTED element postings
+    // (q170): the incremental shape on the binary axis, with EXACT
+    // recall — frame sets are small (~20-60 elements), so borderline
+    // pairs at jaccard ~0.5 are real and the MinHash banded candidate
+    // join measurably drops them (found building this query: 3 missed
+    // pairs at sf0.1); instead the %3==0 slice's frame hashes are
+    // indexed as an eh-bucketed inverted index carrying the owner's
+    // set size, and the %2==0 slice probes it on ITS OWN frame hashes
+    // (O(batch) keys) — (inter, jaccard) resolve entirely from the
+    // probed posting rows, no index fetch, no probabilistic stage.
+    "q170_frame_jaccard_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = MultimodalOps.withBinaryPayload(
+        Tables.load(s, d, "documents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fjidx")
+      val rows = MultimodalOps.frameSignatureRows(
+        media.filter(col("doc_id") % 3 === 0)).localCheckpoint()
+      val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
+        DedupOps.elementPostingsSchema,
+        properties = DedupOps.elementPostingsProps,
+        bucketBy = Some(("eh", 16)))
+      postings.appendExactlyOnce(DedupOps.elementPostingsRows(rows),
+        "q170", 0L)
+      DedupOps.setJaccardAgainstIndex(
+        MultimodalOps.frameSignatureRows(
+          media.filter(col("doc_id") % 2 === 0)),
+        postings, minJaccard = 0.5)
+    }),
     // METADATA TABLES (q160): the lake introspects ITSELF — per-
     // partition row totals come from the manifest stats the pruner
     // trusts (no data file opened: the whole answer is metadata), and
@@ -2357,6 +2401,17 @@ object SparkEntry {
 
   private val phashSketchCte: String = "WITH " + phashSketchBody
 
+  /** Distinct (doc_id, frame-md5) rows — the raw material of the
+    * frame-SET Jaccard oracles (q169/q170), chunked exactly like the
+    * engine's binary frame sampler. */
+  private val phashFrameCte: String =
+    """WITH fr0 AS (SELECT doc_id,
+           list_distinct(list_transform(
+             range(0, (length(text) + 63) // 64),
+             i -> md5(substring(text, (i * 64 + 1)::BIGINT, 64)))) AS fs
+           FROM documents WHERE length(text) > 0),
+       fh AS (SELECT doc_id, u.f AS f FROM fr0, unnest(fs) AS u(f))"""
+
   private val simHashSketchCte: String =
     """WITH toks AS (SELECT doc_id,
            list_filter(list_distinct(string_split(lower(text), ' ')),
@@ -3062,6 +3117,37 @@ object SparkEntry {
                     WHERE bit_count(xor(s.simhash, i.simhash)) <= 3))
          SELECT doc_id FROM acc1
          UNION ALL SELECT doc_id FROM acc2"""),
+    // Mirrors q169: exact set-Jaccard over distinct frame hashes,
+    // pairs generated from shared frames (inter >= 1 is implied by
+    // jaccard >= 0.5). The full exact comparison — the engine's
+    // MinHash-banded candidates + verify must reproduce it.
+    "q169_frame_jaccard_neardup" -> (phashFrameCte +
+      """,
+         cnt AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY 1),
+         e AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                  ca.n AS n1, cb.n AS n2
+               FROM fh a JOIN fh b ON a.f = b.f AND a.doc_id < b.doc_id
+               JOIN cnt ca ON ca.doc_id = a.doc_id
+               JOIN cnt cb ON cb.doc_id = b.doc_id
+               GROUP BY 1, 2, ca.n, cb.n)
+         SELECT d1, d2, inter,
+                inter::DOUBLE / (n1 + n2 - inter) AS jaccard
+         FROM e WHERE inter::DOUBLE / (n1 + n2 - inter) >= 0.5"""),
+    // Mirrors q170: the cross-slice frame-set comparison (self-pairs
+    // included for %6==0 docs, the q84 convention).
+    "q170_frame_jaccard_incremental" -> (phashFrameCte +
+      """,
+         cnt AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d_new, b.doc_id AS d_idx,
+                   count(*) AS inter
+                   FROM fh a JOIN fh b ON a.f = b.f
+                     AND a.doc_id % 2 = 0 AND b.doc_id % 3 = 0
+                   GROUP BY 1, 2)
+         SELECT d_new, d_idx, inter,
+                inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = d_new
+         JOIN cnt cb ON cb.doc_id = d_idx
+         WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.5"""),
     // Mirrors q160: per-partition totals and per-snapshot referenced
     // row counts recomputed from raw data — v1 all rows, v2 adds the
     // shifted non-view batch, v3's copy-on-write delete removes

@@ -331,13 +331,25 @@ object DedupOps {
     * sum over shingles of df^2, so at 100 TB you first drop ultra-frequent
     * shingles (maxDf) or switch to [[minHashLsh]]. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
-                   n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
-    // per-doc shingle count rides along with every exploded shingle, so
-    // the whole computation is TWO shuffles: group-by-shingle (inverted
+                   n: Int = 3, maxDf: Option[Int] = None): DataFrame =
+    setJaccardPairs(shingleHashArrays(docs, n = n), minJaccard, maxDf)
+
+  /** Exact Jaccard pairs over ANY (doc_id, shs) element-set rows —
+    * the recall-exact core of [[ngramJaccard]], factored set-agnostic
+    * so the binary axis reuses it on frame-hash sets
+    * ([[MultimodalOps.frameSignatureRows]]): candidates come from
+    * SHARED ELEMENTS (jaccard >= any positive threshold implies one),
+    * so unlike the MinHash-banded path there is no probabilistic
+    * recall to prove — small sets near the threshold are found
+    * unconditionally. */
+  def setJaccardPairs(sets: DataFrame, minJaccard: Double = 0.5,
+                      maxDf: Option[Int] = None): DataFrame = {
+    // per-doc element count rides along with every exploded element, so
+    // the whole computation is TWO shuffles: group-by-element (inverted
     // index) and group-by-pair. No self-join, no count-table joins.
-    // Shingles travel as 64-bit hashes (8B vs ~25B strings on the wire;
+    // Elements travel as 64-bit hashes (8B vs ~25B strings on the wire;
     // collision odds ~n^2/2^64 leave the exact counts intact).
-    val sh = shingleHashArrays(docs, n = n)
+    val sh = sets
       .select(col("doc_id"), size(col("shs")).as("n"),
         explode(col("shs")).as("shingle"))
     val byShingle = pinned(sh, "shingle").groupBy(col("shingle"))
@@ -353,6 +365,82 @@ object DedupOps {
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"), col("inter"),
+        (col("inter") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Schema of an ELEMENT-postings table — the exact-recall sibling of
+    * the MinHash band postings for SMALL sets (media frame hashes):
+    * one row per (element hash, owning doc, owner's set size). The
+    * denormalized `n` makes the incremental Jaccard probe resolve
+    * entirely from postings — no index fetch at all. */
+  def elementPostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("eh", LongType),
+      StructField("doc_id", LongType), StructField("n", IntegerType)))
+  }
+
+  /** Geometry stamp for element-postings tables (probes refuse
+    * unstamped tables, as with every postings family). */
+  def elementPostingsProps: Map[String, String] =
+    Map("postings.kind" -> "elements")
+
+  /** Posting rows (eh, doc_id, n) from (doc_id, shs) set rows. */
+  def elementPostingsRows(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("shs")).as("n"),
+        explode(col("shs")).as("eh"))
+      .select(col("eh"), col("doc_id"), col("n"))
+
+  /** Incremental EXACT set-Jaccard of a new batch against a PERSISTED
+    * element-postings index — the recall-exact twin of
+    * [[nearDupSigsAgainstIndex]] for modalities whose sets are SMALL
+    * (media frame-hash sets, ~20-60 elements): there, borderline pairs
+    * at jaccard ~ threshold are real and the banded MinHash candidate
+    * join measurably drops them (P[any of 16 4-row bands matches] is
+    * only .64 at j = 0.5), while text shingle sets are large enough
+    * that the fixtures never exhibit a miss.
+    *
+    * 100 TB shape: candidates come from probing the eh-bucketed
+    * postings on the BATCH'S OWN element hashes (bucket-dir +
+    * manifest-IN pruned — O(batch) keys, the fp-probe pattern), every
+    * shared element is by definition in the batch's own sets, and the
+    * owner's set size rides on each posting row — so the whole
+    * (inter, jaccard) computation resolves from the probed rows plus
+    * one broadcast of the exploded batch; the index tables are never
+    * read. Cost per batch tracks batch size; history grows only the
+    * bucketed postings. `maxDf` drops elements shared by more than
+    * that many indexed docs (ubiquitous boilerplate frames) BEFORE the
+    * pair explosion — the skew guard; dropped elements still count in
+    * `n`, so jaccard stays exact for pairs found through rarer ones. */
+  def setJaccardAgainstIndex(newRows: DataFrame,
+                             postings: graft.lake.LakeTable,
+                             minJaccard: Double = 0.5,
+                             maxProbe: Int = 10000,
+                             maxDf: Option[Int] = None): DataFrame = {
+    val kind = requirePostingsProp(postings, "postings.kind")
+    require(kind == "elements",
+      s"postings table at ${postings.root} is '$kind', not elements")
+    val batch = newRows
+      .select(col("doc_id").as("d_new"), size(col("shs")).as("n1"),
+        explode(col("shs")).as("eh"))
+      .localCheckpoint() // key enumeration + the probe join share it
+    val keys = batch.select(col("eh")).distinct()
+      .limit(maxProbe + 1).collect().map(_.get(0))
+    val probed = postings.probeTiered("eh", keys.toSeq, maxProbe)
+      .select(col("eh"), col("doc_id").as("d_idx"), col("n").as("n2"))
+    val capped = maxDf match {
+      case Some(m) =>
+        val rare = probed.groupBy(col("eh"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+          .select(col("eh"))
+        probed.join(broadcast(rare), Seq("eh"), "left_semi")
+      case None => probed
+    }
+    capped.join(broadcast(batch), Seq("eh"))
+      .groupBy(col("d_new"), col("d_idx"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d_new"), col("d_idx"), col("inter"),
         (col("inter") / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -130,6 +130,37 @@ object MultimodalOps {
         graft.functions.HashSig.simhash_sig(col("toks")).as("simhash"))
   }
 
+  /** Signature-index rows (doc_id, shs, sig) over BINARY payloads —
+    * the frame-hash twin of [[DedupOps.signatureIndexRows]], and the
+    * measured scale path for HEAVIER-edit media dedup than the
+    * [[perceptualSketch]] dial tolerates (PhashOperating: hamming <= 3
+    * stops detecting past ~1-5% changed frames, while a Jaccard
+    * threshold over the frame-hash SET degrades linearly in the
+    * changed fraction — 25% changed frames is still jaccard ~0.6).
+    * `shs` is the distinct frame-hash set, `sig` its MinHash — so the
+    * whole text near-dup machine works verbatim on media:
+    * [[DedupOps.trueJaccardFromSigRows]] for batch pairs,
+    * [[DedupOps.nearDupSigsAgainstIndex]] + band postings for the
+    * incremental probe, bucket-then-verify contract unchanged (LSH
+    * candidates, exact set-Jaccard verification from stored sets). */
+  def frameSignatureRows(media: DataFrame, frameBytes: Int = 64,
+                         k: Int = 64, idCol: String = "doc_id",
+                         payloadCol: String = "payload"): DataFrame = {
+    val parse64 = "(shiftleft(cast(conv(substring(m, 1, 8), 16, 10) " +
+      "as bigint), 32) | cast(conv(substring(m, 9, 8), 16, 10) as bigint))"
+    media
+      .filter(length(col(payloadCol)) > 0)
+      .select(col(idCol).as("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, cast(" +
+          s"(length($payloadCol) + ${frameBytes - 1}) / $frameBytes " +
+          s"as int) - 1), i -> md5(substring($payloadCol, " +
+          s"i * $frameBytes + 1, $frameBytes))))").as("fhex"))
+      .select(col("doc_id"),
+        expr(s"transform(fhex, m -> $parse64)").as("shs"))
+      .select(col("doc_id"), col("shs"),
+        graft.functions.HashSig.minhash_sig(col("shs"), k).as("sig"))
+  }
+
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           thumb: Array[Byte])
 

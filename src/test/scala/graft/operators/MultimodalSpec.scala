@@ -104,6 +104,44 @@ class MultimodalSpec extends SparkSuite {
     assert(viaPostings == truth, "postings probe missed/invented pairs")
   }
 
+  test("frame-set Jaccard: the element-postings probe equals ground " +
+    "truth cross-slice, and maxDf drops ubiquitous frames without " +
+    "corrupting jaccard for pairs found through rarer ones") {
+    val media = MultimodalOps.withBinaryPayload(docs)
+    val idxRows = MultimodalOps.frameSignatureRows(
+      media.filter($"doc_id" % 3 === 0)).localCheckpoint()
+    val postings = graft.lake.LakeTable.create(spark, tmpDir("fjp"),
+      DedupOps.elementPostingsSchema,
+      properties = DedupOps.elementPostingsProps,
+      bucketBy = Some(("eh", 16)))
+    postings.appendExactlyOnce(
+      DedupOps.elementPostingsRows(idxRows), "t", 0L)
+    val batchRows = MultimodalOps.frameSignatureRows(
+      media.filter($"doc_id" % 2 === 0)).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d_new", $"d_idx", $"inter", $"jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val probed = rows(
+      DedupOps.setJaccardAgainstIndex(batchRows, postings))
+    // ground truth from the collected sets
+    val idxSets = idxRows.select($"doc_id", $"shs")
+      .as[(Long, Seq[Long])].collect().toMap
+    val batchSets = batchRows.select($"doc_id", $"shs")
+      .as[(Long, Seq[Long])].collect().toMap
+    val truth = (for {
+      (dn, sn) <- batchSets; (di, si) <- idxSets
+      inter = sn.toSet.intersect(si.toSet).size.toLong if inter > 0
+      j = inter.toDouble / (sn.size + si.size - inter) if j >= 0.5
+    } yield (dn, di, inter, j)).toSet
+    assert(probed == truth, "probe disagrees with ground truth")
+    // a df cap low enough to kill every frame keeps only nothing OR
+    // pairs whose jaccard is still the exact set jaccard
+    val cappedRows = rows(DedupOps.setJaccardAgainstIndex(
+      batchRows, postings, maxDf = Some(1)))
+    assert(cappedRows.subsetOf(truth),
+      "capped probe invented or corrupted pairs")
+  }
+
   test("multimodal pair curation: quality and aspect gates compose") {
     val feats = MultimodalOps.documentFeatures(spark, docs)
     val qual = graft.operators.TextOps.quality(spark, sf)
