@@ -85,6 +85,43 @@ object ProbeScale {
       println(f"[probe-scale] $label min-of-3 $s%6.2f s")
     }
 
+    // the ELEMENT-postings twin (q170's exact-recall frame-set probe):
+    // unlike the banded families, its cost model is
+    // O(batch keys + sum of probed elements' df + true-match volume) —
+    // the 30x history replicates every document (with one differing
+    // trailing frame), so shared-frame df AND the true-match count
+    // both grow 30x; the measurement separates the honest
+    // output-bound growth from any hidden history scan (the bucketed
+    // probe itself opens only dirs holding batch keys at either scale)
+    locally {
+      import graft.operators.MultimodalOps
+      def ebuild(tag: String, hist: org.apache.spark.sql.DataFrame)
+          : LakeTable = {
+        val rows = MultimodalOps.frameSignatureRows(
+          MultimodalOps.withBinaryPayload(hist)).localCheckpoint()
+        val post = LakeTable.create(spark, s"$dir/epost-$tag",
+          DedupOps.elementPostingsSchema,
+          properties = DedupOps.elementPostingsProps,
+          bucketBy = Some(("eh", 512)))
+        post.append(DedupOps.elementPostingsRows(rows))
+        post
+      }
+      val ep1 = ebuild("1x", hist1)
+      val ep30 = ebuild("30x", hist30)
+      val ebatch = MultimodalOps.frameSignatureRows(
+        MultimodalOps.withBinaryPayload(batch)).localCheckpoint()
+      for ((label, p) <- Seq(("elements 1x ", ep1),
+          ("elements 30x", ep30))) {
+        var matches = 0L
+        val s = minOf(3) {
+          matches = DedupOps.setJaccardAgainstIndex(ebatch, p,
+            minJaccard = 0.5).count()
+        }
+        println(f"[probe-scale] $label min-of-3 $s%6.2f s  " +
+          f"(true matches $matches)")
+      }
+    }
+
     // the embedding twin, same shape
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
