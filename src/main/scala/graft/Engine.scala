@@ -730,6 +730,14 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val ns = config.catalog.namespace
     val quarantine = catalog.table(ns, s"${name}_quarantine")
     val out = catalog.table(ns, name)
+    // an in-flight WAP batch would stage the redriven rows on ITS
+    // branch: an abandon would then roll them back AFTER the
+    // quarantine delete landed — losing them. Redrive is an admin op;
+    // refuse while a batch is mid-audit instead of racing it.
+    require(out.activeBranch.isEmpty,
+      s"table '$name' has an active WAP branch " +
+        s"(${out.activeBranch.map(_._1).mkString}) — re-drive after " +
+        "the in-flight batch publishes or abandons")
     val v = quarantine.currentVersion
     // pin the row set to the keyed version: if a crash-replay races a
     // NEWLY quarantined batch, the replay must re-drive exactly the

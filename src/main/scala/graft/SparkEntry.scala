@@ -1262,8 +1262,12 @@ object SparkEntry {
       val media = MultimodalOps.withBinaryPayload(
         Tables.load(s, d, "documents"))
       val dir = java.nio.file.Files.createTempDirectory("graft-fjidx")
+      // prune sig BEFORE the checkpoint: the element-postings path
+      // never uses the MinHash column, and localCheckpoint would
+      // otherwise materialize it
       val rows = MultimodalOps.frameSignatureRows(
-        media.filter(col("doc_id") % 3 === 0)).localCheckpoint()
+          media.filter(col("doc_id") % 3 === 0))
+        .select(col("doc_id"), col("shs")).localCheckpoint()
       val postings = graft.lake.LakeTable.create(s, s"$dir/postings",
         DedupOps.elementPostingsSchema,
         properties = DedupOps.elementPostingsProps,
