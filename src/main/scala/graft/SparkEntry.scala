@@ -951,6 +951,13 @@ object SparkEntry {
     // the full pair set and the oracle is a plain batch self-join
     "q73_stream_interval_join" ->
       (graft.streaming.StreamingQueries.streamIntervalJoin _),
+    // stream-stream LEFT OUTER interval join (q171): q73's missing
+    // half — click-less purchases answer with n_clicks = 0, which
+    // only the watermark can prove; the two-sentinel device makes the
+    // AvailableNow drain deterministic (see streamOuterIntervalJoin's
+    // scaladoc). Oracle: the plain batch LEFT JOIN rollup.
+    "q171_stream_outer_join" ->
+      (graft.streaming.StreamingQueries.streamOuterIntervalJoin _),
     // the streaming JOIN MV persisted into the lake — RisingWave's
     // third MV class (append = q51, aggregate = q90, join = this):
     // q73's interval-join matches land in a lake table through
@@ -3353,6 +3360,16 @@ object SparkEntry {
          FROM events p JOIN events c ON c.user_id = p.user_id
            AND p.event_type = 'purchase' AND c.event_type = 'click'
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         GROUP BY 1""",
+    // Mirrors q171: LEFT JOIN — count(c.user_id) skips the null
+    // matches, so click-less purchases report n_clicks = 0.
+    "q171_stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, count(c.user_id) AS n_clicks,
+         max(p.value) AS value
+         FROM events p LEFT JOIN events c ON c.user_id = p.user_id
+           AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase'
          GROUP BY 1""",
     "q97_stream_join_mv" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,

@@ -256,6 +256,105 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_clicks"), max(col("value")).as("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the half of the
+    * stream-join surface [[streamIntervalJoin]] (inner, q73) cannot
+    * express: every purchase is answered, the click-less ones with a
+    * NULL match. Outer emission is watermark-GATED (a null row may
+    * only emit once the watermark proves no matching click can still
+    * arrive) and Spark emits evicted results in a batch AFTER the
+    * watermark advanced — under Trigger.AvailableNow the stream ends
+    * with the last data file and the final unmatched rows would stay
+    * in state forever. The deterministic fix is the TWO-SENTINEL
+    * device: the source directory is staged as (events, sentinel-1,
+    * sentinel-2) read one file per trigger; sentinel-1 (a far-future
+    * purchase+click pair on an unmatchable negative user) advances
+    * BOTH sides' watermarks past every real event, and sentinel-2's
+    * batch performs the eviction that emits every remaining null row.
+    * Sentinel rows filter out of the result by their negative user id
+    * (their own unmatched state dies with the query, unemitted —
+    * exactly the rows the device exists to sacrifice). At scale the
+    * join state stays bounded by rate x interval like the inner
+    * variant; the sentinels model the production practice of closing
+    * an event-time window with a high-watermark heartbeat. */
+  def streamOuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val qname = "ssoj_" + UUID.randomUUID().toString.replace("-", "")
+    val stage = Paths.get(s"/root/repo/target/stream-src-oj/$qname")
+    Files.createDirectories(stage)
+    Files.createSymbolicLink(stage.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s.read.parquet(s"$dir/events.parquet")
+    val rawSchema = base.schema
+    val tsIsLong =
+      rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val maxTs = base.agg(max(col("ts"))).head().get(0)
+    def sentinelFile(tag: Int): Unit = {
+      val tsLit: org.apache.spark.sql.Column =
+        if (tsIsLong) lit(maxTs.asInstanceOf[Long] +
+          (30L + tag) * 86400L * 1000000000L)
+        else maxTs match {
+          case t: java.time.LocalDateTime => lit(t.plusDays(30L + tag))
+          case t: java.sql.Timestamp => lit(java.sql.Timestamp.from(
+            t.toInstant.plusSeconds((30L + tag) * 86400L)))
+        }
+      val rows = Seq("purchase", "click").zipWithIndex.map {
+        case (et, i) =>
+          base.limit(1).select(rawSchema.fieldNames.toIndexedSeq.map {
+            case "event_id" => lit(-(tag * 10L + i + 1))
+              .cast(rawSchema("event_id").dataType).as("event_id")
+            case "user_id" => lit(-1L - tag)
+              .cast(rawSchema("user_id").dataType).as("user_id")
+            case "event_type" => lit(et).as("event_type")
+            case "ts" => tsLit.as("ts")
+            case other => col(other)
+          }: _*)
+      }.reduce(_ unionByName _)
+      val tmp = stage.resolve(s"tmp$tag")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(f"zz-sentinel-$tag.parquet")
+      Files.move(part, dest)
+      // file-source ordering is by modification time: the symlinked
+      // events file keeps its old fixture mtime, and the sentinels
+      // are pushed apart so sentinel-1 always precedes sentinel-2
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + tag * 60000L))
+    }
+    sentinelFile(1); sentinelFile(2)
+    def side(): DataFrame = {
+      val raw = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts",
+        expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val clicks = side().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin),
+      "left_outer")
+    withShufflePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", s"/root/repo/target/ckpt/$qname")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+      .filter(col("p_user") >= 0)
+      .groupBy(col("purchase_id"))
+      .agg(count(col("c_user")).as("n_clicks"), max(col("value")).as("value"))
+  }
+
   /** Streaming JOIN MV persisted into the lake — RisingWave's third MV
     * class alongside the append MV (q51) and the incrementally-
     * maintained aggregate MV (q90): the q73 stream-stream interval

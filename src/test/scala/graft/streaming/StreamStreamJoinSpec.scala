@@ -15,6 +15,37 @@ class StreamStreamJoinSpec extends SparkSuite {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream LEFT OUTER interval join (q171): click-less " +
+    "purchases emit n_clicks = 0, the result equals the batch left " +
+    "join, and the sentinel rows never leak") {
+    val out = graft.streaming.StreamingQueries
+      .streamOuterIntervalJoin(spark, sf).localCheckpoint()
+    // sentinel hygiene: only real purchase ids appear
+    assert(out.filter($"purchase_id" < 0).count() == 0)
+    // the outer half actually fired: some purchases report zero clicks
+    val zeros = out.filter($"n_clicks" === 0).count()
+    assert(zeros > 0, "no unmatched purchase emitted a null row — " +
+      "the watermark-eviction device did not fire")
+    // exactness vs the batch left join
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        col("ts").cast("timestamp").as("ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"),
+        $"ts".as("p_ts"), $"value")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("c_ts"))
+    val expected = p.join(c, $"pu" === $"cu" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+        $"c_ts" <= $"p_ts", "left_outer")
+      .groupBy($"purchase_id")
+      .agg(count($"cu").as("n_clicks"), max($"value").as("value"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"purchase_id", $"n_clicks", $"value")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(canon(out) == canon(expected))
+  }
+
   test("stream-stream join matches purchases within the preceding hour") {
     implicit val sqlCtx = spark.sqlContext
     val errors = MemoryStream[(Timestamp, Long, Long)]
