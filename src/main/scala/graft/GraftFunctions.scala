@@ -66,11 +66,17 @@ object GraftFunctions {
     }
 }
 
-/** Conf-injectable variant: `spark.sql.extensions=graft.GraftExtensions`. */
+/** Conf-injectable variant: `spark.sql.extensions=graft.GraftExtensions`.
+  * Besides the SQL functions, injects [[graft.lake.GraftV1ReadRule]]:
+  * SQL-catalog reads of lake tables analyze into the same V1
+  * manifest-scan plans the programmatic API produces (vectorized
+  * parquet + BucketSpec, no DSv2->V1 row shim). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    e.injectResolutionRule(s => new graft.lake.GraftV1ReadRule(s))
+  }
 }

@@ -1654,6 +1654,15 @@ object SparkEntry {
         .withColumn("snapshot", lit("current"))
       asOf.unionByName(now)
     }),
+    // the PURE-SQL catalog surface (round 12): DDL + DML + query all
+    // through spark.sql against the DSv2 GraftCatalog — CTAS (q172),
+    // VERSION AS OF time travel steered by the snapshots metadata
+    // table (q173), and hidden partitioning whose derived columns the
+    // SQL user never sees (q174)
+    "q172_sql_catalog_agg" -> (graft.lake.SqlQueries.catalogAgg _),
+    "q173_sql_time_travel" -> (graft.lake.SqlQueries.sqlTimeTravel _),
+    "q174_sql_hidden_partitioning" ->
+      (graft.lake.SqlQueries.sqlHiddenPartitioning _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4152,6 +4161,27 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1""",
+    "q172_sql_catalog_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_quantity < 30
+         GROUP BY l_returnflag, l_linestatus""",
+    "q173_sql_time_travel" ->
+      """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           'as_of' AS snapshot
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY event_type
+         UNION ALL
+         SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           'current' AS snapshot
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type""",
+    "q174_sql_hidden_partitioning" ->
+      """SELECT user_id % 10 AS cohort, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id % 10""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot

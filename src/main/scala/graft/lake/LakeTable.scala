@@ -395,6 +395,21 @@ class LakeTable private (
     * how big history grows. */
   def bucketSpec: Option[(String, Int)] = bucketSpecOf(latest()._2)
 
+  /** The LOGICAL partition spec as declared — identity column names and
+    * transform specs (`days(ts)`, `truncate(4,s)`, ...), in layout
+    * order, bucket excluded: the inverse of `create(partitionBy=...)`'s
+    * parsing, reconstructed from the physical column naming convention
+    * ([[partitionBy]] stores derived columns as `_p_<unit>_<src>`). */
+  def partitionSpecs: Seq[String] = {
+    val timeRe = """_p_(days|hours|months)_(\w+)""".r
+    val truncRe = """_p_trunc(\d+)_(\w+)""".r
+    partitionBy.filterNot(_ == LakeTable.BucketCol).map {
+      case timeRe(unit, src) => s"$unit($src)"
+      case truncRe(w, src)   => s"truncate($w,$src)"
+      case ident             => ident
+    }
+  }
+
   private def bucketSpecOf(node: JsonNode): Option[(String, Int)] = {
     val props = propertiesOf(node)
     for {
@@ -1392,6 +1407,40 @@ class LakeTable private (
   def append(df: DataFrame, appMeta: Map[String, String] = Map.empty): Int =
     commit(writeData(enforced(df)), replacedFiles = Set.empty, appMeta,
       guard = None)
+
+  /** INSERT OVERWRITE semantics: ONE transactional commit that replaces
+    * the current snapshot's entire data-file set with `df`'s rows (all
+    * live delete files are marked applied — nothing they covered
+    * survives). Time travel to pre-overwrite versions still works; an
+    * append racing the overwrite is rebased on top rather than lost
+    * (same non-strict replace contract as compaction). */
+  def overwriteAll(df: DataFrame,
+                   appMeta: Map[String, String] = Map.empty): Int = {
+    val node = latest()._2
+    commitWith(Some(writeData(enforced(df))),
+      replacedFiles = filesOf(node).map(_.path).toSet,
+      appMeta + ("operation" -> "overwrite"), guard = None, alter = None,
+      appliedDeletes = deletesOf(node).map(_.path).toSet)
+  }
+
+  /** Add a nullable column (metadata-only, Iceberg `ADD COLUMN`): the
+    * new field gets a FRESH field ID minted above lastFieldId — never a
+    * retired one, so data a dropped same-named column left behind in
+    * old files can never resurface under the new field. Existing files
+    * read back null for it; the same optimistic commit loop as data
+    * changes serializes it against racing appends. */
+  def addColumn(name: String,
+                dataType: org.apache.spark.sql.types.DataType): Int =
+    commitWith(None, Set.empty, Map("alter" -> s"add $name"),
+      guard = None, alter = None,
+      alterWithLast = Some { (s, ids, lastId) =>
+        require(!s.fieldNames.contains(name),
+          s"column $name already exists at $root")
+        val id = math.max(lastId, ids.values.foldLeft(0)(math.max)) + 1
+        (StructType(s.fields :+
+          StructField(name, dataType, nullable = true)),
+          ids + (name -> id))
+      })
 
   /** Idempotent append keyed by (writerId, batchId): commits at most
     * once per writer per batch id (exactly-once sink contract for

@@ -1,0 +1,546 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-first access to the lake: a Spark DataSource V2 `TableCatalog`
+  * over [[LakeCatalog]]/[[LakeTable]], installable on ANY session with
+  * two confs — no extensions, no session rebuild:
+  *
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *
+  *   CREATE TABLE graft.ns.t (id BIGINT, ts TIMESTAMP, v DOUBLE)
+  *     PARTITIONED BY (days(ts), bucket(32, id))
+  *   INSERT INTO graft.ns.t SELECT ...
+  *   SELECT * FROM graft.ns.t VERSION AS OF 3
+  *   SELECT * FROM graft.ns.t.snapshots        -- Iceberg-style metadata
+  *   ALTER TABLE graft.ns.t ADD COLUMN w DOUBLE
+  *
+  * This is the SQL face of the reference's catalog surface
+  * (crest's catalog client + table create, `/root/reference/pkg/
+  * catalog/catalog.go`), expressed the way a Spark user expects:
+  * through the session's catalog manager, so every downstream tool
+  * (`spark.sql`, `spark.table`, SHOW TABLES, DESCRIBE) works unchanged.
+  *
+  * READ PATH. The lake's read semantics are deliberately rich —
+  * per-spec-epoch scan groups, field-ID schema evolution, merge-on-read
+  * position+equality deletes, WAP branch pinning — and all of it
+  * already lives behind `LakeTable.read()`/`readWhere`, which produce
+  * full V1 logical plans (manifest-served FileIndex, vectorized
+  * parquet, BucketSpec). Rather than re-implement that inside a DSv2
+  * `Batch`, the scan uses Spark's DSv2->V1 compatibility shim
+  * ([[V1Scan]], the same route JDBC v2 takes): pushed filters become
+  * the `readWhere` condition (manifest range/null/IN stats pruning —
+  * files a selective predicate can't touch are never planned), pruned
+  * columns become a projection, and the shim hands Spark the resulting
+  * RDD. Filters the translator can't express exactly are returned to
+  * Spark as residuals, never dropped. With [[graft.GraftExtensions]]
+  * installed the relation is instead swapped wholesale for the V1 plan
+  * at analysis time (Delta's pattern), removing even the shim's
+  * row-conversion overhead; see `GraftFunctions.scala`.
+  *
+  * WRITE PATH. `INSERT INTO` / CTAS / `INSERT OVERWRITE` go through
+  * [[V1Write]] to `LakeTable.append`/`overwriteAll` — one
+  * transactional manifest commit each, identical to the programmatic
+  * API (CHECK constraints, bucket layout, auto-compaction policies all
+  * apply).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def lakeCat: LakeCatalog = new LakeCatalog(spark, warehouse)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- namespaces ----------------------------------------------------
+
+  private def ns1(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got " +
+        namespace.mkString("[", ".", "]"))
+    namespace(0)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    lakeCat.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      lakeCat.listNamespaces().contains(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    lakeCat.createNamespace(ns1(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val ns = ns1(namespace)
+    if (!namespaceExists(namespace)) return false
+    val tables = lakeCat.listTables(ns)
+    require(cascade || tables.isEmpty,
+      s"namespace $ns is not empty (${tables.size} tables); use CASCADE")
+    tables.foreach(t => lakeCat.dropTable(ns, t))
+    val dir = java.nio.file.Paths.get(warehouse, ns)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.StreamConverters._
+      java.nio.file.Files.walk(dir).toScala(Seq).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    true
+  }
+
+  // ---- tables --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    lakeCat.listTables(namespace(0))
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace.length == 1 &&
+      (lakeCat.tableExists(ident.namespace()(0), ident.name) ||
+        lakeCat.aliasExists(ident.namespace()(0), ident.name))) ||
+      metaTableOf(ident).isDefined
+
+  /** `graft.ns.tbl.snapshots` etc: a metadata-table identifier's
+    * namespace is `[ns, tbl]` and its name is the meta table. */
+  private def metaTableOf(ident: Identifier): Option[(LakeTable, String)] =
+    if (ident.namespace.length == 2 &&
+        GraftCatalog.MetaTables.contains(ident.name) &&
+        lakeCat.tableExists(ident.namespace()(0), ident.namespace()(1)))
+      Some((lakeCat.table(ident.namespace()(0), ident.namespace()(1)),
+        ident.name))
+    else None
+
+  private def lakeTableOf(ident: Identifier): LakeTable = {
+    if (ident.namespace.length != 1 || !tableExists(ident))
+      throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    lakeCat.tableOrAlias(ident.namespace()(0), ident.name)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    metaTableOf(ident) match {
+      case Some((t, meta)) =>
+        new GraftMetaTable(s"${ident.namespace.mkString(".")}.$meta",
+          t, meta)
+      case None =>
+        new GraftSqlTable(ident.toString, lakeTableOf(ident), None)
+    }
+
+  /** `VERSION AS OF n` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"graft versions are integers, got '$version'"))
+    new GraftSqlTable(ident.toString, lakeTableOf(ident), Some(Left(v)))
+  }
+
+  /** `TIMESTAMP AS OF ts` time travel (micros from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    new GraftSqlTable(ident.toString, lakeTableOf(ident),
+      Some(Right(timestampMicros / 1000L)))
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val ns = ns1(ident.namespace)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    var bucket: Option[(String, Int)] = None
+    val partSpecs = partitions.toSeq.flatMap { t =>
+      GraftCatalog.toLakeSpec(t) match {
+        case Right(spec) => Some(spec)
+        case Left((c, n)) =>
+          require(bucket.isEmpty, "at most one bucket transform")
+          bucket = Some((c, n)); None
+      }
+    }
+    val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    val withHash = if (bucket.isDefined)
+      props + (LakeTable.BucketHashProp -> LakeTable.SparkBucketHash)
+    else props
+    val t = lakeCat.createTable(ns, ident.name, schema, withHash,
+      partitionBy = partSpecs, bucketBy = bucket)
+    new GraftSqlTable(ident.toString, t, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val t = lakeTableOf(ident)
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        t.updateProperties(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        t.updateProperties(Map.empty, removals = Set(rm.property))
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested column adds are not supported")
+        t.addColumn(add.fieldNames()(0), add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "nested column renames are not supported")
+        t.renameColumn(ren.fieldNames()(0), ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested column drops are not supported")
+        t.dropColumn(del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    new GraftSqlTable(ident.toString, lakeTableOf(ident), None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { lakeCat.dropTable(ident.namespace()(0), ident.name); true }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "renaming a lake table renames its directory — an O(data) copy " +
+        "on an object store; publish an alias instead " +
+        "(LakeCatalog.setAlias)")
+}
+
+object GraftCatalog {
+  val MetaTables: Set[String] =
+    Set("snapshots", "files", "delete_files", "partitions", "manifests",
+      "refs")
+
+  /** Spark-reserved creation properties that are not table state. */
+  val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_TABLE_TYPE)
+
+  /** DSv2 transform -> lake partition spec string, or Left(bucket). */
+  private[lake] def toLakeSpec(t: Transform)
+      : Either[(String, Int), String] = {
+    def ref1(refs: Array[org.apache.spark.sql.connector.expressions.NamedReference])
+        : String = {
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"single top-level column expected in transform $t")
+      refs(0).fieldNames()(0)
+    }
+    t.name match {
+      case "identity" => Right(ref1(t.references))
+      case "days"     => Right(s"days(${ref1(t.references)})")
+      case "hours"    => Right(s"hours(${ref1(t.references)})")
+      case "months"   => Right(s"months(${ref1(t.references)})")
+      case "bucket"   =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Int] =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an int literal: $t"))
+        Left((ref1(t.references), n))
+      case "truncate" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Int] =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs an int literal: $t"))
+        Right(s"truncate($n, ${ref1(t.references)})")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other " +
+          "(supported: identity, days, hours, months, truncate, bucket)")
+    }
+  }
+
+  /** Lake partition/bucket spec -> DSv2 transforms (Table.partitioning,
+    * what DESCRIBE/SHOW CREATE surface). */
+  private[lake] def toTransforms(partitionBy: Seq[String],
+                                 bucketBy: Option[(String, Int)])
+      : Array[Transform] = {
+    val timeRe = """(days|hours|months)\(\s*(\w+)\s*\)""".r
+    val truncRe = """truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    val parts = partitionBy.map {
+      case timeRe("days", c)   => Expressions.days(c)
+      case timeRe("hours", c)  => Expressions.hours(c)
+      case timeRe("months", c) => Expressions.months(c)
+      case truncRe(n, c)       => Expressions.apply("truncate",
+        Expressions.literal(n.toInt), Expressions.column(c))
+      case ident               => Expressions.identity(ident)
+    }
+    val bucket = bucketBy.map { case (c, n) => Expressions.bucket(n, c) }
+    (parts ++ bucket).toArray
+  }
+}
+
+/** One lake table surfaced through the DSv2 catalog; `pinned` carries
+  * `VERSION AS OF` (Left) / `TIMESTAMP AS OF` millis (Right). */
+class GraftSqlTable(ident: String, val lake: LakeTable,
+                    pinned: Option[Either[Int, Long]])
+    extends Table with SupportsRead with SupportsWrite {
+
+  /** The full lake read for this (possibly pinned) view — the V1 plan
+    * every scan route ultimately serves. */
+  def baseRead(): DataFrame = pinned match {
+    case None           => lake.read()
+    case Some(Left(v))  => lake.readVersion(v)
+    case Some(Right(ms)) => lake.readAsOf(ms)
+  }
+
+  /** Filter-pushed variant: unpinned reads go through `readWhere`
+    * (manifest stats file pruning); pinned reads filter the snapshot. */
+  def readFor(cond: Option[Column]): DataFrame = (cond, pinned) match {
+    case (None, _)        => baseRead()
+    case (Some(c), None)  => lake.readWhere(c)
+    case (Some(c), _)     => baseRead().filter(c)
+  }
+
+  override def name(): String = ident
+
+  /** HIDDEN PARTITIONING at the SQL surface (the Iceberg contract):
+    * derived physical partition columns (`_p_days_ts`, ..., `_bucket`)
+    * are real columns in the lake schema — the writer owns them and
+    * the reader prunes on them — but a SQL user never sees or supplies
+    * them: SELECT * omits them, INSERT provides only logical columns
+    * (the write path derives the rest). */
+  private def visible(s: StructType): StructType =
+    StructType(s.fields.filterNot(f =>
+      f.name == LakeTable.BucketCol || f.name.startsWith("_p_")))
+
+  // metadata-only schema: analysis/optimizer rules call Table.schema
+  // freely — it must never cost a DataFrame build. Unpinned reads
+  // serve the manifest schema directly; pinned reads resolve their
+  // snapshot's schema once.
+  override lazy val schema: StructType =
+    visible(if (pinned.isEmpty) lake.schema else baseRead().schema)
+  override def partitioning(): Array[Transform] =
+    GraftCatalog.toTransforms(lake.partitionSpecs, lake.bucketSpec)
+  override def properties(): util.Map[String, String] =
+    lake.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, "cannot write to a time-travel view")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ow: Boolean): Unit =
+              if (overwrite || ow) lake.overwriteAll(data)
+              else lake.append(data)
+          }
+      }
+    }
+  }
+}
+
+/** DSv2 scan builder delegating execution to the lake's V1 read plans
+  * through the [[V1Scan]] shim. Filter pushdown feeds `readWhere`'s
+  * manifest stats pruning; only filters with an EXACT Column
+  * translation are consumed, the rest return to Spark as residuals. */
+class GraftScanBuilder(table: GraftSqlTable)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => GraftScanBuilder.toColumn(f).isDefined)
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  // memoized: optimizer rules may call build() repeatedly while
+  // iterating — the Scan must be stable (equals) and free to rebuild
+  private var built: Scan = _
+
+  override def build(): Scan = {
+    if (built != null) return built
+    val cond = GraftScanBuilder.conjunction(accepted)
+    // NB: deliberately NOT named readSchema — inside the anon class
+    // that name resolves to the member, and the self-call is
+    // tail-call-optimized into an infinite loop
+    val prunedSchema = required.getOrElse(table.schema)
+    built = new V1Scan {
+      override def readSchema(): StructType = prunedSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = prunedSchema
+          override def toString: String = s"GraftLakeScan ${table.name}"
+          override def buildScan(): RDD[Row] = {
+            val base = table.readFor(cond)
+            val projected =
+              if (prunedSchema.isEmpty)
+                // COUNT(*)-style scans: no columns, rows only
+                base.select()
+              else base.select(prunedSchema.fieldNames.map(col).toSeq: _*)
+            projected.rdd
+          }
+        }
+        rel.asInstanceOf[T]
+      }
+      override def description(): String =
+        s"GraftLakeScan ${table.name} " +
+          s"filters=[${accepted.mkString(", ")}]"
+    }
+    built
+  }
+}
+
+object GraftScanBuilder {
+  /** Exact `sources.Filter` -> `Column` translation; None marks a
+    * filter whose semantics we will not claim (returned as residual,
+    * evaluated by Spark). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                =>
+      Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   =>
+      Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  def conjunction(fs: Array[Filter]): Option[Column] =
+    fs.flatMap(toColumn(_)).reduceOption(_ && _)
+}
+
+/** Analysis-time DSv2 -> V1 swap (Delta's pattern): with
+  * [[graft.GraftExtensions]] installed, every catalog read of a
+  * [[GraftSqlTable]] is replaced by the table's FULL V1 plan — the
+  * manifest-served `HadoopFsRelation` with vectorized parquet,
+  * whole-stage codegen, and the BucketSpec claim — instead of running
+  * through the [[V1Scan]] row shim. The swap happens before
+  * optimization, so Catalyst's own pushdown/pruning applies to the V1
+  * relation exactly as it does for the programmatic `read()` path; the
+  * plan a SQL user gets is BYTE-IDENTICAL to the API user's.
+  *
+  * Output attributes are re-aliased onto the DSv2 relation's exprIds,
+  * so references already resolved against the catalog relation stay
+  * valid. Relations exposing columns the V1 plan can't serve (e.g.
+  * requested `_metadata`) are left untouched and fall back to the
+  * shim. Write commands are unaffected: `AppendData.table` is not a
+  * plan child, so INSERT targets keep their DSv2 identity. */
+class GraftV1ReadRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftSqlTable] &&
+            r.output.forall(a => r.table.schema().fieldNames
+              .contains(a.name)) =>
+        val v1 = r.table.asInstanceOf[GraftSqlTable]
+          .baseRead().queryExecution.analyzed
+        val byName = v1.output.map(a => a.name -> a).toMap
+        val aligned = r.output.map { old =>
+          Alias(byName(old.name), old.name)(
+            exprId = old.exprId, qualifier = old.qualifier)
+        }
+        Project(aligned, v1)
+    }
+}
+
+/** Read-only metadata table (`graft.ns.tbl.snapshots|files|...`):
+  * tiny, driver-computed frames served through the V1 shim with no
+  * pushdown — inspection surfaces, not data paths. */
+class GraftMetaTable(ident: String, lake: LakeTable, meta: String)
+    extends Table with SupportsRead {
+  private lazy val df: DataFrame = lake.meta(meta)
+  override def name(): String = ident
+  override lazy val schema: StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftMetaTable.this.schema
+          override def buildScan(): RDD[Row] = df.rdd
+        }
+        rel.asInstanceOf[T]
+      }
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graded queries exercising the PURE-SQL surface of the lake: every
+  * statement below goes through [[GraftCatalog]] (`spark.sql` only —
+  * no programmatic LakeTable reads in the answer path), proving a SQL
+  * user of the reference catalog (crest's `CREATE TABLE` + insert +
+  * query flow, /root/reference/pkg/catalog/catalog.go) can live
+  * entirely in `spark.sql` against this engine.
+  *
+  * Determinism across in-session reruns (bench min-of-3): a catalog
+  * NAME binds its warehouse on first use and is then cached by the
+  * session's CatalogManager — so each query DROPs and recreates its
+  * tables inside whatever warehouse the cached catalog holds, making
+  * every rerun rebuild identical state. */
+object SqlQueries {
+
+  /** One catalog per query name; the warehouse temp dir binds once per
+    * session (conf re-sets after caching are ignored by design). */
+  private def install(s: SparkSession, cat: String): Unit =
+    if (!s.conf.getOption(s"spark.sql.catalog.$cat")
+        .exists(_ == "graft.lake.GraftCatalog")) {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-$cat")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    }
+
+  /** q172: CTAS a lake table from lineitem and run a filtered banded
+    * aggregate over it — CREATE/INSERT/SELECT all through SQL. */
+  def catalogAgg(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g172")
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice")
+      .createOrReplaceTempView("g172_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g172.q")
+    s.sql("DROP TABLE IF EXISTS g172.q.lineitem")
+    s.sql("CREATE TABLE g172.q.lineitem AS SELECT * FROM g172_src")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM g172.q.lineitem
+        |WHERE l_quantity < 30
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** q173: q117's time-travel scenario driven purely through SQL —
+    * three INSERTs build history, the `snapshots` METADATA TABLE
+    * yields the mid version, and `VERSION AS OF` serves it next to the
+    * current state in one result. */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g173")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g173_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g173.q")
+    s.sql("DROP TABLE IF EXISTS g173.q.events")
+    s.sql("""CREATE TABLE g173.q.events AS
+             SELECT * FROM g173_src WHERE event_type = 'click'""")
+    s.sql("""INSERT INTO g173.q.events
+             SELECT * FROM g173_src WHERE event_type = 'view'""")
+    s.sql("""INSERT INTO g173.q.events
+             SELECT * FROM g173_src WHERE event_type = 'purchase'""")
+    // snapshots meta table: current = last append, mid = one before
+    val mid = s.sql(
+      "SELECT max(version) - 1 AS v FROM g173.q.events.snapshots")
+      .head.getInt(0)
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_value, 'as_of' AS snapshot
+         |FROM g173.q.events VERSION AS OF $mid GROUP BY event_type
+         |UNION ALL
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_value, 'current' AS snapshot
+         |FROM g173.q.events GROUP BY event_type""".stripMargin)
+  }
+
+  /** q174: hidden partitioning through SQL — `PARTITIONED BY
+    * (event_type, days(ts), bucket(8, user_id))` created and loaded by
+    * statements that never mention a derived column, then a filtered
+    * aggregate whose event_type/ts conjuncts prune at the manifest
+    * (identity values + days-transform ranges are per-file stats). */
+  def sqlHiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g174")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .createOrReplaceTempView("g174_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g174.q")
+    s.sql("DROP TABLE IF EXISTS g174.q.events")
+    s.sql(
+      """CREATE TABLE g174.q.events
+        |(event_id BIGINT, user_id BIGINT, event_type STRING,
+        | value DOUBLE, ts TIMESTAMP)
+        |PARTITIONED BY (event_type, days(ts), bucket(8, user_id))
+        |""".stripMargin)
+    s.sql("INSERT INTO g174.q.events SELECT * FROM g174_src")
+    s.sql(
+      """SELECT user_id % 10 AS cohort, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g174.q.events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id % 10""".stripMargin)
+  }
+}

@@ -278,12 +278,58 @@ object ConcurrentLoad {
         })
     }
 
+    def auditLoop(root: String, s: SparkSession): Loop = {
+      // r12 shape: the WAP-AUDITED curation loop under load — every
+      // accepted batch ships through stage-audit-publish on the out
+      // table while nine other loops hammer the scheduler and commit
+      // machinery; batches containing a residue-7 doc fail the audit
+      // and must land in quarantine instead of out. stop() drains and
+      // asserts the audit ledger balances: no violating doc ever
+      // served, every quarantined batch parked exactly once, no
+      // branch left pinning the table.
+      val src = LakeTable.create(s, s"$root/src", docs.schema)
+      val index = LakeTable.create(s, s"$root/idx",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))),
+        properties = LakeTable.autoCompactProps(32, Some("fp")),
+        bucketBy = Some(("fp", 32)))
+      val out = LakeTable.create(s, s"$root/out", docs.schema)
+      val quarantine = LakeTable.create(s, s"$root/q", docs.schema)
+      val mv = new MVManager(s, s"$root/ckpt")
+      val wap = Some(MVManager.WapAudit(
+        s"doc_id % $Batches = 7", quarantine))
+      val q = mv.startCurationFromLake("audit", src, index, out,
+        trigger = trigger, wap = wap)
+      Loop("audit",
+        i => src.append(docs.filter(col("doc_id") % Batches === i)),
+        () => index.dataCommitCount, () => out.read().count(),
+        () => {
+          q.stop()
+          // drain: the continuous trigger may stop mid-ledger — re-drive
+          // AvailableNow (terminates when the log is consumed), same
+          // catch-up contract as the cdc loop
+          mv.startCurationFromLake("audit", src, index, out,
+            trigger = Trigger.AvailableNow(), wap = wap)
+            .awaitTermination()
+          require(out.read()
+            .filter(col("doc_id") % Batches === 7).count() == 0,
+            "audit-violating docs served from out")
+          require(out.activeBranch.isEmpty,
+            "a WAP branch left pinning the audited out table")
+          require(quarantine.read().count() > 0,
+            "the violating batch never reached quarantine")
+        })
+    }
+
     val shapes: Seq[(String, (String, SparkSession) => Loop)] = Seq(
       "ingest" -> (ingestLoop _), "exact" -> (exactLoop _),
       "embedding" -> (embeddingLoop _), "agg-mv" -> (aggLoop _),
       "lexical" -> (lexicalLoop _), "vector" -> (vectorLoop _),
       "gdpr" -> (gdprLoop _), "wap" -> (wapLoop _),
-      "cdc" -> (cdcLoop _))
+      "cdc" -> (cdcLoop _), "audit" -> (auditLoop _))
 
     // each loop runs in its OWN session (shared SparkContext, own
     // SQLConf) with shuffle partitions sized to its core share — N

@@ -1,0 +1,322 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** The DSv2 SQL catalog over the lake ([[GraftCatalog]]): pure-SQL DDL,
+  * DML, time travel, metadata tables, pushdown, and ALTER — installed
+  * on a live session with nothing but confs. */
+class SqlCatalogSpec extends SparkSuite {
+
+  private lazy val wh = tmpDir("sqlcat-wh")
+
+  private def install(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trips through SQL") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql(
+      "CREATE TABLE graft.sqlns.t1 (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.sqlns.t1
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END,
+        |       CAST(id AS DOUBLE) / 4 FROM range(100)""".stripMargin)
+    val total = spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlns.t1").head.getLong(0)
+    assert(total == 100)
+    val agg = spark.sql(
+      """SELECT grp, count(*) AS n, CAST(sum(v) AS DECIMAL(18,4)) AS s
+        |FROM graft.sqlns.t1 GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect()
+    assert(agg.toSeq == Seq(
+      Row("a", 50L, new java.math.BigDecimal("612.5000")),
+      Row("b", 50L, new java.math.BigDecimal("625.0000"))))
+    // second INSERT is a second lake commit (snapshot history grows)
+    spark.sql(
+      "INSERT INTO graft.sqlns.t1 SELECT id + 100, 'c', 0.0 FROM range(10)")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.t1")
+      .head.getLong(0) == 110)
+  }
+
+  test("catalog surfaces: SHOW TABLES / DESCRIBE / spark.table") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.sqlns.t_show (id INT)")
+    val tables = spark.sql("SHOW TABLES IN graft.sqlns")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("t_show"))
+    val desc = spark.sql("DESCRIBE TABLE graft.sqlns.t_show")
+      .select("col_name").collect().map(_.getString(0))
+    assert(desc.contains("id"))
+    assert(spark.table("graft.sqlns.t_show").schema ==
+      StructType(Seq(StructField("id", IntegerType))))
+  }
+
+  test("filter pushdown reaches readWhere: pruned files, exact rows") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.pruned (k BIGINT, s STRING)")
+    // three appends -> three files with disjoint k ranges
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO graft.sqlns.pruned " +
+        s"SELECT id + ${b * 1000}, concat('r', id) FROM range(100)")
+    }
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.table("sqlns", "pruned")
+    val total = t.dataFiles.size
+    // manifest range stats exclude the first two inserts' files
+    val kept = t.pruneFiles(col("k") >= lit(2000L))
+    assert(kept.size == total / 3,
+      s"expected 1/3 of $total files to survive, got ${kept.size}")
+    val rows = spark.sql(
+      "SELECT k FROM graft.sqlns.pruned WHERE k >= 2000 ORDER BY k")
+      .collect()
+    assert(rows.length == 100 && rows.head.getLong(0) == 2000L &&
+      rows.last.getLong(0) == 2099L)
+    // residual-only filter (no exact translation) still evaluates fully
+    val mod = spark.sql(
+      "SELECT count(*) FROM graft.sqlns.pruned WHERE k % 7 = 0")
+      .head.getLong(0)
+    assert(mod == (0 until 3).map(b =>
+      (0 until 100).count(i => (i + b * 1000) % 7 == 0)).sum)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.tt SELECT id FROM range(10)")
+    val cat = new LakeCatalog(spark, wh)
+    val v1 = cat.table("sqlns", "tt").currentVersion
+    spark.sql("INSERT INTO graft.sqlns.tt SELECT id + 10 FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.tt")
+      .head.getLong(0) == 15)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.tt VERSION AS OF $v1")
+      .head.getLong(0) == 10)
+    val tsMs = cat.table("sqlns", "tt").snapshots
+      .find(_.version == v1).get.committedAtMs
+    val ts = new java.sql.Timestamp(tsMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 10)
+  }
+
+  test("PARTITIONED BY (identity + days transform + bucket) via SQL") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql(
+      """CREATE TABLE graft.sqlns.part
+        |(id BIGINT, ts TIMESTAMP, region STRING)
+        |PARTITIONED BY (region, days(ts), bucket(4, id))""".stripMargin)
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.table("sqlns", "part")
+    assert(t.partitionSpecs == Seq("region", "days(ts)"))
+    assert(t.bucketSpec.contains(("id", 4)))
+    assert(t.properties.get(LakeTable.BucketHashProp)
+      .contains(LakeTable.SparkBucketHash))
+    spark.sql(
+      """INSERT INTO graft.sqlns.part
+        |SELECT id, timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0),
+        |       CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+        |FROM range(48)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.part")
+      .head.getLong(0) == 48)
+    // partition pruning on the identity column: only eu files planned
+    assert(t.pruneFiles(col("region") === "us").nonEmpty)
+    val eu = spark.sql(
+      "SELECT count(*) FROM graft.sqlns.part WHERE region = 'eu'")
+      .head.getLong(0)
+    assert(eu == 24)
+  }
+
+  test("INSERT OVERWRITE replaces content in one commit; history kept") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.ow (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.ow SELECT id FROM range(10)")
+    val cat = new LakeCatalog(spark, wh)
+    val before = cat.table("sqlns", "ow").currentVersion
+    spark.sql(
+      "INSERT OVERWRITE graft.sqlns.ow SELECT id + 100 FROM range(3)")
+    val t = cat.table("sqlns", "ow")
+    assert(t.currentVersion == before + 1) // ONE commit
+    assert(spark.sql("SELECT min(id), count(*) FROM graft.sqlns.ow")
+      .head == Row(100L, 3L))
+    // pre-overwrite snapshot still serves via time travel
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.ow VERSION AS OF $before")
+      .head.getLong(0) == 10)
+  }
+
+  test("CTAS creates and loads in one statement") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql(
+      """CREATE TABLE graft.sqlns.ctas AS
+        |SELECT id, id * 2 AS dbl FROM range(20)""".stripMargin)
+    assert(spark.sql(
+      "SELECT CAST(sum(dbl) AS BIGINT) FROM graft.sqlns.ctas")
+      .head.getLong(0) == 380L)
+  }
+
+  test("ALTER TABLE: ADD/RENAME/DROP COLUMN + SET TBLPROPERTIES") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.alt (id BIGINT, a STRING)")
+    spark.sql("INSERT INTO graft.sqlns.alt VALUES (1, 'x'), (2, 'y')")
+    spark.sql("ALTER TABLE graft.sqlns.alt ADD COLUMN w DOUBLE")
+    // old files read null for the new field
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlns.alt WHERE w IS NULL")
+      .head.getLong(0) == 2)
+    spark.sql("INSERT INTO graft.sqlns.alt VALUES (3, 'z', 1.5)")
+    spark.sql("ALTER TABLE graft.sqlns.alt RENAME COLUMN a TO label")
+    // rename keeps the field ID: old files serve data under the new name
+    assert(spark.sql(
+      "SELECT label FROM graft.sqlns.alt WHERE id = 1")
+      .head.getString(0) == "x")
+    spark.sql("ALTER TABLE graft.sqlns.alt DROP COLUMN w")
+    assert(!spark.table("graft.sqlns.alt").schema.fieldNames
+      .contains("w"))
+    spark.sql(
+      "ALTER TABLE graft.sqlns.alt SET TBLPROPERTIES ('x.y' = 'z')")
+    val cat = new LakeCatalog(spark, wh)
+    assert(cat.table("sqlns", "alt").properties.get("x.y").contains("z"))
+  }
+
+  test("metadata tables serve through SQL: snapshots/files/refs") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.meta1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.meta1 SELECT id FROM range(5)")
+    spark.sql("INSERT INTO graft.sqlns.meta1 SELECT id + 5 FROM range(5)")
+    val snaps = spark.sql(
+      "SELECT operation FROM graft.sqlns.meta1.snapshots").collect()
+    assert(snaps.length == 3) // create + 2 appends
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.meta1.files")
+      .head.getLong(0) >= 2)
+    assert(spark.sql(
+      "SELECT name FROM graft.sqlns.meta1.refs WHERE name = 'main'")
+      .collect().length == 1)
+  }
+
+  test("aliases resolve through SQL (blue-green read path)") {
+    install()
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("sqlns")
+    val blue = cat.createTable("sqlns", "serve_blue",
+      StructType(Seq(StructField("id", LongType))))
+    blue.append(spark.range(7).toDF("id"))
+    cat.setAlias("sqlns", "serving", "serve_blue")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.serving")
+      .head.getLong(0) == 7)
+  }
+
+  test("DROP TABLE and IF EXISTS behavior") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.dropme (id INT)")
+    spark.sql("DROP TABLE graft.sqlns.dropme")
+    val tables = spark.sql("SHOW TABLES IN graft.sqlns")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(!tables.contains("dropme"))
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.dropme") // no throw
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.sqlns.dropme").collect()
+    }
+  }
+
+  test("writes respect CHECK constraints installed on the lake table") {
+    install()
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("sqlns")
+    val t = cat.createTable("sqlns", "checked",
+      StructType(Seq(StructField("id", LongType))))
+    t.updateProperties(Map("constraint.pos" -> "id >= 0"))
+    spark.sql("INSERT INTO graft.sqlns.checked VALUES (4)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.sqlns.checked VALUES (-1)")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.checked")
+      .head.getLong(0) == 1)
+  }
+
+  test("GraftExtensions swaps catalog reads to the V1 manifest plan") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.sqlns.ext (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.ext SELECT id FROM range(50)")
+    // without extensions: the DSv2->V1 shim executes (row-based scan)
+    val shimPlan = spark.sql("SELECT id FROM graft.sqlns.ext WHERE id > 10")
+      .queryExecution.executedPlan.toString
+    assert(shimPlan.contains("GraftLakeScan"), shimPlan.take(400))
+
+    // a FRESH session over the same context, with extensions installed
+    val org = spark
+    org.sparkContext // force init
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // with a live SparkContext, getOrCreate reads `spark.sql
+      // .extensions` from the CONTEXT conf — withExtensions is the
+      // public per-builder route
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      assert(ext ne org, "expected a fresh session")
+      assert(ext.sessionState.analyzer.extendedResolutionRules
+        .exists(_.isInstanceOf[GraftV1ReadRule]),
+        "GraftV1ReadRule not injected: " +
+          ext.sessionState.analyzer.extendedResolutionRules.map(_.ruleName))
+      val df = ext.sql("SELECT id FROM graft.sqlns.ext WHERE id > 10")
+      val plan = df.queryExecution.executedPlan.toString
+      // the rule swapped in the V1 manifest relation: vectorized
+      // FileScan parquet, no DSv2 row shim
+      assert(!plan.contains("GraftLakeScan"), plan.take(400))
+      assert(plan.contains("FileScan parquet"), plan.take(400))
+      assert(plan.contains("PushedFilters: [IsNotNull(id), " +
+        "GreaterThan(id,10)]"), plan.take(600))
+      assert(df.count() == 39)
+      // time travel + the swap compose
+      val cat = new LakeCatalog(ext, wh)
+      val v = cat.table("sqlns", "ext").currentVersion
+      ext.sql("INSERT INTO graft.sqlns.ext SELECT id + 100 FROM range(5)")
+      assert(ext.sql(
+        s"SELECT count(*) FROM graft.sqlns.ext VERSION AS OF $v")
+        .head.getLong(0) == 50)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(org)
+      SparkSession.setActiveSession(org)
+    }
+  }
+
+  test("MOR deletes and WAP pinning are visible through SQL reads") {
+    install()
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("sqlns")
+    val t = cat.createTable("sqlns", "mor",
+      StructType(Seq(StructField("id", LongType))))
+    t.append(spark.range(10).toDF("id"))
+    t.deleteWhereEqual(spark.range(3).toDF("id"), Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.mor")
+      .head.getLong(0) == 7)
+    // a staging WAP branch stays invisible to SQL (main pinned)
+    t.createBranch("audit")
+    t.append(spark.range(100, 105).toDF("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.mor")
+      .head.getLong(0) == 7)
+    t.publishBranch("audit")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.mor")
+      .head.getLong(0) == 12)
+  }
+}
