@@ -1663,6 +1663,9 @@ object SparkEntry {
     "q173_sql_time_travel" -> (graft.lake.SqlQueries.sqlTimeTravel _),
     "q174_sql_hidden_partitioning" ->
       (graft.lake.SqlQueries.sqlHiddenPartitioning _),
+    // DELETE FROM via DSv2 SupportsDelete -> merge-on-read position
+    // deletes: the GDPR forget drivable from pure SQL (q175)
+    "q175_sql_delete" -> (graft.lake.SqlQueries.sqlDelete _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4182,6 +4185,11 @@ object SparkEntry {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id % 10""",
+    "q175_sql_delete" ->
+      s"""SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id NOT IN (${graft.lake.SqlQueries.ForgetUsers})
+         GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot

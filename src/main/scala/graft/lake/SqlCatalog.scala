@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -320,7 +320,8 @@ object GraftCatalog {
   * `VERSION AS OF` (Left) / `TIMESTAMP AS OF` millis (Right). */
 class GraftSqlTable(ident: String, val lake: LakeTable,
                     pinned: Option[Either[Int, Long]])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   /** The full lake read for this (possibly pinned) view — the V1 plan
     * every scan route ultimately serves. */
@@ -367,6 +368,33 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(this)
+
+  /** `DELETE FROM graft.ns.t WHERE ...`: only predicates with an exact
+    * Column translation are claimed (Spark refuses the DELETE otherwise
+    * instead of us guessing at semantics). Routing mirrors Iceberg's
+    * `write.delete.mode`: MERGE-ON-READ by default — a position-delete
+    * commit of O(matched rows), the shape a GDPR forget needs on a
+    * 100 TB table — or copy-on-write file rewrites when the table sets
+    * `delete.mode=copy-on-write` (better for large predicate deletes:
+    * no read-side anti-join debt). An unconditional DELETE / TRUNCATE
+    * is ONE overwrite commit of the empty set, never a row-marking
+    * pass; history stays time-travelable either way. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty &&
+      filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty, "cannot delete from a time-travel view")
+    val conditional = filters.filterNot(_.isInstanceOf[sources.AlwaysTrue])
+    if (conditional.isEmpty)
+      lake.overwriteAll(baseRead().limit(0))
+    else {
+      val cond = GraftScanBuilder.conjunction(conditional).get
+      if (lake.properties.get("delete.mode").contains("copy-on-write"))
+        lake.deleteWhere(cond)
+      else lake.deleteWherePositional(cond)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot write to a time-travel view")
@@ -471,6 +499,8 @@ object GraftScanBuilder {
     case sources.Or(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case sources.Not(c) => toColumn(c).map(!_)
+    case _: sources.AlwaysTrue  => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
     case _ => None
   }
 
@@ -493,18 +523,40 @@ object GraftScanBuilder {
   * valid. Relations exposing columns the V1 plan can't serve (e.g.
   * requested `_metadata`) are left untouched and fall back to the
   * shim. Write commands are unaffected: `AppendData.table` is not a
-  * plan child, so INSERT targets keep their DSv2 identity. */
+  * plan child, so INSERT targets keep their DSv2 identity — but
+  * DELETE/UPDATE/MERGE targets ARE plan children (`DeleteFromTable` is
+  * a UnaryCommand over its table), so those relations are skipped: the
+  * command layer must see the DSv2 table to route through
+  * [[SupportsDelete]]; only read positions (including the DELETE
+  * condition's subqueries and the MERGE source) get the V1 swap. */
 class GraftV1ReadRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Alias
-  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // row-level-command TARGETS, by reference identity (the same table
+    // may legitimately appear again in a read position of the command)
+    val targets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // the target subtree, not just its root: name resolution wraps the
+    // relation in a SubqueryAlias
+    def skipAllIn(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2Relation => targets.add(r)
+      case _ =>
+    }
+    plan.foreach {
+      case d: DeleteFromTable => skipAllIn(d.table)
+      case u: UpdateTable     => skipAllIn(u.table)
+      case m: MergeIntoTable  => skipAllIn(m.targetTable)
+      case _ =>
+    }
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftSqlTable] &&
+          if !targets.contains(r) &&
+            r.table.isInstanceOf[GraftSqlTable] &&
             r.output.forall(a => r.table.schema().fieldNames
               .contains(a.name)) =>
         val v1 = r.table.asInstanceOf[GraftSqlTable]
@@ -516,6 +568,7 @@ class GraftV1ReadRule(session: SparkSession)
         }
         Project(aligned, v1)
     }
+  }
 }
 
 /** Read-only metadata table (`graft.ns.tbl.snapshots|files|...`):

@@ -84,6 +84,35 @@ object SqlQueries {
          |FROM g173.q.events GROUP BY event_type""".stripMargin)
   }
 
+  /** The q175 forget set: a fixed roster of user ids (the GDPR shape —
+    * named subjects, not a computed predicate; a computed predicate
+    * would not translate to a source filter and Spark would refuse the
+    * DELETE rather than half-apply it). Ids beyond a small SF's user
+    * range simply match nothing — same algebra on both sides. */
+  val ForgetUsers: String = (0 until 25).map(k => 13 + 97 * k)
+    .mkString(", ")
+
+  /** q175: GDPR forget through pure SQL — `DELETE FROM ... WHERE
+    * user_id IN (...)` on a catalog table routes to a MERGE-ON-READ
+    * position-delete commit (O(matched rows), zero data files
+    * rewritten; the `delete.mode` property flips to copy-on-write),
+    * then the surviving corpus is aggregated. The oracle replays the
+    * algebra as an anti-filter over the raw events. */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g175")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g175_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g175.q")
+    s.sql("DROP TABLE IF EXISTS g175.q.events")
+    s.sql("CREATE TABLE g175.q.events AS SELECT * FROM g175_src")
+    s.sql(s"DELETE FROM g175.q.events WHERE user_id IN ($ForgetUsers)")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g175.q.events GROUP BY event_type""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered

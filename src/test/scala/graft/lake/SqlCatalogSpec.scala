@@ -319,4 +319,116 @@ class SqlCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM graft.sqlns.mor")
       .head.getLong(0) == 12)
   }
+
+  test("DELETE FROM routes merge-on-read by default: position-delete " +
+      "commit, zero data files rewritten, history time-travelable") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.del (id BIGINT, grp STRING)")
+    spark.sql(
+      """INSERT INTO graft.sqlns.del
+        |SELECT id, CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END
+        |FROM range(90)""".stripMargin)
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.table("sqlns", "del")
+    val filesBefore = spark.sql(
+      "SELECT count(*) FROM graft.sqlns.del.files").head.getLong(0)
+    val vBefore = spark.sql(
+      "SELECT max(version) FROM graft.sqlns.del.snapshots")
+      .head.getInt(0)
+    spark.sql("DELETE FROM graft.sqlns.del WHERE grp = 'x' AND id < 30")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.del")
+      .head.getLong(0) == 80) // ids 0,3,...,27 -> 10 rows marked
+    // MOR: the data-file set is untouched, a delete file carries it
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.del.files")
+      .head.getLong(0) == filesBefore)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlns.del.delete_files")
+      .head.getLong(0) >= 1)
+    // pre-delete snapshot still serves the full 90
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.del VERSION AS OF $vBefore")
+      .head.getLong(0) == 90)
+    // three-valued semantics ride the lake contract (NULL keeps)
+    assert(t.read().filter(col("grp") === "x").count() == 20)
+  }
+
+  test("DELETE FROM honors delete.mode=copy-on-write: files rewritten, " +
+      "no delete files") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.delcow (id BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='copy-on-write')")
+    spark.sql(
+      "INSERT INTO graft.sqlns.delcow SELECT id FROM range(50)")
+    spark.sql("DELETE FROM graft.sqlns.delcow WHERE id >= 40")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.delcow")
+      .head.getLong(0) == 40)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlns.delcow.delete_files")
+      .head.getLong(0) == 0)
+  }
+
+  test("unconditional DELETE is one overwrite commit of the empty set; " +
+      "non-translatable predicates are refused") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.deltrunc (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.sqlns.deltrunc " +
+      "SELECT id, CAST(id AS STRING) FROM range(20)")
+    val vBefore = spark.sql(
+      "SELECT max(version) FROM graft.sqlns.deltrunc.snapshots")
+      .head.getInt(0)
+    spark.sql("DELETE FROM graft.sqlns.deltrunc")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.deltrunc")
+      .head.getLong(0) == 0)
+    // one commit, empty live set, history preserved
+    assert(spark.sql(
+      "SELECT max(version) FROM graft.sqlns.deltrunc.snapshots")
+      .head.getInt(0) == vBefore + 1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.deltrunc VERSION AS OF $vBefore")
+      .head.getLong(0) == 20)
+    // a predicate with no exact translation must be refused by Spark,
+    // not silently half-applied
+    spark.sql("INSERT INTO graft.sqlns.deltrunc " +
+      "SELECT id, CAST(id AS STRING) FROM range(5)")
+    intercept[Exception] {
+      spark.sql(
+        "DELETE FROM graft.sqlns.deltrunc WHERE length(s) + id > 3")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.deltrunc")
+      .head.getLong(0) == 5)
+  }
+
+  test("DELETE FROM works with GraftExtensions installed (the V1 read " +
+      "rule must not rewrite the DELETE target)") {
+    val org = spark
+    org.sparkContext // force init
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.gext", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.gext.warehouse",
+        tmpDir("sqlcat-wh-del"))
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS gext.ns")
+      ext.sql("CREATE TABLE gext.ns.d (id BIGINT)")
+      ext.sql("INSERT INTO gext.ns.d SELECT id FROM range(30)")
+      ext.sql("DELETE FROM gext.ns.d WHERE id < 10")
+      assert(ext.sql("SELECT count(*) FROM gext.ns.d")
+        .head.getLong(0) == 20)
+      // read positions still get the V1 swap after the delete
+      val plan = ext.sql("SELECT sum(id) FROM gext.ns.d")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("GraftLakeScan"),
+        s"extensions session still read through the V1Scan shim:\n$plan")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(org)
+      SparkSession.setActiveSession(org)
+    }
+  }
 }
