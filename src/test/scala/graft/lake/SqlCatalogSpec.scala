@@ -401,6 +401,32 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) == 5)
   }
 
+  test("TRUNCATE TABLE and SHOW CREATE TABLE round-trip") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("CREATE TABLE graft.sqlns.sct (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, id))")
+    spark.sql("INSERT INTO graft.sqlns.sct " +
+      "SELECT id, timestamp'2026-01-01' FROM range(10)")
+    // SHOW CREATE reproduces the logical DDL: hidden-partitioning
+    // transforms round-trip, derived physical columns never leak
+    val ddl = spark.sql("SHOW CREATE TABLE graft.sqlns.sct")
+      .head.getString(0)
+    assert(ddl.contains("PARTITIONED BY (days(ts), bucket(4, id))"), ddl)
+    assert(!ddl.contains("_p_days_ts") && !ddl.contains("_bucket"), ddl)
+    // TRUNCATE routes through the delete path: one empty-set overwrite
+    // commit, history preserved
+    val v = spark.sql(
+      "SELECT max(version) FROM graft.sqlns.sct.snapshots")
+      .head.getInt(0)
+    spark.sql("TRUNCATE TABLE graft.sqlns.sct")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.sct")
+      .head.getLong(0) == 0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.sqlns.sct VERSION AS OF $v")
+      .head.getLong(0) == 10)
+  }
+
   test("DELETE FROM works with GraftExtensions installed (the V1 read " +
       "rule must not rewrite the DELETE target)") {
     val org = spark
