@@ -24,7 +24,8 @@ case class StorageConfig(
 
 case class CatalogConfig(
     namespace: String = "default",
-    endpoint: Option[String] = None) // reference catalog.endpoint (config.go:46-51)
+    endpoint: Option[String] = None, // reference catalog.endpoint (config.go:46-51)
+    sqlName: Option[String] = None)  // bind graft.lake.GraftCatalog under this name
 
 case class BatchingConfig(
     triggerInterval: String = "500 milliseconds",
@@ -158,7 +159,8 @@ object GraftConfig {
       catalog = CatalogConfig(
         namespace =
           (root / "iceberg" / "defaultNamespace").str("default"), // :86-88
-        endpoint = (root / "catalog" / "endpoint").strOpt),
+        endpoint = (root / "catalog" / "endpoint").strOpt,
+        sqlName = (root / "catalog" / "sqlName").strOpt),
       batching = BatchingConfig(
         triggerInterval =
           (batching / "maxTimeWindow").duration("60 seconds"), // :76-78
@@ -237,6 +239,17 @@ object GraftConfig {
 class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
 
   GraftFunctions.register(spark) // cosine_sim & friends available in SQL
+
+  // catalog.sqlName: bind the DSv2 SQL catalog to the engine's OWN
+  // warehouse, so `engine.sql("SELECT ... FROM <name>.ns.t")` and the
+  // programmatic LakeCatalog below see the SAME tables — SQL DDL/DML
+  // (CREATE/INSERT/DELETE/time travel/meta tables) over engine state
+  // with zero further setup
+  config.catalog.sqlName.foreach { n =>
+    spark.conf.set(s"spark.sql.catalog.$n", "graft.lake.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$n.warehouse",
+      config.storage.warehouseDir)
+  }
 
   val catalog = new LakeCatalog(spark, config.storage.warehouseDir)
   val mvs = new MVManager(

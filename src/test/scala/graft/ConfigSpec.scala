@@ -119,6 +119,13 @@ class ConfigSpec extends AnyFunSuite {
     finally java.nio.file.Files.delete(f)
   }
 
+  test("catalog.sqlName round-trips (absent -> None)") {
+    val c = GraftConfig.fromYamlString(
+      "storage:\n  localPath: /tmp/wh\ncatalog:\n  sqlName: graft\n")
+    assert(c.catalog.sqlName.contains("graft"))
+    assert(GraftConfig.fromYamlString("").catalog.sqlName.isEmpty)
+  }
+
   test("malformed input fails loudly, not silently") {
     intercept[IllegalArgumentException] { // mistyped scalar where section
       GraftConfig.fromYamlString("storage: oops\n")

@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class EngineSpec extends SparkSuite {
   import spark.implicits._
 
+  test("catalog.sqlName binds the DSv2 SQL catalog to the engine " +
+      "warehouse: SQL DDL/DML and the programmatic LakeCatalog see " +
+      "the same tables") {
+    val wh = tmpDir("engine-sqlcat-wh")
+    val engine = new GraftEngine(spark, GraftConfig(
+      StorageConfig(wh),
+      CatalogConfig(namespace = "ns", sqlName = Some("gsql"))))
+    // SQL-created table visible programmatically
+    engine.sql("CREATE NAMESPACE IF NOT EXISTS gsql.ns")
+    engine.sql("CREATE TABLE gsql.ns.t (id BIGINT)")
+    engine.sql("INSERT INTO gsql.ns.t SELECT id FROM range(20)")
+    assert(engine.catalog.table("ns", "t").read().count() == 20)
+    // programmatic append visible to SQL, incl. DELETE routing
+    engine.catalog.table("ns", "t").append(
+      spark.range(20, 30).toDF("id"))
+    assert(engine.sql("SELECT count(*) FROM gsql.ns.t")
+      .head.getLong(0) == 30)
+    engine.sql("DELETE FROM gsql.ns.t WHERE id >= 25")
+    assert(engine.catalog.table("ns", "t").read().count() == 25)
+  }
+
   test("engine end-to-end: MV from stream into catalog table, read back") {
     implicit val sqlCtx = spark.sqlContext
     val engine = new GraftEngine(spark, GraftConfig(
