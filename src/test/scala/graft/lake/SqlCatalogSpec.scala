@@ -134,6 +134,20 @@ class SqlCatalogSpec extends SparkSuite {
       "SELECT count(*) FROM graft.sqlns.part WHERE region = 'eu'")
       .head.getLong(0)
     assert(eu == 24)
+    // truncate transform: SQL DDL -> physical _p_trunc<w>_<col> ->
+    // partitionSpecs/SHOW CREATE round-trip
+    spark.sql(
+      """CREATE TABLE graft.sqlns.part_tr (id BIGINT, code STRING)
+        |PARTITIONED BY (truncate(2, code))""".stripMargin)
+    spark.sql("INSERT INTO graft.sqlns.part_tr " +
+      "SELECT id, concat('ab', CAST(id % 3 AS STRING)) FROM range(9)")
+    assert(cat.table("sqlns", "part_tr").partitionSpecs ==
+      Seq("truncate(2,code)"))
+    val ddl = spark.sql("SHOW CREATE TABLE graft.sqlns.part_tr")
+      .head.getString(0)
+    assert(ddl.contains("truncate(2, code)") && !ddl.contains("_p_"), ddl)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.part_tr " +
+      "WHERE code = 'ab1'").head.getLong(0) == 3)
   }
 
   test("INSERT OVERWRITE replaces content in one commit; history kept") {
