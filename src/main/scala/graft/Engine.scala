@@ -738,7 +738,18 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     * crash between them replays the append as a no-op and lands the
     * delete; a full replay no-ops twice; a LATER quarantine commit
     * raises the version, so the next re-drive is a fresh batch.
-    * Returns the number of rows re-driven. */
+    *
+    * One replay hazard needs explicit handling: a crash BETWEEN the
+    * append and the delete, followed by a NEW quarantine batch landing
+    * BEFORE the admin retries. A naive retry would read the bumped
+    * version (union of already-appended + new rows) and append it
+    * under a fresh key — duplicating the crashed attempt's rows in the
+    * curated table. So the retry first detects a pending re-drive
+    * (out's writer high-water ahead of quarantine's delete high-water)
+    * and FINISHES that version — re-reading exactly the row set its
+    * idempotence key covers (the append no-ops, the delete lands) —
+    * before re-driving whatever is current. Returns the number of rows
+    * re-driven (pending replay included). */
   def redriveQuarantine(name: String, idCol: String = "doc_id"): Long = {
     val ns = config.catalog.namespace
     val quarantine = catalog.table(ns, s"${name}_quarantine")
@@ -751,18 +762,31 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
       s"table '$name' has an active WAP branch " +
         s"(${out.activeBranch.map(_._1).mkString}) — re-drive after " +
         "the in-flight batch publishes or abandons")
+    val writer = s"$name#redrive"
+    // one version's append + delete, keyed on that version: replays
+    // no-op whichever side already landed
+    def driveVersion(v: Int): Long = {
+      // pin the row set to the keyed version: the replay must re-drive
+      // exactly the rows its idempotence key covers, not the union
+      // with anything quarantined since
+      val rows = quarantine.readVersion(v).localCheckpoint()
+      val n = rows.count()
+      if (n == 0L) return 0L
+      out.appendExactlyOnce(rows, writer, v.toLong)
+      quarantine.deleteWhereEqualExactlyOnce(
+        rows.select(org.apache.spark.sql.functions.col(idCol)),
+        Seq(idCol), writer, v.toLong)
+      n
+    }
+    val appended = out.lastBatchId(writer)      // last version appended
+    val deleted = quarantine.lastBatchId(writer) // last version cleaned
+    // finish a crashed attempt first: its delete hasn't landed, so its
+    // rows are still in the quarantine AND already in the curated table
+    val replayed = if (appended > deleted) driveVersion(appended.toInt)
+      else 0L
     val v = quarantine.currentVersion
-    // pin the row set to the keyed version: if a crash-replay races a
-    // NEWLY quarantined batch, the replay must re-drive exactly the
-    // rows its idempotence key covers, not the union
-    val rows = quarantine.readVersion(v).localCheckpoint()
-    val n = rows.count()
-    if (n == 0L) return 0L
-    out.appendExactlyOnce(rows, s"$name#redrive", v.toLong)
-    quarantine.deleteWhereEqualExactlyOnce(
-      rows.select(org.apache.spark.sql.functions.col(idCol)),
-      Seq(idCol), s"$name#redrive", v.toLong)
-    n
+    val fresh = if (v.toLong > appended) driveVersion(v) else 0L
+    replayed + fresh
   }
 
   /** Reference lifecycle parity (main.go:31-48): block until MV

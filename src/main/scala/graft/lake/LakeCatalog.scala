@@ -91,6 +91,18 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
     Files.deleteIfExists(Paths.get(tablePath(ns, name)))
   }
 
+  /** Remove an EMPTY namespace (no tables, no aliases) — the SQL
+    * catalog's DROP NAMESPACE lands here so directory removal goes
+    * through the same walk/delete machinery as dropTable rather than
+    * ad-hoc filesystem calls at the DSv2 layer. */
+  def dropNamespace(ns: String): Unit = {
+    require(listTables(ns).isEmpty && listAliases(ns).isEmpty,
+      s"namespace $ns is not empty")
+    LakeTable.walkDir(nsPath(ns)).reverse
+      .foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(nsPath(ns))
+  }
+
   // ---- atomic table ALIASES: the blue-green publish pointer ----------
   //
   // A pipeline that rebuilds a table (re-dedupe the corpus, recompact
@@ -136,6 +148,15 @@ class LakeCatalog(spark: SparkSession, warehouseDir: String,
 
   def aliasExists(ns: String, alias: String): Boolean =
     currentAliasVersion(ns, alias) > 0
+
+  /** Remove an alias (its pointer log; the target table is untouched).
+    * The DROP TABLE surface for alias names. */
+  def dropAlias(ns: String, alias: String): Unit = {
+    require(aliasExists(ns, alias), s"no alias $ns.$alias")
+    LakeTable.walkDir(aliasDir(ns, alias)).reverse
+      .foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(aliasDir(ns, alias))
+  }
 
   /** All aliases published in a namespace. */
   def listAliases(ns: String): Seq[String] =

@@ -119,15 +119,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ns = ns1(namespace)
     if (!namespaceExists(namespace)) return false
     val tables = lakeCat.listTables(ns)
-    require(cascade || tables.isEmpty,
-      s"namespace $ns is not empty (${tables.size} tables); use CASCADE")
+    val aliases = lakeCat.listAliases(ns)
+    // the TableCatalog contract: non-empty without CASCADE is
+    // NonEmptyNamespaceException (Spark renders the proper SQL error),
+    // not a generic require failure
+    if (!cascade && (tables.nonEmpty || aliases.nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    // aliases first: dropTable refuses to drop a table an alias still
+    // points at
+    aliases.foreach(a => lakeCat.dropAlias(ns, a))
     tables.foreach(t => lakeCat.dropTable(ns, t))
-    val dir = java.nio.file.Paths.get(warehouse, ns)
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.StreamConverters._
-      java.nio.file.Files.walk(dir).toScala(Seq).reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    // directory removal through the lake's own deletion machinery (the
+    // CommitStore-adjacent seam), not ad-hoc filesystem calls here
+    lakeCat.dropNamespace(ns)
     true
   }
 
@@ -236,9 +241,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident.toString, lakeTableOf(ident), None)
   }
 
+  /** DROP TABLE. Metadata-table identifiers (`graft.ns.t.snapshots`)
+    * are NOT droppable targets — tableExists answers true for them (so
+    * SELECT resolves) but dropping one must never fall through to
+    * `dropTable(ns, "snapshots")`, which could destroy a REAL table
+    * that happens to carry a metadata-table name. Alias names drop the
+    * alias pointer, not the target table. */
   override def dropTable(ident: Identifier): Boolean =
-    if (!tableExists(ident)) false
-    else { lakeCat.dropTable(ident.namespace()(0), ident.name); true }
+    if (ident.namespace.length != 1) {
+      // tableExists answers true for metadata idents, so DropTableExec
+      // ignores a false return — throw loudly instead of silently
+      // no-opping (or worse, resolving to a REAL sibling table)
+      if (metaTableOf(ident).isDefined)
+        throw new UnsupportedOperationException(
+          s"$ident is a metadata table, not a droppable target")
+      false
+    } else {
+      val (ns, n) = (ident.namespace()(0), ident.name)
+      if (lakeCat.tableExists(ns, n)) { lakeCat.dropTable(ns, n); true }
+      else if (lakeCat.aliasExists(ns, n)) { lakeCat.dropAlias(ns, n); true }
+      else false
+    }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

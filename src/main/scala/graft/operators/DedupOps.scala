@@ -410,9 +410,15 @@ object DedupOps {
     * one broadcast of the exploded batch; the index tables are never
     * read. Cost per batch tracks batch size; history grows only the
     * bucketed postings. `maxDf` drops elements shared by more than
-    * that many indexed docs (ubiquitous boilerplate frames) BEFORE the
-    * pair explosion — the skew guard; dropped elements still count in
-    * `n`, so jaccard stays exact for pairs found through rarer ones. */
+    * that many indexed docs (ubiquitous boilerplate frames) from
+    * CANDIDATE GENERATION only — the skew guard against the pair
+    * explosion — while inter/jaccard are computed from the UNCAPPED
+    * probed rows restricted to the candidate pairs: a ubiquitous
+    * element contributes intersection rows only for pairs already
+    * qualified through a rarer one, so the explosion stays bounded by
+    * (candidate pairs x shared elements) and jaccard stays EXACT for
+    * every emitted pair. A pair ALL of whose shared elements are
+    * capped is never emitted (that is the guard's point). */
   def setJaccardAgainstIndex(newRows: DataFrame,
                              postings: graft.lake.LakeTable,
                              minJaccard: Double = 0.5,
@@ -429,15 +435,24 @@ object DedupOps {
       .limit(maxProbe + 1).collect().map(_.get(0))
     val probed = postings.probeTiered("eh", keys.toSeq, maxProbe)
       .select(col("eh"), col("doc_id").as("d_idx"), col("n").as("n2"))
-    val capped = maxDf match {
+    val joined = probed.join(broadcast(batch), Seq("eh"))
+    val scoped = maxDf match {
       case Some(m) =>
+        // candidates through rare elements only; inter from ALL shared
+        // elements of those candidates (exact jaccard, bounded blowup)
         val rare = probed.groupBy(col("eh"))
           .agg(count(lit(1)).as("df")).filter(col("df") <= m)
           .select(col("eh"))
-        probed.join(broadcast(rare), Seq("eh"), "left_semi")
-      case None => probed
+        val candidates = probed
+          .join(broadcast(rare), Seq("eh"), "left_semi")
+          .join(broadcast(batch.select(col("d_new"), col("eh"))),
+            Seq("eh"))
+          .select(col("d_new"), col("d_idx")).distinct()
+        joined.join(broadcast(candidates), Seq("d_new", "d_idx"),
+          "left_semi")
+      case None => joined
     }
-    capped.join(broadcast(batch), Seq("eh"))
+    scoped
       .groupBy(col("d_new"), col("d_idx"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("d_new"), col("d_idx"), col("inter"),

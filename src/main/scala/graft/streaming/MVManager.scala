@@ -575,7 +575,21 @@ object MVManager {
                                rows: org.apache.spark.sql.DataFrame,
                                writerId: String, batchId: Long,
                                wap: Option[WapAudit]): Unit = wap match {
-    case None => out.appendExactlyOnce(rows, writerId, batchId)
+    case None =>
+      // a leftover WAP branch (a crashed audited loop, restarted with
+      // the audit removed) would make this commit INVISIBLE staged
+      // data: main stays pinned, and a later abandon would discard the
+      // batch. Refuse loudly — the operator resolves the branch
+      // (publishBranch keeps the staged rows, abandonBranch discards)
+      // and restarts; committing into it silently is never right.
+      out.activeBranch.foreach { case (br, _) =>
+        throw new IllegalStateException(
+          s"table at ${out.root} has an active WAP branch '$br' but " +
+            "this loop runs unaudited — publish or abandon the branch " +
+            "before restarting (a commit now would stage invisibly " +
+            "and be lost on abandon)")
+      }
+      out.appendExactlyOnce(rows, writerId, batchId)
     case Some(a) =>
       import org.apache.spark.sql.functions.expr
       val br = s"wap-$writerId-$batchId"

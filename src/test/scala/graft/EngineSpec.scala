@@ -461,6 +461,31 @@ class EngineSpec extends SparkSuite {
     assert(engine.readTable("clean_quarantine").count() == 0)
     assert(engine.redriveQuarantine("clean") == 0L)
     assert(engine.readTable("clean").count() == 5)
+
+    // crash-replay hole (ADVICE r12): a crash lands BETWEEN the redrive
+    // append and the quarantine delete, and a NEW quarantine batch
+    // commits before the admin retries. The retry must finish the
+    // pending version (its delete) and drive the new version WITHOUT
+    // duplicating the already-appended rows.
+    src.append(Seq((6L, "tiny"), (7L, "innocent in the sixth batch"))
+      .toDF("doc_id", "text"))
+    run() // quarantines {6, 7}
+    val out = engine.table("clean")
+    val q = engine.table("clean_quarantine")
+    val v = q.currentVersion
+    // the crashed attempt: append landed, delete did not
+    out.appendExactlyOnce(q.readVersion(v), "clean#redrive", v.toLong)
+    // a newer violating batch lands before the admin retries
+    src.append(Seq((8L, "oops"), (9L, "innocent in the newest batch"))
+      .toDF("doc_id", "text"))
+    run() // quarantines {8, 9}
+    assert(engine.redriveQuarantine("clean") == 4L,
+      "2 replayed from the crashed version + 2 fresh")
+    val ids = engine.readTable("clean").select("doc_id").as[Long]
+      .collect().toSeq
+    assert(ids.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(ids.size == 9, s"duplicated rows after replay: $ids")
+    assert(engine.readTable("clean_quarantine").count() == 0)
   }
 
   test("perceptualCuration section parses from YAML and drives the " +

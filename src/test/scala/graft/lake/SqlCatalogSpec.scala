@@ -247,6 +247,47 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  test("DROP TABLE guards: metadata-table identifiers are never drop " +
+    "targets, aliases drop the pointer not the table, DROP NAMESPACE " +
+    "without CASCADE raises the contract exception") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dropns")
+    // a REAL table named like a metadata table, next to a normal one
+    spark.sql("CREATE TABLE graft.dropns.snapshots (id INT)")
+    spark.sql("CREATE TABLE graft.dropns.base (id INT)")
+    spark.sql("INSERT INTO graft.dropns.base VALUES (1), (2)")
+    // DROP of a metadata-table identifier must NOT resolve to the real
+    // `snapshots` table in the namespace — it is not a droppable target
+    intercept[Exception] {
+      spark.sql("DROP TABLE graft.dropns.base.snapshots")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.dropns.snapshots")
+      .head.getLong(0) == 0, "real table named 'snapshots' survived")
+    assert(spark.table("graft.dropns.base").count() == 2)
+    // alias: DROP TABLE of the alias removes the pointer, keeps target
+    val lakeCat = new LakeCatalog(spark, wh)
+    lakeCat.setAlias("dropns", "base_live", "base")
+    assert(spark.table("graft.dropns.base_live").count() == 2)
+    spark.sql("DROP TABLE graft.dropns.base_live")
+    assert(!lakeCat.aliasExists("dropns", "base_live"))
+    assert(spark.table("graft.dropns.base").count() == 2,
+      "dropping an alias must not touch the target table")
+    // non-empty namespace without CASCADE: the TableCatalog contract —
+    // NonEmptyNamespaceException from the catalog, rendered by Spark
+    // as the proper SQL error condition (not a generic require crash)
+    val nsEx = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP NAMESPACE graft.dropns")
+    }
+    assert(nsEx.getCondition != null &&
+      nsEx.getCondition.contains("SCHEMA_NOT_EMPTY"),
+      s"expected the SCHEMA_NOT_EMPTY condition, got: $nsEx")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("dropns"))
+    // CASCADE drops aliases, tables, and the namespace directory
+    spark.sql("DROP NAMESPACE graft.dropns CASCADE")
+    assert(!lakeCat.listNamespaces().contains("dropns"))
+  }
+
   test("writes respect CHECK constraints installed on the lake table") {
     install()
     val cat = new LakeCatalog(spark, wh)

@@ -134,12 +134,21 @@ class MultimodalSpec extends SparkSuite {
       j = inter.toDouble / (sn.size + si.size - inter) if j >= 0.5
     } yield (dn, di, inter, j)).toSet
     assert(probed == truth, "probe disagrees with ground truth")
-    // a df cap low enough to kill every frame keeps only nothing OR
-    // pairs whose jaccard is still the exact set jaccard
+    // maxDf semantics pinned: candidates come only through elements
+    // with df <= cap, but inter/jaccard are computed from ALL shared
+    // elements — so the capped result is EXACTLY the truth pairs that
+    // share at least one rare element, with uncorrupted jaccard
     val cappedRows = rows(DedupOps.setJaccardAgainstIndex(
       batchRows, postings, maxDf = Some(1)))
-    assert(cappedRows.subsetOf(truth),
-      "capped probe invented or corrupted pairs")
+    val dfOf = idxSets.values.flatMap(_.distinct).toSeq
+      .groupBy(identity).map { case (e, xs) => e -> xs.size }
+    val cappedTruth = truth.filter { case (dn, di, _, _) =>
+      batchSets(dn).toSet.intersect(idxSets(di).toSet)
+        .exists(e => dfOf(e) <= 1)
+    }
+    assert(cappedRows == cappedTruth,
+      "capped probe must emit exactly the rare-element-reachable " +
+        "pairs with exact jaccard")
   }
 
   test("multimodal pair curation: quality and aspect gates compose") {

@@ -407,6 +407,30 @@ class CurationMVSpec extends SparkSuite {
       Set(1L, 2L, 5L))
   }
 
+  test("unaudited wapAppend refuses a leftover WAP branch: a crashed " +
+    "audited loop restarted without its audit must not commit " +
+    "invisible staged data") {
+    val (_, index, out) = mkTables("leftover")
+    // a crashed audited run left its branch pinning main
+    MVManager.curateStep(Seq((1L, "alpha document"))
+      .toDF("doc_id", "text"), index, out, "w", 0L, wap = None)
+    out.createBranch("wap-w-1")
+    // the loop restarts with the audit REMOVED: committing now would
+    // stage invisibly (main stays pinned) and an abandon would discard
+    // the batch — the step must refuse loudly instead
+    val ex = intercept[IllegalStateException] {
+      MVManager.curateStep(Seq((2L, "beta document"))
+        .toDF("doc_id", "text"), index, out, "w", 1L, wap = None)
+    }
+    assert(ex.getMessage.contains("active WAP branch"))
+    // the operator resolves the branch; the same step then lands
+    out.abandonBranch("wap-w-1")
+    MVManager.curateStep(Seq((2L, "beta document"))
+      .toDF("doc_id", "text"), index, out, "w", 1L, wap = None)
+    assert(out.read().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
   test("curateStep replay is exactly-once at every crash point") {
     val (_, index, out) = mkTables("crash")
     val docs = Seq(
