@@ -568,14 +568,46 @@ class LakeTable private (
     * read at "now" must serve the same state as `read()`, never the
     * staged head (the branch isolation contract; use `readBranch` to
     * see staged data). */
-  def readAsOf(tsMs: Long): DataFrame = {
+  def readAsOf(tsMs: Long): DataFrame = readVersion(versionAt(tsMs))
+
+  /** The snapshot version a `TIMESTAMP AS OF tsMs` read resolves to:
+    * latest committed at or before `tsMs`, capped at the pinned main
+    * version while a WAP branch stages (see [[readAsOf]]). */
+  def versionAt(tsMs: Long): Int = {
     val cap = mainVersion
     val eligible = snapshots.filter(s =>
       s.committedAtMs <= tsMs && s.version <= cap)
     require(eligible.nonEmpty,
       s"no snapshot at or before $tsMs at $root " +
         s"(earliest retained: ${snapshots.headOption.map(_.committedAtMs)})")
-    readVersion(eligible.map(_.version).max)
+    eligible.map(_.version).max
+  }
+
+  /** Manifest-derived scan statistics — (rows, bytes) of the files a
+    * range analysis of `condition` cannot exclude, at `version`
+    * (default: the main-visible snapshot). Metadata-only: no file is
+    * opened, no DataFrame is built — what a join planner needs to
+    * decide broadcast vs shuffle BEFORE any plan exists. Estimates in
+    * the proper direction: MOR deletes are not subtracted and residual
+    * row-level filtering is not applied, so the numbers upper-bound
+    * the scan (a table reported slightly large never mis-broadcasts).
+    * Legacy entries without recorded sizes fall back to a per-row
+    * estimate so a non-empty table never reports zero bytes. */
+  def scanStats(condition: Option[org.apache.spark.sql.Column] = None,
+                version: Option[Int] = None): (Long, Long) = {
+    val node = mapper.readTree(
+      Files.readString(versionPath(metaDir, version.getOrElse(mainVersion))))
+    val all = filesOf(node)
+    val entries = condition match {
+      case Some(c) => pruneFilesAmong(all, c)
+      case None    => all
+    }
+    val rows = entries.map(_.rows).sum
+    lazy val rowSize = math.max(8L, DataTypeBridge.fromJson(
+      node.get("schemaJson").asText()).defaultSize.toLong)
+    val bytes = entries.map(e =>
+      if (e.sizeBytes > 0L) e.sizeBytes else e.rows * rowSize).sum
+    (rows, bytes)
   }
 
   /** Time travel: read the file set of any committed snapshot, under the

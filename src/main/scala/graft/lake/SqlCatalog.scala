@@ -346,12 +346,25 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
+  /** The snapshot version this (possibly pinned) view resolves to
+    * right now — the plan-cache key component for [[GraftV1ReadRule]]
+    * and the stats anchor for the shim scan. */
+  def resolvedVersion: Int = pinned match {
+    case None            => lake.mainVersion
+    case Some(Left(v))   => v
+    case Some(Right(ms)) => lake.versionAt(ms)
+  }
+
   /** The full lake read for this (possibly pinned) view — the V1 plan
     * every scan route ultimately serves. */
-  def baseRead(): DataFrame = pinned match {
-    case None           => lake.read()
-    case Some(Left(v))  => lake.readVersion(v)
-    case Some(Right(ms)) => lake.readAsOf(ms)
+  def baseRead(): DataFrame = lake.readVersion(resolvedVersion)
+
+  /** Manifest statistics for this view, pruned by the pushed condition
+    * on the live path (pinned reads report their snapshot's totals —
+    * metadata-only either way). */
+  def statsFor(cond: Option[Column]): (Long, Long) = pinned match {
+    case None => lake.scanStats(cond)
+    case _    => lake.scanStats(None, Some(resolvedVersion))
   }
 
   /** Filter-pushed variant: unpinned reads go through `readWhere`
@@ -470,8 +483,31 @@ class GraftScanBuilder(table: GraftSqlTable)
     // that name resolves to the member, and the self-call is
     // tail-call-optimized into an infinite loop
     val prunedSchema = required.getOrElse(table.schema)
-    built = new V1Scan {
+    built = new V1Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def readSchema(): StructType = prunedSchema
+      /** Manifest totals (rows + bytes), pruned by the pushed filters
+        * — without this the shim's anonymous BaseRelation falls back
+        * to spark.sql.defaultSizeInBytes (effectively infinite) and a
+        * small catalog dimension table NEVER broadcasts: every join on
+        * the conf-only route would plan sort-merge. Pro-rated by the
+        * column pruning ratio so a narrow projection of a wide table
+        * reports what the projected scan ships, mirroring what
+        * HadoopFsRelation does on the V1 path. */
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics = {
+        val (rows, totalBytes) = table.statsFor(cond)
+        val full = math.max(1, table.schema.defaultSize)
+        val ratio = math.min(1.0,
+          math.max(1, prunedSchema.defaultSize).toDouble / full)
+        val bytes = math.max(1L, (totalBytes * ratio).toLong)
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes: java.util.OptionalLong =
+            java.util.OptionalLong.of(bytes)
+          override def numRows: java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+        }
+      }
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T = {
         val rel = new BaseRelation with TableScan {
@@ -559,6 +595,40 @@ class GraftV1ReadRule(session: SparkSession)
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
+  /** Memoized analyzed V1 plans, keyed (table root, resolved snapshot
+    * version). Analyzer rules run to FIXPOINT across batches, and a
+    * query can reference the same table many times (self-joins, CTE
+    * expansion) — without the cache each pass rebuilt the full
+    * manifest-served DataFrame (snapshot read + file listing from the
+    * commit store) per relation per apply: repeated driver-side
+    * metadata work, linear in table count per query. The key holds a
+    * VERSION, so a new commit is picked up on its next resolution (one
+    * cheap latest-pointer read per apply decides the key); bounded LRU
+    * so a long session over many tables can't grow without limit.
+    * Served plans are exprId-FRESHENED copies — two branches of a
+    * self-join must never share attribute ids (see [[GraftV1ReadRule
+    * .freshened]]); the expensive shared piece, the manifest-built
+    * FileIndex inside the HadoopFsRelation, is reference-shared. */
+  private val planCache =
+    new java.util.LinkedHashMap[(String, Int), LogicalPlan](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), LogicalPlan]): Boolean =
+        size() > 64
+    }
+
+  private def cachedV1Plan(t: GraftSqlTable): LogicalPlan = {
+    val key = (t.lake.root, t.resolvedVersion)
+    planCache.synchronized(Option(planCache.get(key))) match {
+      case Some(p) => p
+      case None =>
+        GraftV1ReadRule.planBuilds.incrementAndGet()
+        val p = t.baseRead().queryExecution.analyzed
+        planCache.synchronized(planCache.put(key, p))
+        p
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // row-level-command TARGETS, by reference identity (the same table
     // may legitimately appear again in a read position of the command)
@@ -582,14 +652,46 @@ class GraftV1ReadRule(session: SparkSession)
             r.table.isInstanceOf[GraftSqlTable] &&
             r.output.forall(a => r.table.schema().fieldNames
               .contains(a.name)) =>
-        val v1 = r.table.asInstanceOf[GraftSqlTable]
-          .baseRead().queryExecution.analyzed
+        val v1 = GraftV1ReadRule.freshened(
+          cachedV1Plan(r.table.asInstanceOf[GraftSqlTable]))
         val byName = v1.output.map(a => a.name -> a).toMap
         val aligned = r.output.map { old =>
           Alias(byName(old.name), old.name)(
             exprId = old.exprId, qualifier = old.qualifier)
         }
         Project(aligned, v1)
+    }
+  }
+}
+
+object GraftV1ReadRule {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** Count of full V1 plan builds (cache misses) — the observable a
+    * spec uses to pin that fixpoint passes and multi-reference queries
+    * reuse the memoized plan instead of re-reading the commit store. */
+  private[graft] val planBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** A copy of `plan` with every ExprId consistently replaced by a
+    * fresh one — relation outputs, references, and aliases alike. The
+    * cached master plan is never served directly: two join branches
+    * resolving to the same cached instance would collide on attribute
+    * ids (ambiguous resolution, broken optimizer attribution). The
+    * read-plan class this rule caches (relations / projects / filters
+    * / joins / unions from `LakeTable.read`) carries ids only in
+    * AttributeReference and Alias nodes, both rewritten here; the
+    * HadoopFsRelation and its manifest FileIndex are immutable and
+    * deliberately shared by reference. */
+  private def freshened(plan: LogicalPlan): LogicalPlan = {
+    val remap = new java.util.HashMap[ExprId, ExprId]()
+    def fresh(id: ExprId): ExprId =
+      remap.computeIfAbsent(id, _ => NamedExpression.newExprId)
+    plan.transformAllExpressions {
+      case a: AttributeReference => a.withExprId(fresh(a.exprId))
+      case a: Alias => Alias(a.child, a.name)(fresh(a.exprId),
+        a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
     }
   }
 }

@@ -355,6 +355,154 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  test("shim-route statistics: the scan reports manifest-exact " +
+    "rows/bytes (pruned and projection-pro-rated); upstream " +
+    "V1ScanWrapper hides them from static planning (pinned), AQE " +
+    "rescues the broadcast conf-only, and the extensions route " +
+    "broadcasts statically") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.statns")
+    spark.sql("DROP TABLE IF EXISTS graft.statns.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.statns.fact")
+    spark.sql("CREATE TABLE graft.statns.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.statns.dim " +
+      "SELECT id, concat('n', id) FROM range(20)")
+    spark.sql("CREATE TABLE graft.statns.fact (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.statns.fact " +
+      "SELECT id % 20, CAST(id AS DOUBLE) FROM range(100000)")
+    val lake = new LakeCatalog(spark, wh).table("statns", "fact")
+    val (fullRows, fullBytes) = lake.scanStats(None)
+    assert(fullRows == 100000L && fullBytes > 0L)
+
+    // 1. the shim Scan implements SupportsReportStatistics with
+    //    manifest numbers, projection-pro-rated
+    val t = new GraftSqlTable("graft.statns.fact", lake, None)
+    val sb = t.newScanBuilder(new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .asInstanceOf[GraftScanBuilder]
+    sb.pruneColumns(StructType(Seq(StructField("k", LongType))))
+    val st = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows.getAsLong == 100000L)
+    assert(st.sizeInBytes.getAsLong > 0L &&
+      st.sizeInBytes.getAsLong < fullBytes,
+      "narrow projection must report pro-rated bytes, " +
+        s"got ${st.sizeInBytes} vs full $fullBytes")
+    // ...and they ARE served on the pre-pushdown relation
+    val rel = spark.table("graft.statns.fact").queryExecution.analyzed
+      .collectLeaves().head
+    assert(rel.stats.rowCount.contains(BigInt(100000)) ||
+      rel.stats.sizeInBytes < BigInt(Long.MaxValue) / 4,
+      s"relation-level stats not served: ${rel.stats}")
+
+    // 2. PINNED upstream limitation (Spark 4.1 V2ScanRelationPushDown):
+    //    every V1Scan is wrapped in V1ScanWrapper, which does not
+    //    forward SupportsReportStatistics — so STATIC planning on the
+    //    conf-only route still sees defaultSizeInBytes and plans
+    //    sort-merge. If this assertion ever flips after a Spark
+    //    upgrade, delete the AQE crutch below and assert the static
+    //    broadcast directly.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val joinSql =
+      """SELECT d.name, sum(f.v) AS s
+        |FROM graft.statns.fact f JOIN graft.statns.dim d ON f.k = d.k
+        |GROUP BY d.name""".stripMargin
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val statik = spark.sql(joinSql).queryExecution.executedPlan
+      val scans = statik.collectLeaves().map(_.getClass.getSimpleName)
+      assert(statik.toString.contains("SortMergeJoin"),
+        "upstream V1ScanWrapper now forwards stats? plan:\n" +
+          statik.toString.take(800) + s"\nleaves: $scans")
+
+      // 3. conf-only at scale: AQE's runtime re-plan converts the join
+      //    to broadcast from the dim side's actual shuffle size
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val df = spark.sql(joinSql)
+      // materialize THIS plan (count() would plan a different query),
+      // so the adaptive plan is final when inspected
+      assert(df.collect().length == 20)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "AQE did not rescue the conf-only join:\n" +
+          df.queryExecution.executedPlan.toString.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // 4. the recommended install (GraftExtensions V1 swap) broadcasts
+    //    STATICALLY: the manifest FileIndex serves sizeInBytes
+    val orig = spark
+    orig.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = ext.sql(joinSql).queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          "extensions route must broadcast statically:\n" +
+            plan.take(1200))
+      } finally ext.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("GraftV1ReadRule memoizes the swapped V1 plan per (table root, " +
+    "version): a self-join builds the manifest read ONCE, a new commit " +
+    "invalidates, and freshened exprIds keep the self-join sound") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.memo")
+    spark.sql("CREATE TABLE graft.sqlns.memo (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.memo SELECT id FROM range(50)")
+    val org = spark
+    org.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      def builds = GraftV1ReadRule.planBuilds.get()
+      val b0 = builds
+      // two references to the same (root, version): one build, and the
+      // per-branch exprId freshening must keep the join unambiguous
+      val selfJoin = ext.sql(
+        """SELECT count(*) FROM graft.sqlns.memo a
+          |JOIN graft.sqlns.memo b ON a.id = b.id + 1""".stripMargin)
+      assert(selfJoin.head.getLong(0) == 49)
+      assert(builds - b0 == 1,
+        s"self-join rebuilt the V1 plan ${builds - b0} times, want 1")
+      // a repeat of the same query at the same version: zero rebuilds
+      assert(ext.sql(
+        """SELECT count(*) FROM graft.sqlns.memo a
+          |JOIN graft.sqlns.memo b ON a.id = b.id + 1""".stripMargin)
+        .head.getLong(0) == 49)
+      assert(builds - b0 == 1, "repeat query must serve from the cache")
+      // a new commit moves the version: exactly one fresh build, and
+      // the read sees the new rows (no stale-plan serving)
+      ext.sql("INSERT INTO graft.sqlns.memo SELECT id + 100 FROM range(5)")
+      assert(ext.sql("SELECT count(*) FROM graft.sqlns.memo")
+        .head.getLong(0) == 55)
+      assert(builds - b0 == 2,
+        s"post-commit query must rebuild once, saw ${builds - b0 - 1}")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(org)
+      SparkSession.setActiveSession(org)
+    }
+  }
+
   test("MOR deletes and WAP pinning are visible through SQL reads") {
     install()
     val cat = new LakeCatalog(spark, wh)
