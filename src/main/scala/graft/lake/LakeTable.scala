@@ -1213,6 +1213,46 @@ class LakeTable private (
       .filter(condition)
   }
 
+  /** Snapshot read exposing each row's merge-on-read COORDINATES — the
+    * manifest-relative data file ([[LakeTable.RowFileCol]] `_file`) and
+    * row position ([[LakeTable.RowPosCol]] `_pos`) — alongside the data
+    * columns. This is the rowId surface a delta-based SQL row-level
+    * operation (UPDATE / MERGE / non-translatable DELETE) scans, and
+    * the currency [[applyRowDelta]] accepts back; Iceberg exposes the
+    * same pair as its `_file`/`_pos` metadata columns. Snapshot-
+    * consistent (one metadata read), MOR deletes applied (an already-
+    * deleted row is never re-addressed), files pruned by `condition`'s
+    * range analysis when given (the residual filter is re-applied
+    * row-level). The file key is recovered by joining the scan's UUID
+    * file NAME against the snapshot's entries — never by string
+    * surgery on `_metadata.file_path`, whose URI encoding differs from
+    * manifest paths (see [[deleteWherePositional]]). */
+  def readWithRowCoords(
+      condition: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val node = mapper.readTree(
+      Files.readString(versionPath(metaDir, mainVersion)))
+    val dels = deletesOf(node)
+    val snapSchema = DataTypeBridge.fromJson(
+      node.get("schemaJson").asText())
+    val ids = fieldIdsOf(node)
+    val entries = condition match {
+      case Some(c) => pruneFilesAmong(filesOf(node), c)
+      case None    => filesOf(node)
+    }
+    val sp = spark
+    import sp.implicits._
+    val nameRel = entries.map(e => (e.path.split("/").last, e.path))
+      .toDF("__fn", RowFileCol)
+    val out = readEntries(entries, snapSchema, ids, tag = true,
+        tagPos = true, deletes = dels)
+      .withColumn("__fn", substring_index(col(FileTag), "/", -1))
+      .join(broadcast(nameRel), Seq("__fn"))
+      .withColumnRenamed(PosTag, RowPosCol)
+      .drop("__fn", FileTag)
+    condition.map(out.filter).getOrElse(out)
+  }
+
   /** The files a range analysis of `condition` cannot exclude, from
     * the CURRENT snapshot. */
   private[lake] def pruneFiles(condition: org.apache.spark.sql.Column)
@@ -1912,8 +1952,27 @@ class LakeTable private (
         .repartitionByRange(numParts, col(DeleteFileCol),
           col(DeletePosCol))
         .sortWithinPartitions(DeleteFileCol, DeletePosCol)
-    // rename-free write through the same task-committed protocol as
-    // data files, into the sibling deletes/ namespace
+    val entries = writeDeleteFiles(positions)
+    if (entries.isEmpty) return currentVersion
+    commitWith(None, Set.empty,
+      Map("delete.positional" -> condition.toString,
+        "delete.rows" -> entries.map(_.rows).sum.toString),
+      guard = None, alter = Some((s, ids) => (s, ids)),
+      newDeletes = entries,
+      requireLive = entries.flatMap(_.covers).toSet)
+  }
+
+  /** Write `positions` — (DeleteFileCol = manifest-relative data file,
+    * DeletePosCol = row position) — as position-delete parquet under
+    * `deletes/` through the same rename-free task-committed protocol
+    * as data files, returning the [[DeleteEntry]]s with EXACT covers
+    * (read back from the written files, never recomputed from the
+    * plan). Empty shards are reclaimed immediately; returns Nil (and
+    * leaves nothing on disk) when no position survived. The CALLER
+    * commits — pairing the entries with data files in one atomic
+    * commit is what SQL UPDATE/MERGE (applyRowDelta) needs. */
+  private def writeDeleteFiles(positions: DataFrame): Seq[DeleteEntry] = {
+    import org.apache.spark.sql.functions.col
     val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
       positions, s"$root/deletes", Seq.empty)
     def absRel(r: String) = s"$root/deletes/data/$r"
@@ -1921,10 +1980,10 @@ class LakeTable private (
       Paths.get(root, "deletes", "data", r).toUri.toString), deleteSchema)
     val rowsByRel = rels.zip(metas.map(_._1)).toMap
     if (rowsByRel.values.sum == 0L) {
-      // nothing matched: reclaim the empty write, commit nothing
+      // nothing matched: reclaim the empty write
       rels.foreach(r => Files.deleteIfExists(
         Paths.get(root, "deletes", "data", r)))
-      return currentVersion
+      return Nil
     }
     val live = rels.filter(rowsByRel(_) > 0)
     // a rare empty shard (all its rows were range-partitioned away)
@@ -1945,20 +2004,13 @@ class LakeTable private (
         .as("__cv"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
-    val entries = live.map { r =>
+    live.map { r =>
       val covers = coversByFile.collectFirst {
         case (w, cv) if w.endsWith("/" + r) => cv
       }.getOrElse(throw new IllegalStateException(
         s"no read-back provenance for delete file $r at $root"))
       DeleteEntry(s"deletes/data/$r", rowsByRel(r), covers)
     }
-    val rowCount = rowsByRel.values.sum
-    commitWith(None, Set.empty,
-      Map("delete.positional" -> condition.toString,
-        "delete.rows" -> rowCount.toString),
-      guard = None, alter = Some((s, ids) => (s, ids)),
-      newDeletes = entries,
-      requireLive = entries.flatMap(_.covers).toSet)
   }
 
   /** MERGE-ON-READ EQUALITY DELETE (the other Iceberg-v2 shape):
@@ -2202,6 +2254,119 @@ class LakeTable private (
         "merge.mor" -> "true",
         "merge.rows" -> dataRows.toString) ++ extraMeta,
       guard = guard, alter = None, newDeletes = delEntries)
+  }
+
+  /** Apply a ROW-LEVEL DELTA in ONE atomic commit: `deletePositions`
+    * names existing rows by their [[readWithRowCoords]] coordinates
+    * (`_file`, `_pos`) and `inserts` carries replacement/new rows in
+    * user columns. This is the write half of SQL UPDATE / MERGE INTO —
+    * Spark's delta-based row-level rewrite produces exactly this
+    * currency (delete ops carry rowIds, update ops both sides, insert
+    * ops new rows) and the engine lands it transactionally. Routing
+    * mirrors DELETE's `delete.mode` split:
+    *
+    *  - MERGE-ON-READ (copyOnWrite = false, the default): positions
+    *    land as position-delete files and inserts as data files, both
+    *    stamped by the SAME commit — O(delta) write cost, zero data
+    *    files rewritten: the streaming-CDC-apply / surgical-correction
+    *    shape on a 100 TB table. Readers pay the (file, pos) anti-join
+    *    until compaction absorbs it (same economics as
+    *    [[deleteWherePositional]]).
+    *  - COPY-ON-WRITE: exactly the files that lost a row are rewritten
+    *    — survivors anti-joined on (file, pos) — together with the
+    *    inserts, replacing the affected files. No read-side anti-join
+    *    debt; better for large batch updates.
+    *
+    * Concurrency: positions name rows of the snapshot the caller
+    * SCANNED; the commit aborts with ConcurrentModificationException
+    * if a concurrent rewrite superseded any referenced file (MOR: the
+    * `requireLive` covers check; CoW: strict replace + the unapplied-
+    * delete guard) — retry re-scans and re-resolves. Returns the
+    * committed version (unchanged for an empty delta). */
+  def applyRowDelta(deletePositions: DataFrame, inserts: DataFrame,
+                    copyOnWrite: Boolean = false,
+                    extraMeta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val (v0, node) = latest()
+    val dels = deletesOf(node)
+    val s = DataTypeBridge.fromJson(node.get("schemaJson").asText())
+    val ids = fieldIdsOf(node)
+    // the delta is consumed more than once (delete write + covers /
+    // survivor anti-join) — pin one row set even under a
+    // non-deterministic source
+    val delPinned = deletePositions
+      .select(col(RowFileCol).cast("string").as(DeleteFileCol),
+        col(RowPosCol).cast("long").as(DeletePosCol))
+      .localCheckpoint()
+    val nDel = delPinned.count()
+    // align inserts loudly to the user columns (a missing column is an
+    // analysis error, not a silent null); derived bucket/transform
+    // columns are the writer's job (writeData injects them); CHECK
+    // constraints enforced like every other write path
+    val transformPhys = transformsOf(node, s).map(_.phys).toSet
+    val userFields = s.fields.filterNot(f =>
+      (bucketSpecOf(node).isDefined && f.name == BucketCol) ||
+        transformPhys.contains(f.name))
+    val aligned = enforced(inserts.select(
+      userFields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+    val pending = writeData(aligned)
+    val insRows = pending.files.map(_.rows).sum
+    def reclaim(): Unit = pending.files.foreach(f =>
+      Files.deleteIfExists(Paths.get(root, f.path)))
+    if (nDel == 0L && insRows == 0L) { reclaim(); return v0 }
+    val meta = Map("delta.inserted" -> insRows.toString,
+      "delta.deleted" -> nDel.toString) ++ extraMeta
+    if (copyOnWrite) {
+      // rewrite exactly the files that lost a row
+      val affected = delPinned.select(DeleteFileCol).distinct()
+        .collect().map(_.getString(0)).toSet // bounded by touched files
+      val affectedEntries = filesOf(node).filter(e => affected(e.path))
+      if (affectedEntries.size != affected.size) {
+        reclaim()
+        throw new java.util.ConcurrentModificationException(
+          s"row delta at $root names " +
+            s"${affected.size - affectedEntries.size} file(s) no " +
+            "longer live (superseded since the scan) — retry")
+      }
+      val sp = spark
+      import sp.implicits._
+      val nameRel = affectedEntries
+        .map(e => (e.path.split("/").last, e.path)).toDF("__fn", "__rel")
+      val delKeys = delPinned.select(col(DeleteFileCol).as("__rel"),
+        col(DeletePosCol).as(PosTag))
+      val survivors = readEntries(affectedEntries, s, ids, tag = true,
+          tagPos = true, deletes = dels)
+        .withColumn("__fn", substring_index(col(FileTag), "/", -1))
+        .join(broadcast(nameRel), Seq("__fn"))
+        .join(delKeys, Seq("__rel", PosTag), "left_anti")
+        .drop("__fn", "__rel", FileTag, PosTag)
+      val survivorsPending = writeData(survivors)
+      commitWith(
+        Some(PendingWrite(pending.files ++ survivorsPending.files,
+          pending.schema)),
+        affected, meta + ("delta.mode" -> "copy-on-write"),
+        guard = None, alter = None, strictReplace = true,
+        appliedDeletes = dels.map(_.path).toSet)
+    } else {
+      // positions range-clustered on (file, pos): tight covers per
+      // delete file, partition count bounded so a small delta never
+      // fans out into per-task confetti
+      val numParts = math.max(1, math.min(32,
+        delPinned.rdd.getNumPartitions))
+      val delEntries =
+        if (nDel == 0L) Nil
+        else writeDeleteFiles(delPinned
+          .repartitionByRange(numParts, col(DeleteFileCol),
+            col(DeletePosCol))
+          .sortWithinPartitions(DeleteFileCol, DeletePosCol))
+      commitWith(
+        if (insRows > 0) Some(pending) else { reclaim(); None },
+        Set.empty, meta,
+        guard = None,
+        alter = if (insRows > 0) None else Some((sc, i) => (sc, i)),
+        newDeletes = delEntries,
+        requireLive = delEntries.flatMap(_.covers).toSet)
+    }
   }
 
   /** Distinct relative paths of the files the tagged rows live in. */
@@ -3321,6 +3486,11 @@ object LakeTable {
   val DefaultWriter = "default"
   /** Internal per-row provenance column for row-level rewrites. */
   private[lake] val FileTag = "_gf_file_path"
+  /** Row-coordinate columns served by [[LakeTable.readWithRowCoords]]
+    * and exposed at the SQL surface as metadata columns (Iceberg's
+    * `_file`/`_pos` names): the rowId of delta-based row-level ops. */
+  val RowFileCol = "_file"
+  val RowPosCol = "_pos"
   /** Derived hash-bucket partition column of bucketed tables. */
   val BucketCol = "_bucket"
 

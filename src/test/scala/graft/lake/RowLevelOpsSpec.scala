@@ -169,6 +169,67 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(t.read().count() == 200) // nothing else lost
   }
 
+  test("readWithRowCoords + applyRowDelta (merge-on-read): an UPDATE-" +
+    "shaped delta lands as ONE commit of position deletes + inserts, " +
+    "zero data files rewritten") {
+    val t = freshTable("delta-mor")
+    val filesBefore = t.dataFiles.map(_.path).toSet
+    val vBefore = t.currentVersion
+    // the scan half: coordinates of the rows to update (pruned read)
+    val coords = t.readWithRowCoords(Some($"id" < 10L))
+    assert(coords.count() == 10)
+    val deletes = coords.select(LakeTable.RowFileCol, LakeTable.RowPosCol)
+    val inserts = coords.select($"id", $"grp", ($"v" * 100).as("v"))
+    val v = t.applyRowDelta(deletes, inserts)
+    assert(v == vBefore + 1, "UPDATE must be ONE commit")
+    assert(t.dataFiles.map(_.path).toSet.intersect(filesBefore)
+      == filesBefore, "merge-on-read must not rewrite data files")
+    assert(t.read().count() == 200, "row count preserved by update")
+    assert(t.read().filter($"id" < 10L).count() == 10,
+      "updated rows duplicated or lost")
+    assert(t.read().filter($"id" < 10L).agg(sum($"v")).head.getDouble(0)
+      == (0 until 10).map(_ * 100.0).sum,
+      "old row versions still visible")
+    // time travel still serves the pre-update state
+    assert(t.readVersion(vBefore).filter($"id" < 10L)
+      .agg(sum($"v")).head.getDouble(0) == (0 until 10).map(_.toDouble).sum)
+    // already-updated rows are re-addressable (coords re-resolve)
+    val coords2 = t.readWithRowCoords(Some($"id" === 0L))
+    assert(coords2.count() == 1)
+    t.applyRowDelta(coords2.select(LakeTable.RowFileCol,
+      LakeTable.RowPosCol),
+      Seq.empty[(Long, String, Double)].toDF("id", "grp", "v"))
+    assert(t.read().filter($"id" === 0L).count() == 0,
+      "pure-delete delta must remove the row")
+  }
+
+  test("applyRowDelta (copy-on-write): rewrites EXACTLY the files that " +
+    "lost a row, in one strict-replace commit") {
+    val t = freshTable("delta-cow")
+    t.updateProperties(Map("update.mode" -> "copy-on-write"))
+    val before = t.dataFiles.map(_.path).toSet
+    val coords = t.readWithRowCoords(Some($"id" >= 150L))
+    // batch-b files only
+    val vBefore = t.currentVersion
+    val v = t.applyRowDelta(
+      coords.select(LakeTable.RowFileCol, LakeTable.RowPosCol),
+      coords.select($"id", lit("bb").as("grp"), $"v"),
+      copyOnWrite = true)
+    assert(v == vBefore + 1)
+    val after = t.dataFiles.map(_.path).toSet
+    val touched = coords.select(LakeTable.RowFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(before.diff(after) == touched,
+      "only files containing updated rows may be replaced")
+    assert(before.diff(touched).subsetOf(after),
+      "untouched files must survive byte-identical")
+    assert(t.read().filter($"grp" === "bb").count() == 50)
+    assert(t.read().count() == 200)
+    // no MOR debt on the copy-on-write path
+    assert(t.meta("delete_files").count() == 0,
+      "copy-on-write delta must not commit delete files")
+  }
+
   test("vacuum age guard: young orphans survive, old ones are reclaimed") {
     val t = freshTable("vac-age")
     // orphan a file: write data, never commit it (simulate a crashed
