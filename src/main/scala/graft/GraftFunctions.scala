@@ -67,10 +67,14 @@ object GraftFunctions {
 }
 
 /** Conf-injectable variant: `spark.sql.extensions=graft.GraftExtensions`.
-  * Besides the SQL functions, injects [[graft.lake.GraftV1ReadRule]]:
-  * SQL-catalog reads of lake tables analyze into the same V1
-  * manifest-scan plans the programmatic API produces (vectorized
-  * parquet + BucketSpec, no DSv2->V1 row shim). */
+  * Besides the SQL functions, injects [[graft.lake.GraftV1ReadRule]]
+  * (SQL-catalog reads of lake tables analyze into the same V1
+  * manifest-scan plans the programmatic API produces — vectorized
+  * parquet + BucketSpec, no DSv2->V1 row shim) and
+  * [[org.apache.spark.sql.graft.GraftRowDeltaStrategy]] (SQL UPDATE /
+  * MERGE INTO / non-translatable DELETE execute the analyzer's
+  * row-level rewrite through the lake's one-commit
+  * [[graft.lake.LakeTable.applyRowDelta]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
@@ -78,5 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), builder))
     }
     e.injectResolutionRule(s => new graft.lake.GraftV1ReadRule(s))
+    e.injectPlannerStrategy(s =>
+      org.apache.spark.sql.graft.GraftRowDeltaStrategy(s))
   }
 }

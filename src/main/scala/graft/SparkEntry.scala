@@ -1666,6 +1666,8 @@ object SparkEntry {
     // DELETE FROM via DSv2 SupportsDelete -> merge-on-read position
     // deletes: the GDPR forget drivable from pure SQL (q175)
     "q175_sql_delete" -> (graft.lake.SqlQueries.sqlDelete _),
+    "q176_sql_merge" -> (graft.lake.SqlQueries.sqlMerge _),
+    "q177_sql_update" -> (graft.lake.SqlQueries.sqlUpdate _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4190,6 +4192,26 @@ object SparkEntry {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE user_id NOT IN (${graft.lake.SqlQueries.ForgetUsers})
          GROUP BY event_type""",
+    "q176_sql_merge" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events FROM events
+                    WHERE event_type = 'click' GROUP BY user_id),
+              p AS (SELECT user_id, count(*) AS n_p FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id),
+              m AS (SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                           COALESCE(c.n_events, 0) AS n_events,
+                           COALESCE(p.n_p, 0) AS purchases
+                    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id)
+         SELECT user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(n_events) AS BIGINT) AS total_events,
+                CAST(sum(purchases) AS BIGINT) AS total_purchases
+         FROM m GROUP BY user_id % 10""",
+    "q177_sql_update" ->
+      """SELECT CASE WHEN event_type = 'click' AND user_id % 7 = 3
+                     THEN concat('priority_', event_type)
+                     ELSE event_type END AS event_type,
+                count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot

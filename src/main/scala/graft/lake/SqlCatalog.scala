@@ -344,7 +344,9 @@ object GraftCatalog {
 class GraftSqlTable(ident: String, val lake: LakeTable,
                     pinned: Option[Either[Int, Long]])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** The snapshot version this (possibly pinned) view resolves to
     * right now — the plan-cache key component for [[GraftV1ReadRule]]
@@ -405,6 +407,58 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(this)
 
+  /** Row COORDINATES as metadata columns — Iceberg's `_file`/`_pos`
+    * contract: selectable explicitly (`SELECT _file, _pos FROM t`),
+    * invisible to `SELECT *`, and the rowId surface of the delta-based
+    * row-level operations below. Conflict-shadowed automatically by
+    * Spark if a data column claims the name. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.RowFileCol
+        override def dataType() = org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest-relative data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.RowPosCol
+        override def dataType() = org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within _file"
+      })
+
+  /** Coordinate-tagged read for scans that request the metadata
+    * columns (row-level operations, explicit `SELECT _file, _pos`). */
+  def coordRead(cond: Option[Column]): DataFrame = {
+    require(pinned.isEmpty,
+      "row coordinates are not served on a time-travel view")
+    lake.readWithRowCoords(cond)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose predicate has no
+    * exact filter translation): a DELTA-BASED row-level operation
+    * (Spark's `SupportsDelta`) with rowId = (`_file`, `_pos`). Spark's
+    * analyzer rewrite produces the full SQL semantics — assignment
+    * alignment, every MERGE clause type, the multiple-match
+    * cardinality check — and the engine lands the resulting delta
+    * through [[LakeTable.applyRowDelta]]: ONE atomic commit, routed
+    * merge-on-read by default (position deletes + appended rows,
+    * O(delta), the 100 TB CDC-apply shape) or copy-on-write when the
+    * table sets `update.mode` / `merge.mode` / `delete.mode` =
+    * `copy-on-write` (exact affected-file rewrites). Execution is the
+    * [[org.apache.spark.sql.graft.GraftRowDeltaStrategy]] V1
+    * delegation — the same trick every other write plays — so
+    * [[graft.GraftExtensions]] must be installed; without it the
+    * write fails with an instruction, never a wrong result. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot modify a time-travel view")
+    () => new GraftRowLevelOperation(this, info.command)
+  }
+
   /** `DELETE FROM graft.ns.t WHERE ...`: only predicates with an exact
     * Column translation are claimed (Spark refuses the DELETE otherwise
     * instead of us guessing at semantics). Routing mirrors Iceberg's
@@ -449,10 +503,72 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
   }
 }
 
+/** The delta-based row-level operation behind SQL UPDATE / MERGE /
+  * non-translatable DELETE on a [[GraftSqlTable]]. The scan is the
+  * ordinary shim builder (coordinate-aware: the rewrite requests
+  * `_file`/`_pos`, so the V1 plan underneath is
+  * [[LakeTable.readWithRowCoords]] — manifest-pruned by the pushed
+  * condition like every other read); the write is a MARKER
+  * [[GraftDeltaWrite]] that the injected
+  * [[org.apache.spark.sql.graft.GraftRowDeltaStrategy]] intercepts at
+  * planning and lands through [[LakeTable.applyRowDelta]]. */
+class GraftRowLevelOperation(
+    val table: GraftSqlTable,
+    val cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, LogicalWriteInfo => LWI}
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LWI): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, cmd)
+    }
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(LakeTable.RowFileCol),
+      Expressions.column(LakeTable.RowPosCol))
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def description(): String =
+    s"GraftRowLevelOperation($cmd, ${table.name})"
+}
+
+/** Marker [[org.apache.spark.sql.connector.write.DeltaWrite]] carrying
+  * the target table and command to the planner strategy. Never
+  * executed through the DSv2 writer protocol: `toBatch` fails with an
+  * install instruction instead (the strategy is injected by
+  * [[graft.GraftExtensions]]). */
+class GraftDeltaWrite(
+    val table: GraftSqlTable,
+    val cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    throw new UnsupportedOperationException(
+      s"$cmd on ${table.name} executes through the graft planner " +
+        "strategy — install GraftExtensions on the session " +
+        "(.config(\"spark.sql.extensions\", \"graft.GraftExtensions\") " +
+        "or SparkSession.builder.withExtensions(new graft." +
+        "GraftExtensions()(_)))")
+}
+
 /** DSv2 scan builder delegating execution to the lake's V1 read plans
   * through the [[V1Scan]] shim. Filter pushdown feeds `readWhere`'s
   * manifest stats pruning; only filters with an EXACT Column
-  * translation are consumed, the rest return to Spark as residuals. */
+  * translation are consumed, the rest return to Spark as residuals.
+  * Coordinate-aware: a required schema naming `_file`/`_pos` (metadata
+  * columns — row-level rewrites, explicit metadata selects) routes the
+  * V1 plan through the tagged [[LakeTable.readWithRowCoords]]. */
 class GraftScanBuilder(table: GraftSqlTable)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -515,7 +631,10 @@ class GraftScanBuilder(table: GraftSqlTable)
           override def schema: StructType = prunedSchema
           override def toString: String = s"GraftLakeScan ${table.name}"
           override def buildScan(): RDD[Row] = {
-            val base = table.readFor(cond)
+            val wantsCoords = prunedSchema.fieldNames.exists(n =>
+              n == LakeTable.RowFileCol || n == LakeTable.RowPosCol)
+            val base = if (wantsCoords) table.coordRead(cond)
+              else table.readFor(cond)
             val projected =
               if (prunedSchema.isEmpty)
                 // COUNT(*)-style scans: no columns, rows only
@@ -630,6 +749,18 @@ class GraftV1ReadRule(session: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // only swap FULLY-RESOLVED plans with NO missing input:
+    // ResolveReferences resolves a metadata column (_file/_pos) from
+    // the relation's metadataOutput one rule BEFORE AddMetadataColumns
+    // materializes it into the relation's output — in that window the
+    // plan reports resolved yet a parent still references an attribute
+    // its child doesn't produce. Swapping then would strip the
+    // metadataOutput and strand the reference. Deferring to a later
+    // fixpoint pass costs nothing; once materialized, the relation's
+    // extended output fails the schema-only guard below and correctly
+    // falls back to the coordinate-aware shim.
+    if (!plan.resolved || plan.exists(_.missingInput.nonEmpty))
+      return plan
     // row-level-command TARGETS, by reference identity (the same table
     // may legitimately appear again in a read position of the command)
     val targets = java.util.Collections.newSetFromMap(

@@ -29,6 +29,20 @@ object SqlQueries {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     }
 
+  /** Row-level DML (UPDATE / MERGE) executes through
+    * [[org.apache.spark.sql.graft.GraftRowDeltaStrategy]]. On a LIVE
+    * session that was built without [[graft.GraftExtensions]], the
+    * strategy installs through `spark.experimental.extraStrategies` —
+    * the public no-rebuild seam, consulted before every built-in
+    * strategy (what these graded queries use; a session builder adds
+    * the same via `.withExtensions(new GraftExtensions()(_))`). */
+  private def installRowLevel(s: SparkSession): Unit =
+    if (!s.experimental.extraStrategies.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.GraftRowDeltaStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+
+          org.apache.spark.sql.graft.GraftRowDeltaStrategy(s)
+
   /** q172: CTAS a lake table from lineitem and run a filtered banded
     * aggregate over it — CREATE/INSERT/SELECT all through SQL. */
   def catalogAgg(s: SparkSession, dir: String): DataFrame = {
@@ -111,6 +125,72 @@ object SqlQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g175.q.events GROUP BY event_type""".stripMargin)
+  }
+
+  /** q176: MERGE INTO through pure SQL — the upsert every lakehouse
+    * user writes: a per-user click-profile table is merged with the
+    * purchase totals (matched users get their count set, unseen
+    * purchasers insert with zero click history). Spark's analyzer
+    * rewrite supplies the MERGE semantics (clause routing, the
+    * multiple-match cardinality check); the engine lands the delta as
+    * ONE merge-on-read commit — position deletes for the matched rows'
+    * old versions + appended rows, zero data files rewritten
+    * (`merge.mode=copy-on-write` flips to exact file rewrites). The
+    * oracle replays the algebra as a FULL OUTER JOIN of the two
+    * aggregates. */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g176")
+    installRowLevel(s)
+    Tables.load(s, dir, "events").select("user_id", "event_type")
+      .createOrReplaceTempView("g176_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g176.q")
+    s.sql("DROP TABLE IF EXISTS g176.q.profiles")
+    s.sql(
+      """CREATE TABLE g176.q.profiles AS
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(0 AS BIGINT) AS purchases
+        |FROM g176_src WHERE event_type = 'click' GROUP BY user_id
+        |""".stripMargin)
+    s.sql(
+      """MERGE INTO g176.q.profiles t
+        |USING (SELECT user_id, count(*) AS n_p FROM g176_src
+        |       WHERE event_type = 'purchase' GROUP BY user_id) s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET purchases = s.n_p
+        |WHEN NOT MATCHED THEN
+        |  INSERT (user_id, n_events, purchases)
+        |  VALUES (s.user_id, 0, s.n_p)""".stripMargin)
+    s.sql(
+      """SELECT user_id % 10 AS cohort, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(sum(purchases) AS BIGINT) AS total_purchases
+        |FROM g176.q.profiles GROUP BY user_id % 10""".stripMargin)
+  }
+
+  /** q177: UPDATE through pure SQL — a surgical reclassification
+    * (`SET event_type = concat('priority_', event_type)` on a keyed
+    * slice) lands as ONE merge-on-read commit: position deletes for
+    * the old row versions + one appended file of updated rows, zero
+    * data files rewritten; the survivor aggregate reads through the
+    * (file, pos) anti-join. The oracle replays the update as a CASE
+    * projection over the raw events. */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g177")
+    installRowLevel(s)
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g177_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g177.q")
+    s.sql("DROP TABLE IF EXISTS g177.q.events")
+    s.sql("CREATE TABLE g177.q.events AS SELECT * FROM g177_src")
+    s.sql(
+      """UPDATE g177.q.events
+        |SET event_type = concat('priority_', event_type)
+        |WHERE event_type = 'click' AND user_id % 7 = 3""".stripMargin)
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g177.q.events GROUP BY event_type""".stripMargin)
   }
 
   /** q174: hidden partitioning through SQL — `PARTITIONED BY

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, WriteDelta}
+import org.apache.spark.sql.catalyst.util.{RowDeltaUtils, WriteDeltaProjections}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
+
+import graft.lake.{GraftDeltaWrite, GraftSqlTable, LakeTable}
+
+/** Planner strategy executing SQL UPDATE / MERGE INTO / DELETE on graft
+  * catalog tables — the V1-DELEGATION half of the engine's
+  * `SupportsRowLevelOperations` implementation, injected by
+  * [[graft.GraftExtensions]].
+  *
+  * The division of labor: Spark's analyzer rewrites
+  * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  * `RewriteDeleteFromTable`) own the SQL SEMANTICS — assignment
+  * alignment, every MERGE clause type (matched / not-matched /
+  * not-matched-by-source, conditional, multiple), the
+  * multiple-matches cardinality check — and produce a [[WriteDelta]]
+  * plan whose query emits one row per change, tagged by
+  * `__row_operation` (1 = delete, 2 = update, 3 = insert) and carrying
+  * the engine's rowId pair (`_file`, `_pos` — see
+  * [[graft.lake.LakeTable.readWithRowCoords]]). This strategy claims
+  * that plan when the write is the engine's marker
+  * ([[graft.lake.GraftDeltaWrite]]) and lands the delta through
+  * [[graft.lake.LakeTable.applyRowDelta]] in ONE transactional commit
+  * — merge-on-read position deletes + appended data files by default,
+  * or exact affected-file rewrites under `update.mode` / `merge.mode`
+  * / `delete.mode` = `copy-on-write` — instead of rebuilding a DSv2
+  * parquet writer for what the V1 write path already does
+  * (constraints, hidden-partition derivation, bucket layout,
+  * rename-free task commits, optimistic concurrency with the
+  * strict-replace / covers guards).
+  *
+  * Injected strategies run BEFORE the built-in `DataSourceV2Strategy`,
+  * so the marker write's `toBatch` (which fails with an install
+  * instruction) is never reached on an extensions session. */
+case class GraftRowDeltaStrategy(session: SparkSession)
+    extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case WriteDelta(_, _, query, _, projections, Some(w: GraftDeltaWrite)) =>
+      GraftRowDeltaExec(session, w.table, w.cmd, projections, query) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Executes one row-level delta: materializes the rewrite's delta rows
+  * ONCE (localCheckpoint — delete side and insert side must agree even
+  * under a non-deterministic MERGE source), splits by operation using
+  * the rewrite's OWN projections (column ordinals, never name
+  * guessing), and commits through the engine. O(delta) end to end; the
+  * table scan underneath was manifest-pruned by the pushed condition
+  * like every other read. */
+case class GraftRowDeltaExec(spark: SparkSession, table: GraftSqlTable,
+                             cmd: Command,
+                             projections: WriteDeltaProjections,
+                             query: LogicalPlan) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+
+  override protected def run(): Seq[InternalRow] = {
+    import org.apache.spark.sql.functions.lit
+    val delta = org.apache.spark.sql.classic.Dataset
+      .ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        query)
+      .localCheckpoint()
+    val attrs = delta.queryExecution.analyzed.output
+    def colAt(i: Int) = ExpressionUtils.column(attrs(i))
+    val opOrd = attrs.indexWhere(_.name == RowDeltaUtils.OPERATION_COLUMN)
+    require(opOrd >= 0, s"row-delta plan lost its operation column: " +
+      attrs.map(_.name).mkString(", "))
+    val op = colAt(opOrd)
+
+    // rowId ordinals/order come from the rewrite's projection; the
+    // names are re-aliased to the engine's coordinate columns in the
+    // rowId() declaration order (_file, _pos)
+    val rowIdOrds = projections.rowIdProjection.colOrdinals
+    require(rowIdOrds.size == 2,
+      s"expected a (_file, _pos) rowId, got ${rowIdOrds.size} columns")
+    val deletes = delta
+      .filter(op === lit(RowDeltaUtils.DELETE_OPERATION) ||
+        op === lit(RowDeltaUtils.UPDATE_OPERATION))
+      .select(colAt(rowIdOrds(0)).as(LakeTable.RowFileCol),
+        colAt(rowIdOrds(1)).as(LakeTable.RowPosCol))
+
+    // a pure DELETE rewrite carries no row projection — the insert
+    // side is an empty frame in the table's visible columns
+    val inserts = projections.rowProjection match {
+      case Some(p) =>
+        val cols = p.colOrdinals.zip(p.schema.fields).map {
+          case (i, f) => colAt(i).as(f.name)
+        }
+        delta.filter(op === lit(RowDeltaUtils.UPDATE_OPERATION) ||
+            op === lit(RowDeltaUtils.INSERT_OPERATION))
+          .select(cols.toSeq: _*)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          table.schema)
+    }
+
+    val modeKey = cmd match {
+      case Command.UPDATE => "update.mode"
+      case Command.MERGE  => "merge.mode"
+      case _              => "delete.mode"
+    }
+    val cow =
+      table.lake.properties.get(modeKey).contains("copy-on-write")
+    table.lake.applyRowDelta(deletes, inserts, copyOnWrite = cow,
+      extraMeta = Map("sql.rowlevel" -> cmd.toString.toLowerCase))
+    Nil
+  }
+}

@@ -503,6 +503,172 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  /** Fresh extensions session over the shared context (row-level DML
+    * executes through the injected planner strategy). */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val orig = spark
+    orig.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      f(ext)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("SQL UPDATE routes merge-on-read by default: one commit of " +
+    "position deletes + inserts, zero data files rewritten, time " +
+    "travel intact; copy-on-write honors update.mode") {
+    withExtSession { ext =>
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+      ext.sql("DROP TABLE IF EXISTS graft.rl.upd")
+      ext.sql("CREATE TABLE graft.rl.upd (id BIGINT, grp STRING, v DOUBLE)")
+      ext.sql("""INSERT INTO graft.rl.upd
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END,
+        |       CAST(id AS DOUBLE) FROM range(100)""".stripMargin)
+      val t = new LakeCatalog(ext, wh).table("rl", "upd")
+      val filesBefore = t.dataFiles.map(_.path).toSet
+      val vBefore = t.currentVersion
+      ext.sql("UPDATE graft.rl.upd SET v = v * 10 WHERE id < 5")
+      assert(t.currentVersion == vBefore + 1, "UPDATE must be ONE commit")
+      // the updated rows land as ONE new appended file; every original
+      // file survives untouched (zero rewrites)
+      assert(filesBefore.subsetOf(t.dataFiles.map(_.path).toSet),
+        "merge-on-read UPDATE must not rewrite data files")
+      assert(t.meta("delete_files").count() > 0,
+        "position-delete files must carry the update")
+      assert(ext.sql("SELECT sum(v) FROM graft.rl.upd WHERE id < 5")
+        .head.getDouble(0) == 100.0)
+      assert(ext.sql("SELECT count(*) FROM graft.rl.upd")
+        .head.getLong(0) == 100)
+      // time travel serves the pre-update state
+      assert(ext.sql(
+        s"SELECT sum(v) FROM graft.rl.upd VERSION AS OF $vBefore " +
+          "WHERE id < 5").head.getDouble(0) == 10.0)
+      // copy-on-write mode: affected files rewritten, no MOR debt added
+      ext.sql("ALTER TABLE graft.rl.upd " +
+        "SET TBLPROPERTIES ('update.mode'='copy-on-write')")
+      val delFilesBefore = t.meta("delete_files").count()
+      val files2 = t.dataFiles.map(_.path).toSet
+      ext.sql("UPDATE graft.rl.upd SET grp = 'z' WHERE id >= 90")
+      assert(t.meta("delete_files").count() == delFilesBefore,
+        "copy-on-write UPDATE must not add delete files")
+      assert(t.dataFiles.map(_.path).toSet != files2,
+        "copy-on-write UPDATE must rewrite the affected files")
+      assert(ext.sql(
+        "SELECT count(*) FROM graft.rl.upd WHERE grp = 'z'")
+        .head.getLong(0) == 10)
+      assert(ext.sql("SELECT count(*) FROM graft.rl.upd")
+        .head.getLong(0) == 100)
+    }
+  }
+
+  test("SQL MERGE INTO: matched update/delete (conditional), not-" +
+    "matched insert, not-matched-by-source, cardinality check, one " +
+    "commit per statement") {
+    withExtSession { ext =>
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+      ext.sql("DROP TABLE IF EXISTS graft.rl.tgt")
+      ext.sql("DROP TABLE IF EXISTS graft.rl.src")
+      ext.sql("CREATE TABLE graft.rl.tgt (id BIGINT, grp STRING, v DOUBLE)")
+      ext.sql("INSERT INTO graft.rl.tgt " +
+        "SELECT id, 'old', CAST(id AS DOUBLE) FROM range(10)")
+      ext.sql("CREATE TABLE graft.rl.src (id BIGINT, v DOUBLE)")
+      // overlaps 8..9, new 10..12; 3 is absent from src
+      ext.sql("INSERT INTO graft.rl.src SELECT id, -1.0 FROM range(8, 13)")
+      val t = new LakeCatalog(ext, wh).table("rl", "tgt")
+      val vBefore = t.currentVersion
+      ext.sql(
+        """MERGE INTO graft.rl.tgt t USING graft.rl.src s ON t.id = s.id
+          |WHEN MATCHED AND t.id = 8 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v, grp = 'upd'
+          |WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, 'new', s.v)
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 0 THEN DELETE
+          |""".stripMargin)
+      assert(t.currentVersion == vBefore + 1, "MERGE must be ONE commit")
+      val rows = ext.sql(
+        "SELECT id, grp, v FROM graft.rl.tgt ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      // 0 deleted (not matched by source), 8 deleted (matched+cond),
+      // 9 updated, 10-12 inserted, 1-7 untouched
+      assert(rows.toSeq == (1L to 7L).map(i => (i, "old", i.toDouble)) ++
+        Seq((9L, "upd", -1.0), (10L, "new", -1.0), (11L, "new", -1.0),
+          (12L, "new", -1.0)), rows.mkString(", "))
+      // a source with duplicate join keys must fail the cardinality
+      // check, not silently double-apply
+      ext.sql("INSERT INTO graft.rl.src VALUES (9, -7.0)")
+      val ex = intercept[Exception] {
+        ext.sql(
+          """MERGE INTO graft.rl.tgt t USING graft.rl.src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(ex.getMessage.toLowerCase.contains("merge"),
+        s"expected the MERGE cardinality error, got: ${ex.getMessage}")
+    }
+  }
+
+  test("row-level ops on a hidden-partitioned bucketed table re-derive " +
+    "the physical layout for rewritten rows; SELECT _file/_pos works") {
+    withExtSession { ext =>
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+      ext.sql("DROP TABLE IF EXISTS graft.rl.part")
+      ext.sql(
+        """CREATE TABLE graft.rl.part (id BIGINT, region STRING, v DOUBLE)
+          |PARTITIONED BY (region, bucket(4, id))""".stripMargin)
+      ext.sql("""INSERT INTO graft.rl.part
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END,
+        |       CAST(id AS DOUBLE) FROM range(40)""".stripMargin)
+      // moving a row across partitions: the write derives the new
+      // partition/bucket columns, never the SQL user
+      ext.sql("UPDATE graft.rl.part SET region = 'apac' WHERE id = 4")
+      assert(ext.sql("SELECT count(*) FROM graft.rl.part " +
+        "WHERE region = 'apac'").head.getLong(0) == 1)
+      assert(ext.sql("SELECT count(*) FROM graft.rl.part")
+        .head.getLong(0) == 40)
+      val t = new LakeCatalog(ext, wh).table("rl", "part")
+      // the partition-pruned read finds the moved row in its new home
+      assert(t.pruneFiles(col("region") === lit("apac")).nonEmpty)
+      // metadata columns select explicitly and stay out of SELECT *
+      val meta = ext.sql(
+        "SELECT _file, _pos FROM graft.rl.part WHERE id = 4").collect()
+      assert(meta.length == 1 && meta(0).getString(0).nonEmpty &&
+        meta(0).getLong(1) >= 0L)
+      assert(!ext.table("graft.rl.part").columns.contains("_file"))
+    }
+  }
+
+  test("conf-only sessions get a clear install instruction for UPDATE/" +
+    "MERGE, not a wrong result; translatable DELETE still works " +
+    "conf-only via SupportsDelete") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl2")
+    spark.sql("DROP TABLE IF EXISTS graft.rl2.noext")
+    spark.sql("CREATE TABLE graft.rl2.noext (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl2.noext " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE graft.rl2.noext SET v = 0.0 WHERE id = 1")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("GraftExtensions"),
+      s"expected the install instruction, got: ${rootMsg(ex)}")
+    // the metadata-only DELETE route is untouched by the row-level
+    // rewrite (OptimizeMetadataOnlyDeleteFromTable swaps back)
+    spark.sql("DELETE FROM graft.rl2.noext WHERE id IN (1, 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.rl2.noext")
+      .head.getLong(0) == 8)
+  }
+
   test("MOR deletes and WAP pinning are visible through SQL reads") {
     install()
     val cat = new LakeCatalog(spark, wh)
