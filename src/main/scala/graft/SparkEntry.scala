@@ -1668,6 +1668,7 @@ object SparkEntry {
     "q175_sql_delete" -> (graft.lake.SqlQueries.sqlDelete _),
     "q176_sql_merge" -> (graft.lake.SqlQueries.sqlMerge _),
     "q177_sql_update" -> (graft.lake.SqlQueries.sqlUpdate _),
+    "q178_sql_stream_table" -> (graft.lake.SqlQueries.sqlStreamTable _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4212,6 +4213,11 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    "q178_sql_stream_table" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot

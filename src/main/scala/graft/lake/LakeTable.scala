@@ -983,6 +983,57 @@ class LakeTable private (
     readEntries(newEntries.result(), toSchema, toFids)
   }
 
+  /** Snapshot file entries and live delete-entry count at `v` —
+    * metadata only, the initial-batch currency of the streaming read
+    * (which serves whole snapshots / per-version file adds through the
+    * DSv2 parquet reader and therefore cannot apply MOR deletes). */
+  private[graft] def snapshotEntries(v: Int): (Seq[FileEntry], Int) = {
+    requireRetained(v)
+    val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+    (filesOf(node), deletesOf(node).size)
+  }
+
+  /** Metadata-only walk of versions (from, to]: per version, the data
+    * files it ADDED (empty for compactions — rewrites carry no new
+    * rows) and whether it may have REMOVED rows (new delete entries /
+    * dropped files; compactions excepted — their drop is the rewrite).
+    * This is the planning currency of the catalog table's streaming
+    * read ([[GraftSqlTable]] MICRO_BATCH_READ): one entry list per
+    * commit, no file opened. Fails on an expired version — a
+    * checkpoint that fell behind the retention window must restart
+    * rather than silently skip history. */
+  def addedEntriesBetween(from: Int, to: Int)
+      : Seq[(Int, Seq[FileEntry], Boolean)] = {
+    if (from >= 0) requireRetained(from)
+    var prevPaths: Set[String] =
+      if (from < 0) Set.empty
+      else filesOf(mapper.readTree(
+        Files.readString(versionPath(metaDir, from)))).map(_.path).toSet
+    var prevDels: Set[String] =
+      if (from < 0) Set.empty
+      else deletesOf(mapper.readTree(
+        Files.readString(versionPath(metaDir, from)))).map(_.path).toSet
+    (math.max(0, from + 1) to to).map { v =>
+      requireRetained(v)
+      val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+      val files = filesOf(node)
+      val paths = files.map(_.path).toSet
+      val dels = deletesOf(node).map(_.path).toSet
+      val isCompaction = Option(node.get("appMeta"))
+        .flatMap(m => Option(m.get("compaction")))
+        .exists(_.asText() == "true")
+      val added =
+        if (isCompaction) Nil
+        else files.filterNot(f => prevPaths.contains(f.path))
+      val removes = !isCompaction &&
+        (dels.exists(!prevDels.contains(_)) ||
+          prevPaths.exists(!paths.contains(_)))
+      prevPaths = paths
+      prevDels = dels
+      (v, added, removes)
+    }
+  }
+
   /** True iff snapshot `v` may have REMOVED rows relative to its
     * predecessor (new merge-on-read delete entries, or data files
     * dropped/rewritten) — the cheap metadata gate a CDC consumer uses

@@ -401,11 +401,16 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
     lake.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (pinned.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilder(this)
+      : ScanBuilder = new GraftScanBuilder(this, options)
 
   /** Row COORDINATES as metadata columns — Iceberg's `_file`/`_pos`
     * contract: selectable explicitly (`SELECT _file, _pos FROM t`),
@@ -569,7 +574,9 @@ class GraftDeltaWrite(
   * Coordinate-aware: a required schema naming `_file`/`_pos` (metadata
   * columns — row-level rewrites, explicit metadata selects) routes the
   * V1 plan through the tagged [[LakeTable.readWithRowCoords]]. */
-class GraftScanBuilder(table: GraftSqlTable)
+class GraftScanBuilder(table: GraftSqlTable,
+                       options: CaseInsensitiveStringMap =
+                         CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -648,6 +655,21 @@ class GraftScanBuilder(table: GraftSqlTable)
       override def description(): String =
         s"GraftLakeScan ${table.name} " +
           s"filters=[${accepted.mkString(", ")}]"
+
+      /** `spark.readStream.table("graft.ns.t")`: snapshot-version
+        * offsets through Spark's own DSv2 parquet reader — see
+        * [[graft.sources.GraftLakeMicroBatchStream]]. Spark plans
+        * streaming relations without scan pushdown, so the guard is a
+        * future-proofing assertion, not a live limitation. */
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming
+            .MicroBatchStream = {
+        require(accepted.isEmpty && cond.isEmpty,
+          "streaming reads do not claim filter pushdown")
+        new graft.sources.GraftLakeMicroBatchStream(table.lake,
+          prunedSchema, options.asCaseSensitiveMap().asScala.toMap
+            .map { case (k, v) => k.toLowerCase -> v })
+      }
     }
     built
   }

@@ -193,6 +193,48 @@ object SqlQueries {
         |FROM g177.q.events GROUP BY event_type""".stripMargin)
   }
 
+  /** q178: STREAMING read of a catalog table —
+    * `spark.readStream.table("g178.q.events")` (MICRO_BATCH_READ on
+    * [[GraftSqlTable]]): the initial AvailableNow run aggregates the
+    * table's snapshot through a checkpoint, a second commit lands, and
+    * the RESTARTED run picks up exactly the new version's rows
+    * (snapshot-version offsets — q50's exactly-once contract at the
+    * SQL surface). The complete-mode result equals the batch aggregate
+    * over everything iff every row was delivered exactly once, which
+    * is precisely what the oracle checks. */
+  def sqlStreamTable(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g178")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g178_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g178.q")
+    s.sql("DROP TABLE IF EXISTS g178.q.events")
+    s.sql("""CREATE TABLE g178.q.events AS
+             SELECT * FROM g178_src
+             WHERE event_type IN ('click', 'view')""")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("g178-ckpt").toString
+    val sink = "g178_sink"
+    def run(): Unit = {
+      val q = s.readStream.table("g178.q.events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // the snapshot batch: click + view
+    s.sql("""INSERT INTO g178.q.events
+             SELECT * FROM g178_src WHERE event_type = 'purchase'""")
+    run() // checkpoint restart: exactly the purchase commit
+    s.table(sink).select(col("event_type"), col("n"),
+      col("sv").cast("double").as("sum_value"))
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered

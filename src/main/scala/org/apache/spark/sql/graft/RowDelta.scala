@@ -13,6 +13,51 @@ import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
 
 import graft.lake.{GraftDeltaWrite, GraftSqlTable, LakeTable}
 
+/** Package-access bridge for `private[spark]` utilities the streaming
+  * catalog read needs (see [[graft.sources.GraftLakeMicroBatchStream]]
+  * — the parquet reader factory takes a broadcast hadoop conf). */
+object SparkInternalBridge {
+  /** The hadoop conf [[org.apache.spark.sql.execution.datasources.v2
+    * .parquet.ParquetPartitionReaderFactory]] expects — the exact
+    * setup `ParquetScan.createReaderFactory` performs (read-support
+    * class + requested schema + session parquet flags), broadcast for
+    * the executors. */
+  def broadcastParquetReadConf(session: SparkSession,
+                               readDataSchema: org.apache.spark.sql
+                                 .types.StructType)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration] = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = session.sessionState.newHadoopConf()
+    val sqlConf = session.sessionState.conf
+    val json = readDataSchema.json
+    conf.set("parquet.read.support.class",
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, json)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    conf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readDataSchema, conf)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    org.apache.spark.util.SerializableConfiguration.broadcast(
+      session.sparkContext, conf)
+  }
+}
+
 /** Planner strategy executing SQL UPDATE / MERGE INTO / DELETE on graft
   * catalog tables — the V1-DELEGATION half of the engine's
   * `SupportsRowLevelOperations` implementation, injected by

@@ -1,0 +1,191 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** `spark.readStream.table("graft.ns.t")` — MICRO_BATCH_READ on the
+  * SQL catalog (GraftLakeMicroBatchStream): snapshot-version offsets,
+  * exactly-once across restarts, admission pacing, append-stream
+  * semantics guards, partition-value recovery. */
+class SqlStreamingReadSpec extends SparkSuite {
+
+  private lazy val wh = tmpDir("sqlstream-wh")
+
+  private def install(): Unit = {
+    spark.conf.set("spark.sql.catalog.gst", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gst.warehouse", wh)
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = q.awaitTermination()
+
+  test("readStream.table: initial snapshot, then exactly the new " +
+    "commits across a checkpoint restart") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.ev")
+    spark.sql("CREATE TABLE gst.s.ev (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO gst.s.ev
+      |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END,
+      |       CAST(id AS DOUBLE) FROM range(100)""".stripMargin)
+    spark.sql("INSERT INTO gst.s.ev SELECT id + 100, 'c', 1.0 FROM range(20)")
+    val ckpt = tmpDir("gst-ckpt")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.table("gst.s.ev")
+        .groupBy("grp").count()
+        .writeStream.format("memory").queryName("gst_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q); q
+    }
+    run()
+    def counts = spark.table("gst_sink").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 50L, "b" -> 50L, "c" -> 20L))
+    // restart from the checkpoint: only the new commit's rows arrive
+    // (no re-delivery — counts would double if the snapshot replayed)
+    spark.sql("INSERT INTO gst.s.ev SELECT id + 200, 'd', 2.0 FROM range(10)")
+    run()
+    assert(counts == Map("a" -> 50L, "b" -> 50L, "c" -> 20L, "d" -> 10L))
+    // nothing new: an AvailableNow run terminates with ZERO input
+    // rows (a fresh complete-mode memory sink with no batch stays
+    // empty — the offsets, not the sink, prove no re-delivery)
+    val q3 = run()
+    assert(q3.recentProgress.forall(_.numInputRows == 0),
+      "quiet restart re-delivered rows: " +
+        q3.recentProgress.map(_.numInputRows).mkString(", "))
+  }
+
+  test("maxRowsPerBatch paces admission version-granularly under " +
+    "Trigger.AvailableNow without dropping rows") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.paced")
+    spark.sql("CREATE TABLE gst.s.paced (id BIGINT)")
+    spark.sql("INSERT INTO gst.s.paced SELECT id FROM range(10)")
+    // complete-mode count: the memory sink supports checkpoint
+    // recovery only in complete mode, and the running total proves
+    // exactly-once (re-delivery would overcount the state)
+    val ckpt = tmpDir("gst-paced-ckpt")
+    def run(cap: Option[String]) = {
+      var r = spark.readStream
+      cap.foreach(c => r = r.option("maxRowsPerBatch", c))
+      val q = r.table("gst.s.paced").groupBy().count()
+        .writeStream.format("memory").queryName("gst_paced")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q); q
+    }
+    run(None) // initial snapshot
+    assert(spark.table("gst_paced").head.getLong(0) == 10)
+    // five more single-commit inserts, then drain with a 25-row cap:
+    // versions must arrive over >= 2 batches, all rows exactly once
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO gst.s.paced SELECT id + ${100 * (i + 1)} FROM range(20)"))
+    val q = run(Some("25"))
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2,
+      s"100 rows under a 25-row cap must take multiple batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(", "))
+    assert(q.recentProgress.map(_.numInputRows).sum == 100,
+      "pacing dropped or re-delivered rows")
+    assert(spark.table("gst_paced").head.getLong(0) == 110)
+  }
+
+  test("append-stream guards: a row-removing commit fails the stream " +
+    "by default, skipChangeCommits skips it wholesale; an initial " +
+    "snapshot with live MOR deletes refuses with compaction guidance") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.mut")
+    spark.sql("CREATE TABLE gst.s.mut (id BIGINT)")
+    spark.sql("INSERT INTO gst.s.mut SELECT id FROM range(10)")
+    val ckpt = tmpDir("gst-mut-ckpt")
+    def run(opts: Map[String, String]): Unit = {
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      drain(r.table("gst.s.mut").groupBy().count()
+        .writeStream.format("memory").queryName("gst_mut")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    }
+    run(Map.empty) // initial snapshot: 10 rows
+    assert(spark.table("gst_mut").head.getLong(0) == 10)
+    // a MOR delete commit + an append commit land after the checkpoint
+    spark.sql("DELETE FROM gst.s.mut WHERE id IN (1, 2)")
+    spark.sql("INSERT INTO gst.s.mut SELECT id + 100 FROM range(5)")
+    val ex = intercept[Exception] { run(Map.empty) }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("skipChangeCommits"), msgs(ex).take(400))
+    // opt in: the delete commit is skipped wholesale, the append lands
+    run(Map("skipChangeCommits" -> "true"))
+    assert(spark.table("gst_mut").head.getLong(0) == 15)
+    // fresh stream of a table with LIVE MOR deletes: refuse with
+    // guidance (the file-level reader cannot apply them)
+    val ex2 = intercept[Exception] {
+      var r = spark.readStream
+      drain(r.table("gst.s.mut")
+        .writeStream.format("memory").queryName("gst_mut2")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("gst-mut2-ckpt"))
+        .trigger(Trigger.AvailableNow()).start())
+    }
+    assert(msgs(ex2).contains("compact"), msgs(ex2).take(400))
+    // compaction absorbs the deletes; a fresh stream then serves the
+    // exact surviving snapshot
+    new LakeCatalog(spark, wh).table("s", "mut").compact(1)
+    var r3 = spark.readStream
+    drain(r3.table("gst.s.mut")
+      .writeStream.format("memory").queryName("gst_mut3")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("gst-mut3-ckpt"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("gst_mut3").count() == 13)
+    assert(spark.table("gst_mut3").filter(col("id").isin(1L, 2L))
+      .count() == 0, "MOR-deleted rows resurrected by the stream")
+  }
+
+  test("hidden-partitioned tables stream with partition values " +
+    "recovered from manifest constants; rename epochs refuse loudly") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.part")
+    spark.sql(
+      """CREATE TABLE gst.s.part (id BIGINT, region STRING, v DOUBLE)
+        |PARTITIONED BY (region, bucket(4, id))""".stripMargin)
+    spark.sql("""INSERT INTO gst.s.part
+      |SELECT id, CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END,
+      |       CAST(id AS DOUBLE) FROM range(40)""".stripMargin)
+    drain(spark.readStream.table("gst.s.part")
+      .groupBy("region").count()
+      .writeStream.format("memory").queryName("gst_part")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("gst-part-ckpt"))
+      .trigger(Trigger.AvailableNow()).start())
+    val counts = spark.table("gst_part").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("eu" -> 20L, "us" -> 20L))
+    // the streamed schema is the VISIBLE one (no _bucket, no _p_*)
+    assert(spark.readStream.table("gst.s.part").schema.fieldNames.toSeq
+      == Seq("id", "region", "v"))
+    // rename epoch: files written under the old name must refuse (a
+    // name-based reader would silently serve nulls), not misread
+    spark.sql("ALTER TABLE gst.s.part RENAME COLUMN v TO val")
+    val ex = intercept[Exception] {
+      drain(spark.readStream.table("gst.s.part")
+        .writeStream.format("memory").queryName("gst_part2")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("gst-part2-ckpt"))
+        .trigger(Trigger.AvailableNow()).start())
+    }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("field id"), m.take(400))
+  }
+}
