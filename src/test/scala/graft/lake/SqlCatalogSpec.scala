@@ -796,6 +796,61 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) == 10)
   }
 
+  test("SHOW CREATE TABLE output is re-executable verbatim to an " +
+    "equivalent table; DESCRIBE surfaces partition transforms; SHOW " +
+    "TBLPROPERTIES round-trips every property") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.rt")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.rt_clone")
+    spark.sql(
+      """CREATE TABLE graft.sqlns.rt
+        |(id BIGINT, region STRING, ts TIMESTAMP, code STRING, v DOUBLE)
+        |PARTITIONED BY (region, days(ts), truncate(2, code),
+        |                bucket(4, id))
+        |TBLPROPERTIES ('delete.mode'='copy-on-write', 'owner.team'='ml')
+        |""".stripMargin)
+    val ddl = spark.sql("SHOW CREATE TABLE graft.sqlns.rt")
+      .head.getString(0)
+    // re-execute the emitted DDL verbatim, only retargeting the name
+    spark.sql(ddl.replace("graft.sqlns.rt", "graft.sqlns.rt_clone"))
+    val cat = new LakeCatalog(spark, wh)
+    val orig = cat.table("sqlns", "rt")
+    val clone = cat.table("sqlns", "rt_clone")
+    assert(clone.schema == orig.schema, "schema did not round-trip")
+    assert(clone.partitionSpecs == orig.partitionSpecs,
+      s"partition specs did not round-trip: ${clone.partitionSpecs} " +
+        s"vs ${orig.partitionSpecs}")
+    assert(clone.bucketSpec == orig.bucketSpec)
+    assert(clone.properties.get("delete.mode").contains("copy-on-write")
+      && clone.properties.get("owner.team").contains("ml"),
+      s"properties did not round-trip: ${clone.properties}")
+    // the clone is a WORKING equivalent, not just a lookalike: writes
+    // derive the same hidden layout
+    spark.sql("""INSERT INTO graft.sqlns.rt_clone
+      |SELECT id, 'eu', timestamp'2026-02-01', concat('ab', id), 1.0
+      |FROM range(8)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.rt_clone " +
+      "WHERE region = 'eu'").head.getLong(0) == 8)
+    // DESCRIBE surfaces the partition transforms (not the physical
+    // derived columns)
+    val desc = spark.sql("DESCRIBE TABLE graft.sqlns.rt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.exists(_._2 == "days(ts)") &&
+      desc.exists(_._2 == "bucket(4, id)"),
+      s"partition transforms missing from DESCRIBE: $desc")
+    assert(!desc.keys.exists(_.startsWith("_p_")) &&
+      !desc.keys.exists(_ == "_bucket"), s"derived columns leaked: " +
+        desc.keys.mkString(", "))
+    // SHOW TBLPROPERTIES serves the full property map
+    val props = spark.sql("SHOW TBLPROPERTIES graft.sqlns.rt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    orig.properties.foreach { case (k, v) =>
+      assert(props.get(k).contains(v),
+        s"property $k=$v missing from SHOW TBLPROPERTIES: $props")
+    }
+  }
+
   test("DELETE FROM works with GraftExtensions installed (the V1 read " +
       "rule must not rewrite the DELETE target)") {
     val org = spark
