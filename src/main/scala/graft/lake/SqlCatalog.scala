@@ -499,9 +499,18 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, ow: Boolean): Unit =
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
               if (overwrite || ow) lake.overwriteAll(data)
               else lake.append(data)
+              // the same post-commit size-ladder gate the MV loops
+              // call: a table that opted into auto-compaction
+              // (compaction.auto.* properties) keeps its file count
+              // bounded under CONTINUED SQL INSERTs into a
+              // fine-grained partition layout, instead of growing one
+              // file per partition tuple per statement; O(1) metadata
+              // check when the table never opted in
+              lake.autoCompactIfNeeded()
+            }
           }
       }
     }

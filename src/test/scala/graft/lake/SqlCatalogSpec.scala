@@ -796,6 +796,26 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) == 10)
   }
 
+  test("continued SQL INSERTs into a compaction-opted table keep the " +
+    "file count bounded (the post-commit ladder gate fires on the V1 " +
+    "write path too)") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.laddered")
+    spark.sql(
+      """CREATE TABLE graft.sqlns.laddered (id BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('compaction.auto.maxFiles'='8')""".stripMargin)
+    (0 until 20).foreach(i => spark.sql(
+      s"INSERT INTO graft.sqlns.laddered " +
+        s"SELECT id + ${i * 100}, 1.0 FROM range(100)"))
+    val t = new LakeCatalog(spark, wh).table("sqlns", "laddered")
+    assert(t.dataFiles.size <= 16,
+      s"20 INSERTs left ${t.dataFiles.size} files — the ladder gate " +
+        "did not bound the layout")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.laddered")
+      .head.getLong(0) == 2000)
+  }
+
   test("SHOW CREATE TABLE output is re-executable verbatim to an " +
     "equivalent table; DESCRIBE surfaces partition transforms; SHOW " +
     "TBLPROPERTIES round-trips every property") {
