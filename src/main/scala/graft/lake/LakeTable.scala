@@ -2338,6 +2338,18 @@ class LakeTable private (
                     copyOnWrite: Boolean = false,
                     extraMeta: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    // WAP interaction: the caller's scan (readWithRowCoords) resolved
+    // against the PINNED main version, but this commit would land
+    // STAGED on the branch — positions named against one state,
+    // changes visible in another, and an abandon would discard the
+    // update while its positions were already resolved. Refuse while
+    // a branch stages; row-level SQL DML and WAP audits don't mix
+    // mid-flight (same stance as redriveQuarantine).
+    activeBranch.foreach { case (br, _) =>
+      throw new IllegalStateException(
+        s"row-level delta on $root while WAP branch '$br' is staging " +
+          "— publish or abandon the branch first")
+    }
     val (v0, node) = latest()
     val dels = deletesOf(node)
     val s = DataTypeBridge.fromJson(node.get("schemaJson").asText())

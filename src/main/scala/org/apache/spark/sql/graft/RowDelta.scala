@@ -111,6 +111,8 @@ case class GraftRowDeltaExec(spark: SparkSession, table: GraftSqlTable,
   override def children: Seq[SparkPlan] = Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def simpleString(maxFields: Int): String =
+    s"GraftRowDelta $cmd ${table.name()}"
 
   override protected def run(): Seq[InternalRow] = {
     import org.apache.spark.sql.functions.lit

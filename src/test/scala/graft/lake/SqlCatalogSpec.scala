@@ -645,6 +645,38 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  test("row-level SQL DML refuses while a WAP branch is staging (the " +
+    "scan resolves the pinned main, the commit would land staged) and " +
+    "resumes after publish; snapshots stamp Iceberg-parity operations") {
+    withExtSession { ext =>
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+      ext.sql("DROP TABLE IF EXISTS graft.rl.wapdml")
+      ext.sql("CREATE TABLE graft.rl.wapdml (id BIGINT, v DOUBLE)")
+      ext.sql("INSERT INTO graft.rl.wapdml " +
+        "SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+      val t = new LakeCatalog(ext, wh).table("rl", "wapdml")
+      t.createBranch("wap-audit-1")
+      val ex = intercept[Exception] {
+        ext.sql("UPDATE graft.rl.wapdml SET v = 0.0 WHERE id = 3")
+      }
+      val m = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(m.contains("WAP branch"), m.take(400))
+      t.publishBranch("wap-audit-1")
+      ext.sql("UPDATE graft.rl.wapdml SET v = 0.0 WHERE id = 3")
+      assert(ext.sql(
+        "SELECT v FROM graft.rl.wapdml WHERE id = 3")
+        .head.getDouble(0) == 0.0)
+      // the UPDATE snapshot carries the Iceberg-parity operation label
+      val op = ext.sql(
+        """SELECT operation FROM graft.rl.wapdml.snapshots
+          |ORDER BY version DESC LIMIT 1""".stripMargin)
+        .head.getString(0)
+      assert(op == "overwrite", s"delta commit stamped '$op'")
+    }
+  }
+
   test("conf-only sessions get a clear install instruction for UPDATE/" +
     "MERGE, not a wrong result; translatable DELETE still works " +
     "conf-only via SupportsDelete") {
