@@ -230,6 +230,41 @@ class RowLevelOpsSpec extends SparkSuite {
       "copy-on-write delta must not commit delete files")
   }
 
+  test("applyRowDelta aborts when a concurrent rewrite superseded the " +
+    "scanned positions — both modes — instead of resurrecting or " +
+    "misaddressing rows") {
+    val t = freshTable("delta-conflict")
+    // positions resolved against the pre-compaction snapshot...
+    val coords = t.readWithRowCoords(Some($"id" < 10L))
+      .localCheckpoint()
+    assert(coords.count() == 10)
+    val deletes = coords.select(LakeTable.RowFileCol, LakeTable.RowPosCol)
+    val inserts = coords.select($"id", $"grp", ($"v" * 100).as("v"))
+    // ...then a compaction supersedes every scanned file
+    t.compact(1)
+    val vAfter = t.currentVersion
+    // merge-on-read: the covers check aborts the commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.applyRowDelta(deletes, inserts)
+    }
+    // copy-on-write: the affected files are no longer live
+    intercept[java.util.ConcurrentModificationException] {
+      t.applyRowDelta(deletes, inserts, copyOnWrite = true)
+    }
+    // nothing landed: version unchanged, content intact
+    assert(t.currentVersion == vAfter)
+    assert(t.read().count() == 200)
+    assert(t.read().filter($"v" >= 100.0 && $"id" < 10L).count() == 0,
+      "aborted delta leaked rows")
+    // retry after a fresh scan succeeds (positions re-resolve)
+    val coords2 = t.readWithRowCoords(Some($"id" < 10L))
+    t.applyRowDelta(
+      coords2.select(LakeTable.RowFileCol, LakeTable.RowPosCol),
+      coords2.select($"id", $"grp", ($"v" * 100).as("v")))
+    assert(t.read().filter($"id" < 10L && $"id" > 0L)
+      .agg(min($"v")).head.getDouble(0) == 100.0)
+  }
+
   test("vacuum age guard: young orphans survive, old ones are reclaimed") {
     val t = freshTable("vac-age")
     // orphan a file: write data, never commit it (simulate a crashed
