@@ -1281,6 +1281,12 @@ class LakeTable private (
   def readWithRowCoords(
       condition: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    require(!schema.fieldNames.contains(RowFileCol) &&
+      !schema.fieldNames.contains(RowPosCol),
+      s"table at $root has a data column named $RowFileCol/$RowPosCol " +
+        "— the row-coordinate names are reserved (Spark shadows the " +
+        "metadata columns, so row-level SQL DML cannot address rows " +
+        "of this table; rename the column)")
     val node = mapper.readTree(
       Files.readString(versionPath(metaDir, mainVersion)))
     val dels = deletesOf(node)

@@ -102,7 +102,15 @@ case class GraftRowDeltaStrategy(session: SparkSession)
   * the rewrite's OWN projections (column ordinals, never name
   * guessing), and commits through the engine. O(delta) end to end; the
   * table scan underneath was manifest-pruned by the pushed condition
-  * like every other read. */
+  * like every other read. Honesty note on the constant: the
+  * materialization is executor-storage-sized in the DELTA (either
+  * mode) — a MERGE whose delta approaches the whole table (an
+  * unconditioned rewrite of every row) pays a table-sized checkpoint;
+  * that shape is better served by `INSERT OVERWRITE ... SELECT` (one
+  * streaming-write overwrite commit) or the programmatic `upsert`,
+  * while keyed CDC-apply deltas — the shape this path exists for —
+  * stay O(changed rows) (measured flat across 16x table growth,
+  * BENCH_NOTES RowDeltaScale). */
 case class GraftRowDeltaExec(spark: SparkSession, table: GraftSqlTable,
                              cmd: Command,
                              projections: WriteDeltaProjections,
