@@ -176,11 +176,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         new GraftSqlTable(ident.toString, lakeTableOf(ident), None)
     }
 
-  /** `VERSION AS OF n` time travel. */
+  /** `VERSION AS OF n` time travel — and Iceberg-style `VERSION AS OF
+    * 'tag'`: a non-integer version string resolves through the table's
+    * snapshot TAGS (`LakeTable.createTag`), so a published audit point
+    * is queryable by NAME from pure SQL. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"graft versions are integers, got '$version'"))
-    new GraftSqlTable(ident.toString, lakeTableOf(ident), Some(Left(v)))
+    val t = lakeTableOf(ident)
+    val v = version.toIntOption.getOrElse {
+      t.tags.getOrElse(version, throw new IllegalArgumentException(
+        s"'$version' is neither a snapshot version nor a tag of " +
+          s"$ident (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})"))
+    }
+    new GraftSqlTable(ident.toString, t, Some(Left(v)))
   }
 
   /** `TIMESTAMP AS OF ts` time travel (micros from Spark). */

@@ -108,6 +108,29 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) == 10)
   }
 
+  test("VERSION AS OF resolves snapshot TAGS by name (the SQL face of " +
+    "createTag)") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.tagged")
+    spark.sql("CREATE TABLE graft.sqlns.tagged (id BIGINT)")
+    spark.sql("INSERT INTO graft.sqlns.tagged SELECT id FROM range(10)")
+    val t = new LakeCatalog(spark, wh).table("sqlns", "tagged")
+    t.createTag("audit-2026q1")
+    spark.sql("INSERT INTO graft.sqlns.tagged SELECT id + 10 FROM range(5)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlns.tagged VERSION AS OF 'audit-2026q1'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.tagged")
+      .head.getLong(0) == 15)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.sqlns.tagged VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(ex.getMessage.contains("neither a snapshot version nor a tag"),
+      ex.getMessage.take(300))
+  }
+
   test("PARTITIONED BY (identity + days transform + bucket) via SQL") {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
