@@ -176,16 +176,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         new GraftSqlTable(ident.toString, lakeTableOf(ident), None)
     }
 
-  /** `VERSION AS OF n` time travel — and Iceberg-style `VERSION AS OF
-    * 'tag'`: a non-integer version string resolves through the table's
-    * snapshot TAGS (`LakeTable.createTag`), so a published audit point
-    * is queryable by NAME from pure SQL. */
+  /** `VERSION AS OF n` time travel — and Iceberg-style named refs:
+    * a non-integer version string resolves through the table's
+    * snapshot TAGS (`LakeTable.createTag`, a published audit point
+    * queryable by name), or — when it names the ACTIVE WAP branch —
+    * the staged head (`LakeTable.readBranch`'s contract: the
+    * sanctioned audit route that deliberately pierces the main pin,
+    * from pure SQL). Regular reads of the table keep serving the
+    * pinned main while the branch stages. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = lakeTableOf(ident)
     val v = version.toIntOption.getOrElse {
-      t.tags.getOrElse(version, throw new IllegalArgumentException(
-        s"'$version' is neither a snapshot version nor a tag of " +
-          s"$ident (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})"))
+      t.tags.get(version)
+        .orElse(t.activeBranch.collect {
+          case (br, _) if br == version => t.currentVersion
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$version' is neither a snapshot version, a tag, nor the " +
+            s"active branch of $ident " +
+            s"(tags: ${t.tags.keys.toSeq.sorted.mkString(", ")}" +
+            t.activeBranch.map(b => s"; branch: ${b._1}").getOrElse("") +
+            ")"))
     }
     new GraftSqlTable(ident.toString, t, Some(Left(v)))
   }

@@ -127,8 +127,20 @@ class SqlCatalogSpec extends SparkSuite {
       spark.sql("SELECT * FROM graft.sqlns.tagged VERSION AS OF 'nope'")
         .collect()
     }
-    assert(ex.getMessage.contains("neither a snapshot version nor a tag"),
+    assert(ex.getMessage.contains("neither a snapshot version"),
       ex.getMessage.take(300))
+    // the ACTIVE WAP branch is readable BY NAME (readBranch's audit
+    // contract from SQL) while regular reads keep the pinned main
+    t.createBranch("wap-audit")
+    spark.sql("INSERT INTO graft.sqlns.tagged SELECT id + 100 FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.tagged")
+      .head.getLong(0) == 15, "pin pierced by a regular read")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlns.tagged VERSION AS OF 'wap-audit'")
+      .head.getLong(0) == 18, "staged head not served by branch name")
+    t.abandonBranch("wap-audit")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.tagged")
+      .head.getLong(0) == 15)
   }
 
   test("PARTITIONED BY (identity + days transform + bucket) via SQL") {
