@@ -100,6 +100,16 @@ class LakeTable private (
 
   def properties: Map[String, String] = propertiesOf(latest()._2)
 
+  /** This incarnation's identity ([[LakeTable.TableUuidProp]], minted
+    * at create): distinguishes a table from a same-root predecessor
+    * that was dropped and recreated — their version numbers collide
+    * (both dense from 0) but their uuids never do. Pre-uuid tables
+    * (none are produced by this codebase) answer a constant; caches
+    * keyed on it must also key on version, which such tables already
+    * invalidate by normal commits. */
+  def incarnationId: String =
+    properties.getOrElse(LakeTable.TableUuidProp, "pre-uuid")
+
   private def propertiesOf(node: JsonNode): Map[String, String] =
     node.get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
@@ -3566,6 +3576,11 @@ object LakeTable {
   /** Table property naming the bucket-layout hash family. */
   val BucketHashProp = "bucket.hash"
 
+  /** Table property holding the incarnation uuid minted at [[create]]
+    * (Iceberg's table-uuid): stable for the table's whole life, fresh
+    * on every DROP + CREATE of the same root. */
+  val TableUuidProp = "table.uuid"
+
   /** [[BucketHashProp]] value for Spark's native bucket-id function
     * (`pmod(murmur3(cols, seed 42), n)`), byte-identical to what
     * `df.write.bucketBy(n, cols)` computes — the property that makes
@@ -4049,7 +4064,12 @@ object LakeTable {
     val ids = fullSchema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val propsNode = mapper.createObjectNode()
-    (Map("write.format.default" -> "parquet") ++
+    (Map("write.format.default" -> "parquet",
+      // incarnation identity (Iceberg's table-uuid): DROP + CREATE at
+      // the same root mints dense versions from 0 again, so any cache
+      // keyed (root, version) would serve the dead incarnation's state
+      // — the uuid disambiguates (see GraftV1ReadRule's plan cache)
+      TableUuidProp -> java.util.UUID.randomUUID().toString) ++
       // new bucketed tables default to Spark's own bucket hash so the
       // layout is Catalyst-visible (BucketSpec); an explicit caller
       // property (e.g. "xxhash64" for layout-compat tests) wins

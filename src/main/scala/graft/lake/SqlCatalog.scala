@@ -778,20 +778,32 @@ class GraftV1ReadRule(session: SparkSession)
     * .freshened]]); the expensive shared piece, the manifest-built
     * FileIndex inside the HadoopFsRelation, is reference-shared. */
   private val planCache =
-    new java.util.LinkedHashMap[(String, Int), LogicalPlan](
+    new java.util.LinkedHashMap[(String, String, Int), LogicalPlan](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), LogicalPlan]): Boolean =
+          e: java.util.Map.Entry[(String, String, Int), LogicalPlan])
+          : Boolean =
         size() > 64
     }
 
+  /** The key is INCARNATION-aware (root, table uuid, version): versions
+    * are dense from 0 per directory and DROP TABLE deletes the whole
+    * directory, so DROP + CREATE of the same name (the standard rerun
+    * prologue of every graded SQL query) recreates the same (root,
+    * version) pairs — a two-component key would serve the dead
+    * incarnation's plan, whose FileIndex lists deleted parquet files.
+    * The version is also resolved exactly ONCE and the plan built from
+    * that same number: resolving again inside the build (baseRead)
+    * could cache version N+1's plan under key N if a commit lands
+    * between the two reads, silently rerouting `VERSION AS OF N`. */
   private def cachedV1Plan(t: GraftSqlTable): LogicalPlan = {
-    val key = (t.lake.root, t.resolvedVersion)
+    val v = t.resolvedVersion
+    val key = (t.lake.root, t.lake.incarnationId, v)
     planCache.synchronized(Option(planCache.get(key))) match {
       case Some(p) => p
       case None =>
         GraftV1ReadRule.planBuilds.incrementAndGet()
-        val p = t.baseRead().queryExecution.analyzed
+        val p = t.lake.readVersion(v).queryExecution.analyzed
         planCache.synchronized(planCache.put(key, p))
         p
     }

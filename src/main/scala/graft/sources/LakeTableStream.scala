@@ -73,10 +73,18 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
 
   @volatile private var frozen: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    frozen = Some(lake.currentVersion)
+    frozen = Some(lake.mainVersion)
 
+  /** Offsets resolve against [[LakeTable.mainVersion]] — the WAP-PINNED
+    * head, never the staged one: while a write-audit-publish branch
+    * stages commits (every audited MV batch does), a streaming reader
+    * must not deliver rows that were never published — an abandoned
+    * branch would have already leaked them downstream, silently under
+    * `skipChangeCommits=true`. Same pin contract as `read()`/
+    * `readAsOf`; `publishBranch` moves the pin and the stream advances
+    * over the published commits on its next trigger. */
   override def latestOffset(): Offset =
-    LakeLogOffset(frozen.getOrElse(lake.currentVersion))
+    LakeLogOffset(frozen.getOrElse(lake.mainVersion))
 
   override def getDefaultReadLimit: ReadLimit =
     maxRows.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())

@@ -135,17 +135,29 @@ case class GraftRowDeltaExec(spark: SparkSession, table: GraftSqlTable,
       attrs.map(_.name).mkString(", "))
     val op = colAt(opOrd)
 
-    // rowId ordinals/order come from the rewrite's projection; the
-    // names are re-aliased to the engine's coordinate columns in the
-    // rowId() declaration order (_file, _pos)
+    // rowId ordinals come from the rewrite's projection, and WHICH
+    // ordinal is the file vs the position is resolved by the
+    // projection's own schema FIELD NAMES — never by assuming the
+    // rowId() declaration order survived the rewrite. If Spark ever
+    // reordered them, a positional mapping would cast file names to
+    // long (all null) and silently drop every delete position.
     val rowIdOrds = projections.rowIdProjection.colOrdinals
-    require(rowIdOrds.size == 2,
+    val rowIdSchema = projections.rowIdProjection.schema
+    require(rowIdOrds.size == 2 && rowIdSchema.size == 2,
       s"expected a (_file, _pos) rowId, got ${rowIdOrds.size} columns")
+    val fileOrd = rowIdOrds(rowIdSchema.fieldIndex(LakeTable.RowFileCol))
+    val posOrd = rowIdOrds(rowIdSchema.fieldIndex(LakeTable.RowPosCol))
+    require(attrs(fileOrd).dataType ==
+        org.apache.spark.sql.types.StringType &&
+      attrs(posOrd).dataType == org.apache.spark.sql.types.LongType,
+      s"rowId columns carry unexpected types: ${LakeTable.RowFileCol}=" +
+        s"${attrs(fileOrd).dataType}, ${LakeTable.RowPosCol}=" +
+        s"${attrs(posOrd).dataType}")
     val deletes = delta
       .filter(op === lit(RowDeltaUtils.DELETE_OPERATION) ||
         op === lit(RowDeltaUtils.UPDATE_OPERATION))
-      .select(colAt(rowIdOrds(0)).as(LakeTable.RowFileCol),
-        colAt(rowIdOrds(1)).as(LakeTable.RowPosCol))
+      .select(colAt(fileOrd).as(LakeTable.RowFileCol),
+        colAt(posOrd).as(LakeTable.RowPosCol))
 
     // a pure DELETE rewrite carries no row projection — the insert
     // side is an empty frame in the table's visible columns

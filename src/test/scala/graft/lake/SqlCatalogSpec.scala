@@ -538,6 +538,45 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  test("GraftV1ReadRule plan cache is incarnation-aware: DROP + CREATE " +
+    "of the same table name serves the NEW table, never the dead " +
+    "incarnation's file list") {
+    install()
+    val org = spark
+    org.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      ext.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+      // incarnation 1: same (root, version) keys as incarnation 2
+      // will have — versions are dense from 0 per directory
+      ext.sql("DROP TABLE IF EXISTS graft.sqlns.reinc")
+      ext.sql("CREATE TABLE graft.sqlns.reinc AS " +
+        "SELECT id FROM range(7)")
+      assert(ext.sql("SELECT count(*) FROM graft.sqlns.reinc")
+        .head.getLong(0) == 7)
+      // drop deletes the directory; recreate mints fresh v0/v1 — a
+      // (root, version)-keyed cache would now serve the dead
+      // incarnation's analyzed plan, whose FileIndex lists parquet
+      // files that no longer exist
+      ext.sql("DROP TABLE graft.sqlns.reinc")
+      ext.sql("CREATE TABLE graft.sqlns.reinc AS " +
+        "SELECT id FROM range(31)")
+      assert(ext.sql("SELECT count(*) FROM graft.sqlns.reinc")
+        .head.getLong(0) == 31,
+        "second incarnation served stale cached state")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(org)
+      SparkSession.setActiveSession(org)
+    }
+  }
+
   /** Fresh extensions session over the shared context (row-level DML
     * executes through the injected planner strategy). */
   private def withExtSession[A](f: SparkSession => A): A = {
