@@ -84,5 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(s => new graft.lake.GraftV1ReadRule(s))
     e.injectPlannerStrategy(s =>
       org.apache.spark.sql.graft.GraftRowDeltaStrategy(s))
+    e.injectPlannerStrategy(s =>
+      org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy(s))
   }
 }

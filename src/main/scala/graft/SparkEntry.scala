@@ -1669,6 +1669,8 @@ object SparkEntry {
     "q176_sql_merge" -> (graft.lake.SqlQueries.sqlMerge _),
     "q177_sql_update" -> (graft.lake.SqlQueries.sqlUpdate _),
     "q178_sql_stream_table" -> (graft.lake.SqlQueries.sqlStreamTable _),
+    "q179_sql_stream_to_table" ->
+      (graft.lake.SqlQueries.sqlStreamToTable _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4217,6 +4219,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type""",
+    "q179_sql_stream_to_table" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
+           AND user_id % 2 = 0
          GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,

@@ -1604,6 +1604,28 @@ class LakeTable private (
   def appendExactlyOnce(df: DataFrame, batchId: Long): Int =
     appendExactlyOnce(df, DefaultWriter, batchId)
 
+  /** Idempotent FULL overwrite keyed by (writerId, batchId) — the
+    * exactly-once form of [[overwriteAll]], what a COMPLETE-mode
+    * streaming sink needs: each epoch replaces the table's whole
+    * content, a replayed epoch (restart after commit, before the
+    * checkpoint advanced) is suppressed by the same per-writer
+    * high-water guard as [[appendExactlyOnce]] — atomic with the
+    * commit, so the table never holds a duplicated epoch. */
+  def overwriteAllExactlyOnce(df: DataFrame, writerId: String,
+                              batchId: Long): Int = {
+    val key = writerKey(writerId)
+    if (highWater(key).exists(_ >= batchId)) currentVersion
+    else {
+      val node = latest()._2
+      commitWith(Some(writeData(enforced(df))),
+        replacedFiles = filesOf(node).map(_.path).toSet,
+        Map("operation" -> "overwrite", BatchIdKey -> batchId.toString,
+          WriterIdKey -> writerId),
+        guard = Some(MonotoneGuard(key, batchId)), alter = None,
+        appliedDeletes = deletesOf(node).map(_.path).toSet)
+    }
+  }
+
   /** Highest streaming batch id committed by `writerId` (-1 if none). */
   def lastBatchId(writerId: String): Long =
     highWater(writerKey(writerId)).getOrElse(-1L)

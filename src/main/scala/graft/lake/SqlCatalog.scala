@@ -422,7 +422,8 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
     if (pinned.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE)
     else
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -530,9 +531,85 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
               lake.autoCompactIfNeeded()
             }
           }
+        /** `df.writeStream.toTable("graft.ns.t")`: the write half of
+          * the streaming catalog surface. Append mode commits each
+          * epoch through [[LakeTable.appendExactlyOnce]], complete
+          * mode (Spark calls `truncate()` first) through
+          * [[LakeTable.overwriteAllExactlyOnce]] — both keyed
+          * (queryId, epochId), so a replayed epoch after a checkpoint
+          * restart is suppressed atomically with the commit. Execution
+          * is the [[org.apache.spark.sql.graft
+          * .GraftStreamingTableWriteStrategy]] V1 delegation; see the
+          * marker's scaladoc. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new GraftStreamingWrite(GraftSqlTable.this, info.queryId(),
+            overwrite)
       }
     }
   }
+}
+
+/** Marker [[org.apache.spark.sql.connector.write.streaming
+  * .StreamingWrite]] behind `writeStream.toTable` on a
+  * [[GraftSqlTable]]. Planning-wise it rides Spark's stock micro-batch
+  * write pipeline (V2Writes wraps it in a `MicroBatchWrite` carrying
+  * the epoch id); execution is claimed by
+  * [[org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy]],
+  * which runs the batch query through the engine's V1 write path and
+  * drives THIS marker's `commit(epochId, _)` — the protocol's own
+  * epoch-id delivery, no writer factory, no reflection. The factory
+  * method fails with an install instruction (the strategy is injected
+  * by [[graft.GraftExtensions]]), never a wrong result. */
+class GraftStreamingWrite(
+    val table: GraftSqlTable, val queryId: String, val truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  /** The epoch's rows, staged by the exec just before it drives
+    * `commit` (one instance per micro-batch: V2Writes rebuilds the
+    * write builder each batch). */
+  @volatile private var staged: Option[DataFrame] = None
+  /** Seam for [[org.apache.spark.sql.graft
+    * .GraftStreamingTableWriteExec]] (a different root package, so no
+    * access modifier fits): stage the epoch's rows before driving
+    * commit. */
+  def stage(df: DataFrame): Unit = staged = Some(df)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    throw new UnsupportedOperationException(
+      s"streaming writes to ${table.name} execute through the graft " +
+        "planner strategy — install GraftExtensions on the session " +
+        "(.config(\"spark.sql.extensions\", \"graft.GraftExtensions\") " +
+        "or SparkSession.builder.withExtensions(new graft." +
+        "GraftExtensions()(_)))")
+
+  /** Exactly-once epoch commit: keyed (queryId, epochId) — the same
+    * per-writer high-water contract the engine's own MV loops ride.
+    * The queryId is the STREAMING QUERY's id (stable across restarts
+    * from one checkpoint; a fresh checkpoint mints a fresh id and a
+    * fresh idempotence scope — Delta's txn appId/version pattern). */
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val df = staged.getOrElse(throw new IllegalStateException(
+      s"streaming epoch $epochId on ${table.name} committed with no " +
+        "staged batch — the graft strategy must stage before commit"))
+    staged = None
+    if (truncate)
+      table.lake.overwriteAllExactlyOnce(df, queryId, epochId)
+    else {
+      table.lake.appendExactlyOnce(df, queryId, epochId)
+      // continuous ingestion is exactly the workload the size-ladder
+      // auto-compaction exists for (O(1) check when not opted in)
+      table.lake.autoCompactIfNeeded()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    staged = None
 }
 
 /** The delta-based row-level operation behind SQL UPDATE / MERGE /

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
 
-import graft.lake.{GraftDeltaWrite, GraftSqlTable, LakeTable}
+import graft.lake.{GraftDeltaWrite, GraftSqlTable, GraftStreamingWrite, LakeTable}
 
 /** Package-access bridge for `private[spark]` utilities the streaming
   * catalog read needs (see [[graft.sources.GraftLakeMicroBatchStream]]
@@ -93,6 +93,92 @@ case class GraftRowDeltaStrategy(session: SparkSession)
     case WriteDelta(_, _, query, _, projections, Some(w: GraftDeltaWrite)) =>
       GraftRowDeltaExec(session, w.table, w.cmd, projections, query) :: Nil
     case _ => Nil
+  }
+}
+
+/** Planner strategy executing `df.writeStream.toTable("graft.ns.t")` —
+  * the WRITE half of the streaming catalog surface (the read half is
+  * [[graft.sources.GraftLakeMicroBatchStream]]), injected by
+  * [[graft.GraftExtensions]].
+  *
+  * The division of labor mirrors [[GraftRowDeltaStrategy]]: Spark's
+  * stock micro-batch machinery owns the STREAMING semantics — the
+  * per-batch plan rewrite (`V2Writes` wraps the table's marker
+  * [[graft.lake.GraftStreamingWrite]] in a
+  * [[org.apache.spark.sql.execution.streaming.sources.MicroBatchWrite]]
+  * carrying the epoch id), checkpointing, trigger pacing, restart
+  * replay — and this strategy claims the resulting
+  * [[WriteToDataSourceV2]] and lands each epoch through the engine's
+  * V1 write path: ONE transactional `appendExactlyOnce(queryId,
+  * epochId)` commit per epoch (complete mode: `overwriteAllExactlyOnce`
+  * — Spark asked the builder to truncate), the same idempotence
+  * machinery the engine's own MV loops ride, so a replayed epoch after
+  * a checkpoint restart is suppressed atomically with the commit. The
+  * epoch id reaches the engine through the PROTOCOL'S OWN delivery —
+  * the exec stages the batch on the marker and drives
+  * `MicroBatchWrite.commit`, which calls back `marker.commit(epochId,
+  * _)` — no writer-factory rebuild, no reflection into Spark
+  * internals. This is the crest ingestion loop itself (wire ->
+  * transactional table commit, /root/reference/pkg/ingestor/
+  * ingestor.go:58-102, iceberg_committer.go:122-147) expressed the way
+  * a Spark user writes it. */
+case class GraftStreamingTableWriteStrategy(session: SparkSession)
+    extends SparkStrategy {
+  import org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2
+  import org.apache.spark.sql.execution.streaming.sources.MicroBatchWrite
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case WriteToDataSourceV2(_, mbw: MicroBatchWrite, query, _)
+        if mbw.writeSupport.isInstanceOf[GraftStreamingWrite] =>
+      GraftStreamingTableWriteExec(session,
+        mbw.writeSupport.asInstanceOf[GraftStreamingWrite], mbw,
+        query.schema, planLater(query)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Executes one streaming epoch into a catalog table: the batch query
+  * is a PLANNED CHILD (Spark's own physical plan for the micro-batch,
+  * exactly what the stock write exec would run), its rows re-wrapped
+  * as a batch DataFrame (the streaming leaves' `isStreaming` flag must
+  * not leak into the lake's V1 write, which rightly refuses streaming
+  * plans), aligned by NAME to the table's visible columns (a missing
+  * column is a loud error, not a silent null; derived bucket/transform
+  * columns stay the writer's job), staged on the marker, and committed
+  * by driving [[org.apache.spark.sql.execution.streaming.sources
+  * .MicroBatchWrite]] — so the engine receives the epoch id from the
+  * write protocol itself. */
+case class GraftStreamingTableWriteExec(
+    spark: SparkSession, marker: GraftStreamingWrite,
+    mbw: org.apache.spark.sql.execution.streaming.sources.MicroBatchWrite,
+    querySchema: org.apache.spark.sql.types.StructType,
+    child: SparkPlan) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(child = newChildren.head)
+  override def simpleString(maxFields: Int): String =
+    s"GraftStreamingTableWrite ${marker.table.name()}"
+
+  override protected def run(): Seq[InternalRow] = {
+    import org.apache.spark.sql.functions.col
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // rows are consumed exactly once by the write job below; the write
+    // path serializes each row on receipt (parquet writer / shuffle
+    // writer), so no defensive per-row copy is needed
+    val df = classic.internalCreateDataFrame(child.execute(), querySchema)
+    val visible = marker.table.schema
+    val missing = visible.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"streaming write to ${marker.table.name()} is missing " +
+        s"column(s) ${missing.mkString(", ")} (query columns: " +
+        df.columns.mkString(", ") + ")")
+    val aligned = df.select(visible.fields.map(f =>
+      col(f.name).cast(f.dataType)).toSeq: _*)
+    marker.stage(aligned)
+    mbw.commit(Array.empty)
+    Nil
   }
 }
 
