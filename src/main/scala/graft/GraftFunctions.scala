@@ -86,5 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.graft.GraftRowDeltaStrategy(s))
     e.injectPlannerStrategy(s =>
       org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy(s))
+    e.injectPlannerStrategy(s =>
+      org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy(s))
   }
 }

@@ -1671,6 +1671,8 @@ object SparkEntry {
     "q178_sql_stream_table" -> (graft.lake.SqlQueries.sqlStreamTable _),
     "q179_sql_stream_to_table" ->
       (graft.lake.SqlQueries.sqlStreamToTable _),
+    "q180_sql_dynamic_overwrite" ->
+      (graft.lake.SqlQueries.sqlDynamicOverwrite _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4225,6 +4227,14 @@ object SparkEntry {
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'view', 'purchase')
            AND user_id % 2 = 0
+         GROUP BY event_type""",
+    "q180_sql_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (CAST(ts AS DATE) =
+                      (SELECT CAST(min(ts) AS DATE) FROM events)
+                    AND user_id % 5 = 2)
          GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,

@@ -1361,14 +1361,20 @@ class LakeTable private (
       e match {
         case f: UnresolvedFunction if f.arguments.size == 2 &&
             f.nameParts.size == 1 &&
-            Set("<", "<=", ">", ">=", "=", "==")(f.nameParts.head) =>
-          val op = if (f.nameParts.head == "==") "=" else f.nameParts.head
+            Set("<", "<=", ">", ">=", "=", "==", "<=>")(f.nameParts.head) =>
+          // <=> with a NON-NULL literal behaves as = for range checks
+          // (a null literal never canonicalizes: litVal(null) is None,
+          // so it falls back to no-prune / no-proof — conservative)
+          val op =
+            if (Set("==", "<=>")(f.nameParts.head)) "="
+            else f.nameParts.head
           Some((op, f.arguments(0), f.arguments(1)))
         case LessThan(l, r)           => Some(("<", l, r))
         case LessThanOrEqual(l, r)    => Some(("<=", l, r))
         case GreaterThan(l, r)        => Some((">", l, r))
         case GreaterThanOrEqual(l, r) => Some((">=", l, r))
         case EqualTo(l, r)            => Some(("=", l, r))
+        case EqualNullSafe(l, r)      => Some(("=", l, r))
         case _ => None
       }
     def flip(op: String): String = op match {
@@ -1560,6 +1566,236 @@ class LakeTable private (
       replacedFiles = filesOf(node).map(_.path).toSet,
       appMeta + ("operation" -> "overwrite"), guard = None, alter = None,
       appliedDeletes = deletesOf(node).map(_.path).toSet)
+  }
+
+  /** Filter-scoped overwrite (`INSERT OVERWRITE ... PARTITION (...)`,
+    * `DataFrameWriterV2.overwrite(cond)` — Spark's
+    * `OverwriteByExpression`): ONE transactional commit that removes
+    * every row matching `condition` and appends `df`. The removal is
+    * WHOLE FILES, proven from manifest metadata: a file is replaced
+    * only when its stats PROVE every row matches (exact [lo, hi]
+    * ranges + null counts; partition constants are recorded as exact
+    * [v, v] stats, so partition-aligned predicates prove whole
+    * directories). Files that might hold BOTH matching and
+    * non-matching rows make the operation REFUSE — Iceberg's static
+    * overwrite contract: an overwrite is either provably exact or
+    * rejected with guidance (dynamic mode / MERGE), never
+    * half-applied and never a row-level rewrite in disguise. O(replaced
+    * files) metadata + O(new data) write; nothing is read. */
+  def overwriteWhere(condition: org.apache.spark.sql.Column,
+                     df: DataFrame,
+                     appMeta: Map[String, String] = Map.empty): Int = {
+    val (v0, node) = latest()
+    val entries = filesOf(node)
+    val mightMatch = pruneFilesAmong(entries, condition)
+    val proven = fullyMatchingFiles(mightMatch, condition)
+    val provenPaths = proven.map(_.path).toSet
+    val uncertain = mightMatch.filterNot(e => provenPaths(e.path))
+    require(uncertain.isEmpty,
+      s"INSERT OVERWRITE at $root: predicate $condition does not " +
+        s"align with file boundaries — ${uncertain.size} file(s) may " +
+        "hold both matching and non-matching rows (e.g. " +
+        uncertain.take(3).map(_.path).mkString(", ") + "). Refusing " +
+        "rather than half-applying; use dynamic partition overwrite " +
+        "(spark.sql.sources.partitionOverwriteMode=dynamic), a " +
+        "partition-aligned predicate, or MERGE INTO for row-level " +
+        "replacement")
+    val pending = writeData(enforced(df))
+    if (provenPaths.isEmpty && pending.files.isEmpty) return v0
+    commitWith(Some(pending), provenPaths,
+      appMeta + ("operation" -> "overwrite",
+        "overwrite.predicate" -> condition.toString),
+      guard = None, alter = None, strictReplace = true)
+  }
+
+  /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` — Spark's
+    * `OverwritePartitionsDynamic`, Iceberg's "replace partitions"):
+    * ONE transactional commit that replaces exactly the partitions the
+    * incoming rows land in — every live file in a touched partition
+    * directory is removed, the new files are added, untouched
+    * partitions stay byte-identical. The partition is the FULL spec
+    * tuple (identity + transform + bucket directories — Iceberg's
+    * definition), compared as the physical partition path the writer
+    * derives, so hidden partitioning works from pure SQL with the user
+    * never naming a derived column. The rebuild cost is O(touched
+    * partitions' files) metadata + the new data write; at 100 TB,
+    * "rebuild yesterday" touches one day's directory, never the
+    * table. Live MOR deletes on replaced files die with them (the
+    * commit drops delete entries whose covered files all left the
+    * live set). Files written under a SUPERSEDED partition spec make
+    * the operation refuse (their directories are not comparable to
+    * the current spec's tuples) — compact() first, which rewrites to
+    * the current layout. */
+  def overwritePartitionsDynamic(df: DataFrame,
+                                 appMeta: Map[String, String] = Map.empty)
+      : Int = {
+    val (v0, node) = latest()
+    val parts = partitionByOf(node)
+    require(parts.nonEmpty,
+      s"dynamic partition overwrite at $root needs a partitioned " +
+        "table; an unpartitioned INSERT OVERWRITE replaces the full " +
+        "table (overwriteAll)")
+    val entries = filesOf(node)
+    def dirKeysOf(e: FileEntry): Set[String] =
+      dirOf(e.path.stripPrefix("data/")).split("/").toSeq
+        .filter(_.contains("=")).map(_.split("=", 2)(0)).toSet
+    val stale = entries.filter(e => dirKeysOf(e) != parts.toSet)
+    require(stale.isEmpty,
+      s"dynamic partition overwrite at $root: ${stale.size} file(s) " +
+        "were written under a superseded partition spec (e.g. " +
+        stale.take(3).map(_.path).mkString(", ") + ") and cannot be " +
+        "matched against the current spec's partition tuples — run " +
+        "compact() to rewrite them into the current layout first")
+    val pending = writeData(enforced(df))
+    if (pending.files.isEmpty) return v0 // no rows -> no partitions
+    val touched = pending.files
+      .map(e => dirOf(e.path.stripPrefix("data/"))).toSet
+    require(!touched.contains(""),
+      s"dynamic overwrite write produced un-partitioned files at $root")
+    val replaced = entries
+      .filter(e => touched(dirOf(e.path.stripPrefix("data/"))))
+      .map(_.path).toSet
+    commitWith(Some(pending), replaced,
+      appMeta + ("operation" -> "overwrite",
+        "overwrite.dynamicPartitions" -> touched.size.toString),
+      guard = None, alter = None, strictReplace = true)
+  }
+
+  /** Files whose EVERY row provably satisfies `condition` — the
+    * must-match mirror of [[pruneFilesAmong]]'s may-match test, used
+    * by [[overwriteWhere]] to turn a predicate into an exact
+    * whole-file replace set. Supports the same canonical shapes
+    * (`col OP literal`, IN, IS [NOT] NULL, AND — plus OR where either
+    * side proves); anything else proves nothing (never a wrong
+    * replace). Proof rules over exact manifest metadata:
+    * a comparison holds for all rows iff the column has ZERO nulls
+    * (a NULL never satisfies a comparison) and the [lo, hi] range
+    * lies entirely inside the predicate's region. */
+  private[lake] def fullyMatchingFiles(
+      entries: Seq[FileEntry],
+      condition: org.apache.spark.sql.Column): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    def norm(v: Any): Option[Any] = v match {
+      case null => None
+      case x: Byte => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Int => Some(x.toLong)
+      case x: Long => Some(x)
+      case x: Float => if (x.isNaN) None else Some(x.toDouble)
+      case x: Double => if (x.isNaN) None else Some(x)
+      case x: Boolean => Some(x)
+      case x: String => Some(x)
+      case x: org.apache.spark.unsafe.types.UTF8String => Some(x.toString)
+      case _ => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => norm(v)
+      case _ => None
+    }
+    def binOp(e: Expression): Option[(String, Expression, Expression)] =
+      e match {
+        case f: UnresolvedFunction if f.arguments.size == 2 &&
+            f.nameParts.size == 1 &&
+            Set("<", "<=", ">", ">=", "=", "==", "<=>")(f.nameParts.head) =>
+          // <=> with a NON-NULL literal behaves as = for range checks
+          // (a null literal never canonicalizes: litVal(null) is None,
+          // so it falls back to no-prune / no-proof — conservative)
+          val op =
+            if (Set("==", "<=>")(f.nameParts.head)) "="
+            else f.nameParts.head
+          Some((op, f.arguments(0), f.arguments(1)))
+        case LessThan(l, r)           => Some(("<", l, r))
+        case LessThanOrEqual(l, r)    => Some(("<=", l, r))
+        case GreaterThan(l, r)        => Some((">", l, r))
+        case GreaterThanOrEqual(l, r) => Some((">=", l, r))
+        case EqualTo(l, r)            => Some(("=", l, r))
+        case EqualNullSafe(l, r)      => Some(("=", l, r))
+        case _ => None
+      }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="
+      case ">" => "<"; case ">=" => "<="; case o => o
+    }
+    def cano(e: Expression): Option[(String, String, Any)] =
+      binOp(e).flatMap {
+        case (op, a, l) if attrName(a).isDefined =>
+          litVal(l).map((attrName(a).get, op, _))
+        case (op, l, a) if attrName(a).isDefined =>
+          litVal(l).map((attrName(a).get, flip(op), _))
+        case _ => None
+      }
+    def inList(e: Expression): Option[(Expression, Seq[Expression])] =
+      e match {
+        case f: UnresolvedFunction
+            if f.nameParts == Seq("in") && f.arguments.nonEmpty =>
+          Some((f.arguments.head, f.arguments.tail))
+        case In(a, vs) => Some((a, vs))
+        case _ => None
+      }
+    def nullPred(e: Expression): Option[(String, Boolean)] = e match {
+      case IsNull(a)    => attrName(a).map(_ -> true)
+      case IsNotNull(a) => attrName(a).map(_ -> false)
+      case f: UnresolvedFunction if f.arguments.size == 1 &&
+          f.nameParts.size == 1 &&
+          Set("isnull", "isnotnull")(f.nameParts.head.toLowerCase) =>
+        attrName(f.arguments.head)
+          .map(_ -> (f.nameParts.head.toLowerCase == "isnull"))
+      case _ => None
+    }
+    // all rows satisfy "col OP v": zero nulls and the whole range
+    // inside the region; unknown comparisons prove nothing
+    def mustCmp(op: String, v: Any, st: ColStat): Boolean = op match {
+      case "=" => cmpStat(st.lo, v).exists(_ == 0) &&
+        cmpStat(st.hi, v).exists(_ == 0)
+      case ">"  => cmpStat(st.lo, v).exists(_ > 0)
+      case ">=" => cmpStat(st.lo, v).exists(_ >= 0)
+      case "<"  => cmpStat(st.hi, v).exists(_ < 0)
+      case "<=" => cmpStat(st.hi, v).exists(_ <= 0)
+    }
+    def noNulls(f: FileEntry, n: String): Boolean =
+      f.nullCounts.get(n).contains(0L)
+    def must(e: Expression, f: FileEntry): Boolean = e match {
+      case And(l, r) => must(l, f) && must(r, f)
+      case fn: UnresolvedFunction
+          if fn.nameParts == Seq("and") && fn.arguments.size == 2 =>
+        must(fn.arguments(0), f) && must(fn.arguments(1), f)
+      case Or(l, r) => must(l, f) || must(r, f)
+      case fn: UnresolvedFunction
+          if fn.nameParts == Seq("or") && fn.arguments.size == 2 =>
+        must(fn.arguments(0), f) || must(fn.arguments(1), f)
+      case _ =>
+        inList(e) match {
+          case Some((a, vs)) if attrName(a).isDefined =>
+            val n = attrName(a).get
+            val lits = vs.flatMap(litVal)
+            // provable when the file is single-valued on the column
+            // and that value is listed
+            lits.size == vs.size && noNulls(f, n) &&
+              f.stats.get(n).exists(st =>
+                cmpStat(st.lo, st.hi).exists(_ == 0) &&
+                  lits.exists(v => cmpStat(st.lo, v).exists(_ == 0)))
+          case _ => nullPred(e) match {
+            case Some((n, wantNull)) =>
+              if (wantNull) f.nullCounts.get(n).contains(f.rows)
+              else noNulls(f, n)
+            case None => cano(e) match {
+              case Some((n, op, v)) => noNulls(f, n) &&
+                f.stats.get(n).exists(st => mustCmp(op, v, st))
+              case None => false
+            }
+          }
+        }
+    }
+    val cond =
+      org.apache.spark.sql.graft.ColumnBridge.catalystExpression(condition)
+    entries.filter(f => f.rows == 0L || must(cond, f))
   }
 
   /** Add a nullable column (metadata-only, Iceberg `ADD COLUMN`): the

@@ -421,7 +421,14 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ,
+        // BATCH_WRITE is advertised for the capability CHECKS (dynamic
+        // overwrite demands it); execution still dispatches on the
+        // Write OBJECT — every write here is a V1Write, so the V1
+        // fallback execs run, never the DSv2 batch writer
+        TableCapability.BATCH_WRITE,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.STREAMING_WRITE)
     else
@@ -510,44 +517,105 @@ class GraftSqlTable(ident: String, val lake: LakeTable,
     }
   }
 
+  /** One builder for every write shape Spark routes here:
+    *  - `INSERT INTO` — plain append;
+    *  - `INSERT OVERWRITE` (static) / `TRUNCATE` — Spark calls
+    *    `overwrite([AlwaysTrue])` — full overwrite;
+    *  - static `PARTITION (...)` clauses / `DataFrameWriterV2
+    *    .overwrite(cond)` — `overwrite(filters)` — filter-scoped
+    *    overwrite through [[LakeTable.overwriteWhere]] (whole files
+    *    proven from manifest stats; misaligned predicates refuse);
+    *  - `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` —
+    *    `overwriteDynamicPartitions()` —
+    *    [[LakeTable.overwritePartitionsDynamic]] via the injected
+    *    [[org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy]]
+    *    (Spark 4 has no V1 fallback exec for dynamic overwrite);
+    *  - `writeStream.toTable` — `toStreaming`, see
+    *    [[GraftStreamingWrite]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot write to a time-travel view")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, ow: Boolean): Unit = {
-              if (overwrite || ow) lake.overwriteAll(data)
-              else lake.append(data)
-              // the same post-commit size-ladder gate the MV loops
-              // call: a table that opted into auto-compaction
-              // (compaction.auto.* properties) keeps its file count
-              // bounded under CONTINUED SQL INSERTs into a
-              // fine-grained partition layout, instead of growing one
-              // file per partition tuple per statement; O(1) metadata
-              // check when the table never opted in
-              lake.autoCompactIfNeeded()
-            }
-          }
-        /** `df.writeStream.toTable("graft.ns.t")`: the write half of
-          * the streaming catalog surface. Append mode commits each
-          * epoch through [[LakeTable.appendExactlyOnce]], complete
-          * mode (Spark calls `truncate()` first) through
-          * [[LakeTable.overwriteAllExactlyOnce]] — both keyed
-          * (queryId, epochId), so a replayed epoch after a checkpoint
-          * restart is suppressed atomically with the commit. Execution
-          * is the [[org.apache.spark.sql.graft
-          * .GraftStreamingTableWriteStrategy]] V1 delegation; see the
-          * marker's scaladoc. */
-        override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite =
-          new GraftStreamingWrite(GraftSqlTable.this, info.queryId(),
-            overwrite)
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      private var filters: Option[Array[Filter]] = None
+      private var dynamic = false
+      /** Only claim predicates with an exact Column translation —
+        * Spark refuses the overwrite otherwise, instead of us guessing
+        * at semantics (the same stance as canDeleteWhere). */
+      override def canOverwrite(fs: Array[Filter]): Boolean =
+        fs.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+      override def overwrite(fs: Array[Filter]): WriteBuilder = {
+        filters = Some(fs); this
       }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
+      override def build(): Write =
+        new GraftTableWrite(GraftSqlTable.this, info.queryId(),
+          filters, dynamic)
     }
   }
+}
+
+/** The write produced by [[GraftSqlTable.newWriteBuilder]]: V1
+  * delegation for append / truncate / filter-scoped overwrite, a
+  * strategy marker for dynamic partition overwrite (no V1 fallback
+  * exec exists in Spark 4), and the streaming marker for
+  * `writeStream.toTable`. */
+class GraftTableWrite(val table: GraftSqlTable, queryId: String,
+                      filters: Option[Array[Filter]],
+                      val dynamic: Boolean) extends V1Write {
+  import org.apache.spark.sql.functions.lit
+
+  private def isTruncate = filters.exists(fs =>
+    fs.isEmpty || fs.forall(_.isInstanceOf[sources.AlwaysTrue]))
+
+  override def toInsertableRelation: InsertableRelation =
+    new InsertableRelation {
+      override def insert(data: DataFrame, ow: Boolean): Unit = {
+        require(!dynamic,
+          "dynamic partition overwrite executes through the graft " +
+            "planner strategy, never the V1 insert path")
+        if (isTruncate || (ow && filters.isEmpty))
+          table.lake.overwriteAll(data)
+        else filters match {
+          case Some(fs) =>
+            table.lake.overwriteWhere(
+              GraftScanBuilder.conjunction(fs).getOrElse(lit(true)), data)
+          case None => table.lake.append(data)
+        }
+        // the same post-commit size-ladder gate the MV loops call: a
+        // table that opted into auto-compaction (compaction.auto.*
+        // properties) keeps its file count bounded under CONTINUED SQL
+        // INSERTs into a fine-grained partition layout, instead of
+        // growing one file per partition tuple per statement; O(1)
+        // metadata check when the table never opted in
+        table.lake.autoCompactIfNeeded()
+      }
+    }
+
+  /** Reached only for dynamic overwrite WITHOUT the extensions
+    * strategy (the V1 routes above never call toBatch). */
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite =
+    throw new UnsupportedOperationException(
+      s"dynamic partition overwrite on ${table.name} executes through " +
+        "the graft planner strategy — install GraftExtensions on the " +
+        "session (.config(\"spark.sql.extensions\", " +
+        "\"graft.GraftExtensions\") or SparkSession.builder" +
+        ".withExtensions(new graft.GraftExtensions()(_)))")
+
+  /** `df.writeStream.toTable("graft.ns.t")`: the write half of the
+    * streaming catalog surface. Append mode commits each epoch through
+    * [[LakeTable.appendExactlyOnce]], complete mode (Spark calls
+    * `truncate()` first) through [[LakeTable.overwriteAllExactlyOnce]]
+    * — both keyed (queryId, epochId), so a replayed epoch after a
+    * checkpoint restart is suppressed atomically with the commit.
+    * Execution is the [[org.apache.spark.sql.graft
+    * .GraftStreamingTableWriteStrategy]] V1 delegation; see the
+    * marker's scaladoc. */
+  override def toStreaming: org.apache.spark.sql.connector.write
+      .streaming.StreamingWrite =
+    new GraftStreamingWrite(table, queryId, isTruncate)
 }
 
 /** Marker [[org.apache.spark.sql.connector.write.streaming

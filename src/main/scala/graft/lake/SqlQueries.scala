@@ -47,6 +47,11 @@ object SqlQueries {
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+
           org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy(s)
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[
+        org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+
+          org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy(s)
   }
 
   /** q172: CTAS a lake table from lineitem and run a filtered banded
@@ -290,6 +295,54 @@ object SqlQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g179.q.sink GROUP BY event_type""".stripMargin)
+  }
+
+  /** q180: DYNAMIC `INSERT OVERWRITE` rebuilding ONE hidden `days(ts)`
+    * partition through pure SQL — the "rebuild yesterday" operation at
+    * 100 TB: under `partitionOverwriteMode=dynamic` the overwrite
+    * replaces exactly the partitions the incoming rows land in (one
+    * transactional commit, every other day's files byte-untouched),
+    * and the SQL user never names the derived partition column. The
+    * rebuild drops a user cohort from the table's FIRST day (a
+    * targeted re-curation); the oracle replays the algebra as an
+    * anti-filter scoped to that day. */
+  def sqlDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g180")
+    installRowLevel(s) // dynamic overwrite rides the injected strategy
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .createOrReplaceTempView("g180_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g180.q")
+    s.sql("DROP TABLE IF EXISTS g180.q.events")
+    s.sql(
+      """CREATE TABLE g180.q.events
+        |(event_id BIGINT, user_id BIGINT, event_type STRING,
+        | value DOUBLE, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    s.sql("INSERT INTO g180.q.events SELECT * FROM g180_src")
+    val prev = s.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rebuild the first day: its partition is replaced with the
+      // same rows MINUS the user_id % 5 = 2 cohort
+      s.sql(
+        """INSERT OVERWRITE g180.q.events
+          |SELECT * FROM g180_src
+          |WHERE CAST(ts AS DATE) =
+          |    (SELECT CAST(min(ts) AS DATE) FROM g180_src)
+          |  AND user_id % 5 <> 2""".stripMargin)
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g180.q.events GROUP BY event_type""".stripMargin)
   }
 
   /** q174: hidden partitioning through SQL — `PARTITIONED BY

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
 
-import graft.lake.{GraftDeltaWrite, GraftSqlTable, GraftStreamingWrite, LakeTable}
+import graft.lake.{GraftDeltaWrite, GraftSqlTable, GraftStreamingWrite, GraftTableWrite, LakeTable}
 
 /** Package-access bridge for `private[spark]` utilities the streaming
   * catalog read needs (see [[graft.sources.GraftLakeMicroBatchStream]]
@@ -133,6 +133,65 @@ case class GraftStreamingTableWriteStrategy(session: SparkSession)
         mbw.writeSupport.asInstanceOf[GraftStreamingWrite], mbw,
         query.schema, planLater(query)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Planner strategy executing DYNAMIC `INSERT OVERWRITE` on graft
+  * catalog tables (`spark.sql.sources.partitionOverwriteMode=dynamic`),
+  * injected by [[graft.GraftExtensions]]. Spark's analyzer owns the
+  * SQL semantics (`ResolveInsertInto` plans
+  * `OverwritePartitionsDynamic`, `TableOutputResolver` aligns the
+  * query to the table's columns) and `V2Writes` stamps the table's
+  * [[graft.lake.GraftTableWrite]] marker; this strategy claims the
+  * plan and lands it through
+  * [[graft.lake.LakeTable.overwritePartitionsDynamic]] — ONE
+  * transactional commit replacing exactly the partitions the incoming
+  * rows touch (Spark 4 ships no V1 fallback exec for dynamic
+  * overwrite, so without this strategy the marker's `toBatch` fails
+  * with an install instruction — honest, never wrong). */
+case class GraftDynamicOverwriteStrategy(session: SparkSession)
+    extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case OverwritePartitionsDynamic(_, query, _, _,
+        Some(w: GraftTableWrite)) if w.dynamic =>
+      GraftDynamicOverwriteExec(session, w.table, query.schema,
+        planLater(query)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Executes one dynamic partition overwrite: the aligned query is a
+  * planned child (TableOutputResolver already named/cast its output to
+  * the table's visible columns); its rows land through
+  * [[graft.lake.LakeTable.overwritePartitionsDynamic]] in one commit. */
+case class GraftDynamicOverwriteExec(
+    spark: SparkSession, table: GraftSqlTable,
+    querySchema: org.apache.spark.sql.types.StructType,
+    child: SparkPlan) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(child = newChildren.head)
+  override def simpleString(maxFields: Int): String =
+    s"GraftDynamicOverwrite ${table.name()}"
+
+  override protected def run(): Seq[InternalRow] = {
+    import org.apache.spark.sql.functions.col
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df = classic.internalCreateDataFrame(child.execute(), querySchema)
+    val visible = table.schema
+    val missing = visible.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"dynamic overwrite of ${table.name()} is missing column(s) " +
+        s"${missing.mkString(", ")} (query columns: " +
+        df.columns.mkString(", ") + ")")
+    val aligned = df.select(visible.fields.map(f =>
+      col(f.name).cast(f.dataType)).toSeq: _*)
+    table.lake.overwritePartitionsDynamic(aligned)
+    Nil
   }
 }
 
