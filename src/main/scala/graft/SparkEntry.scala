@@ -1673,6 +1673,8 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlStreamToTable _),
     "q180_sql_dynamic_overwrite" ->
       (graft.lake.SqlQueries.sqlDynamicOverwrite _),
+    "q181_sql_call_procedures" ->
+      (graft.lake.SqlQueries.sqlCallProcedures _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4235,6 +4237,18 @@ object SparkEntry {
          WHERE NOT (CAST(ts AS DATE) =
                       (SELECT CAST(min(ts) AS DATE) FROM events)
                     AND user_id % 5 = 2)
+         GROUP BY event_type""",
+    "q181_sql_call_procedures" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+                'tagged' AS snapshot
+         FROM events WHERE event_type = 'click'
+         GROUP BY event_type
+         UNION ALL
+         SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+                'current' AS snapshot
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
          GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,

@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * API (CHECK constraints, bucket layout, auto-compaction policies all
   * apply).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -287,6 +288,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "renaming a lake table renames its directory — an O(data) copy " +
         "on an object store; publish an alias instead " +
         "(LakeCatalog.setAlias)")
+
+  // ---- procedures (CALL graft.system.<proc>(...)) ---------------------
+
+  /** Maintenance + ref operations as SQL procedures — Iceberg's
+    * `CALL cat.system.proc(...)` surface; see [[SqlProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: " +
+        s"CALL $catalogName.system.<name>(...), got $ident")
+    SqlProcedures.load(ident.name, lakeCat).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure $ident (available: " +
+          SqlProcedures.Names.mkString(", ") + ")"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else SqlProcedures.Names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 object GraftCatalog {

@@ -345,6 +345,41 @@ object SqlQueries {
         |FROM g180.q.events GROUP BY event_type""".stripMargin)
   }
 
+  /** q181: maintenance + refs through `CALL` — the pure-SQL operations
+    * story: `CALL g181.system.create_tag(...)` names the audited
+    * snapshot, later INSERTs move the table on, `CALL
+    * g181.system.compact(...)` rewrites the file set (a maintenance
+    * commit that must not change ANY query answer), and the result
+    * reads the tag by name (`VERSION AS OF 'clicks-only'`) next to the
+    * post-compaction current state — q173's time-travel story with
+    * both the ref creation AND the maintenance drivable from SQL. */
+  def sqlCallProcedures(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g181")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g181_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g181.q")
+    s.sql("DROP TABLE IF EXISTS g181.q.events")
+    s.sql("""CREATE TABLE g181.q.events AS
+             SELECT * FROM g181_src WHERE event_type = 'click'""")
+    s.sql("CALL g181.system.create_tag('q.events', 'clicks-only')")
+    s.sql("""INSERT INTO g181.q.events
+             SELECT * FROM g181_src
+             WHERE event_type IN ('view', 'purchase')""")
+    s.sql("CALL g181.system.compact('q.events', 2)")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value, 'tagged' AS snapshot
+        |FROM g181.q.events VERSION AS OF 'clicks-only'
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value, 'current' AS snapshot
+        |FROM g181.q.events GROUP BY event_type""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered
