@@ -1003,6 +1003,16 @@ class LakeTable private (
     (filesOf(node), deletesOf(node).size)
   }
 
+  /** Snapshot `v`'s data files WITH its live merge-on-read delete
+    * entries — the planning input of the streaming read's delete-aware
+    * initial batch ([[graft.sources.GraftLakeMicroBatchStream]]). */
+  private[graft] def snapshotWithDeletes(v: Int)
+      : (Seq[FileEntry], Seq[LakeTable.DeleteEntry]) = {
+    requireRetained(v)
+    val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+    (filesOf(node), deletesOf(node))
+  }
+
   /** Metadata-only walk of versions (from, to]: per version, the data
     * files it ADDED (empty for compactions — rewrites carry no new
     * rows) and whether it may have REMOVED rows (new delete entries /
@@ -4136,7 +4146,7 @@ object LakeTable {
   private[lake] val DeleteFileCol = "_del_file"
   private[lake] val DeletePosCol = "_del_pos"
   private[lake] val PosTag = "_gf_row_pos"
-  private[lake] def deleteSchema: StructType = StructType(Seq(
+  private[graft] def deleteSchema: StructType = StructType(Seq(
     StructField(DeleteFileCol, StringType, nullable = false),
     StructField(DeletePosCol, LongType, nullable = false)))
 

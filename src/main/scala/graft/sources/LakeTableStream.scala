@@ -34,9 +34,12 @@ import graft.lake.LakeTable
   *
   * SEMANTICS — append-stream, the Delta contract:
   *  - the INITIAL batch (fresh checkpoint) is the current snapshot's
-  *    content; it refuses to start while merge-on-read delete entries
-  *    are live (the file-level reader cannot apply them — compact
-  *    first, `LakeTable.compact()`, which absorbs deletes);
+  *    content WITH live merge-on-read deletes applied at the reader
+  *    (position skip-lists + equality key maps, driver-bounded by
+  *    `maxMorRowsInitialBatch`, broadcast once) — a table that just
+  *    ran a SQL DELETE/UPDATE/MERGE streams immediately and never
+  *    serves a deleted row; above the bound it refuses with
+  *    compaction guidance instead of materializing unbounded state;
   *  - each later batch is the files ADDED by commits in (lo, hi];
   *    compactions are skipped (rewrites, no new rows); a commit that
   *    REMOVES rows (row-level DELETE/UPDATE/MERGE, overwrite) FAILS
@@ -120,19 +123,37 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Driver-side bound on the merge-on-read state the INITIAL batch
+    * may carry (delete positions + equality keys): beyond it, refuse
+    * with compaction guidance instead of materializing an unbounded
+    * set on the driver. */
+  private val maxMorRows = options.get("maxmorrowsinitialbatch")
+    .map(_.toLong).getOrElse(4_000_000L)
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[LakeLogOffset].version
     val hi = end.asInstanceOf[LakeLogOffset].version
     if (hi <= lo) return Array.empty
+    var mor: Option[(org.apache.spark.broadcast.Broadcast[MorState],
+      Set[String], Long)] = None
     val entries: Seq[LakeTable.FileEntry] =
       if (lo < 0) {
-        val (files, delCount) = lake.snapshotEntries(hi)
-        require(delCount == 0,
-          s"cannot start streaming ${lake.root} at version $hi: " +
-            s"$delCount live merge-on-read delete file(s) — the " +
-            "streaming file reader cannot apply them; run compact() " +
-            "to absorb the deletes first")
+        // the INITIAL snapshot batch applies live merge-on-read
+        // deletes at the READER (position skip-lists + equality key
+        // sets, bounded, broadcast) — a table that just ran a SQL
+        // DELETE/UPDATE/MERGE streams immediately, no compact-first
+        // speed bump, and never serves a deleted row
+        val (files, dels) = lake.snapshotWithDeletes(hi)
+        if (dels.nonEmpty) {
+          val state = buildMorState(files, dels)
+          val touched = state.posByName.keySet
+          val maxEqSeq =
+            if (state.eqGroups.isEmpty) Long.MinValue
+            else state.eqGroups.flatMap(_.keys.values).max
+          mor = Some((SparkSession.active.sparkContext.broadcast(state),
+            touched, maxEqSeq))
+        }
         files
       } else {
         lake.addedEntriesBetween(lo, hi).flatMap {
@@ -156,14 +177,78 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
           "Restart the stream from a fresh checkpoint.")
     })
     entries.zipWithIndex.map { case (e, i) =>
-      FilePartition(i, Array(PartitionedFile(
+      val fp = FilePartition(i, Array(PartitionedFile(
         partitionValuesOf(e),
         org.apache.spark.paths.SparkPath.fromPathString(
           s"${lake.root}/${e.path}"),
         0L, if (e.sizeBytes > 0) e.sizeBytes else Long.MaxValue, Array.empty,
         e.modTimeMs, e.sizeBytes,
-        Map.empty))): InputPartition
+        Map.empty)))
+      val name = e.path.split("/").last
+      mor match {
+        // wrap only files some delete can actually touch: position
+        // skip-list present, or an equality delete newer than the file
+        case Some((bc, posTouched, maxEqSeq))
+            if posTouched.contains(name) || maxEqSeq > e.seq =>
+          GraftMorInputPartition(fp, name, e.seq, bc): InputPartition
+        case _ => fp: InputPartition
+      }
     }.toArray
+  }
+
+  /** Load the snapshot's live delete state onto the driver, bounded by
+    * [[maxMorRows]]: position deletes become per-file sorted
+    * skip-lists (keyed by terminal UUID file name — the same
+    * encoding-invariant key the batch read joins on), equality deletes
+    * become per-keyset maps of key tuple -> newest delete sequence
+    * (null-SAFE tuple equality, Iceberg semantics — exactly the
+    * `<=>` anti-join `readVersion` runs; a row is deleted iff its file
+    * PREDATES the delete). */
+  private def buildMorState(files: Seq[LakeTable.FileEntry],
+                            dels: Seq[LakeTable.DeleteEntry]): MorState = {
+    val session = SparkSession.active
+    val filePaths = files.map(_.path).toSet
+    val pos = dels.filter(e =>
+      e.kind != "eq" && e.covers.exists(filePaths.contains))
+    val minSeq = if (files.isEmpty) Long.MaxValue else files.map(_.seq).min
+    val eq = dels.filter(e => e.kind == "eq" && e.seq > minSeq)
+    val total = pos.map(_.rows).sum + eq.map(_.rows).sum
+    require(total <= maxMorRows,
+      s"cannot start streaming ${lake.root}: the snapshot carries " +
+        s"$total live merge-on-read delete rows, above the " +
+        s"$maxMorRows driver-side bound for the initial batch — run " +
+        "compact() to absorb the deletes first, or raise the " +
+        "maxMorRowsInitialBatch stream option")
+    eq.flatMap(_.keyCols).distinct.foreach(c => require(
+      pruned.fieldNames.contains(c),
+      s"cannot start streaming ${lake.root}: live equality deletes " +
+        s"key on column '$c', which the streamed schema does not " +
+        "include — select it, or compact() to absorb the deletes"))
+    val posByName: Map[String, Array[Long]] =
+      if (pos.isEmpty) Map.empty
+      else session.read.schema(LakeTable.deleteSchema)
+        .parquet(pos.map(e => s"${lake.root}/${e.path}"): _*)
+        .collect()
+        .groupBy(_.getString(0).split("/").last)
+        .map { case (n, rows) => n -> rows.map(_.getLong(1)).sorted }
+    val eqGroups = eq.groupBy(_.keyCols).toSeq.map { case (cols, es) =>
+      val keySchema = StructType(cols.map(c => snapSchema(c)).toSeq)
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(keySchema)
+      val m = scala.collection.mutable.HashMap[Vector[Any], Long]()
+      es.foreach { e =>
+        session.read.schema(keySchema)
+          .parquet(s"${lake.root}/${e.path}").collect().foreach { r =>
+            val ir = conv(r).asInstanceOf[InternalRow]
+            val tuple = keySchema.fields.indices
+              .map(i => ir.get(i, keySchema(i).dataType)).toVector
+            if (e.seq > m.getOrElse(tuple, Long.MinValue))
+              m(tuple) = e.seq
+          }
+      }
+      MorEqGroup(cols.toVector, m.toMap)
+    }
+    MorState(posByName, eqGroups)
   }
 
   /** Partition-dir values from the manifest's per-file constants
@@ -212,10 +297,31 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
   }
 }
 
+/** Merge-on-read state of the initial snapshot batch, broadcast once:
+  * per-file position skip-lists and per-keyset equality maps (key
+  * tuple -> newest delete sequence). */
+private[sources] case class MorEqGroup(keyCols: Vector[String],
+                                       keys: Map[Vector[Any], Long])
+private[sources] case class MorState(posByName: Map[String, Array[Long]],
+                                     eqGroups: Seq[MorEqGroup])
+
+/** A data file of the initial batch that live deletes may touch: the
+  * stock [[FilePartition]] plus its UUID name, its data sequence
+  * number, and the broadcast MOR state. */
+case class GraftMorInputPartition(
+    inner: FilePartition, fileName: String, fileSeq: Long,
+    state: org.apache.spark.broadcast.Broadcast[MorState])
+    extends InputPartition
+
 /** Wraps the stock parquet reader to re-project its (data ++
   * partition) column order back to the table's visible order — the
   * streaming relation's output is the TABLE schema, not the reader's
-  * layout. Projection built lazily on the executor. */
+  * layout — and, for initial-batch partitions carrying MOR state, to
+  * apply the deletes row-by-row BEFORE projection: the reader's
+  * sequential row index within a whole-file partition IS the parquet
+  * `row_index` position deletes name, and equality deletes match by
+  * null-safe key-tuple lookup scoped to files older than the delete.
+  * Projection built lazily on the executor. */
 case class GraftLakeStreamReaderFactory(
     delegate: ParquetPartitionReaderFactory,
     readerOrder: StructType, targetOrder: StructType)
@@ -225,8 +331,49 @@ case class GraftLakeStreamReaderFactory(
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val inner = delegate.createReader(p)
-    if (readerOrder == targetOrder) inner
+    val (filePart, morFilter) = p match {
+      case m: GraftMorInputPartition =>
+        val st = m.state.value
+        val positions = st.posByName.getOrElse(m.fileName,
+          Array.empty[Long])
+        val eqFilters = st.eqGroups.map { g =>
+          val ords = g.keyCols.map(c => readerOrder.fieldIndex(c)).toArray
+          val dts = g.keyCols
+            .map(c => readerOrder(readerOrder.fieldIndex(c)).dataType)
+            .toArray
+          (ords, dts, g.keys)
+        }.filter(_._3.nonEmpty)
+        (m.inner, Some((positions, eqFilters, m.fileSeq)))
+      case fp: FilePartition => (fp, None)
+    }
+    val base = delegate.createReader(filePart)
+    val filtered = morFilter match {
+      case None => base
+      case Some((positions, eqFilters, fileSeq)) =>
+        new PartitionReader[InternalRow] {
+          private var idx = -1L
+          private var cur: InternalRow = _
+          private def deleted(r: InternalRow, pos: Long): Boolean =
+            (positions.length > 0 &&
+              java.util.Arrays.binarySearch(positions, pos) >= 0) ||
+            eqFilters.exists { case (ords, dts, keys) =>
+              val tuple = ords.indices
+                .map(i => r.get(ords(i), dts(i))).toVector
+              keys.get(tuple).exists(_ > fileSeq)
+            }
+          override def next(): Boolean = {
+            while (base.next()) {
+              idx += 1
+              val r = base.get()
+              if (!deleted(r, idx)) { cur = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = base.close()
+        }
+    }
+    if (readerOrder == targetOrder) filtered
     else new PartitionReader[InternalRow] {
       private val attrs = DataTypeUtils.toAttributes(readerOrder)
       private val proj = UnsafeProjection.create(
@@ -235,9 +382,9 @@ case class GraftLakeStreamReaderFactory(
             throw new IllegalStateException(
               s"stream projection lost column $n"))),
         attrs)
-      override def next(): Boolean = inner.next()
-      override def get(): InternalRow = proj(inner.get())
-      override def close(): Unit = inner.close()
+      override def next(): Boolean = filtered.next()
+      override def get(): InternalRow = proj(filtered.get())
+      override def close(): Unit = filtered.close()
     }
   }
 }

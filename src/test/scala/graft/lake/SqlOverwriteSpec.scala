@@ -204,6 +204,15 @@ class SqlOverwriteSpec extends SparkSuite {
 
   test("without the extensions strategy, dynamic INSERT OVERWRITE " +
     "fails with an install instruction, never a wrong result") {
+    // earlier suites may have installed the live-session strategies —
+    // clear them for the duration, restore after
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = Nil
+    try runNoExtensions()
+    finally spark.experimental.extraStrategies = saved
+  }
+
+  private def runNoExtensions(): Unit = {
     spark.conf.set("spark.sql.catalog.gowc", "graft.lake.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gowc.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gowc.s")

@@ -97,7 +97,7 @@ class SqlStreamingReadSpec extends SparkSuite {
 
   test("append-stream guards: a row-removing commit fails the stream " +
     "by default, skipChangeCommits skips it wholesale; an initial " +
-    "snapshot with live MOR deletes refuses with compaction guidance") {
+    "snapshot with live MOR deletes serves the delete-applied rows") {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
     spark.sql("DROP TABLE IF EXISTS gst.s.mut")
@@ -125,22 +125,34 @@ class SqlStreamingReadSpec extends SparkSuite {
     // opt in: the delete commit is skipped wholesale, the append lands
     run(Map("skipChangeCommits" -> "true"))
     assert(spark.table("gst_mut").head.getLong(0) == 15)
-    // fresh stream of a table with LIVE MOR deletes: refuse with
-    // guidance (the file-level reader cannot apply them)
+    // fresh stream of a table with LIVE MOR deletes: the initial
+    // batch applies them at the reader — counts match the batch read,
+    // deleted rows never surface, no compact-first speed bump
+    drain(spark.readStream.table("gst.s.mut")
+      .writeStream.format("memory").queryName("gst_mut2")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("gst-mut2-ckpt"))
+      .trigger(Trigger.AvailableNow()).start())
+    assert(spark.table("gst_mut2").count() ==
+      spark.sql("SELECT count(*) FROM gst.s.mut").head.getLong(0))
+    assert(spark.table("gst_mut2").count() == 13)
+    assert(spark.table("gst_mut2").filter(col("id").isin(1L, 2L))
+      .count() == 0, "MOR-deleted rows resurrected by the stream")
+    // above the driver-side bound: refuse with compaction guidance
     val ex2 = intercept[Exception] {
-      var r = spark.readStream
-      drain(r.table("gst.s.mut")
-        .writeStream.format("memory").queryName("gst_mut2")
+      drain(spark.readStream
+        .option("maxMorRowsInitialBatch", "1")
+        .table("gst.s.mut")
+        .writeStream.format("memory").queryName("gst_mut_cap")
         .outputMode("append")
-        .option("checkpointLocation", tmpDir("gst-mut2-ckpt"))
+        .option("checkpointLocation", tmpDir("gst-mutcap-ckpt"))
         .trigger(Trigger.AvailableNow()).start())
     }
     assert(msgs(ex2).contains("compact"), msgs(ex2).take(400))
     // compaction absorbs the deletes; a fresh stream then serves the
-    // exact surviving snapshot
+    // exact surviving snapshot with no MOR state at all
     new LakeCatalog(spark, wh).table("s", "mut").compact(1)
-    var r3 = spark.readStream
-    drain(r3.table("gst.s.mut")
+    drain(spark.readStream.table("gst.s.mut")
       .writeStream.format("memory").queryName("gst_mut3")
       .outputMode("append")
       .option("checkpointLocation", tmpDir("gst-mut3-ckpt"))
@@ -148,6 +160,54 @@ class SqlStreamingReadSpec extends SparkSuite {
     assert(spark.table("gst_mut3").count() == 13)
     assert(spark.table("gst_mut3").filter(col("id").isin(1L, 2L))
       .count() == 0, "MOR-deleted rows resurrected by the stream")
+  }
+
+  test("initial batch over live position AND equality deletes matches " +
+    "the batch read exactly (null-safe keys, file-seq scoping, " +
+    "re-inserted keys survive)") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.mor")
+    spark.sql(
+      "CREATE TABLE gst.s.mor (id BIGINT, k STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO gst.s.mor
+      |SELECT id, concat('k', CAST(id % 10 AS STRING)),
+      |       CAST(id AS DOUBLE) FROM range(50)""".stripMargin)
+    val t = new LakeCatalog(spark, wh).table("s", "mor")
+    val sp = spark
+    import sp.implicits._
+    // position deletes (SQL DELETE routes merge-on-read)
+    spark.sql("DELETE FROM gst.s.mor WHERE id IN (3, 7, 11)")
+    // equality deletes on k, then RE-INSERT one deleted key: rows
+    // appended after the delete's sequence must survive
+    t.deleteWhereEqual(Seq("k2", "k5").toDF("k"), Seq("k"))
+    spark.sql(
+      "INSERT INTO gst.s.mor SELECT 1000, 'k2', 1.5 FROM range(1)")
+    val batch = spark.sql(
+      "SELECT CAST(sum(id) AS BIGINT) AS s, count(*) AS n FROM gst.s.mor")
+      .head
+    drain(spark.readStream.table("gst.s.mor")
+      .groupBy()
+      .agg(sum(col("id")).cast("long").as("s"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("gst_mor")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("gst-mor-ckpt"))
+      .trigger(Trigger.AvailableNow()).start())
+    val streamed = spark.table("gst_mor").head
+    assert(streamed.getLong(0) == batch.getLong(0) &&
+      streamed.getLong(1) == batch.getLong(1),
+      s"stream (${streamed.getLong(0)}, ${streamed.getLong(1)}) != " +
+        s"batch (${batch.getLong(0)}, ${batch.getLong(1)})")
+    // the re-inserted k2 row is present; original k2/k5 rows are not
+    drain(spark.readStream.table("gst.s.mor")
+      .filter(col("k").isin("k2", "k5"))
+      .writeStream.format("memory").queryName("gst_mor2")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("gst-mor2-ckpt"))
+      .trigger(Trigger.AvailableNow()).start())
+    val kRows = spark.table("gst_mor2").collect()
+    assert(kRows.length == 1 && kRows(0).getLong(0) == 1000L,
+      kRows.mkString(", "))
   }
 
   test("WAP isolation: a stream never serves staged branch commits — " +

@@ -166,6 +166,15 @@ class SqlStreamingWriteSpec extends SparkSuite {
   test("without the extensions strategy the write fails with an " +
     "install instruction, never a wrong result") {
     // the shared conf-only session: catalog installed, strategy absent
+    // (earlier suites may have installed the live-session strategies —
+    // clear them for the duration, restore after)
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = Nil
+    try runNoExtensions()
+    finally spark.experimental.extraStrategies = saved
+  }
+
+  private def runNoExtensions(): Unit = {
     spark.conf.set("spark.sql.catalog.gswc", "graft.lake.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gswc.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gswc.s")
