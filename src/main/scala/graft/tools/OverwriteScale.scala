@@ -51,13 +51,17 @@ object OverwriteScale {
       }.min
 
     for (frac <- Seq(16, 4, 1)) {
-      // growth = MORE DAYS (the 100 TB axis), constant per-day volume:
-      // spread each subset over 8 * (16/frac) synthetic days derived
-      // from event_id, deterministic across sizes
+      // growth = MORE DAYS (the 100 TB axis). Day 0 — the rebuild
+      // target — is the event_id % 256 == 0 slice, a CONSTANT row set
+      // at every size (the frac subsets nest: % 256 == 0 implies
+      // % 16 == 0); the remaining rows spread over a day count that
+      // grows 16x, so the TABLE grows while the rebuilt partition
+      // does not.
       val days = 8 * (16 / frac)
       val rows = ev.filter(col("event_id") % frac === 0L)
         .withColumn("ts", expr(
-          s"timestampadd(DAY, CAST(event_id % $days AS INT), " +
+          "timestampadd(DAY, CAST(CASE WHEN event_id % 256 = 0 " +
+            s"THEN 0 ELSE 1 + event_id % ${days - 1} END AS INT), " +
             "TIMESTAMP'2026-01-01 00:00:00')"))
       val t = LakeTable.create(spark, s"$dir/t$frac", rows.schema,
         partitionBy = Seq("days(ts)"))
@@ -73,11 +77,14 @@ object OverwriteScale {
         .filter(col("user_id") % 7 =!= 3) // the "re-curation"
         .localCheckpoint()
       val day0n = day0.count()
-      var replaced = -1L
+      // first rebuild replaces the original multi-file day dir; the
+      // timed min-of-3 measures the steady-state rebuild
+      val before0 = t.dataFiles.map(_.path).toSet
+      t.overwritePartitionsDynamic(day0)
+      val replaced =
+        before0.count(p => !t.dataFiles.map(_.path).toSet(p))
       val rebuild = minOf3 { () =>
-        val before = t.dataFiles.map(_.path).toSet
         t.overwritePartitionsDynamic(day0)
-        replaced = before.count(p => !t.dataFiles.map(_.path).toSet(p))
       }
       val scan = minOf3 { () =>
         t.read().agg(sum("value"), count(lit(1))).collect()
