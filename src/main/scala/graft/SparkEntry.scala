@@ -1675,6 +1675,8 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlDynamicOverwrite _),
     "q181_sql_call_procedures" ->
       (graft.lake.SqlQueries.sqlCallProcedures _),
+    "q182_sql_static_overwrite" ->
+      (graft.lake.SqlQueries.sqlStaticOverwrite _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4249,6 +4251,12 @@ object SparkEntry {
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
                 'current' AS snapshot
          FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type""",
+    "q182_sql_static_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_type = 'click' AND user_id % 3 = 1)
          GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,

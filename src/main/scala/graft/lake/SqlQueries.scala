@@ -380,6 +380,40 @@ object SqlQueries {
         |FROM g181.q.events GROUP BY event_type""".stripMargin)
   }
 
+  /** q182: STATIC partition overwrite through pure SQL —
+    * `INSERT OVERWRITE ... PARTITION (event_type = 'click')` routes
+    * through `SupportsOverwrite` to [[LakeTable.overwriteWhere]]: ONE
+    * commit that removes exactly the files PROVEN all-click by their
+    * manifest partition constants (every other partition's files stay
+    * byte-identical) and appends the rebuilt rows — and it runs on
+    * the CONF-ONLY route (Spark's stock V1 fallback exec, no
+    * extensions). The rebuild drops a user cohort from the click
+    * partition; the oracle replays the anti-filter scoped to clicks. */
+  def sqlStaticOverwrite(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g182")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g182_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g182.q")
+    s.sql("DROP TABLE IF EXISTS g182.q.events")
+    s.sql(
+      """CREATE TABLE g182.q.events
+        |(event_id BIGINT, user_id BIGINT, value DOUBLE,
+        | event_type STRING)
+        |PARTITIONED BY (event_type)""".stripMargin)
+    s.sql("""INSERT INTO g182.q.events
+             SELECT event_id, user_id, value, event_type
+             FROM g182_src""")
+    s.sql(
+      """INSERT OVERWRITE g182.q.events PARTITION (event_type = 'click')
+        |SELECT event_id, user_id, value FROM g182_src
+        |WHERE event_type = 'click' AND user_id % 3 <> 1""".stripMargin)
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g182.q.events GROUP BY event_type""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered
