@@ -117,7 +117,22 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
     }
   }
 
-  override def initialOffset(): Offset = LakeLogOffset(-1)
+  /** Delta-parity `startingVersion`: a FRESH checkpoint can skip the
+    * initial snapshot and begin at a commit boundary — every commit
+    * with version >= startingVersion streams, nothing earlier.
+    * Version 0 is not accepted (that IS the snapshot — use a fresh
+    * checkpoint without the option); an expired startingVersion fails
+    * at planning with the retention error, never silently skips. */
+  private val startingVersion = options.get("startingversion").map { v =>
+    val n = v.toInt
+    require(n >= 1,
+      s"startingVersion must be >= 1 (got $n): version 0 is the " +
+        "initial snapshot — omit the option to stream it")
+    n
+  }
+
+  override def initialOffset(): Offset =
+    LakeLogOffset(startingVersion.map(_ - 1).getOrElse(-1))
   override def deserializeOffset(json: String): Offset =
     LakeLogOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

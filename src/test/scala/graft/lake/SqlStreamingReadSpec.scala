@@ -210,6 +210,51 @@ class SqlStreamingReadSpec extends SparkSuite {
       kRows.mkString(", "))
   }
 
+  test("startingVersion: a fresh checkpoint begins at a commit " +
+    "boundary instead of the snapshot; version 0 is refused") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gst.s")
+    spark.sql("DROP TABLE IF EXISTS gst.s.sv")
+    spark.sql("CREATE TABLE gst.s.sv (id BIGINT)")           // v0
+    spark.sql("INSERT INTO gst.s.sv SELECT id FROM range(10)")        // v1
+    spark.sql("INSERT INTO gst.s.sv SELECT id + 100 FROM range(5)")   // v2
+    spark.sql("INSERT INTO gst.s.sv SELECT id + 200 FROM range(3)")   // v3
+    val ckpt = tmpDir("gst-sv-ckpt")
+    // complete-mode running aggregate: the memory sink cannot RECOVER
+    // a checkpoint in append mode, and the running count proves
+    // exactly-once delivery across the restart anyway
+    def run(): Unit =
+      drain(spark.readStream.option("startingVersion", "2")
+        .table("gst.s.sv")
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("id") < 100, 1L).otherwise(0L)).as("early"))
+        .writeStream.format("memory").queryName("gst_sv")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    run()
+    // only v2 + v3 rows (the v1 bulk never streams)
+    assert(spark.table("gst_sv").head.getLong(0) == 8)
+    assert(spark.table("gst_sv").head.getLong(1) == 0,
+      "rows from before startingVersion leaked into the stream")
+    // the option binds only a FRESH checkpoint: restarts continue
+    spark.sql("INSERT INTO gst.s.sv SELECT id + 300 FROM range(2)")
+    run()
+    assert(spark.table("gst_sv").head.getLong(0) == 10)
+    val ex = intercept[Exception] {
+      drain(spark.readStream.option("startingVersion", "0")
+        .table("gst.s.sv")
+        .writeStream.format("memory").queryName("gst_sv0")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("gst-sv0-ckpt"))
+        .trigger(Trigger.AvailableNow()).start())
+    }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("snapshot"), m.take(300))
+  }
+
   test("WAP isolation: a stream never serves staged branch commits — " +
     "offsets pin at mainVersion until publish") {
     install()
