@@ -249,6 +249,11 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     spark.conf.set(s"spark.sql.catalog.$n", "graft.lake.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$n.warehouse",
       config.storage.warehouseDir)
+    // ...and the planner strategies the full DML/streaming surface
+    // needs (UPDATE/MERGE row deltas, writeStream.toTable epoch
+    // commits, dynamic INSERT OVERWRITE) — an engine user opting into
+    // the SQL face gets the WHOLE face, not install instructions
+    GraftFunctions.installStrategies(spark)
   }
 
   val catalog = new LakeCatalog(spark, config.storage.warehouseDir)

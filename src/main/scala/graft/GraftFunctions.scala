@@ -64,6 +64,24 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** Install the planner strategies behind SQL UPDATE / MERGE (row
+    * deltas), `writeStream.toTable` (streaming epoch commits) and
+    * dynamic `INSERT OVERWRITE` on a LIVE session — the public
+    * no-rebuild seam (`spark.experimental.extraStrategies`, consulted
+    * before every built-in strategy). A session built with
+    * [[GraftExtensions]] gets the same three via injection; calling
+    * this on such a session is a harmless no-op per strategy. */
+  def installStrategies(spark: SparkSession): Unit = {
+    def add(s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+      if (!spark.experimental.extraStrategies.exists(
+          _.getClass == s.getClass))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ s
+    add(org.apache.spark.sql.graft.GraftRowDeltaStrategy(spark))
+    add(org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy(spark))
+    add(org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy(spark))
+  }
 }
 
 /** Conf-injectable variant: `spark.sql.extensions=graft.GraftExtensions`.

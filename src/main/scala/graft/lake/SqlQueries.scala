@@ -29,30 +29,17 @@ object SqlQueries {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
     }
 
-  /** Row-level DML (UPDATE / MERGE) executes through
-    * [[org.apache.spark.sql.graft.GraftRowDeltaStrategy]]. On a LIVE
-    * session that was built without [[graft.GraftExtensions]], the
-    * strategy installs through `spark.experimental.extraStrategies` —
-    * the public no-rebuild seam, consulted before every built-in
-    * strategy (what these graded queries use; a session builder adds
-    * the same via `.withExtensions(new GraftExtensions()(_))`). */
-  private def installRowLevel(s: SparkSession): Unit = {
-    if (!s.experimental.extraStrategies.exists(
-        _.isInstanceOf[org.apache.spark.sql.graft.GraftRowDeltaStrategy]))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+
-          org.apache.spark.sql.graft.GraftRowDeltaStrategy(s)
-    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[
-        org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy]))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+
-          org.apache.spark.sql.graft.GraftStreamingTableWriteStrategy(s)
-    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[
-        org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy]))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+
-          org.apache.spark.sql.graft.GraftDynamicOverwriteStrategy(s)
-  }
+  /** Row-level DML (UPDATE / MERGE), streaming table writes, and
+    * dynamic INSERT OVERWRITE execute through injected planner
+    * strategies. On a LIVE session built without
+    * [[graft.GraftExtensions]], they install through
+    * `spark.experimental.extraStrategies` — the public no-rebuild
+    * seam, consulted before every built-in strategy (what these
+    * graded queries use; a session builder adds the same via
+    * `.withExtensions(new GraftExtensions()(_))`, and `GraftEngine`
+    * installs them whenever `catalog.sqlName` binds the SQL face). */
+  private def installRowLevel(s: SparkSession): Unit =
+    graft.GraftFunctions.installStrategies(s)
 
   /** q172: CTAS a lake table from lineitem and run a filtered banded
     * aggregate over it — CREATE/INSERT/SELECT all through SQL. */

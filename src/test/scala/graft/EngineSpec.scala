@@ -25,6 +25,14 @@ class EngineSpec extends SparkSuite {
       .head.getLong(0) == 30)
     engine.sql("DELETE FROM gsql.ns.t WHERE id >= 25")
     assert(engine.catalog.table("ns", "t").read().count() == 25)
+    // the WHOLE SQL face, not install instructions: binding sqlName
+    // also installed the planner strategies, so row-level UPDATE (and
+    // writeStream.toTable / dynamic overwrite) work out of the box
+    engine.sql("ALTER TABLE gsql.ns.t ADD COLUMN flag STRING")
+    engine.sql("UPDATE gsql.ns.t SET flag = 'hot' WHERE id < 3")
+    assert(engine.sql(
+      "SELECT count(*) FROM gsql.ns.t WHERE flag = 'hot'")
+      .head.getLong(0) == 3)
   }
 
   test("engine end-to-end: MV from stream into catalog table, read back") {

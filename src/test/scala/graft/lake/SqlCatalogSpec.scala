@@ -754,6 +754,12 @@ class SqlCatalogSpec extends SparkSuite {
   test("conf-only sessions get a clear install instruction for UPDATE/" +
     "MERGE, not a wrong result; translatable DELETE still works " +
     "conf-only via SupportsDelete") {
+    // earlier suites/tests may have installed the live-session
+    // strategies (GraftEngine does on sqlName) — clear for the
+    // duration, restore after
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = Nil
+    try {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl2")
     spark.sql("DROP TABLE IF EXISTS graft.rl2.noext")
@@ -773,6 +779,7 @@ class SqlCatalogSpec extends SparkSuite {
     spark.sql("DELETE FROM graft.rl2.noext WHERE id IN (1, 2)")
     assert(spark.sql("SELECT count(*) FROM graft.rl2.noext")
       .head.getLong(0) == 8)
+    } finally spark.experimental.extraStrategies = saved
   }
 
   test("MOR deletes and WAP pinning are visible through SQL reads") {
@@ -845,7 +852,11 @@ class SqlCatalogSpec extends SparkSuite {
   }
 
   test("unconditional DELETE is one overwrite commit of the empty set; " +
-      "non-translatable predicates are refused") {
+      "non-translatable predicates are refused CONF-ONLY (with the " +
+      "strategies installed they execute via the row-delta path)") {
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = Nil
+    try {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
     spark.sql("CREATE TABLE graft.sqlns.deltrunc (id BIGINT, s STRING)")
@@ -874,6 +885,7 @@ class SqlCatalogSpec extends SparkSuite {
     }
     assert(spark.sql("SELECT count(*) FROM graft.sqlns.deltrunc")
       .head.getLong(0) == 5)
+    } finally spark.experimental.extraStrategies = saved
   }
 
   test("TRUNCATE TABLE and SHOW CREATE TABLE round-trip") {
