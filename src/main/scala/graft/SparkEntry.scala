@@ -1677,6 +1677,8 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlCallProcedures _),
     "q182_sql_static_overwrite" ->
       (graft.lake.SqlQueries.sqlStaticOverwrite _),
+    "q183_sql_minhash_dedup" ->
+      (graft.lake.SqlQueries.sqlMinHashDedup _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -3650,6 +3652,7 @@ object SparkEntry {
     // identical oracle: LSH + exact verification must reproduce the
     // exact pipeline's answer (recall 1 at the fixtures' separation)
     "q33_neardup_minhash" -> trueJaccardOracle,
+    "q183_sql_minhash_dedup" -> trueJaccardOracle,
     "q34_simhash_pairs" -> (simHashSketchCte +
       """ SELECT a.doc_id AS d1, b.doc_id AS d2,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -401,6 +401,48 @@ object SqlQueries {
         |FROM g182.q.events GROUP BY event_type""".stripMargin)
   }
 
+  /** q183: the LLM-dedup pipeline in PURE SQL — the reference's
+    * SQL-first audience running MinHash-LSH near-dup detection with
+    * zero Scala: the registered native functions (`shingle_hashes` ->
+    * `minhash_sig` -> `band_hashes`, codegen-era kernels, not UDFs)
+    * build the per-row sketch, a band-bucket self-join generates
+    * candidates (O(colliding pairs), never all-pairs), and exact
+    * Jaccard over the shingle-hash SETS verifies — the same
+    * bucketed-then-verified shape as q33, whose all-pairs DuckDB
+    * oracle doubles as the recall proof. */
+  def sqlMinHashDedup(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g183")
+    graft.GraftFunctions.register(s) // shingle_hashes & friends in SQL
+    Tables.load(s, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("g183_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g183.q")
+    s.sql("DROP TABLE IF EXISTS g183.q.docs")
+    s.sql("CREATE TABLE g183.q.docs AS SELECT * FROM g183_src")
+    s.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, shingle_hashes(text, 3) AS hs
+        |  FROM g183.q.docs),
+        |bexp AS (
+        |  SELECT doc_id, hs, b.pos AS bi, b.col AS bh
+        |  FROM sh
+        |  LATERAL VIEW posexplode(band_hashes(minhash_sig(hs, 64), 16))
+        |    b AS pos, col),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         a.hs AS h1, b.hs AS h2
+        |  FROM bexp a JOIN bexp b
+        |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  CAST(size(array_intersect(h1, h2)) AS BIGINT) AS inter,
+        |  CAST(size(array_intersect(h1, h2)) AS DOUBLE) /
+        |    (size(h1) + size(h2) - size(array_intersect(h1, h2)))
+        |    AS jaccard
+        |FROM cand
+        |WHERE CAST(size(array_intersect(h1, h2)) AS DOUBLE) /
+        |    (size(h1) + size(h2) - size(array_intersect(h1, h2)))
+        |    >= 0.5""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered
