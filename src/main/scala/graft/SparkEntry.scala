@@ -1679,6 +1679,8 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlStaticOverwrite _),
     "q183_sql_minhash_dedup" ->
       (graft.lake.SqlQueries.sqlMinHashDedup _),
+    "q184_sql_cosine_topk" ->
+      (graft.lake.SqlQueries.sqlCosineTopK _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -3653,6 +3655,12 @@ object SparkEntry {
     // exact pipeline's answer (recall 1 at the fixtures' separation)
     "q33_neardup_minhash" -> trueJaccardOracle,
     "q183_sql_minhash_dedup" -> trueJaccardOracle,
+    "q184_sql_cosine_topk" ->
+      """SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[],
+           q.embedding::DOUBLE[]) AS cos
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10""",
     "q34_simhash_pairs" -> (simHashSketchCte +
       """ SELECT a.doc_id AS d1, b.doc_id AS d2,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -443,6 +443,30 @@ object SqlQueries {
         |    >= 0.5""".stripMargin)
   }
 
+  /** q184: similarity search in PURE SQL — q183's twin for the vector
+    * family: embeddings CTAS'd into a catalog table, brute-force
+    * cosine top-k against a query vector expressed entirely in
+    * `spark.sql` with the native `cosine_sim` expression (the same
+    * left-associative kernel every ANN operator verifies with, so the
+    * q39 oracle grades this statement exactly). */
+  def sqlCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g184")
+    graft.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      .createOrReplaceTempView("g184_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g184.q")
+    s.sql("DROP TABLE IF EXISTS g184.q.emb")
+    s.sql("CREATE TABLE g184.q.emb AS SELECT * FROM g184_src")
+    s.sql(
+      """SELECT e.vec_id, cosine_sim(e.embedding, q.embedding) AS cos
+        |FROM g184.q.emb e
+        |CROSS JOIN (SELECT embedding FROM g184.q.emb
+        |            WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id
+        |LIMIT 10""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered
