@@ -44,6 +44,31 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) == 110)
   }
 
+  test("CREATE OR REPLACE TABLE (plain and CTAS) replaces the " +
+    "incarnation: fresh history, fresh uuid, new content") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
+    spark.sql("DROP TABLE IF EXISTS graft.sqlns.corep")
+    spark.sql("CREATE TABLE graft.sqlns.corep AS SELECT id FROM range(9)")
+    val cat = new LakeCatalog(spark, wh)
+    val uuid1 = cat.table("sqlns", "corep").incarnationId
+    spark.sql("CREATE OR REPLACE TABLE graft.sqlns.corep AS " +
+      "SELECT id, id * 2 AS dbl FROM range(4)")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.corep")
+      .head.getLong(0) == 4)
+    assert(spark.table("graft.sqlns.corep").schema.fieldNames.toSeq
+      == Seq("id", "dbl"))
+    val t2 = cat.table("sqlns", "corep")
+    assert(t2.incarnationId != uuid1,
+      "replace must mint a fresh incarnation")
+    // plain (schema-only) replace
+    spark.sql("CREATE OR REPLACE TABLE graft.sqlns.corep (k STRING)")
+    assert(spark.sql("SELECT count(*) FROM graft.sqlns.corep")
+      .head.getLong(0) == 0)
+    assert(spark.table("graft.sqlns.corep").schema.fieldNames.toSeq
+      == Seq("k"))
+  }
+
   test("catalog surfaces: SHOW TABLES / DESCRIBE / spark.table") {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlns")
