@@ -233,8 +233,14 @@ case class GraftStreamingTableWriteExec(
       s"streaming write to ${marker.table.name()} is missing " +
         s"column(s) ${missing.mkString(", ")} (query columns: " +
         df.columns.mkString(", ") + ")")
-    val aligned = df.select(visible.fields.map(f =>
-      col(f.name).cast(f.dataType)).toSeq: _*)
+    // already-aligned batches (the overwhelmingly common case: Spark
+    // resolved the stream against the table) skip the extra projection
+    val aligned =
+      if (df.columns.toSeq == visible.fieldNames.toSeq &&
+          df.schema.fields.map(_.dataType).toSeq ==
+            visible.fields.map(_.dataType).toSeq) df
+      else df.select(visible.fields.map(f =>
+        col(f.name).cast(f.dataType)).toSeq: _*)
     marker.stage(aligned)
     mbw.commit(Array.empty)
     Nil
