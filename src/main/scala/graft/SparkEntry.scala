@@ -1681,6 +1681,8 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlMinHashDedup _),
     "q184_sql_cosine_topk" ->
       (graft.lake.SqlQueries.sqlCosineTopK _),
+    "q185_sql_spec_evolution" ->
+      (graft.lake.SqlQueries.sqlSpecEvolution _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -3661,6 +3663,13 @@ object SparkEntry {
          FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10""",
+    "q185_sql_spec_evolution" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts >= (SELECT min(ts) FROM events)
+           AND ts < (SELECT min(ts) + INTERVAL 12 HOUR FROM events)
+         GROUP BY event_type""",
     "q34_simhash_pairs" -> (simHashSketchCte +
       """ SELECT a.doc_id AS d1, b.doc_id AS d2,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -467,6 +467,48 @@ object SqlQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** q185: partition-spec EVOLUTION through `CALL` — the headline
+    * maintenance feature drivable without Scala: a `days(ts)` table
+    * takes one load, `CALL g185.system.set_partition_spec('q.events',
+    * 'hours(ts)')` evolves the layout for FUTURE writes (a metadata
+    * commit; existing files keep their layout), a second load lands
+    * hour-partitioned, and a ts-range aggregate reads BOTH epochs —
+    * each pruned by its own epoch's transforms. The oracle replays
+    * the filter algebra over raw events. */
+  def sqlSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g185")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .createOrReplaceTempView("g185_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g185.q")
+    s.sql("DROP TABLE IF EXISTS g185.q.events")
+    s.sql(
+      """CREATE TABLE g185.q.events
+        |(event_id BIGINT, user_id BIGINT, event_type STRING,
+        | value DOUBLE, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    // a TWO-DAY slice: the hour layout fans out per distinct hour, so
+    // the load is bounded (~48 dirs) while both epochs still coexist
+    s.sql("""INSERT INTO g185.q.events
+             SELECT * FROM g185_src WHERE event_id % 2 = 0
+               AND ts < (SELECT min(ts) + INTERVAL 48 HOURS
+                         FROM g185_src)""")
+    s.sql(
+      "CALL g185.system.set_partition_spec('q.events', 'hours(ts)')")
+    s.sql("""INSERT INTO g185.q.events
+             SELECT * FROM g185_src WHERE event_id % 2 = 1
+               AND ts < (SELECT min(ts) + INTERVAL 48 HOURS
+                         FROM g185_src)""")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g185.q.events
+        |WHERE ts >= (SELECT min(ts) FROM g185_src) AND
+        |      ts < (SELECT min(ts) + INTERVAL 12 HOURS FROM g185_src)
+        |GROUP BY event_type""".stripMargin)
+  }
+
   /** q174: hidden partitioning through SQL — `PARTITIONED BY
     * (event_type, days(ts), bucket(8, user_id))` created and loaded by
     * statements that never mention a derived column, then a filtered
