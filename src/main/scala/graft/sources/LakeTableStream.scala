@@ -234,11 +234,25 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
         s"$maxMorRows driver-side bound for the initial batch — run " +
         "compact() to absorb the deletes first, or raise the " +
         "maxMorRowsInitialBatch stream option")
-    eq.flatMap(_.keyCols).distinct.foreach(c => require(
-      pruned.fieldNames.contains(c),
-      s"cannot start streaming ${lake.root}: live equality deletes " +
-        s"key on column '$c', which the streamed schema does not " +
-        "include — select it, or compact() to absorb the deletes"))
+    eq.flatMap(_.keyCols).distinct.foreach { c =>
+      require(pruned.fieldNames.contains(c),
+        s"cannot start streaming ${lake.root}: live equality deletes " +
+          s"key on column '$c', which the streamed schema does not " +
+          "include — select it, or compact() to absorb the deletes")
+      // the reader matches key tuples by catalyst-value equality,
+      // which is content-based only for atomic types (string/number/
+      // boolean/date/time); nested keys would compare by identity and
+      // silently resurrect rows — refuse instead
+      val atomic = snapSchema(c).dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      require(atomic,
+        s"cannot start streaming ${lake.root}: live equality deletes " +
+          s"key on non-atomic column '$c' " +
+          s"(${snapSchema(c).dataType.sql}) — run compact() to absorb " +
+          "the deletes first")
+    }
     val posByName: Map[String, Array[Long]] =
       if (pos.isEmpty) Map.empty
       else session.read.schema(LakeTable.deleteSchema)
