@@ -1054,6 +1054,37 @@ class LakeTable private (
     }
   }
 
+  /** Metadata-only walk of versions (from, to] carrying the FULL
+    * before/after file and delete-entry sets of every step — the
+    * planning currency of the streaming CHANGELOG read
+    * ([[graft.sources.GraftLakeChangesMicroBatchStream]]), which
+    * decomposes each commit into file-grained (op, row) partitions:
+    * files REMOVED by the commit serve their live rows as deletes,
+    * files ADDED serve theirs as inserts, and files whose
+    * merge-on-read delete SCOPE grew serve exactly the newly-deleted
+    * rows. One snapshot node read per version, no data file opened.
+    * Fails on an expired version — a checkpoint that fell behind the
+    * retention window must restart rather than silently skip. */
+  private[graft] def changeStepsBetween(from: Int, to: Int)
+      : Seq[LakeTable.ChangeStep] = {
+    requireRetained(from)
+    var (prevFiles, prevDels) = snapshotWithDeletes(from)
+    (from + 1 to to).map { v =>
+      requireRetained(v)
+      val node = mapper.readTree(Files.readString(versionPath(metaDir, v)))
+      val files = filesOf(node)
+      val dels = deletesOf(node)
+      val isCompaction = Option(node.get("appMeta"))
+        .flatMap(m => Option(m.get("compaction")))
+        .exists(_.asText() == "true")
+      val step = LakeTable.ChangeStep(v, prevFiles, files, prevDels, dels,
+        isCompaction)
+      prevFiles = files
+      prevDels = dels
+      step
+    }
+  }
+
   /** True iff snapshot `v` may have REMOVED rows relative to its
     * predecessor (new merge-on-read delete entries, or data files
     * dropped/rewritten) — the cheap metadata gate a CDC consumer uses
@@ -1615,7 +1646,12 @@ class LakeTable private (
     commitWith(Some(pending), provenPaths,
       appMeta + ("operation" -> "overwrite",
         "overwrite.predicate" -> condition.toString),
-      guard = None, alter = None, strictReplace = true)
+      guard = None, alter = None, strictReplace = true,
+      // whole files leave wholesale and df's rows are independent of
+      // them — live MOR deletes (a prior SQL DELETE/MERGE) are not a
+      // conflict: rows they killed in replaced files die with the
+      // files, rows in untouched files keep their delete entries
+      replaceReadsRows = false)
   }
 
   /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
@@ -1647,10 +1683,16 @@ class LakeTable private (
         "table; an unpartitioned INSERT OVERWRITE replaces the full " +
         "table (overwriteAll)")
     val entries = filesOf(node)
-    def dirKeysOf(e: FileEntry): Set[String] =
+    // ORDERED key sequence, not a set: a spec REORDER of the same
+    // columns (reachable via CALL system.set_partition_spec) changes
+    // the directory string layout — old files' dirs would never match
+    // the new writer's tuples and the overwrite would silently append
+    // duplicates instead of replacing; an order mismatch must refuse
+    // exactly like a key-set mismatch
+    def dirKeysOf(e: FileEntry): Seq[String] =
       dirOf(e.path.stripPrefix("data/")).split("/").toSeq
-        .filter(_.contains("=")).map(_.split("=", 2)(0)).toSet
-    val stale = entries.filter(e => dirKeysOf(e) != parts.toSet)
+        .filter(_.contains("=")).map(_.split("=", 2)(0))
+    val stale = entries.filter(e => dirKeysOf(e) != parts)
     require(stale.isEmpty,
       s"dynamic partition overwrite at $root: ${stale.size} file(s) " +
         "were written under a superseded partition spec (e.g. " +
@@ -1669,7 +1711,8 @@ class LakeTable private (
     commitWith(Some(pending), replaced,
       appMeta + ("operation" -> "overwrite",
         "overwrite.dynamicPartitions" -> touched.size.toString),
-      guard = None, alter = None, strictReplace = true)
+      guard = None, alter = None, strictReplace = true,
+      replaceReadsRows = false) // whole partitions, rows never read
   }
 
   /** Files whose EVERY row provably satisfies `condition` — the
@@ -2905,6 +2948,16 @@ class LakeTable private (
                          alter: Option[(StructType, Map[String, Int]) =>
                            (StructType, Map[String, Int])],
                          strictReplace: Boolean = false,
+                         // false for WHOLE-FILE overwrites: they never
+                         // READ the replaced files' rows (new rows come
+                         // from the caller's DataFrame, stamped above
+                         // every live delete's seq), so a concurrent
+                         // merge-on-read delete cannot be resurrected
+                         // by them and the unapplied-delete conflict
+                         // check below must not fire — only row-level
+                         // rewrites, whose survivors derive from the
+                         // replaced rows, can resurrect
+                         replaceReadsRows: Boolean = true,
                          alterProps: Option[Map[String, String] =>
                            Map[String, String]] = None,
                          newDeletes: Seq[DeleteEntry] = Nil,
@@ -2958,14 +3011,16 @@ class LakeTable private (
         // rewrite re-stamps rows to a seq ABOVE it) — must be one this
         // rewrite already applied, else the rewritten survivors
         // contain rows the concurrent delete committed away
-        val unapplied = deletesOf(cur).filter(e =>
-          !appliedDeletes.contains(e.path) &&
-            (e.kind == "eq" || e.covers.exists(replacedFiles.contains)))
-        if (unapplied.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"rewrite conflict at $root: ${unapplied.size} position-" +
-              "delete file(s) landed since the rewrite's base; " +
-              "committing would resurrect their deleted rows")
+        if (replaceReadsRows) {
+          val unapplied = deletesOf(cur).filter(e =>
+            !appliedDeletes.contains(e.path) &&
+              (e.kind == "eq" || e.covers.exists(replacedFiles.contains)))
+          if (unapplied.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"rewrite conflict at $root: ${unapplied.size} position-" +
+                "delete file(s) landed since the rewrite's base; " +
+                "committing would resurrect their deleted rows")
+        }
       }
       if (requireLive.nonEmpty) {
         // a positional delete names (file, pos) pairs of a specific
@@ -3921,6 +3976,17 @@ object LakeTable {
                           numFiles: Int, rows: Long)
   private[lake] case class PendingWrite(files: Seq[FileEntry],
                                         schema: StructType)
+
+  /** One commit step of [[LakeTable.changeStepsBetween]]: the full
+    * before/after file and delete-entry sets of version `version`
+    * relative to its predecessor — metadata only, what the streaming
+    * changelog planner decomposes into per-file change partitions. */
+  private[graft] case class ChangeStep(version: Int,
+                                       prevFiles: Seq[FileEntry],
+                                       files: Seq[FileEntry],
+                                       prevDeletes: Seq[DeleteEntry],
+                                       deletes: Seq[DeleteEntry],
+                                       isCompaction: Boolean)
 
   /** One snapshot-level reference to an immutable manifest file
     * (relative to the table's metadata dir). `entries` rides in the

@@ -170,6 +170,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table =
     metaTableOf(ident) match {
+      case Some((t, "changes")) =>
+        // not a driver-computed inspection frame: the streaming
+        // row-level changelog face (readStream.table("cat.ns.t.changes"))
+        new GraftChangesTable(
+          s"${ident.namespace.mkString(".")}.changes", t)
       case Some((t, meta)) =>
         new GraftMetaTable(s"${ident.namespace.mkString(".")}.$meta",
           t, meta)
@@ -315,7 +320,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   val MetaTables: Set[String] =
     Set("snapshots", "files", "delete_files", "partitions", "manifests",
-      "refs")
+      "refs", "changes")
 
   /** Spark-reserved creation properties that are not table state. */
   val ReservedProps: Set[String] = Set(
@@ -863,7 +868,8 @@ class GraftScanBuilder(table: GraftSqlTable,
           "streaming reads do not claim filter pushdown")
         new graft.sources.GraftLakeMicroBatchStream(table.lake,
           prunedSchema, options.asCaseSensitiveMap().asScala.toMap
-            .map { case (k, v) => k.toLowerCase -> v })
+            .map { case (k, v) => k.toLowerCase -> v },
+          Some(checkpointLocation))
       }
     }
     built
@@ -1059,6 +1065,39 @@ object GraftV1ReadRule {
 /** Read-only metadata table (`graft.ns.tbl.snapshots|files|...`):
   * tiny, driver-computed frames served through the V1 shim with no
   * pushdown — inspection surfaces, not data paths. */
+/** The streaming ROW-LEVEL CHANGELOG face of one lake table
+  * (`spark.readStream.table("graft.ns.tbl.changes")` — Delta's
+  * `readChangeFeed` shape): schema = the table's visible columns plus
+  * `_change_type` (insert|delete) and `_commit_version`,
+  * MICRO_BATCH_READ only — see
+  * [[graft.sources.GraftLakeChangesMicroBatchStream]] for semantics
+  * and execution. Batch-range changelogs stay on
+  * [[LakeTable.readChangelog]]. */
+class GraftChangesTable(ident: String, lake: LakeTable)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override lazy val schema: StructType =
+    graft.sources.GraftLakeChangesMicroBatchStream.schemaFor(
+      StructType(lake.schema.fields.filterNot(f =>
+        f.name == LakeTable.BucketCol || f.name.startsWith("_p_"))))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = schema
+      override def description(): String = s"GraftChangesScan $ident"
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming
+            .MicroBatchStream =
+        new graft.sources.GraftLakeChangesMicroBatchStream(lake,
+          schema, options.asCaseSensitiveMap().asScala.toMap
+            .map { case (k, v) => k.toLowerCase -> v },
+          Some(checkpointLocation))
+    }
+  }
+}
+
 class GraftMetaTable(ident: String, lake: LakeTable, meta: String)
     extends Table with SupportsRead {
   private lazy val df: DataFrame = lake.meta(meta)

@@ -41,10 +41,13 @@ object SqlProcedures {
       : Option[UnboundProcedure] = {
     def table(row: InternalRow): LakeTable = {
       val ident = row.getUTF8String(0).toString
-      val parts = ident.split("\\.", 2)
+      // full split, not split-on-first: 'a.b.t' must be REJECTED with
+      // a clear message, not silently resolved as namespace 'a' /
+      // table 'b.t' (which fails later with a confusing lookup error)
+      val parts = ident.split("\\.")
       require(parts.length == 2,
-        s"procedure table argument must be 'namespace.table', got " +
-          s"'$ident'")
+        s"procedure table argument must be 'namespace.table' " +
+          s"(single-level namespaces only), got '$ident'")
       lakeCat.tableOrAlias(parts(0), parts(1))
     }
     val TableParam =

@@ -1,0 +1,388 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.Offset
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+
+/** `spark.readStream.table("graft.ns.t.changes")` — the streaming
+  * ROW-LEVEL CHANGELOG (Delta's `readChangeFeed`, Iceberg's changelog
+  * scan, as a MICRO_BATCH_READ): every commit a table takes — append,
+  * merge-on-read DELETE/UPDATE/MERGE, overwrite — streams as (row,
+  * `_change_type` insert|delete, `_commit_version`) events a
+  * downstream consumer applies IN `_commit_version` ORDER to mirror
+  * the table exactly across a session/engine boundary. This is the
+  * read-side twin of `writeStream.toTable`: the engine's own index
+  * MVs run this CDC-apply loop in-process; the changelog stream is
+  * the same contract over the public streaming API.
+  *
+  * Offsets are snapshot versions ([[GraftVersionedStreamBase]]: WAP
+  * pin, `startingVersion`/`startingTimestamp`, AvailableNow,
+  * `maxRowsPerBatch` admission by per-commit emitted rows). A FRESH
+  * checkpoint first serves the current snapshot as one batch of
+  * `insert` events (merge-on-read deletes applied — below the bound
+  * at the reader, above it through the engine's distributed batch
+  * read, like the append stream's initial batch), then per-commit
+  * deltas.
+  *
+  * EXECUTION — every batch is FILE-GRAINED, fully distributed, cost
+  * O(files the commits touched), never O(table):
+  *  - files a commit ADDED serve their rows as `insert` (same-commit
+  *    equality deletes never apply to them — Iceberg seq semantics);
+  *  - files a commit REMOVED (overwrite, copy-on-write rewrite) serve
+  *    their LIVE rows — prior merge-on-read scope applied at the
+  *    reader — as `delete` (full-churn for rewrites, exactly Delta's
+  *    CDF contract for non-CDC-aware overwrites: correct under
+  *    in-order apply, net-exact per commit for the engine's own
+  *    delete/overwrite shapes);
+  *  - files whose merge-on-read delete SCOPE GREW serve exactly the
+  *    newly-deleted rows (match the commit's new delete entries, and
+  *    NOT the prior scope) as `delete` — a GDPR equality-delete
+  *    commit on a 100 TB table streams O(covered files), zero
+  *    shuffles;
+  *  - compactions net to zero by the commit contract and are skipped
+  *    by their marker; a delete-scope SHRINK on a live file (dead
+  *    delete entries drop only when every covered row left the live
+  *    set) is impossible under the contract and REFUSES loudly if
+  *    ever observed rather than emitting a wrong changelog.
+  *
+  * The per-batch delete state is the COMMITS' OWN DELTA (plus the
+  * prior scope of touched files), broadcast once and bounded by
+  * `maxMorRowsPerBatch` (default 4M rows) — above it the batch
+  * refuses with guidance instead of materializing unbounded driver
+  * state. Replays are deterministic: the same version range plans the
+  * same partitions, so a checkpoint restart mid-delta re-serves its
+  * batch exactly.
+  */
+class GraftLakeChangesMicroBatchStream(lake: LakeTable,
+                                       target: StructType,
+                                       options: Map[String, String],
+                                       checkpointLocation: Option[String])
+    extends GraftVersionedStreamBase(lake, options) {
+
+  import GraftLakeChangesMicroBatchStream._
+
+  /** The data half of the output (target minus the two CDF columns). */
+  private val visible = StructType(target.fields.filterNot(f =>
+    f.name == ChangeTypeCol || f.name == CommitVersionCol))
+
+  private val snapSchema = lake.schema
+  private val partCols = lake.partitionBy.toSet
+  private val readPartSchema =
+    StructType(visible.fields.filter(f => partCols.contains(f.name)))
+  private val readDataSchema =
+    StructType(visible.fields.filterNot(f => partCols.contains(f.name)))
+  private val fileSchema =
+    StructType(snapSchema.fields.filterNot(f => partCols.contains(f.name)))
+  private val currentIds = lake.fieldIds
+
+  private val maxMorRows = options.get("maxmorrowsperbatch")
+    .map(_.toLong).getOrElse(4_000_000L)
+
+  @volatile private var scratchUsed: Option[(String, Int)] = None
+  @volatile private var sweptScratch = false
+
+  override def commit(end: Offset): Unit = scratchUsed match {
+    case Some((dir, v))
+        if end.asInstanceOf[LakeLogOffset].version >= v =>
+      LakeStreamPlanning.bestEffortDelete(dir)
+      scratchUsed = None
+    case _ => ()
+  }
+
+  override protected def emittedRowsBetween(from: Int, targetV: Int)
+      : Seq[(Int, Long)] =
+    lake.changeStepsBetween(from, targetV).map { st =>
+      if (st.isCompaction) (st.version, 0L)
+      else {
+        val prevPaths = st.prevFiles.map(_.path).toSet
+        val curPaths = st.files.map(_.path).toSet
+        val removed = st.prevFiles.filterNot(f => curPaths(f.path))
+          .map(_.rows).sum
+        val added = st.files.filterNot(f => prevPaths(f.path))
+          .map(_.rows).sum
+        val prevDelPaths = st.prevDeletes.map(_.path).toSet
+        val newDels = st.deletes.filterNot(e => prevDelPaths(e.path))
+          .map(_.rows).sum
+        (st.version, removed + added + newDels)
+      }
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[LakeLogOffset].version
+    val hi = end.asInstanceOf[LakeLogOffset].version
+    if (hi <= lo) return Array.empty
+    val session = SparkSession.active
+    if (lo < 0) return initialSnapshotPartitions(session, hi)
+    if (!sweptScratch) { // batch 0 provably committed: sweep leftovers
+      sweptScratch = true
+      checkpointLocation.foreach(LakeStreamPlanning.sweepScratch)
+    }
+
+    val errPrefix = s"changelog streaming ${lake.root}"
+    val steps = lake.changeStepsBetween(lo, hi)
+      .filterNot(_.isCompaction)
+    // ---- decompose each commit into per-file plans (metadata only) --
+    case class StepPlan(version: Int,
+                        removed: Seq[LakeTable.FileEntry],
+                        grew: Seq[LakeTable.FileEntry],
+                        added: Seq[LakeTable.FileEntry],
+                        prevDeletes: Seq[LakeTable.DeleteEntry],
+                        newDels: Seq[LakeTable.DeleteEntry])
+    val plans = steps.map { st =>
+      val prevPaths = st.prevFiles.map(_.path).toSet
+      val curPaths = st.files.map(_.path).toSet
+      val prevDelPaths = st.prevDeletes.map(_.path).toSet
+      val removed = st.prevFiles.filterNot(f => curPaths(f.path))
+      val added = st.files.filterNot(f => prevPaths(f.path))
+      val newDels = st.deletes.filterNot(e => prevDelPaths(e.path))
+      // delete-scope shrink guard: a dropped delete entry is legal
+      // only when every row it still covered left the live set with
+      // this commit — otherwise rows would RESURRECT, which no
+      // insert/delete event stream can express
+      val survivors = st.files.filter(f => prevPaths(f.path))
+      val minSurvivorSeq =
+        if (survivors.isEmpty) Long.MaxValue
+        else survivors.map(_.seq).min
+      val curDelPaths = st.deletes.map(_.path).toSet
+      st.prevDeletes.filterNot(e => curDelPaths(e.path)).foreach { e =>
+        val shrank =
+          if (e.kind == "eq") minSurvivorSeq < e.seq
+          else e.covers.exists(p => curPaths(p))
+        if (shrank) throw new IllegalStateException(
+          s"$errPrefix: version ${st.version} dropped delete entry " +
+            s"${e.path} while rows it covered remain live — a " +
+            "delete-scope shrink cannot be represented as row-level " +
+            "changes")
+      }
+      val grew = survivors.filter(f => newDels.exists(e =>
+        if (e.kind == "eq") e.seq > f.seq else e.covers.contains(f.path)))
+      StepPlan(st.version, removed, grew, added, st.prevDeletes, newDels)
+    }
+    // ---- bound the batch's driver-broadcast delete state ------------
+    val totalMorRows = plans.map(p =>
+      MorPlanning.morRowCount(p.removed ++ p.grew, p.prevDeletes) +
+        MorPlanning.morRowCount(p.grew ++ p.added, p.newDels)).sum
+    require(totalMorRows <= maxMorRows,
+      s"$errPrefix: the batch for commits ($lo, $hi] carries " +
+        s"$totalMorRows merge-on-read delete rows, above the " +
+        s"$maxMorRows driver-side bound — raise the " +
+        "maxMorRowsPerBatch stream option, or restart from a fresh " +
+        "checkpoint (the initial snapshot applies deletes through " +
+        "the distributed batch read)")
+    // ---- build + broadcast the per-version states --------------------
+    val perVersion: Map[Int, ChangeVersionState] = plans.map { p =>
+      val oldState =
+        if ((p.removed ++ p.grew).isEmpty || p.prevDeletes.isEmpty)
+          MorState.empty
+        else MorPlanning.build(lake, p.removed ++ p.grew, p.prevDeletes,
+          visible, snapSchema, errPrefix)
+      val addedState =
+        if (p.newDels.isEmpty) MorState.empty
+        else MorPlanning.build(lake, p.grew ++ p.added, p.newDels,
+          visible, snapSchema, errPrefix)
+      p.version -> ChangeVersionState(oldState, addedState)
+    }.toMap
+    val bc = session.sparkContext
+      .broadcast(ChangeBatchState(perVersion))
+    val allEntries = plans.flatMap(p => p.removed ++ p.grew ++ p.added)
+    LakeStreamPlanning.guardFieldIds(lake, currentIds, allEntries)
+    // ---- per-file change partitions ----------------------------------
+    var idx = -1
+    plans.flatMap { p =>
+      def part(f: LakeTable.FileEntry, changeType: String, mode: Int)
+          : InputPartition = {
+        idx += 1
+        GraftChangeInputPartition(
+          LakeStreamPlanning.filePartition(lake, f, idx, readPartSchema),
+          f.path.split("/").last, f.seq, p.version, changeType, mode, bc)
+      }
+      val st = perVersion(p.version)
+      p.removed.map(f => part(f, "delete", ModeLiveOld)) ++
+        p.grew.map(f => part(f, "delete", ModeGrowth)) ++
+        p.added.map { f =>
+          val n = f.path.split("/").last
+          // same-commit equality deletes never apply (equal seq);
+          // a position delete covering a same-commit file would —
+          // guard it, though the engine's own commits never do this
+          val guarded = st.added.posByName.contains(n)
+          part(f, "insert", if (guarded) ModeInsertGuard else ModeNone)
+        }
+    }.toArray
+  }
+
+  /** Fresh-checkpoint batch 0: the snapshot at `hi` as `insert`
+    * events, merge-on-read deletes applied — broadcast state below
+    * the bound, the engine's distributed batch read above it. */
+  private def initialSnapshotPartitions(session: SparkSession, hi: Int)
+      : Array[InputPartition] = {
+    val (files, dels) = lake.snapshotWithDeletes(hi)
+    if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
+      val dir = LakeStreamPlanning.scratchDir(checkpointLocation, lake,
+        hi, maxMorRows)
+      scratchUsed = Some((dir, hi))
+      return LakeStreamPlanning.scratchSnapshot(lake, visible, hi, dir)
+        .map(fp => GraftScratchChangeInputPartition(fp, hi)
+          : InputPartition)
+    }
+    LakeStreamPlanning.guardFieldIds(lake, currentIds, files)
+    val state =
+      if (dels.isEmpty) MorState.empty
+      else MorPlanning.build(lake, files, dels, visible, snapSchema,
+        s"cannot start changelog streaming ${lake.root}")
+    val bc = session.sparkContext.broadcast(
+      ChangeBatchState(Map(hi -> ChangeVersionState(state,
+        MorState.empty))))
+    val maxEqSeq =
+      if (state.eqGroups.isEmpty) Long.MinValue
+      else state.eqGroups.flatMap(_.keys.values).max
+    files.zipWithIndex.map { case (e, i) =>
+      val fp = LakeStreamPlanning.filePartition(lake, e, i,
+        readPartSchema)
+      val name = e.path.split("/").last
+      val touched =
+        state.posByName.contains(name) || maxEqSeq > e.seq
+      GraftChangeInputPartition(fp, name, e.seq, hi, "insert",
+        if (touched) ModeLiveOld else ModeNone, bc): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val session = SparkSession.active
+    GraftChangesReaderFactory(
+      LakeStreamPlanning.parquetFactory(session, fileSchema,
+        readDataSchema, readPartSchema),
+      LakeStreamPlanning.parquetFactory(session, visible, visible,
+        new StructType()),
+      StructType(readDataSchema.fields ++ readPartSchema.fields),
+      visible)
+  }
+}
+
+object GraftLakeChangesMicroBatchStream {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** The changes table's schema: the table's visible columns plus the
+    * two CDF columns. */
+  def schemaFor(visible: StructType): StructType =
+    StructType(visible.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+
+  /** Emit modes of a change partition's row filter. */
+  val ModeNone = 0        // every row (added files, clean snapshot)
+  val ModeLiveOld = 1     // rows live under the PRIOR delete scope
+  val ModeGrowth = 2      // rows the commit's NEW deletes kill (and
+                          // the prior scope had not)
+  val ModeInsertGuard = 3 // added-file rows no delete touches
+}
+
+/** Per-version merge-on-read states of one changelog batch: `old` is
+  * the prior scope of the commit's touched files, `added` the
+  * commit's own new delete entries. */
+private[sources] case class ChangeVersionState(old: MorState,
+                                               added: MorState)
+private[sources] case class ChangeBatchState(
+    perVersion: Map[Int, ChangeVersionState])
+
+/** One data file's contribution to a changelog batch: the stock
+  * [[FilePartition]] plus the change constants and the broadcast
+  * batch state. */
+case class GraftChangeInputPartition(
+    inner: FilePartition, fileName: String, fileSeq: Long,
+    version: Int, changeType: String, mode: Int,
+    state: org.apache.spark.broadcast.Broadcast[ChangeBatchState])
+    extends InputPartition
+
+/** A scratch file of the over-bound distributed initial batch, all
+  * rows `insert` at `version`. */
+case class GraftScratchChangeInputPartition(inner: FilePartition,
+                                            version: Int)
+    extends InputPartition
+
+/** Executes a changelog partition: the stock parquet reader, the
+  * partition's mode-selected row filter over the broadcast
+  * [[MorRowFilter]] pair, then projection to (visible order ++
+  * `_change_type` ++ `_commit_version`) with the partition's
+  * constants. */
+case class GraftChangesReaderFactory(
+    delegate: ParquetPartitionReaderFactory,
+    scratchDelegate: ParquetPartitionReaderFactory,
+    readerOrder: StructType, visibleOrder: StructType)
+    extends PartitionReaderFactory {
+
+  import GraftLakeChangesMicroBatchStream._
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  private def projectTo(inputOrder: StructType, changeType: String,
+                        version: Int)
+      : (PartitionReader[InternalRow]) => PartitionReader[InternalRow] =
+    inner => new PartitionReader[InternalRow] {
+      private val attrs = DataTypeUtils.toAttributes(inputOrder)
+      private val exprs: Seq[Expression] =
+        visibleOrder.fieldNames.toSeq.map(n =>
+          attrs.find(_.name == n).getOrElse(
+            throw new IllegalStateException(
+              s"changelog projection lost column $n"))) ++ Seq(
+          Literal(UTF8String.fromString(changeType), StringType),
+          Literal(version.toLong, LongType))
+      private val proj = UnsafeProjection.create(exprs, attrs)
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case s: GraftScratchChangeInputPartition =>
+      projectTo(visibleOrder, "insert", s.version)(
+        scratchDelegate.createReader(s.inner))
+    case c: GraftChangeInputPartition =>
+      val base = delegate.createReader(c.inner)
+      val st = c.state.value.perVersion(c.version)
+      lazy val oldF =
+        new MorRowFilter(st.old, c.fileName, c.fileSeq, readerOrder)
+      lazy val addF =
+        new MorRowFilter(st.added, c.fileName, c.fileSeq, readerOrder)
+      val filtered =
+        if (c.mode == ModeNone) base
+        else new PartitionReader[InternalRow] {
+          private var idx = -1L
+          private var cur: InternalRow = _
+          private def emits(r: InternalRow, pos: Long): Boolean =
+            c.mode match {
+              case ModeLiveOld => !oldF.deleted(r, pos)
+              case ModeGrowth =>
+                addF.deleted(r, pos) && !oldF.deleted(r, pos)
+              case ModeInsertGuard =>
+                !addF.deleted(r, pos) && !oldF.deleted(r, pos)
+              case m => throw new IllegalStateException(
+                s"unknown changelog partition mode $m")
+            }
+          override def next(): Boolean = {
+            while (base.next()) {
+              idx += 1
+              val r = base.get()
+              if (emits(r, idx)) { cur = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = base.close()
+        }
+      projectTo(readerOrder, c.changeType, c.version)(filtered)
+    case other => throw new IllegalStateException(
+      s"unexpected changelog partition $other")
+  }
+}

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -14,14 +14,153 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.lake.LakeTable
 
+/** Offset/limit plumbing shared by the catalog table's two streaming
+  * faces — the APPEND stream ([[GraftLakeMicroBatchStream]]) and the
+  * CHANGELOG stream ([[GraftLakeChangesMicroBatchStream]]). Offsets
+  * are SNAPSHOT VERSIONS (the same currency as [[LakeLogSource]] and
+  * the engine's own MV loops): checkpointed version ranges give
+  * exactly-once delivery of each commit across restarts, and
+  * `Trigger.AvailableNow` freezes the target version so backfills
+  * terminate.
+  *
+  * Offsets resolve against [[LakeTable.mainVersion]] — the WAP-PINNED
+  * head, never the staged one: while a write-audit-publish branch
+  * stages commits (every audited MV batch does), a streaming reader
+  * must not deliver rows that were never published — an abandoned
+  * branch would have already leaked them downstream. Same pin
+  * contract as `read()`/`readAsOf`; `publishBranch` moves the pin and
+  * the stream advances over the published commits on its next
+  * trigger.
+  *
+  * Starting-point options, Delta parity, both streams:
+  *  - `startingVersion=n` (n >= 1): a FRESH checkpoint skips the
+  *    initial snapshot and begins at a commit boundary — every commit
+  *    with version >= n streams, nothing earlier. Version 0 is not
+  *    accepted (that IS the snapshot — omit the option); an expired
+  *    startingVersion fails at planning with the retention error,
+  *    never silently skips.
+  *  - `startingTimestamp=ts` (epoch millis, `yyyy-MM-dd HH:mm:ss`,
+  *    or ISO-8601 instant): begins at the FIRST commit whose commit
+  *    time is at or after `ts` — resolved through the same snapshot
+  *    clock as `TIMESTAMP AS OF` ([[LakeTable.versionAt]]'s data).
+  *    A timestamp predating the initial snapshot refuses (omit the
+  *    option to stream the snapshot); a timestamp whose first
+  *    qualifying commit cannot be PROVEN first because its
+  *    predecessor expired refuses with the retention error (never a
+  *    silent skip); a timestamp after the last commit starts empty at
+  *    the current head (only future commits stream).
+  */
+private[sources] abstract class GraftVersionedStreamBase(
+    lake: LakeTable, options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val maxRows = options.get("maxrowsperbatch").map(_.toLong)
+
+  @volatile private var frozen: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozen = Some(lake.mainVersion)
+
+  override def latestOffset(): Offset =
+    LakeLogOffset(frozen.getOrElse(lake.mainVersion))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRows.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** (version, rows this stream would emit for that commit), for
+    * versions in (from, target] — the admission currency. Metadata
+    * only (manifest row counts), no file opened. */
+  protected def emittedRowsBetween(from: Int, target: Int)
+      : Seq[(Int, Long)]
+
+  /** Version-granular admission: advance until the accumulated
+    * emitted rows of the admitted commits reach the cap (always at
+    * least one version — a single commit larger than the cap still
+    * ships whole; the initial snapshot batch is likewise
+    * indivisible). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[LakeLogOffset].version
+    val from = start.asInstanceOf[LakeLogOffset].version
+    limit match {
+      case mr: ReadMaxRows if from >= 0 && target > from =>
+        var acc = 0L
+        var v = from
+        val it = emittedRowsBetween(from, target).iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val (ver, rows) = it.next()
+          acc += rows
+          v = ver
+          if (acc >= mr.maxRows() && v > from) done = true
+        }
+        LakeLogOffset(v)
+      case _ => LakeLogOffset(target)
+    }
+  }
+
+  require(!(options.contains("startingversion") &&
+      options.contains("startingtimestamp")),
+    "startingVersion and startingTimestamp are mutually exclusive")
+
+  private val startingVersion = options.get("startingversion").map { v =>
+    val n = v.toInt
+    require(n >= 1,
+      s"startingVersion must be >= 1 (got $n): version 0 is the " +
+        "initial snapshot — omit the option to stream it")
+    n
+  }
+
+  /** Resolved initial-offset version for `startingTimestamp` (the
+    * version BEFORE the first streamed commit) — see the class doc
+    * for the contract. Commit times are monotone non-decreasing, so
+    * "first at or after ts" is proven exactly when the predecessor is
+    * retained and committed before ts. */
+  private val startingTimestamp: Option[Int] =
+    options.get("startingtimestamp").map { raw =>
+      val ts = GraftVersionedStreamBase.parseTimestampMs(raw)
+      val cap = lake.mainVersion
+      val snaps = lake.snapshots.filter(_.version <= cap)
+      val atOrAfter = snaps.filter(_.committedAtMs >= ts)
+      if (atOrAfter.isEmpty) cap // only future commits qualify
+      else {
+        val v = atOrAfter.map(_.version).min
+        require(v >= 1,
+          s"startingTimestamp $raw predates the initial snapshot at " +
+            s"${lake.root} — omit the option (a fresh checkpoint " +
+            "streams the snapshot)")
+        require(snaps.exists(_.version == v - 1),
+          s"startingTimestamp $raw falls behind the retention window " +
+            s"at ${lake.root}: version ${v - 1} has expired, so the " +
+            "first commit at or after the timestamp cannot be proven " +
+            "— restart from a fresh checkpoint or use startingVersion")
+        v - 1
+      }
+    }
+
+  override def initialOffset(): Offset =
+    LakeLogOffset(startingVersion.map(_ - 1)
+      .orElse(startingTimestamp).getOrElse(-1))
+  override def deserializeOffset(json: String): Offset =
+    LakeLogOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object GraftVersionedStreamBase {
+  /** Epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` (JVM timezone, the
+    * `java.sql.Timestamp` contract), or an ISO-8601 instant. */
+  def parseTimestampMs(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      if (raw.contains("T"))
+        java.time.Instant.parse(raw).toEpochMilli
+      else java.sql.Timestamp.valueOf(raw).getTime
+    }
+}
+
 /** `spark.readStream.table("graft.ns.t")` — MICRO_BATCH_READ on the
-  * SQL catalog's lake tables. Offsets are SNAPSHOT VERSIONS (the same
-  * currency as [[LakeLogSource]] and the engine's own MV loops):
-  * checkpointed version ranges give exactly-once delivery of each
-  * commit's rows across restarts, `Trigger.AvailableNow` freezes the
-  * target version so backfills terminate, and `maxRowsPerBatch` paces
-  * admission by ACTUAL added rows per commit (manifest row counts —
-  * no file opened for planning).
+  * SQL catalog's lake tables; offsets per [[GraftVersionedStreamBase]],
+  * `maxRowsPerBatch` paces admission by ACTUAL added rows per commit
+  * (manifest row counts — no file opened for planning).
   *
   * Execution reuses Spark's OWN DSv2 parquet reader
   * ([[ParquetPartitionReaderFactory]]) over the manifest's file
@@ -34,18 +173,23 @@ import graft.lake.LakeTable
   *
   * SEMANTICS — append-stream, the Delta contract:
   *  - the INITIAL batch (fresh checkpoint) is the current snapshot's
-  *    content WITH live merge-on-read deletes applied at the reader
-  *    (position skip-lists + equality key maps, driver-bounded by
-  *    `maxMorRowsInitialBatch`, broadcast once) — a table that just
-  *    ran a SQL DELETE/UPDATE/MERGE streams immediately and never
-  *    serves a deleted row; above the bound it refuses with
-  *    compaction guidance instead of materializing unbounded state;
+  *    content WITH live merge-on-read deletes applied — below
+  *    `maxMorRowsInitialBatch` delete rows, at the reader (position
+  *    skip-lists + equality key maps, broadcast once); ABOVE it, the
+  *    batch is served through the engine's DISTRIBUTED merge-on-read
+  *    batch read (the executors' anti-join), materialized once under
+  *    the stream's own checkpoint scratch dir — zero driver-side
+  *    delete state at any delete volume, so a table that just ran a
+  *    SQL DELETE/UPDATE/MERGE streams immediately and never serves a
+  *    deleted row;
   *  - each later batch is the files ADDED by commits in (lo, hi];
   *    compactions are skipped (rewrites, no new rows); a commit that
   *    REMOVES rows (row-level DELETE/UPDATE/MERGE, overwrite) FAILS
   *    the stream by default — `skipChangeCommits=true` skips such
   *    commits wholesale instead (their appended half too, matching
-  *    Delta's option of the same name);
+  *    Delta's option of the same name), and the CHANGELOG stream
+  *    (`readStream.table("cat.ns.t.changes")`) mirrors them as
+  *    row-level (op, row) events;
   *  - schema stability is guarded by FIELD IDS: every streamed file's
   *    (name, id) pairs must match the current schema (files from
   *    before an ADD COLUMN pass — the reader serves nulls; files from
@@ -53,13 +197,12 @@ import graft.lake.LakeTable
   *    stale names as nulls).
   */
 class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
-                                options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+                                options: Map[String, String],
+                                checkpointLocation: Option[String] = None)
+    extends GraftVersionedStreamBase(lake, options) {
 
   private val skipChangeCommits =
     options.get("skipchangecommits").exists(_.toBoolean)
-  private val maxRows = options.get("maxrowsperbatch").map(_.toLong)
 
   // schema split, pinned at stream construction (one per run):
   // partition-dir columns come back from manifest constants, the rest
@@ -74,102 +217,80 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
     StructType(snapSchema.fields.filterNot(f => partCols.contains(f.name)))
   private val currentIds = lake.fieldIds
 
-  @volatile private var frozen: Option[Int] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    frozen = Some(lake.mainVersion)
-
-  /** Offsets resolve against [[LakeTable.mainVersion]] — the WAP-PINNED
-    * head, never the staged one: while a write-audit-publish branch
-    * stages commits (every audited MV batch does), a streaming reader
-    * must not deliver rows that were never published — an abandoned
-    * branch would have already leaked them downstream, silently under
-    * `skipChangeCommits=true`. Same pin contract as `read()`/
-    * `readAsOf`; `publishBranch` moves the pin and the stream advances
-    * over the published commits on its next trigger. */
-  override def latestOffset(): Offset =
-    LakeLogOffset(frozen.getOrElse(lake.mainVersion))
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxRows.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
-
-  /** Version-granular admission: advance until the accumulated ADDED
-    * rows of the admitted commits reach the cap (always at least one
-    * version — a single commit larger than the cap still ships whole;
-    * the initial snapshot batch is likewise indivisible). */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = latestOffset().asInstanceOf[LakeLogOffset].version
-    val from = start.asInstanceOf[LakeLogOffset].version
-    limit match {
-      case mr: ReadMaxRows if from >= 0 && target > from =>
-        var acc = 0L
-        var v = from
-        val steps = lake.addedEntriesBetween(from, target)
-        val it = steps.iterator
-        var done = false
-        while (it.hasNext && !done) {
-          val (ver, added, _) = it.next()
-          acc += added.map(_.rows).sum
-          v = ver
-          if (acc >= mr.maxRows() && v > from) done = true
-        }
-        LakeLogOffset(v)
-      case _ => LakeLogOffset(target)
+  override protected def emittedRowsBetween(from: Int, target: Int)
+      : Seq[(Int, Long)] =
+    lake.addedEntriesBetween(from, target).map {
+      case (v, added, _) => (v, added.map(_.rows).sum)
     }
-  }
-
-  /** Delta-parity `startingVersion`: a FRESH checkpoint can skip the
-    * initial snapshot and begin at a commit boundary — every commit
-    * with version >= startingVersion streams, nothing earlier.
-    * Version 0 is not accepted (that IS the snapshot — use a fresh
-    * checkpoint without the option); an expired startingVersion fails
-    * at planning with the retention error, never silently skips. */
-  private val startingVersion = options.get("startingversion").map { v =>
-    val n = v.toInt
-    require(n >= 1,
-      s"startingVersion must be >= 1 (got $n): version 0 is the " +
-        "initial snapshot — omit the option to stream it")
-    n
-  }
-
-  override def initialOffset(): Offset =
-    LakeLogOffset(startingVersion.map(_ - 1).getOrElse(-1))
-  override def deserializeOffset(json: String): Offset =
-    LakeLogOffset(json.trim.toInt)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 
   /** Driver-side bound on the merge-on-read state the INITIAL batch
-    * may carry (delete positions + equality keys): beyond it, refuse
-    * with compaction guidance instead of materializing an unbounded
-    * set on the driver. */
+    * may broadcast (delete positions + equality keys): beyond it, the
+    * batch is served through the engine's distributed merge-on-read
+    * read instead (see [[LakeStreamPlanning.scratchSnapshot]]). */
   private val maxMorRows = options.get("maxmorrowsinitialbatch")
     .map(_.toLong).getOrElse(4_000_000L)
+
+  /** Scratch dir of the over-bound initial batch, for best-effort
+    * cleanup once the batch's offset commits. A terminating
+    * AvailableNow run may end before Spark calls `commit`, so the
+    * next stream instance over the same checkpoint also sweeps on its
+    * first NON-initial planning call (start >= 0 proves batch 0
+    * committed durably — its scratch can never be replayed). */
+  @volatile private var scratchUsed: Option[(String, Int)] = None
+  @volatile private var sweptScratch = false
+
+  override def commit(end: Offset): Unit = scratchUsed match {
+    case Some((dir, v))
+        if end.asInstanceOf[LakeLogOffset].version >= v =>
+      LakeStreamPlanning.bestEffortDelete(dir)
+      scratchUsed = None
+    case _ => ()
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[LakeLogOffset].version
     val hi = end.asInstanceOf[LakeLogOffset].version
     if (hi <= lo) return Array.empty
+    if (lo >= 0 && !sweptScratch) {
+      sweptScratch = true
+      checkpointLocation.foreach(c =>
+        LakeStreamPlanning.sweepScratch(c))
+    }
     var mor: Option[(org.apache.spark.broadcast.Broadcast[MorState],
       Set[String], Long)] = None
+    var scratch: Array[InputPartition] = null
     val entries: Seq[LakeTable.FileEntry] =
       if (lo < 0) {
         // the INITIAL snapshot batch applies live merge-on-read
-        // deletes at the READER (position skip-lists + equality key
-        // sets, bounded, broadcast) — a table that just ran a SQL
-        // DELETE/UPDATE/MERGE streams immediately, no compact-first
-        // speed bump, and never serves a deleted row
+        // deletes — broadcast state at the reader below the bound,
+        // the engine's distributed anti-join read above it; either
+        // way a table that just ran a SQL DELETE/UPDATE/MERGE streams
+        // immediately, no compact-first speed bump, and never serves
+        // a deleted row
         val (files, dels) = lake.snapshotWithDeletes(hi)
-        if (dels.nonEmpty) {
-          val state = buildMorState(files, dels)
-          val touched = state.posByName.keySet
-          val maxEqSeq =
-            if (state.eqGroups.isEmpty) Long.MinValue
-            else state.eqGroups.flatMap(_.keys.values).max
-          mor = Some((SparkSession.active.sparkContext.broadcast(state),
-            touched, maxEqSeq))
+        if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
+          val dir = LakeStreamPlanning.scratchDir(checkpointLocation,
+            lake, hi, maxMorRows)
+          scratchUsed = Some((dir, hi))
+          scratch = LakeStreamPlanning.scratchSnapshot(lake, pruned,
+            hi, dir).map(fp => GraftScratchInputPartition(fp)
+              : InputPartition)
+          Nil
+        } else {
+          if (dels.nonEmpty) {
+            val state = MorPlanning.build(lake, files, dels,
+              pruned, snapSchema,
+              s"cannot start streaming ${lake.root}")
+            val touched = state.posByName.keySet
+            val maxEqSeq =
+              if (state.eqGroups.isEmpty) Long.MinValue
+              else state.eqGroups.flatMap(_.keys.values).max
+            mor = Some((SparkSession.active.sparkContext.broadcast(state),
+              touched, maxEqSeq))
+          }
+          files
         }
-        files
       } else {
         lake.addedEntriesBetween(lo, hi).flatMap {
           case (_, added, false) => added
@@ -178,27 +299,19 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
             s"streaming ${lake.root}: version $v removed or rewrote " +
               "rows (row-level DELETE/UPDATE/MERGE or overwrite) — an " +
               "append stream cannot represent it; set " +
-              "skipChangeCommits=true to skip such commits, or consume " +
-              "the changelog (LakeTable.readChangelog) instead")
+              "skipChangeCommits=true to skip such commits, stream " +
+              "the row-level changelog " +
+              "(readStream.table(\"<cat>.<ns>.<t>.changes\")), or " +
+              "consume LakeTable.readChangelog in batch")
         }
       }
+    if (scratch != null) return scratch
     // field-ID stability: a renamed column's old files would otherwise
     // silently serve nulls under the new name
-    entries.foreach(e => e.cols.foreach { case (n, id) =>
-      require(currentIds.get(n).contains(id),
-        s"streaming ${lake.root}: file ${e.path} was written under a " +
-          s"schema where '$n' had field id $id, which no longer " +
-          "matches the current schema (a column was renamed/dropped). " +
-          "Restart the stream from a fresh checkpoint.")
-    })
+    LakeStreamPlanning.guardFieldIds(lake, currentIds, entries)
     entries.zipWithIndex.map { case (e, i) =>
-      val fp = FilePartition(i, Array(PartitionedFile(
-        partitionValuesOf(e),
-        org.apache.spark.paths.SparkPath.fromPathString(
-          s"${lake.root}/${e.path}"),
-        0L, if (e.sizeBytes > 0) e.sizeBytes else Long.MaxValue, Array.empty,
-        e.modTimeMs, e.sizeBytes,
-        Map.empty)))
+      val fp = LakeStreamPlanning.filePartition(lake, e, i,
+        readPartSchema)
       val name = e.path.split("/").last
       mor match {
         // wrap only files some delete can actually touch: position
@@ -211,34 +324,85 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
     }.toArray
   }
 
-  /** Load the snapshot's live delete state onto the driver, bounded by
-    * [[maxMorRows]]: position deletes become per-file sorted
-    * skip-lists (keyed by terminal UUID file name — the same
-    * encoding-invariant key the batch read joins on), equality deletes
-    * become per-keyset maps of key tuple -> newest delete sequence
-    * (null-SAFE tuple equality, Iceberg semantics — exactly the
-    * `<=>` anti-join `readVersion` runs; a row is deleted iff its file
-    * PREDATES the delete). */
-  private def buildMorState(files: Seq[LakeTable.FileEntry],
-                            dels: Seq[LakeTable.DeleteEntry]): MorState = {
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val session = SparkSession.active
+    GraftLakeStreamReaderFactory(
+      LakeStreamPlanning.parquetFactory(session, fileSchema,
+        readDataSchema, readPartSchema),
+      LakeStreamPlanning.parquetFactory(session, pruned, pruned,
+        new StructType()),
+      StructType(readDataSchema.fields ++ readPartSchema.fields), pruned)
+  }
+}
+
+/** Merge-on-read state of a streamed batch, broadcast once: per-file
+  * position skip-lists and per-keyset equality maps (key tuple ->
+  * newest delete sequence). */
+private[sources] case class MorEqGroup(keyCols: Vector[String],
+                                       keys: Map[Vector[Any], Long])
+private[sources] case class MorState(posByName: Map[String, Array[Long]],
+                                     eqGroups: Seq[MorEqGroup]) {
+  def isEmpty: Boolean = posByName.isEmpty && eqGroups.isEmpty
+}
+private[sources] object MorState {
+  val empty: MorState = MorState(Map.empty, Nil)
+}
+
+/** Driver-side merge-on-read state construction for the streaming
+  * reads, shared by the append stream's initial batch and the
+  * changelog stream's per-commit deltas. */
+private[sources] object MorPlanning {
+
+  /** Normalize one equality-delete key value for CONTENT-based tuple
+    * equality matching Spark SQL's null-safe join semantics: -0.0 and
+    * +0.0 are the same key (normalized to +0.0 on build AND probe —
+    * boxed-value equality would otherwise diverge from the batch
+    * read's `<=>` anti-join and resurrect a deleted row). NaN == NaN
+    * already holds under boxed equality (`java.lang.Double.equals`
+    * semantics), which is exactly SQL's NaN grouping behavior. */
+  def normKey(v: Any): Any = v match {
+    case d: Double if d == 0.0d => 0.0d
+    case f: Float if f == 0.0f  => 0.0f
+    case other => other
+  }
+
+  /** Rows of merge-on-read delete state relevant to `files` —
+    * metadata-only (manifest row counts), the bound check's input. */
+  def morRowCount(files: Seq[LakeTable.FileEntry],
+                  dels: Seq[LakeTable.DeleteEntry]): Long = {
+    if (dels.isEmpty) return 0L
+    val filePaths = files.map(_.path).toSet
+    val minSeq = if (files.isEmpty) Long.MaxValue else files.map(_.seq).min
+    dels.collect {
+      case e if e.kind != "eq" && e.covers.exists(filePaths.contains) =>
+        e.rows
+      case e if e.kind == "eq" && e.seq > minSeq => e.rows
+    }.sum
+  }
+
+  /** Load the delete state relevant to `files` onto the driver:
+    * position deletes become per-file sorted skip-lists (keyed by
+    * terminal UUID file name — the same encoding-invariant key the
+    * batch read joins on), equality deletes become per-keyset maps of
+    * key tuple -> newest delete sequence (null-SAFE tuple equality,
+    * Iceberg semantics — exactly the `<=>` anti-join `readVersion`
+    * runs; a row is deleted iff its file PREDATES the delete). The
+    * caller owns the row-count bound ([[morRowCount]]); `errPrefix`
+    * heads the refusal messages for non-streamable key shapes. */
+  def build(lake: LakeTable, files: Seq[LakeTable.FileEntry],
+            dels: Seq[LakeTable.DeleteEntry], pruned: StructType,
+            snapSchema: StructType, errPrefix: String): MorState = {
     val session = SparkSession.active
     val filePaths = files.map(_.path).toSet
     val pos = dels.filter(e =>
       e.kind != "eq" && e.covers.exists(filePaths.contains))
     val minSeq = if (files.isEmpty) Long.MaxValue else files.map(_.seq).min
     val eq = dels.filter(e => e.kind == "eq" && e.seq > minSeq)
-    val total = pos.map(_.rows).sum + eq.map(_.rows).sum
-    require(total <= maxMorRows,
-      s"cannot start streaming ${lake.root}: the snapshot carries " +
-        s"$total live merge-on-read delete rows, above the " +
-        s"$maxMorRows driver-side bound for the initial batch — run " +
-        "compact() to absorb the deletes first, or raise the " +
-        "maxMorRowsInitialBatch stream option")
     eq.flatMap(_.keyCols).distinct.foreach { c =>
       require(pruned.fieldNames.contains(c),
-        s"cannot start streaming ${lake.root}: live equality deletes " +
-          s"key on column '$c', which the streamed schema does not " +
-          "include — select it, or compact() to absorb the deletes")
+        s"$errPrefix: live equality deletes key on column '$c', " +
+          "which the streamed schema does not include — select it, " +
+          "or compact() to absorb the deletes")
       // the reader matches key tuples by catalyst-value equality,
       // which is content-based only for atomic types (string/number/
       // boolean/date/time); nested keys would compare by identity and
@@ -248,10 +412,9 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
         case _ => true
       }
       require(atomic,
-        s"cannot start streaming ${lake.root}: live equality deletes " +
-          s"key on non-atomic column '$c' " +
-          s"(${snapSchema(c).dataType.sql}) — run compact() to absorb " +
-          "the deletes first")
+        s"$errPrefix: live equality deletes key on non-atomic column " +
+          s"'$c' (${snapSchema(c).dataType.sql}) — run compact() to " +
+          "absorb the deletes first")
     }
     val posByName: Map[String, Array[Long]] =
       if (pos.isEmpty) Map.empty
@@ -270,7 +433,8 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
           .parquet(s"${lake.root}/${e.path}").collect().foreach { r =>
             val ir = conv(r).asInstanceOf[InternalRow]
             val tuple = keySchema.fields.indices
-              .map(i => ir.get(i, keySchema(i).dataType)).toVector
+              .map(i => normKey(ir.get(i, keySchema(i).dataType)))
+              .toVector
             if (e.seq > m.getOrElse(tuple, Long.MinValue))
               m(tuple) = e.seq
           }
@@ -279,11 +443,43 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
     }
     MorState(posByName, eqGroups)
   }
+}
+
+/** Shared planning helpers of the two streaming faces. */
+private[sources] object LakeStreamPlanning {
+
+  /** Stock-Spark parquet reader factory over the given schema split. */
+  def parquetFactory(session: SparkSession, fileSchema: StructType,
+                     readDataSchema: StructType,
+                     readPartSchema: StructType)
+      : ParquetPartitionReaderFactory = {
+    val broadcast = org.apache.spark.sql.graft.SparkInternalBridge
+      .broadcastParquetReadConf(session, readDataSchema)
+    ParquetPartitionReaderFactory(
+      session.sessionState.conf, broadcast, fileSchema, readDataSchema,
+      readPartSchema, Array.empty,
+      Option.empty[org.apache.spark.sql.connector.expressions.aggregate.Aggregation],
+      new ParquetOptions(Map.empty[String, String],
+        session.sessionState.conf))
+  }
+
+  /** One whole-file [[FilePartition]] for a manifest entry, partition
+    * values recovered from the manifest's per-file constants. */
+  def filePartition(lake: LakeTable, e: LakeTable.FileEntry, index: Int,
+                    readPartSchema: StructType): FilePartition =
+    FilePartition(index, Array(PartitionedFile(
+      partitionValuesOf(lake, e, readPartSchema),
+      org.apache.spark.paths.SparkPath.fromPathString(
+        s"${lake.root}/${e.path}"),
+      0L, if (e.sizeBytes > 0) e.sizeBytes else Long.MaxValue,
+      Array.empty, e.modTimeMs, e.sizeBytes, Map.empty)))
 
   /** Partition-dir values from the manifest's per-file constants
     * (recorded as [v, v] stats at write time) — no path parsing, no
     * file listing. */
-  private def partitionValuesOf(e: LakeTable.FileEntry): InternalRow = {
+  private def partitionValuesOf(lake: LakeTable, e: LakeTable.FileEntry,
+                                readPartSchema: StructType)
+      : InternalRow = {
     val values = readPartSchema.fields.map { f =>
       val isNull = e.nullCounts.get(f.name).exists(_ > 0L)
       if (isNull) null
@@ -311,28 +507,87 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val session = SparkSession.active
-    val broadcast = org.apache.spark.sql.graft.SparkInternalBridge
-      .broadcastParquetReadConf(session, readDataSchema)
-    val delegate = ParquetPartitionReaderFactory(
-      session.sessionState.conf, broadcast, fileSchema, readDataSchema,
-      readPartSchema, Array.empty,
-      Option.empty[org.apache.spark.sql.connector.expressions.aggregate.Aggregation],
-      new ParquetOptions(Map.empty[String, String],
-        session.sessionState.conf))
-    GraftLakeStreamReaderFactory(delegate,
-      StructType(readDataSchema.fields ++ readPartSchema.fields), pruned)
-  }
-}
+  /** Field-ID stability guard: every streamed file's (name, id) pairs
+    * must match the current schema — files from before an ADD COLUMN
+    * pass (the reader serves nulls); files from before a RENAME fail
+    * loudly, never serve stale names as nulls. */
+  def guardFieldIds(lake: LakeTable, currentIds: Map[String, Int],
+                    entries: Seq[LakeTable.FileEntry]): Unit =
+    entries.foreach(e => e.cols.foreach { case (n, id) =>
+      require(currentIds.get(n).contains(id),
+        s"streaming ${lake.root}: file ${e.path} was written under a " +
+          s"schema where '$n' had field id $id, which no longer " +
+          "matches the current schema (a column was renamed/dropped). " +
+          "Restart the stream from a fresh checkpoint.")
+    })
 
-/** Merge-on-read state of the initial snapshot batch, broadcast once:
-  * per-file position skip-lists and per-keyset equality maps (key
-  * tuple -> newest delete sequence). */
-private[sources] case class MorEqGroup(keyCols: Vector[String],
-                                       keys: Map[Vector[Any], Long])
-private[sources] case class MorState(posByName: Map[String, Array[Long]],
-                                     eqGroups: Seq[MorEqGroup])
+  def scratchDir(checkpointLocation: Option[String], lake: LakeTable,
+                 v: Int, bound: Long): String = {
+    require(checkpointLocation.isDefined,
+      s"cannot start streaming ${lake.root}: the snapshot carries " +
+        s"more than $bound live merge-on-read delete rows and no " +
+        "checkpoint scratch location is available for the " +
+        "distributed initial batch — run compact() to absorb the " +
+        "deletes, or raise the maxMorRowsInitialBatch stream option")
+    s"${checkpointLocation.get}/graft-init-snapshot-v$v"
+  }
+
+  /** DISTRIBUTED initial batch for a snapshot whose live
+    * merge-on-read delete state exceeds the driver broadcast bound:
+    * materialize the engine's batch read of version `v` (deletes
+    * applied by the executors' anti-join — O(0) driver state at any
+    * delete volume) into the stream's own checkpoint scratch dir,
+    * exactly once across restarts (the `_SUCCESS` marker makes a
+    * replayed batch 0 reuse the files instead of rewriting), and
+    * serve the written files as plain whole-file partitions. The
+    * scratch dir lives under the CHECKPOINT (shared storage by the
+    * streaming contract) and is deleted when the batch's offset
+    * commits. */
+  def scratchSnapshot(lake: LakeTable, visible: StructType, v: Int,
+                      dir: String): Array[FilePartition] = {
+    val session = SparkSession.active
+    val hconf = session.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      lake.readVersion(v)
+        .select(visible.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").parquet(dir)
+    fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        FilePartition(i, Array(PartitionedFile(
+          InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+          0L, st.getLen, Array.empty, st.getModificationTime,
+          st.getLen, Map.empty)))
+      }
+  }
+
+  def bestEffortDelete(dir: String): Unit =
+    try {
+      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(dir)
+      path.getFileSystem(hconf).delete(path, true)
+    } catch { case _: Exception => () }
+
+  /** Remove any leftover initial-batch scratch under the source's
+    * checkpoint dir (a prior run's batch 0 that terminated before its
+    * `commit` callback). Only called once batch 0 is provably
+    * committed. */
+  def sweepScratch(checkpointLocation: String): Unit =
+    try {
+      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(checkpointLocation)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path))
+        fs.listStatus(path)
+          .filter(_.getPath.getName.startsWith("graft-init-snapshot"))
+          .foreach(s => fs.delete(s.getPath, true))
+    } catch { case _: Exception => () }
+}
 
 /** A data file of the initial batch that live deletes may touch: the
   * stock [[FilePartition]] plus its UUID name, its data sequence
@@ -342,17 +597,53 @@ case class GraftMorInputPartition(
     state: org.apache.spark.broadcast.Broadcast[MorState])
     extends InputPartition
 
+/** A scratch file of the over-bound DISTRIBUTED initial batch: plain
+  * parquet in the stream's visible column order, no partition-dir
+  * values, no delete state (already applied by the batch read that
+  * wrote it). */
+case class GraftScratchInputPartition(inner: FilePartition)
+    extends InputPartition
+
+/** Per-file merge-on-read row filter, evaluated on the executor
+  * against one broadcast [[MorState]]: the reader's sequential row
+  * index within a whole-file partition IS the parquet `row_index`
+  * position deletes name, and equality deletes match by null-safe
+  * key-tuple lookup (keys [[MorPlanning.normKey normalized]] on both
+  * sides) scoped to files older than the delete. */
+private[sources] class MorRowFilter(state: MorState, fileName: String,
+                                    fileSeq: Long,
+                                    readerOrder: StructType) {
+  private val positions =
+    state.posByName.getOrElse(fileName, Array.empty[Long])
+  private val eqFilters = state.eqGroups.map { g =>
+    val ords = g.keyCols.map(c => readerOrder.fieldIndex(c)).toArray
+    val dts = g.keyCols
+      .map(c => readerOrder(readerOrder.fieldIndex(c)).dataType)
+      .toArray
+    (ords, dts, g.keys)
+  }.filter(_._3.nonEmpty)
+
+  def deleted(r: InternalRow, pos: Long): Boolean =
+    (positions.length > 0 &&
+      java.util.Arrays.binarySearch(positions, pos) >= 0) ||
+    eqFilters.exists { case (ords, dts, keys) =>
+      val tuple = ords.indices
+        .map(i => MorPlanning.normKey(r.get(ords(i), dts(i)))).toVector
+      keys.get(tuple).exists(_ > fileSeq)
+    }
+}
+
 /** Wraps the stock parquet reader to re-project its (data ++
   * partition) column order back to the table's visible order — the
   * streaming relation's output is the TABLE schema, not the reader's
   * layout — and, for initial-batch partitions carrying MOR state, to
-  * apply the deletes row-by-row BEFORE projection: the reader's
-  * sequential row index within a whole-file partition IS the parquet
-  * `row_index` position deletes name, and equality deletes match by
-  * null-safe key-tuple lookup scoped to files older than the delete.
+  * apply the deletes row-by-row BEFORE projection ([[MorRowFilter]]).
+  * Scratch partitions (the distributed initial batch) read through
+  * their own delegate: already in visible order, no filtering.
   * Projection built lazily on the executor. */
 case class GraftLakeStreamReaderFactory(
     delegate: ParquetPartitionReaderFactory,
+    scratchDelegate: ParquetPartitionReaderFactory,
     readerOrder: StructType, targetOrder: StructType)
     extends PartitionReaderFactory {
 
@@ -360,41 +651,30 @@ case class GraftLakeStreamReaderFactory(
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
+    p match {
+      case s: GraftScratchInputPartition =>
+        return scratchDelegate.createReader(s.inner)
+      case _ => ()
+    }
     val (filePart, morFilter) = p match {
       case m: GraftMorInputPartition =>
-        val st = m.state.value
-        val positions = st.posByName.getOrElse(m.fileName,
-          Array.empty[Long])
-        val eqFilters = st.eqGroups.map { g =>
-          val ords = g.keyCols.map(c => readerOrder.fieldIndex(c)).toArray
-          val dts = g.keyCols
-            .map(c => readerOrder(readerOrder.fieldIndex(c)).dataType)
-            .toArray
-          (ords, dts, g.keys)
-        }.filter(_._3.nonEmpty)
-        (m.inner, Some((positions, eqFilters, m.fileSeq)))
+        (m.inner,
+          Some(new MorRowFilter(m.state.value, m.fileName, m.fileSeq,
+            readerOrder)))
       case fp: FilePartition => (fp, None)
     }
     val base = delegate.createReader(filePart)
     val filtered = morFilter match {
       case None => base
-      case Some((positions, eqFilters, fileSeq)) =>
+      case Some(mf) =>
         new PartitionReader[InternalRow] {
           private var idx = -1L
           private var cur: InternalRow = _
-          private def deleted(r: InternalRow, pos: Long): Boolean =
-            (positions.length > 0 &&
-              java.util.Arrays.binarySearch(positions, pos) >= 0) ||
-            eqFilters.exists { case (ords, dts, keys) =>
-              val tuple = ords.indices
-                .map(i => r.get(ords(i), dts(i))).toVector
-              keys.get(tuple).exists(_ > fileSeq)
-            }
           override def next(): Boolean = {
             while (base.next()) {
               idx += 1
               val r = base.get()
-              if (!deleted(r, idx)) { cur = r; return true }
+              if (!mf.deleted(r, idx)) { cur = r; return true }
             }
             false
           }

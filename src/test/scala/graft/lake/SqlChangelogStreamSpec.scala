@@ -1,0 +1,349 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** `spark.readStream.table("cat.ns.t.changes")` — the streaming
+  * row-level changelog (GraftLakeChangesMicroBatchStream): every
+  * commit mirrors as (row, _change_type, _commit_version) events;
+  * applying them in commit order reproduces the table exactly across
+  * checkpoint restarts, merge-on-read DML, overwrites, WAP staging,
+  * and compactions. */
+class SqlChangelogStreamSpec extends SparkSuite {
+
+  private lazy val wh = tmpDir("gcl-wh")
+
+  private def install(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcl", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    graft.GraftFunctions.installStrategies(spark)
+  }
+
+  /** Collect all events a changes stream delivers across triggers of
+    * one checkpoint (foreachBatch — offsets prove exactly-once). */
+  private class EventLog(table: String, ckpt: String,
+                         options: Map[String, String] = Map.empty) {
+    val events = scala.collection.mutable.ArrayBuffer[Row]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      var r = spark.readStream
+      options.foreach { case (k, v) => r = r.option(k, v) }
+      val fn: (DataFrame, Long) => Unit = (df, _) =>
+        events.synchronized { events ++= df.collect() }
+      val q = r.table(table).writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+  }
+
+  /** Apply (op, row) events in _commit_version order — deletes before
+    * inserts within a version — onto a multiset mirror. `nCols` is
+    * the width of the data row (events carry _change_type at nCols
+    * and _commit_version at nCols + 1). */
+  private def mirrorOf(events: Seq[Row], nCols: Int): Seq[Seq[Any]] = {
+    val mirror = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    events.groupBy(_.getLong(nCols + 1)).toSeq.sortBy(_._1)
+      .foreach { case (_, evs) =>
+        val (dels, ins) =
+          evs.partition(_.getString(nCols) == "delete")
+        dels.foreach { d =>
+          val row = d.toSeq.take(nCols)
+          val i = mirror.indexOf(row)
+          assert(i >= 0, s"changelog deleted a row absent from the " +
+            s"mirror: $row")
+          mirror.remove(i)
+        }
+        ins.foreach(r => mirror += r.toSeq.take(nCols))
+      }
+    mirror.toSeq
+  }
+
+  private def sortedRows(rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map(_.mkString("|")).sorted
+
+  test("changes stream mirrors snapshot + DELETE + UPDATE + INSERT " +
+    "exactly, in _commit_version order, across a checkpoint restart") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.t")
+    spark.sql("CREATE TABLE gcl.s.t (id BIGINT, k STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO gcl.s.t
+      |SELECT id, concat('k', CAST(id % 5 AS STRING)),
+      |       CAST(id AS DOUBLE) FROM range(20)""".stripMargin)
+    // the changes table's schema: visible columns + the two CDF cols
+    assert(spark.readStream.table("gcl.s.t.changes").schema.fieldNames
+      .toSeq == Seq("id", "k", "v", "_change_type", "_commit_version"))
+    val log = new EventLog("gcl.s.t.changes", tmpDir("gcl-t-ckpt"))
+    log.run() // batch 0: the snapshot as inserts
+    assert(log.events.nonEmpty &&
+      log.events.forall(_.getString(3) == "insert"))
+    assert(log.events.size == 20)
+    // three DML commits land; ONE restarted trigger carries all of
+    // them (multi-version batch) — per-version apply must still be
+    // exact: the UPDATE's delete half and insert half share a commit
+    spark.sql("DELETE FROM gcl.s.t WHERE id IN (3, 7)")
+    spark.sql(
+      "UPDATE gcl.s.t SET v = v + 100 WHERE id < 5 AND id NOT IN (3)")
+    spark.sql("INSERT INTO gcl.s.t SELECT id + 500, 'kx', -1.0 " +
+      "FROM range(4)")
+    log.run() // checkpoint restart, mid-history
+    val expected = spark.sql("SELECT * FROM gcl.s.t").collect()
+      .map(_.toSeq).toSeq
+    assert(sortedRows(mirrorOf(log.events.toSeq, 3)) ==
+      sortedRows(expected),
+      "changelog mirror diverged from the table")
+    // quiet restart: no re-delivery
+    val before = log.events.size
+    log.run()
+    assert(log.events.size == before, "quiet restart re-delivered")
+    // delete half of the UPDATE carries the OLD row version
+    val updDeletes = log.events.filter(r =>
+      r.getString(3) == "delete" && r.getLong(0) < 5 &&
+        r.getLong(0) != 3L)
+    assert(updDeletes.nonEmpty &&
+      updDeletes.forall(_.getDouble(2) < 100.0),
+      "UPDATE's delete events must carry the pre-image")
+  }
+
+  test("changes stream: delete + re-insert of the same key across " +
+    "commits in ONE batch applies in order (no net loss)") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.ri")
+    spark.sql("CREATE TABLE gcl.s.ri (id BIGINT, v DOUBLE)")
+    spark.sql(
+      "INSERT INTO gcl.s.ri SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    val log = new EventLog("gcl.s.ri.changes", tmpDir("gcl-ri-ckpt"))
+    log.run()
+    spark.sql("DELETE FROM gcl.s.ri WHERE id = 4")
+    spark.sql("INSERT INTO gcl.s.ri SELECT 4, 99.0 FROM range(1)")
+    log.run() // one batch, two versions
+    val expected = spark.sql("SELECT * FROM gcl.s.ri").collect()
+      .map(_.toSeq).toSeq
+    assert(sortedRows(mirrorOf(log.events.toSeq, 2)) ==
+      sortedRows(expected))
+    assert(spark.sql("SELECT v FROM gcl.s.ri WHERE id = 4")
+      .head.getDouble(0) == 99.0)
+  }
+
+  test("equality-delete commits stream as O(covered files) delete " +
+    "events; -0.0/0.0 keys match SQL null-safe semantics on both " +
+    "batch and changelog paths") {
+    install()
+    val sp = spark
+    import sp.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.eq")
+    spark.sql("CREATE TABLE gcl.s.eq (id BIGINT, key DOUBLE)")
+    // one row keyed -0.0, one keyed +0.0, plus filler
+    Seq((1L, -0.0d), (2L, 0.0d), (3L, 5.0d), (4L, 7.0d))
+      .toDF("id", "key").createOrReplaceTempView("gcl_eq_src")
+    spark.sql("INSERT INTO gcl.s.eq SELECT * FROM gcl_eq_src")
+    val log = new EventLog("gcl.s.eq.changes", tmpDir("gcl-eq-ckpt"))
+    log.run()
+    val t = new LakeCatalog(spark, wh).table("s", "eq")
+    t.deleteWhereEqual(Seq(0.0d).toDF("key"), Seq("key"))
+    // the batch read kills BOTH zero rows (SQL: -0.0 <=> 0.0)
+    assert(spark.sql("SELECT count(*) FROM gcl.s.eq").head.getLong(0)
+      == 2)
+    log.run()
+    val expected = spark.sql("SELECT * FROM gcl.s.eq").collect()
+      .map(_.toSeq).toSeq
+    assert(sortedRows(mirrorOf(log.events.toSeq, 2)) ==
+      sortedRows(expected),
+      "-0.0 equality-delete key diverged between batch and changelog")
+    val delIds = log.events.filter(_.getString(2) == "delete")
+      .map(_.getLong(0)).sorted
+    assert(delIds == Seq(1L, 2L), s"deletes were $delIds")
+    // a fresh changes stream over the live-delete snapshot serves the
+    // surviving rows as inserts (initial batch applies MOR state)
+    val fresh = new EventLog("gcl.s.eq.changes", tmpDir("gcl-eq2-ckpt"))
+    fresh.run()
+    assert(sortedRows(fresh.events.map(_.toSeq.take(2)).toSeq) ==
+      sortedRows(expected))
+  }
+
+  test("overwrite commits stream as full-churn delete+insert of the " +
+    "touched partition; compactions stream nothing") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.ow")
+    spark.sql(
+      """CREATE TABLE gcl.s.ow (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("""INSERT INTO gcl.s.ow
+      |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+      |FROM range(20)""".stripMargin)
+    val log = new EventLog("gcl.s.ow.changes", tmpDir("gcl-ow-ckpt"))
+    log.run()
+    val t = new LakeCatalog(spark, wh).table("s", "ow")
+    val sp = spark
+    import sp.implicits._
+    t.overwritePartitionsDynamic(
+      Seq((100L, "a"), (101L, "a")).toDF("id", "grp"))
+    log.run()
+    val expected = spark.sql("SELECT * FROM gcl.s.ow").collect()
+      .map(_.toSeq).toSeq
+    assert(sortedRows(mirrorOf(log.events.toSeq, 2)) ==
+      sortedRows(expected))
+    // churn scoped to the touched partition: 10 deletes + 2 inserts
+    val owEvents = log.events.filter(_.getLong(3) > 1L)
+    assert(owEvents.count(_.getString(2) == "delete") == 10 &&
+      owEvents.count(_.getString(2) == "insert") == 2,
+      owEvents.map(r => (r.getString(2), r.getLong(0))).mkString(", "))
+    assert(owEvents.forall(r => r.getString(1) == "a" ||
+      r.getString(2) == "insert"), "churn leaked into partition b")
+    // a compaction is row-preserving: the stream must deliver nothing
+    t.compact(1)
+    val before = log.events.size
+    log.run()
+    assert(log.events.size == before,
+      "compaction leaked into the changelog stream")
+  }
+
+  test("changes stream honors the WAP pin (staged commits invisible " +
+    "until publish) and startingVersion") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.wap")
+    spark.sql("CREATE TABLE gcl.s.wap (id BIGINT)")
+    spark.sql("INSERT INTO gcl.s.wap SELECT id FROM range(10)") // v1
+    spark.sql("INSERT INTO gcl.s.wap SELECT id + 50 FROM range(5)") // v2
+    // startingVersion=2: only v2 streams, as inserts, no snapshot
+    val sv = new EventLog("gcl.s.wap.changes", tmpDir("gcl-sv-ckpt"),
+      Map("startingVersion" -> "2"))
+    sv.run()
+    assert(sv.events.size == 5 &&
+      sv.events.forall(r => r.getString(1) == "insert" &&
+        r.getLong(2) == 2L && r.getLong(0) >= 50L),
+      sv.events.mkString(", "))
+    // WAP: staged commits must not stream; publish releases them
+    val t = new LakeCatalog(spark, wh).table("s", "wap")
+    t.createBranch("audit")
+    val sp = spark
+    import sp.implicits._
+    t.append((100L until 103L).toDF("id"))
+    val before = sv.events.size
+    sv.run()
+    assert(sv.events.size == before,
+      "changes stream served staged WAP commits")
+    t.publishBranch("audit")
+    sv.run()
+    assert(sv.events.size == before + 3)
+  }
+
+  test("startingTimestamp resolves to the first commit at or after " +
+    "the timestamp on both stream faces; predating timestamps refuse") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.ts")
+    spark.sql("CREATE TABLE gcl.s.ts (id BIGINT)")                  // v0
+    spark.sql("INSERT INTO gcl.s.ts SELECT id FROM range(10)")      // v1
+    Thread.sleep(15)
+    spark.sql("INSERT INTO gcl.s.ts SELECT id + 100 FROM range(5)") // v2
+    spark.sql("INSERT INTO gcl.s.ts SELECT id + 200 FROM range(3)") // v3
+    val t = new LakeCatalog(spark, wh).table("s", "ts")
+    val v2Time = t.snapshots.find(_.version == 2).get.committedAtMs
+    // append stream from v2's commit time: v2 + v3 rows only
+    def drainAppend(name: String, ts: String): Unit = {
+      val q = spark.readStream.option("startingTimestamp", ts)
+        .table("gcl.s.ts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir(s"gcl-ts-$name"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainAppend("gcl_ts_app", v2Time.toString)
+    val ids = spark.table("gcl_ts_app").collect().map(_.getLong(0))
+    assert(ids.length == 8 && ids.forall(_ >= 100L),
+      s"got ${ids.sorted.mkString(",")}")
+    // changes stream, same option currency
+    val log = new EventLog("gcl.s.ts.changes", tmpDir("gcl-ts-ch"),
+      Map("startingTimestamp" -> v2Time.toString))
+    log.run()
+    assert(log.events.size == 8 &&
+      log.events.forall(r => r.getLong(2) >= 2L))
+    // a timestamp after the last commit starts EMPTY at the head;
+    // later commits stream
+    val late = new EventLog("gcl.s.ts.changes", tmpDir("gcl-ts-late"),
+      Map("startingTimestamp" ->
+        (System.currentTimeMillis() + 60_000L).toString))
+    late.run()
+    assert(late.events.isEmpty)
+    spark.sql("INSERT INTO gcl.s.ts SELECT id + 300 FROM range(2)")
+    late.run()
+    assert(late.events.size == 2)
+    // predating the initial snapshot: refuse with guidance, never a
+    // silent skip of version 0's content
+    val ex = intercept[Exception] {
+      drainAppend("gcl_ts_pre", "0")
+    }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("snapshot"), m.take(300))
+    // startingVersion + startingTimestamp together: refuse
+    val ex2 = intercept[Exception] {
+      val q = spark.readStream
+        .option("startingTimestamp", v2Time.toString)
+        .option("startingVersion", "2").table("gcl.s.ts")
+        .writeStream.format("memory").queryName("gcl_ts_both")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("gcl-ts-both"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val m2 = Iterator.iterate(ex2: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m2.contains("mutually exclusive"), m2.take(300))
+  }
+
+  test("changes stream initial batch above the MOR bound serves " +
+    "through the distributed batch read — mirror still exact") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.big")
+    spark.sql("CREATE TABLE gcl.s.big (id BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO gcl.s.big
+      |SELECT id, CAST(id AS DOUBLE) FROM range(30)""".stripMargin)
+    spark.sql("DELETE FROM gcl.s.big WHERE id IN (2, 4, 6, 8)")
+    val log = new EventLog("gcl.s.big.changes", tmpDir("gcl-big-ckpt"),
+      Map("maxMorRowsPerBatch" -> "1"))
+    log.run()
+    val expected = spark.sql("SELECT * FROM gcl.s.big").collect()
+      .map(_.toSeq).toSeq
+    assert(log.events.size == 26 &&
+      log.events.forall(_.getString(2) == "insert"))
+    assert(sortedRows(log.events.map(_.toSeq.take(2)).toSeq) ==
+      sortedRows(expected))
+    // a later DELTA above the bound refuses with guidance (per-commit
+    // state cannot spill to the batch read)
+    spark.sql("DELETE FROM gcl.s.big WHERE id IN (10, 12)")
+    val ex = intercept[Exception] { log.run() }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("maxMorRowsPerBatch"), m.take(400))
+  }
+
+  test("batch SELECT on the changes table is rejected (streaming-only " +
+    "face); DROP refuses like other metadata tables") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.b")
+    spark.sql("CREATE TABLE gcl.s.b (id BIGINT)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcl.s.b.changes").collect()
+    }
+    intercept[Exception] {
+      spark.sql("DROP TABLE gcl.s.b.changes")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcl.s.b").head.getLong(0)
+      == 0, "the real table must survive")
+  }
+}

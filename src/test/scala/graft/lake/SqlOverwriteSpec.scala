@@ -202,6 +202,65 @@ class SqlOverwriteSpec extends SparkSuite {
     assert(ex2.getMessage.contains("overwriteAll"), ex2.getMessage)
   }
 
+  test("INSERT OVERWRITE after merge-on-read deletes succeeds: " +
+    "whole-file replacement never resurrects, deletes on untouched " +
+    "files keep applying") {
+    import spark.implicits._
+    val df = (0 until 40)
+      .map(i => (i.toLong, if (i % 2 == 0) "eu" else "us"))
+      .toDF("id", "region")
+    val t = LakeTable.create(spark, tmpDir("ow-mor"), df.schema,
+      partitionBy = Seq("region"))
+    t.append(df)
+    // live MOR deletes: position (the SQL DELETE shape) + equality
+    // (the GDPR shape) — previously these made any overwrite throw a
+    // spurious ConcurrentModificationException
+    t.deleteWherePositional($"id" === 2L)                    // eu row
+    t.deleteWhereEqual(Seq(5L).toDF("id"), Seq("id"))        // us row
+    assert(t.read().count() == 38)
+    t.overwriteWhere($"region" === "eu",
+      Seq((1000L, "eu"), (1001L, "eu"), (1002L, "eu"))
+        .toDF("id", "region"))
+    val after = t.read()
+    assert(after.filter($"region" === "eu").count() == 3)
+    assert(after.filter($"region" === "us").count() == 19)
+    assert(after.filter($"id" === 5L).count() == 0,
+      "equality-deleted row resurrected by the overwrite")
+    // dynamic mode with another live equality delete also succeeds
+    t.deleteWhereEqual(Seq(7L).toDF("id"), Seq("id"))        // us row
+    t.overwritePartitionsDynamic(Seq((2000L, "eu")).toDF("id", "region"))
+    assert(t.read().filter($"region" === "eu").count() == 1)
+    assert(t.read().filter($"id" === 7L).count() == 0,
+      "equality delete stopped applying after the dynamic overwrite")
+    assert(t.read().count() == 19)
+  }
+
+  test("dynamic overwrite refuses a partition-spec REORDER of the " +
+    "same columns (ordered key comparison, never silent duplication)") {
+    import spark.implicits._
+    val df = (0 until 20)
+      .map(i => (i.toLong, (i % 2).toString, (i % 3).toString))
+      .toDF("id", "a", "b")
+    val t = LakeTable.create(spark, tmpDir("ow-reorder"), df.schema,
+      partitionBy = Seq("a", "b"))
+    t.append(df)
+    t.alterPartitionSpec(Seq("b", "a")) // same columns, new ORDER
+    val ex = intercept[IllegalArgumentException] {
+      t.overwritePartitionsDynamic(
+        Seq((100L, "0", "1")).toDF("id", "a", "b"))
+    }
+    assert(ex.getMessage.contains("superseded"), ex.getMessage.take(300))
+    assert(t.read().count() == 20, "refusal must leave the table intact")
+    // compaction rewrites into the new layout; the overwrite then
+    // replaces exactly the (b, a) tuple the row lands in
+    t.compact(2)
+    t.overwritePartitionsDynamic(
+      Seq((100L, "0", "1")).toDF("id", "a", "b"))
+    // rows with a=0, b=1 were ids 4, 10, 16 — replaced by the one row
+    assert(t.read().count() == 18)
+    assert(t.read().filter($"a" === "0" && $"b" === "1").count() == 1)
+  }
+
   test("without the extensions strategy, dynamic INSERT OVERWRITE " +
     "fails with an install instruction, never a wrong result") {
     // earlier suites may have installed the live-session strategies —

@@ -154,4 +154,16 @@ class SqlProceduresSpec extends SparkSuite {
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(m.contains("compact"), m.take(400))
   }
+
+  test("a multi-part table identifier is rejected with a clear " +
+    "message, never resolved as namespace-prefix + dotted table") {
+    install()
+    val ex = intercept[Exception] {
+      spark.sql("CALL gpr.system.compact('a.b.t')").collect()
+    }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("single-level namespaces"), m.take(400))
+  }
 }

@@ -138,17 +138,46 @@ class SqlStreamingReadSpec extends SparkSuite {
     assert(spark.table("gst_mut2").count() == 13)
     assert(spark.table("gst_mut2").filter(col("id").isin(1L, 2L))
       .count() == 0, "MOR-deleted rows resurrected by the stream")
-    // above the driver-side bound: refuse with compaction guidance
-    val ex2 = intercept[Exception] {
+    // ABOVE the driver-side bound: the initial batch plans through the
+    // engine's DISTRIBUTED merge-on-read batch read (the executors'
+    // anti-join, materialized once under the checkpoint's scratch
+    // dir) — same rows, zero driver-side delete state; the scratch
+    // dir is cleaned once the batch's offset commits
+    val capCkpt = tmpDir("gst-mutcap-ckpt")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runCap(): Unit = {
+      val fn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => got.synchronized {
+          got ++= df.collect().map(_.getLong(0))
+        }
       drain(spark.readStream
         .option("maxMorRowsInitialBatch", "1")
         .table("gst.s.mut")
-        .writeStream.format("memory").queryName("gst_mut_cap")
-        .outputMode("append")
-        .option("checkpointLocation", tmpDir("gst-mutcap-ckpt"))
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", capCkpt)
         .trigger(Trigger.AvailableNow()).start())
     }
-    assert(msgs(ex2).contains("compact"), msgs(ex2).take(400))
+    runCap()
+    assert(got.size == 13)
+    assert(!got.exists(Set(1L, 2L)),
+      "MOR-deleted rows resurfaced through the distributed initial batch")
+    def leftovers(): Long = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(capCkpt))
+      try s.filter(
+          _.getFileName.toString.startsWith("graft-init-snapshot"))
+        .count()
+      finally s.close()
+    }
+    assert(leftovers() == 1,
+      "the distributed path was never taken (no scratch dir written)")
+    // the restarted stream's first committed-offset planning sweeps
+    // the prior run's scratch (batch 0 can never replay again)
+    spark.sql("INSERT INTO gst.s.mut SELECT id + 500 FROM range(2)")
+    runCap()
+    assert(got.size == 15, s"restart delivered ${got.size} rows")
+    assert(leftovers() == 0,
+      "scratch dir survived past the batch-0 commit")
     // compaction absorbs the deletes; a fresh stream then serves the
     // exact surviving snapshot with no MOR state at all
     new LakeCatalog(spark, wh).table("s", "mut").compact(1)
@@ -157,7 +186,7 @@ class SqlStreamingReadSpec extends SparkSuite {
       .outputMode("append")
       .option("checkpointLocation", tmpDir("gst-mut3-ckpt"))
       .trigger(Trigger.AvailableNow()).start())
-    assert(spark.table("gst_mut3").count() == 13)
+    assert(spark.table("gst_mut3").count() == 15)
     assert(spark.table("gst_mut3").filter(col("id").isin(1L, 2L))
       .count() == 0, "MOR-deleted rows resurrected by the stream")
   }
