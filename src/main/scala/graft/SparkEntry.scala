@@ -1683,6 +1683,10 @@ object SparkEntry {
       (graft.lake.SqlQueries.sqlCosineTopK _),
     "q185_sql_spec_evolution" ->
       (graft.lake.SqlQueries.sqlSpecEvolution _),
+    // streaming row-level changelog (readStream.table("...changes")):
+    // a cross-engine consumer mirrors merge-on-read DML exactly (q186)
+    "q186_sql_changelog_stream" ->
+      (graft.lake.SqlQueries.sqlChangelogStream _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4278,6 +4282,27 @@ object SparkEntry {
          FROM events
          WHERE NOT (event_type = 'click' AND user_id % 3 = 1)
          GROUP BY event_type""",
+    // q186: the oracle replays the DML algebra the changelog stream
+    // mirrored — forget the GDPR roster, reclassify the keyed clicks,
+    // append the purchase replays — over the raw events
+    "q186_sql_changelog_stream" ->
+      s"""WITH kept AS (
+           SELECT event_id, user_id, event_type, value FROM events
+           WHERE user_id NOT IN (${graft.lake.SqlQueries.ForgetUsers})),
+         updated AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_type = 'click' AND user_id % 5 = 1
+                  THEN concat('cdc_', event_type)
+                  ELSE event_type END AS event_type,
+             value FROM kept),
+         final AS (
+           SELECT * FROM updated
+           UNION ALL
+           SELECT event_id + 10000000, user_id, 'replay', value
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM final GROUP BY event_type""",
     "q117_lake_time_travel" ->
       """SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            'as_of' AS snapshot

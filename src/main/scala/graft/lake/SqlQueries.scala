@@ -431,16 +431,23 @@ object SqlQueries {
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |         a.hs AS h1, b.hs AS h2
         |  FROM bexp a JOIN bexp b
-        |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        |  CAST(size(array_intersect(h1, h2)) AS BIGINT) AS inter,
-        |  CAST(size(array_intersect(h1, h2)) AS DOUBLE) /
-        |    (size(h1) + size(h2) - size(array_intersect(h1, h2)))
+        |    ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |-- the verify filter in INTEGER form: i/(|h1|+|h2|-i) >= 0.5
+        |-- <=> 3i >= |h1|+|h2| exactly (i <= min size << 2^52, so the
+        |-- double division can never round across the threshold) —
+        |-- keeps the array_intersect out of the WHERE/SELECT CSE gap:
+        |-- the filter computes it once per candidate, the projection
+        |-- once per survivor
+        |sel AS (
+        |  SELECT d1, d2, h1, h2,
+        |         CAST(size(array_intersect(h1, h2)) AS BIGINT) AS inter
+        |  FROM cand
+        |  WHERE 3 * size(array_intersect(h1, h2))
+        |        >= size(h1) + size(h2))
+        |SELECT d1, d2, inter,
+        |  CAST(inter AS DOUBLE) / (size(h1) + size(h2) - inter)
         |    AS jaccard
-        |FROM cand
-        |WHERE CAST(size(array_intersect(h1, h2)) AS DOUBLE) /
-        |    (size(h1) + size(h2) - size(array_intersect(h1, h2)))
-        |    >= 0.5""".stripMargin)
+        |FROM sel""".stripMargin)
   }
 
   /** q184: similarity search in PURE SQL — q183's twin for the vector
@@ -535,5 +542,85 @@ object SqlQueries {
         |FROM g174.q.events
         |WHERE event_type = 'purchase'
         |GROUP BY user_id % 10""".stripMargin)
+  }
+
+  /** q186: the STREAMING ROW-LEVEL CHANGELOG —
+    * `spark.readStream.table("g186.q.events.changes")`
+    * ([[GraftChangesTable]] MICRO_BATCH_READ, Delta's `readChangeFeed`
+    * shape): a cross-engine consumer maintains an exact MIRROR of a
+    * table that takes merge-on-read DML, applying each batch's (row,
+    * `_change_type`, `_commit_version`) events in commit order — the
+    * engine's own CDC-apply loop (O(keys) equality delete + append,
+    * both one transactional commit) driven from the public streaming
+    * API across a checkpoint restart. The first AvailableNow run
+    * mirrors the snapshot; then a GDPR DELETE, a row-level UPDATE,
+    * and an append land on the source, and the RESTARTED run carries
+    * all three commits in ONE batch — per-version apply keeps the
+    * UPDATE's delete half before its insert half. The mirror's
+    * aggregate equals the oracle's replayed algebra iff every change
+    * event arrived exactly once and applied in order. */
+  def sqlChangelogStream(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g186")
+    installRowLevel(s)
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g186_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g186.q")
+    s.sql("DROP TABLE IF EXISTS g186.q.events")
+    s.sql("CREATE TABLE g186.q.events AS SELECT * FROM g186_src")
+    val mirror = graft.lake.LakeTable.create(s,
+      java.nio.file.Files.createTempDirectory("g186-mirror").toString,
+      s.table("g186.q.events").schema)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("g186-ckpt").toString
+    // the consumer: per _commit_version ascending, deletes land as ONE
+    // O(keys) equality-delete commit (event_id is the row identity),
+    // inserts as ONE append — fully distributed, nothing collected
+    val apply: (DataFrame, Long) => Unit = (batch, _) => {
+      val b = batch.persist()
+      try {
+        // ONE metadata pass decides which (version, op) slices exist —
+        // the per-version loop then runs only the needed commits, no
+        // per-slice isEmpty round trips
+        val slices = b.groupBy("_commit_version", "_change_type")
+          .count().collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        slices.map(_._1).toSeq.sorted.foreach { v =>
+          if (slices((v, "delete")))
+            mirror.deleteWhereEqual(
+              b.filter(col("_commit_version") === v &&
+                col("_change_type") === "delete").select("event_id"),
+              Seq("event_id"))
+          if (slices((v, "insert")))
+            mirror.append(
+              b.filter(col("_commit_version") === v &&
+                col("_change_type") === "insert")
+                .drop("_change_type", "_commit_version"))
+        }
+      } finally { b.unpersist(); () }
+    }
+    def run(): Unit = {
+      val q = s.readStream.table("g186.q.events.changes")
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // the snapshot batch: the full corpus as inserts
+    s.sql(s"DELETE FROM g186.q.events WHERE user_id IN ($ForgetUsers)")
+    s.sql(
+      """UPDATE g186.q.events
+        |SET event_type = concat('cdc_', event_type)
+        |WHERE event_type = 'click' AND user_id % 5 = 1""".stripMargin)
+    s.sql("""INSERT INTO g186.q.events
+             SELECT event_id + 10000000, user_id, 'replay', value
+             FROM g186_src WHERE event_type = 'purchase'""")
+    run() // checkpoint restart: three commits, one batch, in order
+    mirror.read().createOrReplaceTempView("g186_mirror")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g186_mirror GROUP BY event_type""".stripMargin)
   }
 }
