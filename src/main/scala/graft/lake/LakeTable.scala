@@ -4498,7 +4498,7 @@ object LakeTable {
     case _ => None
   }
 
-  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[graft] def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))

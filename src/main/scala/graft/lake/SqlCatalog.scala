@@ -1065,14 +1065,28 @@ object GraftV1ReadRule {
 /** Read-only metadata table (`graft.ns.tbl.snapshots|files|...`):
   * tiny, driver-computed frames served through the V1 shim with no
   * pushdown — inspection surfaces, not data paths. */
-/** The streaming ROW-LEVEL CHANGELOG face of one lake table
-  * (`spark.readStream.table("graft.ns.tbl.changes")` — Delta's
-  * `readChangeFeed` shape): schema = the table's visible columns plus
-  * `_change_type` (insert|delete) and `_commit_version`,
-  * MICRO_BATCH_READ only — see
-  * [[graft.sources.GraftLakeChangesMicroBatchStream]] for semantics
-  * and execution. Batch-range changelogs stay on
-  * [[LakeTable.readChangelog]]. */
+/** The ROW-LEVEL CHANGELOG face of one lake table
+  * (`graft.ns.tbl.changes` — Delta's change-data-feed shape): schema
+  * = the table's visible columns plus `_change_type` (insert|delete)
+  * and `_commit_version`.
+  *
+  * STREAMING (`spark.readStream.table(...)`): see
+  * [[graft.sources.GraftLakeChangesMicroBatchStream]] — per-commit
+  * file-grained (op, row) events with snapshot-version offsets.
+  *
+  * BATCH (`spark.read.option("startingVersion", n).table(...)` —
+  * Delta's `table_changes`): the changes of commits
+  * [startingVersion, endingVersion] (endingVersion defaults to the
+  * WAP-pinned head; `startingTimestamp`/`endingTimestamp` resolve
+  * through the `TIMESTAMP AS OF` clock), served as a union of
+  * PER-COMMIT changelogs ([[LakeTable.readChangelog]] `(v-1, v)` —
+  * the metadata-cancel diff: pure appends scan only their new files)
+  * each stamped with its exact `_commit_version` — identical
+  * semantics to the stream, so a consumer can backfill in batch and
+  * hand off to the stream at a version boundary. `startingVersion` is
+  * REQUIRED for a batch read (a changelog without a range is
+  * meaningless — the error says so); netting ACROSS commits stays on
+  * the programmatic `readChangelog(from, to)`. */
 class GraftChangesTable(ident: String, lake: LakeTable)
     extends Table with SupportsRead {
   override def name(): String = ident
@@ -1081,12 +1095,64 @@ class GraftChangesTable(ident: String, lake: LakeTable)
       StructType(lake.schema.fields.filterNot(f =>
         f.name == LakeTable.BucketCol || f.name.startsWith("_p_"))))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  /** The batch CDF frame for commits [sv, ev], built lazily on first
+    * batch execution. */
+  private def batchChanges(opts: Map[String, String]): DataFrame = {
+    // startingTimestamp = FIRST commit at-or-after (the streams'
+    // contract, proven-first); endingTimestamp = the latest commit
+    // at-or-before (the TIMESTAMP AS OF clock)
+    val sv = opts.get("startingversion").map(_.toInt)
+      .orElse(opts.get("startingtimestamp").map(raw =>
+        graft.sources.GraftVersionedStreamBase
+          .firstCommitAtOrAfter(lake, raw).getOrElse(
+            throw new IllegalArgumentException(
+              s"no commit at or after $raw at $ident — nothing to " +
+                "read; stream the table for future commits"))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"batch read of $ident requires startingVersion (or " +
+          "startingTimestamp): spark.read.option(\"startingVersion\"," +
+          " n).table(...) — a changelog without a range is " +
+          "meaningless; stream it (readStream.table) for " +
+          "checkpoint-managed ranges"))
+    val ev = opts.get("endingversion").map(_.toInt)
+      .orElse(opts.get("endingtimestamp").map(raw => lake.versionAt(
+        graft.sources.GraftVersionedStreamBase.parseTimestampMs(raw))))
+      .getOrElse(lake.mainVersion)
+    require(sv >= 1,
+      s"startingVersion must be >= 1 (got $sv): version 0 is the " +
+        "initial snapshot, not a change — read the table itself")
+    require(sv <= ev,
+      s"empty changelog range [$sv, $ev] at $ident")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.lit
+    val visibleNames = schema.fieldNames.toSeq
+      .filterNot(n => n == "_change_type" || n == "_commit_version")
+    (sv to ev).map { v =>
+      lake.readChangelog(v - 1, v)
+        .select((visibleNames :+ "_change_type").map(col) :+
+          lit(v.toLong).as("_commit_version"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
-    override def build(): Scan = new Scan {
+    override def build(): Scan = new V1Scan {
       override def readSchema(): StructType = schema
       override def description(): String = s"GraftChangesScan $ident"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val rel = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftChangesTable.this.schema
+          override def buildScan(): RDD[Row] =
+            batchChanges(options.asCaseSensitiveMap().asScala.toMap
+              .map { case (k, v) => k.toLowerCase -> v }).rdd
+        }
+        rel.asInstanceOf[T]
+      }
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming
             .MicroBatchStream =

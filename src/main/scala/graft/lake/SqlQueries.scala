@@ -576,28 +576,28 @@ object SqlQueries {
     // the consumer: per _commit_version ascending, deletes land as ONE
     // O(keys) equality-delete commit (event_id is the row identity),
     // inserts as ONE append — fully distributed, nothing collected
+    // Per-slice passes re-scan the batch source directly (whole-file
+    // parquet partitions — a scan per slice of the commit-sized delta
+    // beats caching the full snapshot batch just to read it twice)
     val apply: (DataFrame, Long) => Unit = (batch, _) => {
-      val b = batch.persist()
-      try {
-        // ONE metadata pass decides which (version, op) slices exist —
-        // the per-version loop then runs only the needed commits, no
-        // per-slice isEmpty round trips
-        val slices = b.groupBy("_commit_version", "_change_type")
-          .count().collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSet
-        slices.map(_._1).toSeq.sorted.foreach { v =>
-          if (slices((v, "delete")))
-            mirror.deleteWhereEqual(
-              b.filter(col("_commit_version") === v &&
-                col("_change_type") === "delete").select("event_id"),
-              Seq("event_id"))
-          if (slices((v, "insert")))
-            mirror.append(
-              b.filter(col("_commit_version") === v &&
-                col("_change_type") === "insert")
-                .drop("_change_type", "_commit_version"))
-        }
-      } finally { b.unpersist(); () }
+      // ONE metadata pass decides which (version, op) slices exist —
+      // the per-version loop then runs only the needed commits, no
+      // per-slice isEmpty round trips
+      val slices = batch.groupBy("_commit_version", "_change_type")
+        .count().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      slices.map(_._1).toSeq.sorted.foreach { v =>
+        if (slices((v, "delete")))
+          mirror.deleteWhereEqual(
+            batch.filter(col("_commit_version") === v &&
+              col("_change_type") === "delete").select("event_id"),
+            Seq("event_id"))
+        if (slices((v, "insert")))
+          mirror.append(
+            batch.filter(col("_commit_version") === v &&
+              col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version"))
+      }
     }
     def run(): Unit = {
       val q = s.readStream.table("g186.q.events.changes")

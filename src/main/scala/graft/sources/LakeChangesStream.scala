@@ -207,8 +207,19 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
           f.path.split("/").last, f.seq, p.version, changeType, mode, bc)
       }
       val st = perVersion(p.version)
+      // manifest-stats prune over the commit's own equality keys: a
+      // growth file whose [lo, hi] ranges can hold NO deleted key
+      // emits nothing and is never read — a GDPR forget's changelog
+      // batch reads O(files that can hold the keys), not O(files
+      // predating the delete), on any clustered/bucketed layout.
+      // Files a NEW position delete names are kept unconditionally.
+      val eqTouch = MorPlanning.eqTouchTest(st.added)
+      val grewEmit = p.grew.filter { f =>
+        val n = f.path.split("/").last
+        st.added.posByName.contains(n) || eqTouch(f)
+      }
       p.removed.map(f => part(f, "delete", ModeLiveOld)) ++
-        p.grew.map(f => part(f, "delete", ModeGrowth)) ++
+        grewEmit.map(f => part(f, "delete", ModeGrowth)) ++
         p.added.map { f =>
           val n = f.path.split("/").last
           // same-commit equality deletes never apply (equal seq);

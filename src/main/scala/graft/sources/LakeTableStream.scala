@@ -112,30 +112,13 @@ private[sources] abstract class GraftVersionedStreamBase(
 
   /** Resolved initial-offset version for `startingTimestamp` (the
     * version BEFORE the first streamed commit) — see the class doc
-    * for the contract. Commit times are monotone non-decreasing, so
-    * "first at or after ts" is proven exactly when the predecessor is
-    * retained and committed before ts. */
+    * for the contract. */
   private val startingTimestamp: Option[Int] =
-    options.get("startingtimestamp").map { raw =>
-      val ts = GraftVersionedStreamBase.parseTimestampMs(raw)
-      val cap = lake.mainVersion
-      val snaps = lake.snapshots.filter(_.version <= cap)
-      val atOrAfter = snaps.filter(_.committedAtMs >= ts)
-      if (atOrAfter.isEmpty) cap // only future commits qualify
-      else {
-        val v = atOrAfter.map(_.version).min
-        require(v >= 1,
-          s"startingTimestamp $raw predates the initial snapshot at " +
-            s"${lake.root} — omit the option (a fresh checkpoint " +
-            "streams the snapshot)")
-        require(snaps.exists(_.version == v - 1),
-          s"startingTimestamp $raw falls behind the retention window " +
-            s"at ${lake.root}: version ${v - 1} has expired, so the " +
-            "first commit at or after the timestamp cannot be proven " +
-            "— restart from a fresh checkpoint or use startingVersion")
-        v - 1
-      }
-    }
+    options.get("startingtimestamp").map(raw =>
+      GraftVersionedStreamBase
+        .firstCommitAtOrAfter(lake, raw)
+        .map(_ - 1)
+        .getOrElse(lake.mainVersion)) // only future commits qualify
 
   override def initialOffset(): Offset =
     LakeLogOffset(startingVersion.map(_ - 1)
@@ -146,7 +129,7 @@ private[sources] abstract class GraftVersionedStreamBase(
   override def stop(): Unit = ()
 }
 
-private[sources] object GraftVersionedStreamBase {
+private[graft] object GraftVersionedStreamBase {
   /** Epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` (JVM timezone, the
     * `java.sql.Timestamp` contract), or an ISO-8601 instant. */
   def parseTimestampMs(raw: String): Long =
@@ -155,6 +138,36 @@ private[sources] object GraftVersionedStreamBase {
         java.time.Instant.parse(raw).toEpochMilli
       else java.sql.Timestamp.valueOf(raw).getTime
     }
+
+  /** The FIRST commit whose commit time is at or after `raw`, capped
+    * at the WAP pin; None when no commit qualifies (only future
+    * commits would). Commit times are monotone non-decreasing, so
+    * "first at or after" is PROVEN exactly when the predecessor is
+    * retained and committed earlier — an expired predecessor refuses
+    * (never a silent skip), and a timestamp predating the initial
+    * snapshot refuses (version 0 is the snapshot, not a change).
+    * Shared by both streams' `startingTimestamp` and the batch
+    * change-feed face. */
+  def firstCommitAtOrAfter(lake: LakeTable, raw: String): Option[Int] = {
+    val ts = parseTimestampMs(raw)
+    val cap = lake.mainVersion
+    val snaps = lake.snapshots.filter(_.version <= cap)
+    val atOrAfter = snaps.filter(_.committedAtMs >= ts)
+    if (atOrAfter.isEmpty) None
+    else {
+      val v = atOrAfter.map(_.version).min
+      require(v >= 1,
+        s"startingTimestamp $raw predates the initial snapshot at " +
+          s"${lake.root} — omit the option (a fresh checkpoint " +
+          "streams the snapshot)")
+      require(snaps.exists(_.version == v - 1),
+        s"startingTimestamp $raw falls behind the retention window " +
+          s"at ${lake.root}: version ${v - 1} has expired, so the " +
+          "first commit at or after the timestamp cannot be proven " +
+          "— restart from a fresh checkpoint or use startingVersion")
+      Some(v)
+    }
+  }
 }
 
 /** `spark.readStream.table("graft.ns.t")` — MICRO_BATCH_READ on the
@@ -364,6 +377,97 @@ private[sources] object MorPlanning {
     case d: Double if d == 0.0d => 0.0d
     case f: Float if f == 0.0f  => 0.0f
     case other => other
+  }
+
+  /** Manifest-stats prune test over one batch's EQUALITY-delete keys
+    * (already on the driver, bounded): can `entry` hold ANY row one of
+    * `state`'s key tuples matches? Uses the same normalized [lo, hi]
+    * footer stats and unsigned-UTF-8 comparator as the file pruner.
+    * CONSERVATIVE throughout — a missing stat, unorderable type, or
+    * unnormalizable value answers TRUE; a null key component matches
+    * only files not proven null-free; float/double zeros test the
+    * whole {-0.0, +0.0} class (Double.compare orders -0.0 < +0.0, and
+    * SQL equality does not). This is what keeps a GDPR forget's
+    * changelog batch O(files that can hold the keys) instead of
+    * O(files predating the delete) on a clustered table — position
+    * deletes are not consulted, they name files explicitly. */
+  def eqTouchTest(state: MorState): LakeTable.FileEntry => Boolean = {
+    def statNorm(v: Any): Option[Any] = v match {
+      case x: Byte    => Some(x.toLong)
+      case x: Short   => Some(x.toLong)
+      case x: Int     => Some(x.toLong)
+      case x: Long    => Some(x)
+      case x: Float   => Some(x.toDouble)
+      case x: Double  => Some(x)
+      case x: Boolean => Some(x)
+      case x: String  => Some(x)
+      case x: UTF8String => Some(x.toString)
+      case _ => None
+    }
+    // containment of one normalized key in one file's [lo, hi]
+    def contains(st: LakeTable.ColStat, k: Any): Boolean = {
+      val (loProbe, hiProbe) = k match {
+        case d: Double if d == 0.0d => (0.0d: Any, -0.0d: Any)
+        case other => (other, other)
+      }
+      LakeTable.cmpStat(st.lo, loProbe).forall(_ <= 0) &&
+        LakeTable.cmpStat(hiProbe, st.hi).forall(_ <= 0)
+    }
+    def colMayHold(e: LakeTable.FileEntry, c: String, v: Any): Boolean =
+      v match {
+        case null => !e.nullCounts.get(c).contains(0L)
+        case _ => statNorm(v) match {
+          case None => true
+          case Some(k) => e.stats.get(c) match {
+            case None => true
+            case Some(st) => contains(st, k)
+          }
+        }
+      }
+    // small rosters test exact tuples; large ones fall back to
+    // per-column bounds (one pass over the keys, O(1) per file)
+    val groups: Seq[LakeTable.FileEntry => Boolean] =
+      state.eqGroups.filter(_.keys.nonEmpty).map { g =>
+        if (g.keys.size <= 1024) { (e: LakeTable.FileEntry) =>
+          g.keys.keysIterator.exists(t =>
+            g.keyCols.indices.forall(i =>
+              colMayHold(e, g.keyCols(i), t(i))))
+        } else {
+          // per-column (min, max, hasNull, unpruneable) over all tuples
+          val bounds = g.keyCols.indices.map { i =>
+            var lo: Any = null; var hi: Any = null
+            var hasNull = false; var unpruneable = false
+            g.keys.keysIterator.foreach { t =>
+              statNorm(t(i)) match {
+                case _ if t(i) == null => hasNull = true
+                case None => unpruneable = true // never prune this col
+                case Some(k0) =>
+                  // a zero key spans the {-0.0, +0.0} class
+                  val (kLo, kHi) = k0 match {
+                    case d: Double if d == 0.0d => (-0.0d: Any, 0.0d: Any)
+                    case o => (o, o)
+                  }
+                  if (lo == null ||
+                      LakeTable.cmpStat(kLo, lo).forall(_ < 0)) lo = kLo
+                  if (hi == null ||
+                      LakeTable.cmpStat(kHi, hi).forall(_ > 0)) hi = kHi
+              }
+            }
+            (lo, hi, hasNull, unpruneable)
+          }
+          (e: LakeTable.FileEntry) =>
+            g.keyCols.indices.forall { i =>
+              val (lo, hi, hasNull, unpruneable) = bounds(i)
+              val c = g.keyCols(i)
+              unpruneable ||
+                (hasNull && !e.nullCounts.get(c).contains(0L)) ||
+                (lo != null && e.stats.get(c).forall(st =>
+                  LakeTable.cmpStat(st.lo, hi).forall(_ <= 0) &&
+                    LakeTable.cmpStat(lo, st.hi).forall(_ <= 0)))
+            }
+        }
+      }
+    e => groups.exists(_(e))
   }
 
   /** Rows of merge-on-read delete state relevant to `files` —

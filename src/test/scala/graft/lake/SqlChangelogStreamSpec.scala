@@ -331,19 +331,50 @@ class SqlChangelogStreamSpec extends SparkSuite {
     assert(m.contains("maxMorRowsPerBatch"), m.take(400))
   }
 
-  test("batch SELECT on the changes table is rejected (streaming-only " +
-    "face); DROP refuses like other metadata tables") {
+  test("batch change feed (Delta table_changes parity): per-commit " +
+    "events for [startingVersion, endingVersion], range required, " +
+    "DROP refuses") {
     install()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
     spark.sql("DROP TABLE IF EXISTS gcl.s.b")
-    spark.sql("CREATE TABLE gcl.s.b (id BIGINT)")
-    intercept[Exception] {
+    spark.sql("CREATE TABLE gcl.s.b (id BIGINT)")                // v0
+    spark.sql("INSERT INTO gcl.s.b SELECT id FROM range(10)")    // v1
+    spark.sql("DELETE FROM gcl.s.b WHERE id IN (3, 7)")          // v2
+    spark.sql("INSERT INTO gcl.s.b SELECT id + 100 FROM range(3)") // v3
+    val cdf = spark.read.option("startingVersion", "2")
+      .table("gcl.s.b.changes")
+    assert(cdf.schema.fieldNames.toSeq ==
+      Seq("id", "_change_type", "_commit_version"))
+    val events = cdf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(events.toSeq == Seq(
+      (3L, "delete", 2L), (7L, "delete", 2L),
+      (100L, "insert", 3L), (101L, "insert", 3L),
+      (102L, "insert", 3L)), events.mkString(", "))
+    // endingVersion bounds the range; batch events equal what the
+    // STREAM delivers for the same commits (one contract, two faces)
+    val only2 = spark.read.option("startingVersion", "2")
+      .option("endingVersion", "2").table("gcl.s.b.changes").collect()
+    assert(only2.length == 2 && only2.forall(_.getString(1) == "delete"))
+    val log = new EventLog("gcl.s.b.changes", tmpDir("gcl-b-ckpt"),
+      Map("startingVersion" -> "2"))
+    log.run()
+    assert(log.events.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      == events.toSeq, "batch and stream faces diverged")
+    // a batch read WITHOUT a range is refused with guidance (a
+    // changelog needs a range), the snapshot read is the table itself
+    val ex = intercept[Exception] {
       spark.sql("SELECT * FROM gcl.s.b.changes").collect()
     }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("startingVersion"), m.take(300))
     intercept[Exception] {
       spark.sql("DROP TABLE gcl.s.b.changes")
     }
     assert(spark.sql("SELECT count(*) FROM gcl.s.b").head.getLong(0)
-      == 0, "the real table must survive")
+      == 11, "the real table must survive")
   }
 }
