@@ -1227,7 +1227,14 @@ class LakeTable private (
         val keySchema = StructType(keyCols.map(c => sF(c)).toSeq)
         val keys = spark.read.schema(keySchema)
           .parquet(entryPaths.map(p => s"$root/$p"): _*)
-        val base = readEntries(fs, sF, idsF, deletes = delF)
+        // manifest-stats prune before any file read: a covered file
+        // whose [lo, hi] ranges cannot hold ANY committed key emits
+        // nothing — so the forget's changelog reads O(files that can
+        // hold the keys), not O(files predating the delete), exactly
+        // like the streaming face's growth prune. One tiny
+        // distributed agg over the key files buys the bounds.
+        val base = readEntries(pruneByKeyBounds(fs, keys, keyCols),
+          sF, idsF, deletes = delF)
         // null-safe equality on the key tuple — Iceberg eq-delete
         // semantics, identical to the read path's anti-join
         val cond = keyCols.map(c => base(c) <=> keys(c)).reduce(_ && _)
@@ -1256,6 +1263,63 @@ class LakeTable private (
       return withFast(before.withColumn(ct, lit("delete")))
     withFast(after.exceptAll(before).withColumn(ct, lit("insert"))
       .unionByName(before.exceptAll(after).withColumn(ct, lit("delete"))))
+  }
+
+  /** Files of `fs` whose per-column [lo, hi] footer stats can hold at
+    * least one of `keys`' tuples, by PER-COLUMN BOUNDS of the key set
+    * (one small agg job over the key files — min, max, any-null per
+    * column). Conservative everywhere a wrong prune could lurk: a
+    * column without file stats or without an orderable bound never
+    * prunes, null keys keep every file not proven null-free, and a
+    * floating bound at zero widens to the {-0.0, +0.0} class (SQL
+    * equality does not order the zeros, `Double.compare` does). */
+  private def pruneByKeyBounds(fs: Seq[FileEntry], keys: DataFrame,
+                               keyCols: Seq[String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin, sum => fsum, when}
+    if (fs.isEmpty) return fs
+    val aggs = keyCols.flatMap(c => Seq(
+      fmin(fcol(s"`$c`")).as(s"lo_$c"),
+      fmax(fcol(s"`$c`")).as(s"hi_$c"),
+      fsum(when(fcol(s"`$c`").isNull, 1L).otherwise(0L)).as(s"n_$c")))
+    val row = keys.agg(aggs.head, aggs.tail: _*).head
+    def norm(v: Any): Option[Any] = v match {
+      case null => None
+      case x: Byte => Some(x.toLong); case x: Short => Some(x.toLong)
+      case x: Int => Some(x.toLong);  case x: Long => Some(x)
+      case x: Float => Some(x.toDouble); case x: Double => Some(x)
+      case x: Boolean => Some(x); case x: String => Some(x)
+      case _ => None
+    }
+    def widen(v: Any, lowSide: Boolean): Any = v match {
+      case d: Double if d == 0.0d => if (lowSide) -0.0d else 0.0d
+      case o => o
+    }
+    val bounds = keyCols.map { c =>
+      val rawLo = row.getAs[Any](s"lo_$c")
+      val rawHi = row.getAs[Any](s"hi_$c")
+      val lo = norm(rawLo).map(widen(_, lowSide = true))
+      val hi = norm(rawHi).map(widen(_, lowSide = false))
+      // a NON-NULL bound of a type norm can't order (timestamp, date,
+      // decimal, ...) must never prune — "no bound" is only safe to
+      // act on when it means "every key is null"
+      val unorderable =
+        (rawLo != null && lo.isEmpty) || (rawHi != null && hi.isEmpty)
+      val hasNull = Option(row.getAs[Any](s"n_$c"))
+        .exists(_.asInstanceOf[Long] > 0L)
+      (c, lo, hi, hasNull, unorderable)
+    }
+    fs.filter(e => bounds.forall {
+      case (c, lo, hi, hasNull, unorderable) =>
+        unorderable ||
+          (hasNull && !e.nullCounts.get(c).contains(0L)) ||
+          ((lo, hi) match {
+            case (Some(l), Some(h)) => e.stats.get(c).forall(st =>
+              LakeTable.cmpStat(st.lo, h).forall(_ <= 0) &&
+                LakeTable.cmpStat(l, st.hi).forall(_ <= 0))
+            case _ => false // all keys null; null-capable files kept
+                            // by the hasNull clause above
+          })
+    })
   }
 
   /** Project `df` (read under `(fromSchema, fromIds)`) onto the `to`

@@ -175,6 +175,36 @@ class ChangelogSpec extends SparkSuite {
     ch.unpersist()
   }
 
+  test("GDPR fast path prunes covered files by key bounds: disjoint-" +
+    "range files contribute nothing and the deletes stay exact") {
+    val df = (0L until 100L).map(i => (i, s"p-$i")).toDF("id", "payload")
+    val t = LakeTable.create(spark, tmpDir("cl-prune"), df.schema)
+    t.append(df.coalesce(1))                                      // v1
+    t.append((5000L until 5100L).map(i => (i, s"p-$i"))
+      .toDF("id", "payload").coalesce(1))                         // v2
+    t.append((9000L until 9100L).map(i => (i, s"p-$i"))
+      .toDF("id", "payload").coalesce(1))                         // v3
+    // forget keys living ONLY in the middle file — the bounds prune
+    // (one tiny agg over the key files) must read just that file and
+    // the deletes must still be exactly the forgotten rows
+    t.deleteWhereEqual(Seq(5005L, 5042L).toDF("id"), Seq("id"))   // v4
+    val ch = t.readChangelog(3, 4).cache()
+    assert(ch.filter(col(ct) === "insert").count() == 0)
+    assert(ch.filter(col(ct) === "delete").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(5005L, 5042L))
+    // the pruned plan scans one data file (plus the key file): the
+    // middle file's rows are the only data rows anywhere in the plan
+    val scanned = ch.filter(col(ct) === "delete")
+      .select("payload").as[String].collect()
+    assert(scanned.forall(_.startsWith("p-5")))
+    ch.unpersist()
+    // out-of-range keys prune everything: an empty (but exact)
+    // changelog, not an error
+    t.deleteWhereEqual(Seq(777777L).toDF("id"), Seq("id"))        // v5
+    assert(t.readChangelog(4, 5).count() == 0)
+    assert(t.read().count() == 298)
+  }
+
   test("expired endpoints are loud; reversed range is rejected") {
     val (t, df) = mkTable("cl-ret")
     t.append(df.withColumn("id", $"id" + 1000L)) // v2

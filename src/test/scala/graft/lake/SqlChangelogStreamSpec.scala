@@ -331,6 +331,41 @@ class SqlChangelogStreamSpec extends SparkSuite {
     assert(m.contains("maxMorRowsPerBatch"), m.take(400))
   }
 
+  test("ADD COLUMN mid-history: pre-evolution files stream with the " +
+    "new column null (field-id pass); a RENAME epoch refuses loudly") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.evo")
+    spark.sql("CREATE TABLE gcl.s.evo (id BIGINT)")
+    spark.sql("INSERT INTO gcl.s.evo SELECT id FROM range(5)")   // v1
+    spark.sql("ALTER TABLE gcl.s.evo ADD COLUMN extra DOUBLE")   // v2
+    spark.sql(
+      "INSERT INTO gcl.s.evo SELECT id + 100, 1.5 FROM range(3)") // v3
+    val log = new EventLog("gcl.s.evo.changes", tmpDir("gcl-evo-ckpt"))
+    log.run() // snapshot: both epochs' files under the CURRENT schema
+    assert(log.events.size == 8)
+    val (old, young) = log.events.partition(_.getLong(0) < 100L)
+    assert(old.size == 5 && old.forall(_.isNullAt(1)),
+      "pre-evolution rows must surface the added column as null")
+    assert(young.size == 3 && young.forall(_.getDouble(1) == 1.5))
+    // the pure-metadata ALTER commit itself streams nothing: a fresh
+    // startingVersion=2 stream sees only v3's rows
+    val sv = new EventLog("gcl.s.evo.changes", tmpDir("gcl-evo2-ckpt"),
+      Map("startingVersion" -> "2"))
+    sv.run()
+    assert(sv.events.size == 3 &&
+      sv.events.forall(r => r.getLong(3) == 3L))
+    // a rename epoch refuses (stale names must never serve as nulls)
+    spark.sql("ALTER TABLE gcl.s.evo RENAME COLUMN extra TO bonus")
+    val fresh = new EventLog("gcl.s.evo.changes",
+      tmpDir("gcl-evo3-ckpt"))
+    val ex = intercept[Exception] { fresh.run() }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("field id"), m.take(300))
+  }
+
   test("batch change feed (Delta table_changes parity): per-commit " +
     "events for [startingVersion, endingVersion], range required, " +
     "DROP refuses") {
