@@ -1687,6 +1687,10 @@ object SparkEntry {
     // a cross-engine consumer mirrors merge-on-read DML exactly (q186)
     "q186_sql_changelog_stream" ->
       (graft.lake.SqlQueries.sqlChangelogStream _),
+    // the q186 loop as a first-class operator: MVManager
+    // .startTableMirror, exactly-once per source version (q187)
+    "q187_table_mirror_mv" ->
+      (graft.lake.SqlQueries.sqlTableMirrorMv _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4299,6 +4303,27 @@ object SparkEntry {
            SELECT * FROM updated
            UNION ALL
            SELECT event_id + 10000000, user_id, 'replay', value
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM final GROUP BY event_type""",
+    // q187: the mirror-MV oracle replays the source's DML algebra —
+    // click/view base, drop the user_id%9=4 cohort, double the keyed
+    // views, append the purchase replays
+    "q187_table_mirror_mv" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type, value FROM events
+           WHERE event_type IN ('click', 'view')),
+         kept AS (SELECT * FROM base WHERE user_id % 9 <> 4),
+         updated AS (
+           SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'view' AND user_id % 3 = 0
+                  THEN value * 2 ELSE value END AS value
+           FROM kept),
+         final AS (
+           SELECT * FROM updated
+           UNION ALL
+           SELECT event_id + 20000000, user_id, 'purchase', value
            FROM events WHERE event_type = 'purchase')
          SELECT event_type, count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value

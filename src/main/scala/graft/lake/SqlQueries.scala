@@ -623,4 +623,50 @@ object SqlQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g186_mirror GROUP BY event_type""".stripMargin)
   }
+
+  /** q187: the TABLE MIRROR MV — q186's CDC-apply loop as the
+    * first-class operator ([[graft.streaming.MVManager
+    * .startTableMirror]]): a replica maintained ONLY by the source's
+    * streaming changelog across THREE trigger runs (snapshot; then a
+    * cohort DELETE + a keyed UPDATE in one restarted batch; then an
+    * append), every per-version apply idempotent on the SOURCE
+    * version (whole-batch replays are pure no-ops —
+    * TableMirrorMVSpec forces one). The mirror's aggregate equals the
+    * oracle's replayed algebra iff every change event applied exactly
+    * once, in order, across all three lifecycles. */
+  def sqlTableMirrorMv(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g187")
+    installRowLevel(s)
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g187_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g187.q")
+    s.sql("DROP TABLE IF EXISTS g187.q.src")
+    s.sql("""CREATE TABLE g187.q.src AS
+             SELECT * FROM g187_src
+             WHERE event_type IN ('click', 'view')""")
+    val mirror = graft.lake.LakeTable.create(s,
+      java.nio.file.Files.createTempDirectory("g187-mirror").toString,
+      s.table("g187.q.src").schema)
+    val mv = new graft.streaming.MVManager(s,
+      java.nio.file.Files.createTempDirectory("g187-ckpt").toString)
+    def run(): Unit = mv.startTableMirror("g187_mir",
+      s.readStream.table("g187.q.src.changes"), mirror,
+      Seq("event_id")).awaitTermination()
+    run() // snapshot
+    s.sql("DELETE FROM g187.q.src WHERE user_id % 9 = 4")
+    s.sql(
+      """UPDATE g187.q.src SET value = value * 2
+        |WHERE event_type = 'view' AND user_id % 3 = 0""".stripMargin)
+    run() // both commits, one restarted batch
+    s.sql("""INSERT INTO g187.q.src
+             SELECT event_id + 20000000, user_id, 'purchase', value
+             FROM g187_src WHERE event_type = 'purchase'""")
+    run() // third lifecycle: the append flows
+    mirror.read().createOrReplaceTempView("g187_mirror")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g187_mirror GROUP BY event_type""".stripMargin)
+  }
 }

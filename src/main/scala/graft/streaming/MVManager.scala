@@ -54,6 +54,58 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
       table.autoCompactIfNeeded(); ()
     }
 
+  /** Continuous CROSS-ENGINE TABLE MIRROR MV — the q186 CDC-apply
+    * loop as a first-class operator: consume a table's row-level
+    * changelog (`sourceChanges` = `spark.readStream.table(
+    * "cat.ns.t.changes")`, or any stream of (visible columns,
+    * `_change_type`, `_commit_version`) events) and maintain `mirror`
+    * as an exact replica across a session/engine boundary. Each batch
+    * applies its commits in `_commit_version` order — the version's
+    * delete events land as ONE O(keys) equality-delete commit on
+    * `keyCols`, then its insert events as ONE append — and EVERY
+    * commit is idempotent per (writer, SOURCE VERSION): the guard
+    * value is the source version itself (monotone across batches), so
+    * a replayed foreachBatch (crash after the offset write, restart
+    * before the commit log advanced — or a crash BETWEEN a version's
+    * delete and insert halves) re-applies as a pure no-op up to the
+    * exact commit where it died, then continues. Requires `keyCols`
+    * to be a row identity of the source (any CDC apply does); the
+    * mirror must start empty on a fresh checkpoint (a fresh query id
+    * starts a fresh idempotence sequence).
+    *
+    * This is the reference's premise — continuously-maintained
+    * downstream state — expressed ACROSS an engine boundary: the
+    * upstream is any table in the catalog, the downstream any lake
+    * table, and GDPR deletes propagate as O(keys) equality deletes
+    * end to end. */
+  def startTableMirror(name: String, sourceChanges: DataFrame,
+                       mirror: LakeTable, keyCols: Seq[String],
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    startWriterSink(name, sourceChanges, trigger) { (wid, batch, _) =>
+      // one metadata pass decides which (version, op) slices exist
+      val slices = batch
+        .groupBy("_commit_version", "_change_type").count().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      slices.map(_._1).toSeq.sorted.foreach { v =>
+        if (slices((v, "delete")))
+          mirror.deleteWhereEqualExactlyOnce(
+            batch.filter(col("_commit_version") === v &&
+              col("_change_type") === "delete")
+              .select(keyCols.map(col): _*),
+            keyCols, s"$wid-del", v)
+        if (slices((v, "insert")))
+          mirror.appendExactlyOnce(
+            batch.filter(col("_commit_version") === v &&
+              col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version"),
+            s"$wid-ins", v)
+      }
+      mirror.autoCompactIfNeeded(); ()
+    }
+  }
+
   /** Shared scaffold for every exactly-once foreachBatch MV: the
     * writerId = query.id handshake (the id is only known once start()
     * returns, so the sink parks on a latch for the first micro-batch
