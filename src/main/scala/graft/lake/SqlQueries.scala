@@ -558,7 +558,11 @@ object SqlQueries {
     * all three commits in ONE batch — per-version apply keeps the
     * UPDATE's delete half before its insert half. The mirror's
     * aggregate equals the oracle's replayed algebra iff every change
-    * event arrived exactly once and applied in order. */
+    * event arrived exactly once and applied in order. (This is the
+    * raw stream face with a hand-rolled consumer; the PRODUCTIZED,
+    * batch-replay-safe twin — every apply idempotent on the source
+    * version — is [[graft.streaming.MVManager.startTableMirror]],
+    * graded as q187.) */
   def sqlChangelogStream(s: SparkSession, dir: String): DataFrame = {
     install(s, "g186")
     installRowLevel(s)

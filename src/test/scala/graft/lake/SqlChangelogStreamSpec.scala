@@ -331,6 +331,33 @@ class SqlChangelogStreamSpec extends SparkSuite {
     assert(m.contains("maxMorRowsPerBatch"), m.take(400))
   }
 
+  test("maxRowsPerBatch paces the changes stream version-granularly " +
+    "by emitted rows, without loss or re-delivery") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.paced")
+    spark.sql("CREATE TABLE gcl.s.paced (id BIGINT)")
+    spark.sql("INSERT INTO gcl.s.paced SELECT id FROM range(10)")
+    val log = new EventLog("gcl.s.paced.changes",
+      tmpDir("gcl-paced-ckpt"), Map("maxRowsPerBatch" -> "25"))
+    log.run() // snapshot (indivisible)
+    assert(log.events.size == 10)
+    // five 20-row appends + one delete commit; a 25-row cap must
+    // split them across multiple batches, each at a commit boundary
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO gcl.s.paced SELECT id + ${100 * (i + 1)} " +
+        "FROM range(20)"))
+    spark.sql("DELETE FROM gcl.s.paced WHERE id IN (2, 4)")
+    val q = log.run()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2,
+      s"102 emitted rows under a 25-row cap must take multiple " +
+        s"batches: ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    assert(log.events.size == 10 + 100 + 2,
+      s"pacing lost or re-delivered events: ${log.events.size}")
+    assert(log.events.count(_.getString(1) == "delete") == 2)
+  }
+
   test("ADD COLUMN mid-history: pre-evolution files stream with the " +
     "new column null (field-id pass); a RENAME epoch refuses loudly") {
     install()
