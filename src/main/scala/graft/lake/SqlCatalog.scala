@@ -1130,11 +1130,19 @@ class GraftChangesTable(ident: String, lake: LakeTable)
     import org.apache.spark.sql.functions.lit
     val visibleNames = schema.fieldNames.toSeq
       .filterNot(n => n == "_change_type" || n == "_commit_version")
-    (sv to ev).map { v =>
+    val perCommit = (sv to ev).map { v =>
       lake.readChangelog(v - 1, v)
         .select((visibleNames :+ "_change_type").map(col) :+
           lit(v.toLong).as("_commit_version"): _*)
-    }.reduce(_ unionByName _)
+    }
+    // balanced union tree: a wide version range folded left would
+    // build an O(n)-deep plan (slow analysis, driver stack overflow
+    // on thousands of commits); pairwise halving keeps it O(log n)
+    def union(fs: IndexedSeq[DataFrame]): DataFrame =
+      if (fs.length == 1) fs.head
+      else union(fs.grouped(2).map(g =>
+        if (g.length == 2) g(0).unionByName(g(1)) else g(0)).toIndexedSeq)
+    union(perCommit.toIndexedSeq)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)

@@ -239,7 +239,7 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
     val (files, dels) = lake.snapshotWithDeletes(hi)
     if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
       val dir = LakeStreamPlanning.scratchDir(checkpointLocation, lake,
-        hi, maxMorRows)
+        hi, maxMorRows, "maxMorRowsPerBatch")
       scratchUsed = Some((dir, hi))
       return LakeStreamPlanning.scratchSnapshot(lake, visible, hi, dir)
         .map(fp => GraftScratchChangeInputPartition(fp, hi)

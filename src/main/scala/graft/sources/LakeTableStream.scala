@@ -112,8 +112,15 @@ private[sources] abstract class GraftVersionedStreamBase(
 
   /** Resolved initial-offset version for `startingTimestamp` (the
     * version BEFORE the first streamed commit) — see the class doc
-    * for the contract. */
-  private val startingTimestamp: Option[Int] =
+    * for the contract. LAZY on purpose: Spark only consults
+    * `initialOffset()` on a FRESH checkpoint, and a restart of a
+    * long-running stream must not re-resolve the timestamp — its
+    * predecessor version may have aged past retention by then
+    * (`firstCommitAtOrAfter`'s proven-first refusal would brick the
+    * restart even though the checkpoint never needs the value). Same
+    * contract as Delta: starting options resolve for fresh
+    * checkpoints only. */
+  private lazy val startingTimestamp: Option[Int] =
     options.get("startingtimestamp").map(raw =>
       GraftVersionedStreamBase
         .firstCommitAtOrAfter(lake, raw)
@@ -130,14 +137,24 @@ private[sources] abstract class GraftVersionedStreamBase(
 }
 
 private[graft] object GraftVersionedStreamBase {
-  /** Epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` (JVM timezone, the
-    * `java.sql.Timestamp` contract), or an ISO-8601 instant. */
-  def parseTimestampMs(raw: String): Long =
-    raw.toLongOption.getOrElse {
-      if (raw.contains("T"))
-        java.time.Instant.parse(raw).toEpochMilli
-      else java.sql.Timestamp.valueOf(raw).getTime
+  /** Epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` or date-only
+    * `yyyy-MM-dd` (JVM timezone, the `java.sql.Timestamp`/`Date`
+    * contract — Delta accepts the date-only form too), or an
+    * ISO-8601 instant with either `Z` or an explicit zone offset
+    * (`2024-01-01T00:00:00+02:00`). */
+  def parseTimestampMs(raw: String): Long = {
+    val t = raw.trim
+    t.toLongOption.getOrElse {
+      if (t.contains("T"))
+        try java.time.Instant.parse(t).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+        }
+      else if (t.contains(":")) java.sql.Timestamp.valueOf(t).getTime
+      else java.sql.Date.valueOf(t).getTime
     }
+  }
 
   /** The FIRST commit whose commit time is at or after `raw`, capped
     * at the WAP pin; None when no commit qualifies (only future
@@ -284,7 +301,7 @@ class GraftLakeMicroBatchStream(lake: LakeTable, pruned: StructType,
         val (files, dels) = lake.snapshotWithDeletes(hi)
         if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
           val dir = LakeStreamPlanning.scratchDir(checkpointLocation,
-            lake, hi, maxMorRows)
+            lake, hi, maxMorRows, "maxMorRowsInitialBatch")
           scratchUsed = Some((dir, hi))
           scratch = LakeStreamPlanning.scratchSnapshot(lake, pruned,
             hi, dir).map(fp => GraftScratchInputPartition(fp)
@@ -625,14 +642,17 @@ private[sources] object LakeStreamPlanning {
           "Restart the stream from a fresh checkpoint.")
     })
 
+  /** `boundOption` names the CALLER's knob in the refusal message —
+    * the append stream reads `maxMorRowsInitialBatch`, the changelog
+    * stream `maxMorRowsPerBatch`. */
   def scratchDir(checkpointLocation: Option[String], lake: LakeTable,
-                 v: Int, bound: Long): String = {
+                 v: Int, bound: Long, boundOption: String): String = {
     require(checkpointLocation.isDefined,
       s"cannot start streaming ${lake.root}: the snapshot carries " +
         s"more than $bound live merge-on-read delete rows and no " +
         "checkpoint scratch location is available for the " +
         "distributed initial batch — run compact() to absorb the " +
-        "deletes, or raise the maxMorRowsInitialBatch stream option")
+        s"deletes, or raise the $boundOption stream option")
     s"${checkpointLocation.get}/graft-init-snapshot-v$v"
   }
 

@@ -303,6 +303,57 @@ class SqlChangelogStreamSpec extends SparkSuite {
     assert(m2.contains("mutually exclusive"), m2.take(300))
   }
 
+  test("startingTimestamp accepts date-only and zone-offset forms " +
+    "(Delta parity) alongside epoch/SQL/ISO") {
+    import graft.sources.GraftVersionedStreamBase.parseTimestampMs
+    assert(parseTimestampMs("1700000000000") == 1700000000000L)
+    assert(parseTimestampMs("2024-01-01") ==
+      java.sql.Date.valueOf("2024-01-01").getTime)
+    assert(parseTimestampMs("2024-01-01 00:00:00") ==
+      parseTimestampMs("2024-01-01"))
+    assert(parseTimestampMs("2023-12-31T22:00:00Z") ==
+      parseTimestampMs("2024-01-01T00:00:00+02:00"))
+    assert(parseTimestampMs(" 2024-01-01 ") ==
+      parseTimestampMs("2024-01-01"))
+  }
+
+  test("startingTimestamp is resolved only for FRESH checkpoints: a " +
+    "restart survives the timestamp's predecessor expiring") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.ret")
+    spark.sql("CREATE TABLE gcl.s.ret (id BIGINT)")                 // v0
+    spark.sql("INSERT INTO gcl.s.ret SELECT id FROM range(3)")      // v1
+    Thread.sleep(15)
+    spark.sql("INSERT INTO gcl.s.ret SELECT id + 10 FROM range(3)") // v2
+    spark.sql("INSERT INTO gcl.s.ret SELECT id + 20 FROM range(3)") // v3
+    val t = new LakeCatalog(spark, wh).table("s", "ret")
+    val v2Time = t.snapshots.find(_.version == 2).get.committedAtMs
+    val log = new EventLog("gcl.s.ret.changes", tmpDir("gcl-ret-ckpt"),
+      Map("startingTimestamp" -> v2Time.toString))
+    log.run()
+    assert(log.events.size == 6 &&
+      log.events.forall(_.getLong(2) >= 2L))
+    // retention expires v1 — the timestamp's PREDECESSOR. The stream's
+    // checkpoint is already past the timestamp; an eager re-resolution
+    // on restart would hit the proven-first refusal and brick it.
+    spark.sql("INSERT INTO gcl.s.ret SELECT id + 30 FROM range(2)") // v4
+    t.expireSnapshots(keepLast = 3)
+    assert(!t.snapshots.exists(_.version == 1), "v1 should be expired")
+    log.run() // restart, same checkpoint: must deliver v4, not throw
+    assert(log.events.size == 8,
+      s"restart past retention lost/failed: ${log.events.size}")
+    // a FRESH checkpoint with the same timestamp still refuses — the
+    // proven-first contract is about fresh starts, not restarts
+    val fresh = new EventLog("gcl.s.ret.changes", tmpDir("gcl-ret-f"),
+      Map("startingTimestamp" -> v2Time.toString))
+    val ex = intercept[Exception] { fresh.run() }
+    val m = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("retention"), m.take(300))
+  }
+
   test("changes stream initial batch above the MOR bound serves " +
     "through the distributed batch read — mirror still exact") {
     install()
