@@ -1077,8 +1077,11 @@ class LakeTable private (
       val isCompaction = Option(node.get("appMeta"))
         .flatMap(m => Option(m.get("compaction")))
         .exists(_.asText() == "true")
+      val isUpdate = Option(node.get("appMeta"))
+        .flatMap(m => Option(m.get("cdf.op")))
+        .exists(_.asText() == "update")
       val step = LakeTable.ChangeStep(v, prevFiles, files, prevDels, dels,
-        isCompaction)
+        isCompaction, isUpdate)
       prevFiles = files
       prevDels = dels
       step
@@ -4044,13 +4047,18 @@ object LakeTable {
   /** One commit step of [[LakeTable.changeStepsBetween]]: the full
     * before/after file and delete-entry sets of version `version`
     * relative to its predecessor — metadata only, what the streaming
-    * changelog planner decomposes into per-file change partitions. */
+    * changelog planner decomposes into per-file change partitions.
+    * `isUpdate` carries the writer's `cdf.op=update` stamp (a
+    * merge-on-read row-delta whose delta was pure update rows), which
+    * types the commit's change events as
+    * `update_preimage`/`update_postimage`. */
   private[graft] case class ChangeStep(version: Int,
                                        prevFiles: Seq[FileEntry],
                                        files: Seq[FileEntry],
                                        prevDeletes: Seq[DeleteEntry],
                                        deletes: Seq[DeleteEntry],
-                                       isCompaction: Boolean)
+                                       isCompaction: Boolean,
+                                       isUpdate: Boolean)
 
   /** One snapshot-level reference to an immutable manifest file
     * (relative to the table's metadata dir). `entries` rides in the

@@ -1067,8 +1067,9 @@ object GraftV1ReadRule {
   * pushdown — inspection surfaces, not data paths. */
 /** The ROW-LEVEL CHANGELOG face of one lake table
   * (`graft.ns.tbl.changes` — Delta's change-data-feed shape): schema
-  * = the table's visible columns plus `_change_type` (insert|delete)
-  * and `_commit_version`.
+  * = the table's visible columns plus `_change_type` (insert | delete
+  * | update_preimage | update_postimage — the update pair for
+  * writer-stamped pure-update commits) and `_commit_version`.
   *
   * STREAMING (`spark.readStream.table(...)`): see
   * [[graft.sources.GraftLakeChangesMicroBatchStream]] — per-commit
@@ -1126,23 +1127,15 @@ class GraftChangesTable(ident: String, lake: LakeTable)
         "initial snapshot, not a change — read the table itself")
     require(sv <= ev,
       s"empty changelog range [$sv, $ev] at $ident")
-    val spark = SparkSession.active
-    import org.apache.spark.sql.functions.lit
     val visibleNames = schema.fieldNames.toSeq
       .filterNot(n => n == "_change_type" || n == "_commit_version")
-    val perCommit = (sv to ev).map { v =>
-      lake.readChangelog(v - 1, v)
-        .select((visibleNames :+ "_change_type").map(col) :+
-          lit(v.toLong).as("_commit_version"): _*)
-    }
-    // balanced union tree: a wide version range folded left would
-    // build an O(n)-deep plan (slow analysis, driver stack overflow
-    // on thousands of commits); pairwise halving keeps it O(log n)
-    def union(fs: IndexedSeq[DataFrame]): DataFrame =
-      if (fs.length == 1) fs.head
-      else union(fs.grouped(2).map(g =>
-        if (g.length == 2) g(0).unionByName(g(1)) else g(0)).toIndexedSeq)
-    union(perCommit.toIndexedSeq)
+    // one code path with the stream's distributed delta batches: the
+    // typed per-commit frame (update_preimage/update_postimage for
+    // writer-stamped pure-update commits), balanced union (O(log n)
+    // plan depth on wide version ranges)
+    graft.sources.GraftLakeChangesMicroBatchStream.balancedUnion(
+      (sv to ev).map(v => graft.sources.GraftLakeChangesMicroBatchStream
+        .commitChangeFrame(lake, visibleNames, v)))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)

@@ -586,20 +586,26 @@ object SqlQueries {
     val apply: (DataFrame, Long) => Unit = (batch, _) => {
       // ONE metadata pass decides which (version, op) slices exist —
       // the per-version loop then runs only the needed commits, no
-      // per-slice isEmpty round trips
+      // per-slice isEmpty round trips. CDF typing folds back onto the
+      // apply algebra: update_preimage applies as delete,
+      // update_postimage as insert (the UPDATE commit below arrives
+      // typed — the writer stamps pure-update row deltas).
+      val delTypes = Seq("delete", "update_preimage")
+      val insTypes = Seq("insert", "update_postimage")
       val slices = batch.groupBy("_commit_version", "_change_type")
         .count().collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       slices.map(_._1).toSeq.sorted.foreach { v =>
-        if (slices((v, "delete")))
+        if (delTypes.exists(t => slices((v, t))))
           mirror.deleteWhereEqual(
             batch.filter(col("_commit_version") === v &&
-              col("_change_type") === "delete").select("event_id"),
+              col("_change_type").isin(delTypes: _*))
+              .select("event_id"),
             Seq("event_id"))
-        if (slices((v, "insert")))
+        if (insTypes.exists(t => slices((v, t))))
           mirror.append(
             batch.filter(col("_commit_version") === v &&
-              col("_change_type") === "insert")
+              col("_change_type").isin(insTypes: _*))
               .drop("_change_type", "_commit_version"))
       }
     }

@@ -56,11 +56,21 @@ import graft.lake.LakeTable
   *
   * The per-batch delete state is the COMMITS' OWN DELTA (plus the
   * prior scope of touched files), broadcast once and bounded by
-  * `maxMorRowsPerBatch` (default 4M rows) — above it the batch
-  * refuses with guidance instead of materializing unbounded driver
-  * state. Replays are deterministic: the same version range plans the
-  * same partitions, so a checkpoint restart mid-delta re-serves its
-  * batch exactly.
+  * `maxMorRowsPerBatch` (default 4M rows) — ABOVE the bound the batch
+  * is served DISTRIBUTED instead ([[distributedDeltaPartitions]]: the
+  * per-commit batch changelog algebra materialized into checkpoint
+  * scratch, zero driver-side delete state), so a bulk GDPR purge or a
+  * wide MERGE streams at any delete volume. Replays are
+  * deterministic: the same version range plans the same partitions
+  * (the scratch path via its `_SUCCESS` reuse), so a checkpoint
+  * restart mid-delta re-serves its batch exactly.
+  *
+  * Event TYPES are Delta CDF parity: `insert` | `delete` |
+  * `update_preimage` | `update_postimage` — the update pair emitted
+  * exactly for commits the writer stamped `cdf.op=update` (pure-update
+  * row deltas: SQL UPDATE, update-only MERGE, merge-on-read mode);
+  * everything else keeps `insert`/`delete`, which a consumer applies
+  * identically.
   */
 class GraftLakeChangesMicroBatchStream(lake: LakeTable,
                                        target: StructType,
@@ -87,15 +97,20 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
   private val maxMorRows = options.get("maxmorrowsperbatch")
     .map(_.toLong).getOrElse(4_000_000L)
 
-  @volatile private var scratchUsed: Option[(String, Int)] = None
+  /** Scratch dirs of served distributed batches (initial snapshot or
+    * over-bound deltas), keyed by the version whose durable commit
+    * proves the batch can never replay — best-effort deleted then. */
+  private val scratchLive =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
   @volatile private var sweptScratch = false
 
-  override def commit(end: Offset): Unit = scratchUsed match {
-    case Some((dir, v))
-        if end.asInstanceOf[LakeLogOffset].version >= v =>
-      LakeStreamPlanning.bestEffortDelete(dir)
-      scratchUsed = None
-    case _ => ()
+  override def commit(end: Offset): Unit = {
+    val v = end.asInstanceOf[LakeLogOffset].version
+    scratchLive.filterInPlace { (dir, bound) =>
+      if (v >= bound) { LakeStreamPlanning.bestEffortDelete(dir); false }
+      else true
+    }
+    ()
   }
 
   override protected def emittedRowsBetween(from: Int, targetV: Int)
@@ -123,9 +138,10 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
     if (hi <= lo) return Array.empty
     val session = SparkSession.active
     if (lo < 0) return initialSnapshotPartitions(session, hi)
-    if (!sweptScratch) { // batch 0 provably committed: sweep leftovers
-      sweptScratch = true
-      checkpointLocation.foreach(LakeStreamPlanning.sweepScratch)
+    if (!sweptScratch) { // every batch ending at or before `lo` is
+      sweptScratch = true // provably committed: sweep its leftovers
+      checkpointLocation.foreach(c =>
+        LakeStreamPlanning.sweepScratch(c, changesBound = Some(lo)))
     }
 
     val errPrefix = s"changelog streaming ${lake.root}"
@@ -137,7 +153,8 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
                         grew: Seq[LakeTable.FileEntry],
                         added: Seq[LakeTable.FileEntry],
                         prevDeletes: Seq[LakeTable.DeleteEntry],
-                        newDels: Seq[LakeTable.DeleteEntry])
+                        newDels: Seq[LakeTable.DeleteEntry],
+                        isUpdate: Boolean)
     val plans = steps.map { st =>
       val prevPaths = st.prevFiles.map(_.path).toSet
       val curPaths = st.files.map(_.path).toSet
@@ -166,19 +183,24 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
       }
       val grew = survivors.filter(f => newDels.exists(e =>
         if (e.kind == "eq") e.seq > f.seq else e.covers.contains(f.path)))
-      StepPlan(st.version, removed, grew, added, st.prevDeletes, newDels)
+      StepPlan(st.version, removed, grew, added, st.prevDeletes, newDels,
+        st.isUpdate)
     }
     // ---- bound the batch's driver-broadcast delete state ------------
+    // Below the bound, the commits' delete delta broadcasts and every
+    // file reads exactly once (the fast path). Above it — a bulk GDPR
+    // purge, a wide MERGE — the batch is served DISTRIBUTED instead:
+    // the per-commit batch changelog algebra (LakeTable.readChangelog,
+    // executor-side anti-joins, zero driver-side delete state)
+    // materialized once into the stream's checkpoint scratch under the
+    // batch-0 `_SUCCESS` idempotence pattern, so the stream keeps
+    // flowing at any delete volume instead of refusing.
     val totalMorRows = plans.map(p =>
       MorPlanning.morRowCount(p.removed ++ p.grew, p.prevDeletes) +
         MorPlanning.morRowCount(p.grew ++ p.added, p.newDels)).sum
-    require(totalMorRows <= maxMorRows,
-      s"$errPrefix: the batch for commits ($lo, $hi] carries " +
-        s"$totalMorRows merge-on-read delete rows, above the " +
-        s"$maxMorRows driver-side bound — raise the " +
-        "maxMorRowsPerBatch stream option, or restart from a fresh " +
-        "checkpoint (the initial snapshot applies deletes through " +
-        "the distributed batch read)")
+    if (totalMorRows > maxMorRows)
+      return distributedDeltaPartitions(session, lo, hi,
+        plans.map(_.version))
     // ---- build + broadcast the per-version states --------------------
     val perVersion: Map[Int, ChangeVersionState] = plans.map { p =>
       val oldState =
@@ -218,17 +240,57 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
         val n = f.path.split("/").last
         st.added.posByName.contains(n) || eqTouch(f)
       }
+      // a pure-update row-delta commit (writer-stamped cdf.op=update)
+      // has an exact CDF typing: its growth deletes ARE the updated
+      // rows' pre-images and its added rows their post-images
+      val (delType, insType) =
+        if (p.isUpdate) (UpdatePreimage, UpdatePostimage)
+        else ("delete", "insert")
       p.removed.map(f => part(f, "delete", ModeLiveOld)) ++
-        grewEmit.map(f => part(f, "delete", ModeGrowth)) ++
+        grewEmit.map(f => part(f, delType, ModeGrowth)) ++
         p.added.map { f =>
           val n = f.path.split("/").last
           // same-commit equality deletes never apply (equal seq);
           // a position delete covering a same-commit file would —
           // guard it, though the engine's own commits never do this
           val guarded = st.added.posByName.contains(n)
-          part(f, "insert", if (guarded) ModeInsertGuard else ModeNone)
+          part(f, insType, if (guarded) ModeInsertGuard else ModeNone)
         }
     }.toArray
+  }
+
+  /** Over-bound DELTA batch, served DISTRIBUTED: the per-commit batch
+    * changelog ([[GraftLakeChangesMicroBatchStream.commitChangeFrame]]
+    * — `LakeTable.readChangelog` per version, executor-side
+    * anti-joins, typed like the stream) materialized once into the
+    * checkpoint's scratch dir (`_SUCCESS` makes a replayed batch reuse
+    * the files — deterministic re-delivery across restarts), served as
+    * plain whole-file partitions in the changes schema. Zero
+    * driver-side delete state at any delete volume; the scratch is
+    * swept when the batch's offset commits (and by the
+    * next instance's first planning call if the query died first). */
+  private def distributedDeltaPartitions(session: SparkSession, lo: Int,
+                                         hi: Int, versions: Seq[Int])
+      : Array[InputPartition] = {
+    require(checkpointLocation.isDefined,
+      s"changelog streaming ${lake.root}: the batch for commits " +
+        s"($lo, $hi] exceeds the $maxMorRows merge-on-read row bound " +
+        "and no checkpoint scratch location is available for the " +
+        "distributed read — raise the maxMorRowsPerBatch stream option")
+    val dir = s"${checkpointLocation.get}/graft-changes-scratch-$lo-$hi"
+    val hconf = session.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val visibleNames = visible.fieldNames.toSeq
+      GraftLakeChangesMicroBatchStream.balancedUnion(versions.map(v =>
+        GraftLakeChangesMicroBatchStream
+          .commitChangeFrame(lake, visibleNames, v)))
+        .write.mode("overwrite").parquet(dir)
+    }
+    scratchLive.put(dir, hi)
+    LakeStreamPlanning.listScratch(fs, path)
+      .map(fp => GraftScratchDeltaInputPartition(fp): InputPartition)
   }
 
   /** Fresh-checkpoint batch 0: the snapshot at `hi` as `insert`
@@ -240,7 +302,7 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
     if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
       val dir = LakeStreamPlanning.scratchDir(checkpointLocation, lake,
         hi, maxMorRows, "maxMorRowsPerBatch")
-      scratchUsed = Some((dir, hi))
+      scratchLive.put(dir, hi)
       return LakeStreamPlanning.scratchSnapshot(lake, visible, hi, dir)
         .map(fp => GraftScratchChangeInputPartition(fp, hi)
           : InputPartition)
@@ -269,10 +331,13 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = SparkSession.active
+    val fullOrder = schemaFor(visible)
     GraftChangesReaderFactory(
       LakeStreamPlanning.parquetFactory(session, fileSchema,
         readDataSchema, readPartSchema),
       LakeStreamPlanning.parquetFactory(session, visible, visible,
+        new StructType()),
+      LakeStreamPlanning.parquetFactory(session, fullOrder, fullOrder,
         new StructType()),
       StructType(readDataSchema.fields ++ readPartSchema.fields),
       visible)
@@ -282,13 +347,57 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
 object GraftLakeChangesMicroBatchStream {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** Delta-parity CDF types of a pure-update row-delta commit's
+    * events (writer-stamped `cdf.op=update`): the delete half carries
+    * the updated rows' pre-images, the insert half their post-images.
+    * Everything else streams as `insert`/`delete` — a consumer applies
+    * `update_preimage` exactly like `delete` and `update_postimage`
+    * exactly like `insert`. */
+  val UpdatePreimage = "update_preimage"
+  val UpdatePostimage = "update_postimage"
 
   /** The changes table's schema: the table's visible columns plus the
-    * two CDF columns. */
+    * two CDF columns (`_change_type` in insert | delete |
+    * update_preimage | update_postimage). */
   def schemaFor(visible: StructType): StructType =
     StructType(visible.fields ++ Seq(
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false)))
+
+  /** The TYPED per-commit changelog frame of version `v`: the batch
+    * algebra ([[LakeTable.readChangelog]] over (v-1, v] — executor-
+    * side anti-joins, manifest-cancel diff) with the commit's
+    * `cdf.op` stamp applied and `_commit_version` stamped. ONE code
+    * path shared by the batch change-feed face
+    * ([[graft.lake.GraftChangesTable]]) and the stream's distributed
+    * over-bound delta batches, so the two faces cannot drift. */
+  def commitChangeFrame(lake: LakeTable, visibleNames: Seq[String],
+                        v: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val isUpdate = lake.appMetaAt(v, "cdf.op").contains("update")
+    val typed =
+      if (!isUpdate) col(ChangeTypeCol)
+      else when(col(ChangeTypeCol) === "delete", lit(UpdatePreimage))
+        .otherwise(lit(UpdatePostimage))
+    lake.readChangelog(v - 1, v)
+      .select(visibleNames.map(col) :+ typed.as(ChangeTypeCol) :+
+        lit(v.toLong).as(CommitVersionCol): _*)
+  }
+
+  /** Pairwise-halving union: O(log n) plan depth on wide commit
+    * ranges where a left fold would build an O(n)-deep tree (slow
+    * analysis, driver stack overflow on thousands of commits). */
+  def balancedUnion(frames: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    def go(fs: IndexedSeq[org.apache.spark.sql.DataFrame])
+        : org.apache.spark.sql.DataFrame =
+      if (fs.length == 1) fs.head
+      else go(fs.grouped(2).map(g =>
+        if (g.length == 2) g(0).unionByName(g(1)) else g(0))
+        .toIndexedSeq)
+    go(frames.toIndexedSeq)
+  }
 
   /** Emit modes of a change partition's row filter. */
   val ModeNone = 0        // every row (added files, clean snapshot)
@@ -321,6 +430,14 @@ case class GraftScratchChangeInputPartition(inner: FilePartition,
                                             version: Int)
     extends InputPartition
 
+/** A scratch file of an over-bound distributed DELTA batch: plain
+  * parquet already in the full changes schema (visible columns ++
+  * `_change_type` ++ `_commit_version`, typed and stamped by
+  * [[GraftLakeChangesMicroBatchStream.commitChangeFrame]]) — served
+  * raw, no filter, no projection. */
+case class GraftScratchDeltaInputPartition(inner: FilePartition)
+    extends InputPartition
+
 /** Executes a changelog partition: the stock parquet reader, the
   * partition's mode-selected row filter over the broadcast
   * [[MorRowFilter]] pair, then projection to (visible order ++
@@ -329,6 +446,7 @@ case class GraftScratchChangeInputPartition(inner: FilePartition,
 case class GraftChangesReaderFactory(
     delegate: ParquetPartitionReaderFactory,
     scratchDelegate: ParquetPartitionReaderFactory,
+    deltaScratchDelegate: ParquetPartitionReaderFactory,
     readerOrder: StructType, visibleOrder: StructType)
     extends PartitionReaderFactory {
 
@@ -359,6 +477,8 @@ case class GraftChangesReaderFactory(
     case s: GraftScratchChangeInputPartition =>
       projectTo(visibleOrder, "insert", s.version)(
         scratchDelegate.createReader(s.inner))
+    case d: GraftScratchDeltaInputPartition =>
+      deltaScratchDelegate.createReader(d.inner)
     case c: GraftChangeInputPartition =>
       val base = delegate.createReader(c.inner)
       val st = c.state.value.perVersion(c.version)

@@ -678,6 +678,15 @@ private[sources] object LakeStreamPlanning {
         .select(visible.fieldNames.toIndexedSeq
           .map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite").parquet(dir)
+    listScratch(fs, path)
+  }
+
+  /** Whole-file partitions over a scratch dir's written parquet, in
+    * a deterministic (name-sorted) order — replays plan the same
+    * partitions. */
+  def listScratch(fs: org.apache.hadoop.fs.FileSystem,
+                  path: org.apache.hadoop.fs.Path)
+      : Array[FilePartition] =
     fs.listStatus(path)
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
@@ -688,7 +697,6 @@ private[sources] object LakeStreamPlanning {
           0L, st.getLen, Array.empty, st.getModificationTime,
           st.getLen, Map.empty)))
       }
-  }
 
   def bestEffortDelete(dir: String): Unit =
     try {
@@ -697,19 +705,30 @@ private[sources] object LakeStreamPlanning {
       path.getFileSystem(hconf).delete(path, true)
     } catch { case _: Exception => () }
 
-  /** Remove any leftover initial-batch scratch under the source's
-    * checkpoint dir (a prior run's batch 0 that terminated before its
-    * `commit` callback). Only called once batch 0 is provably
-    * committed. */
-  def sweepScratch(checkpointLocation: String): Unit =
+  /** Remove leftover scratch under the source's checkpoint dir from a
+    * prior run that terminated before its `commit` callback: the
+    * initial-batch snapshot (only called once batch 0 is provably
+    * committed), and — when `changesBound` carries the current
+    * planning call's START version — over-bound delta scratch
+    * (`graft-changes-scratch-<lo>-<hi>`) whose `hi` is at or below it
+    * (any batch ending at or before the committed start can never
+    * replay; the batch being replanned right now ends above it and is
+    * kept for `_SUCCESS` reuse). */
+  def sweepScratch(checkpointLocation: String,
+                   changesBound: Option[Int] = None): Unit =
     try {
       val hconf = SparkSession.active.sessionState.newHadoopConf()
       val path = new org.apache.hadoop.fs.Path(checkpointLocation)
       val fs = path.getFileSystem(hconf)
       if (fs.exists(path))
-        fs.listStatus(path)
-          .filter(_.getPath.getName.startsWith("graft-init-snapshot"))
-          .foreach(s => fs.delete(s.getPath, true))
+        fs.listStatus(path).foreach { s =>
+          val n = s.getPath.getName
+          val sweep = n.startsWith("graft-init-snapshot") ||
+            (n.startsWith("graft-changes-scratch-") &&
+              changesBound.exists(b =>
+                n.split("-").last.toIntOption.exists(_ <= b)))
+          if (sweep) fs.delete(s.getPath, true)
+        }
     } catch { case _: Exception => () }
 }
 

@@ -83,22 +83,29 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
                        trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     import org.apache.spark.sql.functions.col
+    // CDF typing folds back onto the apply algebra: update_preimage
+    // IS a delete of the old row version, update_postimage an insert
+    // of the new one (the types exist for consumers that care WHY)
+    val delTypes = Seq("delete",
+      graft.sources.GraftLakeChangesMicroBatchStream.UpdatePreimage)
+    val insTypes = Seq("insert",
+      graft.sources.GraftLakeChangesMicroBatchStream.UpdatePostimage)
     startWriterSink(name, sourceChanges, trigger) { (wid, batch, _) =>
       // one metadata pass decides which (version, op) slices exist
       val slices = batch
         .groupBy("_commit_version", "_change_type").count().collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       slices.map(_._1).toSeq.sorted.foreach { v =>
-        if (slices((v, "delete")))
+        if (delTypes.exists(t => slices((v, t))))
           mirror.deleteWhereEqualExactlyOnce(
             batch.filter(col("_commit_version") === v &&
-              col("_change_type") === "delete")
+              col("_change_type").isin(delTypes: _*))
               .select(keyCols.map(col): _*),
             keyCols, s"$wid-del", v)
-        if (slices((v, "insert")))
+        if (insTypes.exists(t => slices((v, t))))
           mirror.appendExactlyOnce(
             batch.filter(col("_commit_version") === v &&
-              col("_change_type") === "insert")
+              col("_change_type").isin(insTypes: _*))
               .drop("_change_type", "_commit_version"),
             s"$wid-ins", v)
       }

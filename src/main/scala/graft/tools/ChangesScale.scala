@@ -51,7 +51,7 @@ object ChangesScale {
     // the forget rosters: 500 RANGE-LOCAL ids per round, from the 1x
     // subset (event_id % 16 == 0 nests inside every frac subset)
     val rosterPool = ev.select("event_id").orderBy("event_id")
-      .limit(1500).collect().map(_.getLong(0))
+      .limit(2000).collect().map(_.getLong(0))
     val maxId = 17000000L // above every shifted copy's range
     println("[chscale] size  rows      files  snapshot(s)  " +
       "delta(s)min3  deltaRows/round  grewFiles")
@@ -108,6 +108,47 @@ object ChangesScale {
       println(f"[chscale] 1/$frac%-4d $n%-9d $files0%-6d " +
         f"$snapshotS%-12.2f ${deltas.min}%-13.2f " +
         f"${batchRows.get()}%-16d $grewFiles")
+
+      // OVER-BOUND round (r16): the same constant delta consumed by a
+      // stream whose maxMorRowsPerBatch is below the delete size, so
+      // the batch plans through the DISTRIBUTED per-commit changelog
+      // into checkpoint scratch instead of the broadcast fast path —
+      // the wide-purge shape. Claim: it completes at every size, rows
+      // exact, and its seconds stay O(delta) across the 16x growth.
+      if (frac >= 0) {
+        val ckptOb = java.nio.file.Files
+          .createTempDirectory(s"chscale-ob$frac").toString
+        val obRows = new java.util.concurrent.atomic.AtomicLong
+        val obTypes = new java.util.concurrent.atomic.AtomicLong
+        val obFn: (DataFrame, Long) => Unit = (b, _) => {
+          obRows.addAndGet(b.count())
+          obTypes.addAndGet(b.filter(col("_change_type")
+            .isin("delete", "update_preimage")).count()); ()
+        }
+        def runOb(opts: Map[String, String]): Double = {
+          val t0 = System.nanoTime()
+          var r = spark.readStream
+          opts.foreach { case (k, v) => r = r.option(k, v) }
+          val q = r.table(s"chs.s.t$frac.changes")
+            .writeStream.foreachBatch(obFn)
+            .option("checkpointLocation", ckptOb)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runOb(Map.empty) // snapshot (broadcast path, already measured)
+        obRows.set(0L); obTypes.set(0L)
+        val roster2 = rosterPool.slice(1500, 2000)
+        t.deleteWhereEqual(roster2.toSeq.toDF("event_id"),
+          Seq("event_id"))
+        t.append((0 until 2000).map(i =>
+          (maxId + 500000L + i, 7L, "ob", 1.0))
+          .toDF("event_id", "user_id", "event_type", "value"))
+        val obS = runOb(Map("maxMorRowsPerBatch" -> "1"))
+        println(f"[chscale]   over-bound delta 1/$frac%-4d " +
+          f"$obS%-8.2f s  rows ${obRows.get()}%-6d " +
+          f"deletes ${obTypes.get()}")
+      }
     }
     spark.stop()
   }

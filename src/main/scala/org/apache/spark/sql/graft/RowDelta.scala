@@ -333,8 +333,28 @@ case class GraftRowDeltaExec(spark: SparkSession, table: GraftSqlTable,
     }
     val cow =
       table.lake.properties.get(modeKey).contains("copy-on-write")
+    // CDF typing stamp: a MERGE-ON-READ commit whose delta is PURE
+    // UPDATE rows (every SQL UPDATE; a MERGE with only
+    // when-matched-update matches) has an exact change-feed reading —
+    // its delete events are the updated rows' pre-images and its
+    // insert events their post-images — so the changelog faces emit
+    // Delta's `update_preimage`/`update_postimage` types for it. A
+    // mixed MERGE (inserts or deletes alongside updates) stays
+    // untyped: the commit's added files blend update-postimages with
+    // plain inserts, and file-grained emission cannot split them —
+    // `insert`/`delete` is the honest (and apply-equivalent) fallback.
+    // Copy-on-write rewrites likewise: their churn includes untouched
+    // survivor rows. One O(delta) agg over the checkpointed delta.
+    val pureUpdate = !cow && {
+      val ops = delta.select(op.as("__op")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      ops == Set(RowDeltaUtils.UPDATE_OPERATION)
+    }
+    val cdfMeta =
+      if (pureUpdate) Map("cdf.op" -> "update") else Map.empty[String, String]
     table.lake.applyRowDelta(deletes, inserts, copyOnWrite = cow,
-      extraMeta = Map("sql.rowlevel" -> cmd.toString.toLowerCase))
+      extraMeta = Map("sql.rowlevel" -> cmd.toString.toLowerCase) ++
+        cdfMeta)
     Nil
   }
 }

@@ -42,13 +42,16 @@ class SqlChangelogStreamSpec extends SparkSuite {
   /** Apply (op, row) events in _commit_version order — deletes before
     * inserts within a version — onto a multiset mirror. `nCols` is
     * the width of the data row (events carry _change_type at nCols
-    * and _commit_version at nCols + 1). */
+    * and _commit_version at nCols + 1). CDF update types fold onto
+    * the apply algebra: update_preimage deletes, update_postimage
+    * inserts. */
   private def mirrorOf(events: Seq[Row], nCols: Int): Seq[Seq[Any]] = {
     val mirror = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     events.groupBy(_.getLong(nCols + 1)).toSeq.sortBy(_._1)
       .foreach { case (_, evs) =>
         val (dels, ins) =
-          evs.partition(_.getString(nCols) == "delete")
+          evs.partition(r => r.getString(nCols) == "delete" ||
+            r.getString(nCols) == "update_preimage")
         dels.foreach { d =>
           val row = d.toSeq.take(nCols)
           val i = mirror.indexOf(row)
@@ -99,13 +102,25 @@ class SqlChangelogStreamSpec extends SparkSuite {
     val before = log.events.size
     log.run()
     assert(log.events.size == before, "quiet restart re-delivered")
-    // delete half of the UPDATE carries the OLD row version
-    val updDeletes = log.events.filter(r =>
-      r.getString(3) == "delete" && r.getLong(0) < 5 &&
-        r.getLong(0) != 3L)
-    assert(updDeletes.nonEmpty &&
-      updDeletes.forall(_.getDouble(2) < 100.0),
-      "UPDATE's delete events must carry the pre-image")
+    // the UPDATE commit arrives TYPED (Delta CDF parity): its delete
+    // half as update_preimage carrying the OLD row version, its
+    // insert half as update_postimage with the new one, equal
+    // _commit_version
+    val updPre = log.events.filter(_.getString(3) == "update_preimage")
+    val updPost = log.events.filter(_.getString(3) == "update_postimage")
+    assert(updPre.nonEmpty && updPre.size == updPost.size,
+      s"unpaired update images: ${updPre.size} pre, ${updPost.size} post")
+    assert(updPre.map(_.getLong(4)).toSet ==
+      updPost.map(_.getLong(4)).toSet,
+      "pre/post images must share their commit version")
+    assert(updPre.forall(r => r.getLong(0) < 5 && r.getLong(0) != 3L &&
+      r.getDouble(2) < 100.0),
+      "UPDATE's preimage events must carry the pre-image")
+    assert(updPost.forall(_.getDouble(2) >= 100.0),
+      "UPDATE's postimage events must carry the post-image")
+    // the plain DELETE commit stays `delete`-typed
+    assert(log.events.exists(r => r.getString(3) == "delete" &&
+      Set(3L, 7L)(r.getLong(0))))
   }
 
   test("changes stream: delete + re-insert of the same key across " +
@@ -372,14 +387,84 @@ class SqlChangelogStreamSpec extends SparkSuite {
       log.events.forall(_.getString(2) == "insert"))
     assert(sortedRows(log.events.map(_.toSeq.take(2)).toSeq) ==
       sortedRows(expected))
-    // a later DELTA above the bound refuses with guidance (per-commit
-    // state cannot spill to the batch read)
+    // a DELTA above the bound serves DISTRIBUTED too (the per-commit
+    // batch changelog into checkpoint scratch): a bulk purge + an
+    // UPDATE + an append all stream, typed, and the mirror stays
+    // exact — the r15 refusal path is gone
     spark.sql("DELETE FROM gcl.s.big WHERE id IN (10, 12)")
-    val ex = intercept[Exception] { log.run() }
-    val m = Iterator.iterate(ex: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    assert(m.contains("maxMorRowsPerBatch"), m.take(400))
+    spark.sql("UPDATE gcl.s.big SET v = v + 1000 WHERE id IN (14, 16)")
+    spark.sql("INSERT INTO gcl.s.big SELECT id + 900, -1.0 FROM range(2)")
+    log.run()
+    val expected2 = spark.sql("SELECT * FROM gcl.s.big").collect()
+      .map(_.toSeq).toSeq
+    assert(sortedRows(mirrorOf(log.events.toSeq, 2)) ==
+      sortedRows(expected2),
+      "over-bound delta batch diverged from the table")
+    // typing survives the distributed path (one code path with the
+    // batch face): the UPDATE commit's events arrive as image pairs
+    val pre = log.events.filter(_.getString(2) == "update_preimage")
+    val post = log.events.filter(_.getString(2) == "update_postimage")
+    assert(pre.size == 2 && post.size == 2 &&
+      pre.forall(_.getDouble(1) < 1000.0) &&
+      post.forall(_.getDouble(1) >= 1000.0),
+      log.events.map(r => (r.getLong(0), r.getString(2))).mkString(", "))
+    // quiet restart after the scratch batch: no re-delivery, and the
+    // committed scratch is swept by the next planning call
+    val before = log.events.size
+    spark.sql("INSERT INTO gcl.s.big SELECT id + 950, -2.0 FROM range(1)")
+    log.run()
+    assert(log.events.size == before + 1,
+      s"scratch batch re-delivered or lost: ${log.events.size - before}")
+  }
+
+  test("mixed MERGE keeps the conservative insert/delete typing; a " +
+    "pure-update MERGE and the batch face carry the image pair") {
+    install()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.mg")
+    spark.sql("CREATE TABLE gcl.s.mg (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcl.s.mg SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(10)")                                           // v1
+    // v2: MIXED merge — updates ids 0..4, inserts ids 20..22: the
+    // added files blend postimages with plain inserts, so the commit
+    // must NOT be stamped (file-grained emission cannot split them)
+    spark.sql("""MERGE INTO gcl.s.mg t
+      |USING (SELECT id, CAST(id + 500 AS DOUBLE) v FROM range(5)
+      |       UNION ALL
+      |       SELECT id + 20, CAST(0 AS DOUBLE) FROM range(3)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // v3: PURE-UPDATE merge — every source row matches: exact typing
+    spark.sql("""MERGE INTO gcl.s.mg t
+      |USING (SELECT id + 20 AS id, CAST(9 AS DOUBLE) v
+      |       FROM range(3)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val cdf = spark.read.option("startingVersion", "2")
+      .table("gcl.s.mg.changes").collect()
+    val v2 = cdf.filter(_.getLong(3) == 2L)
+    val v3 = cdf.filter(_.getLong(3) == 3L)
+    assert(v2.map(_.getString(2)).toSet == Set("insert", "delete"),
+      s"mixed MERGE must stay untyped: ${v2.map(_.getString(2)).toSet}")
+    assert(v2.count(_.getString(2) == "delete") == 5 &&
+      v2.count(_.getString(2) == "insert") == 8)
+    assert(v3.map(_.getString(2)).toSet ==
+      Set("update_preimage", "update_postimage"),
+      s"pure-update MERGE must type: ${v3.map(_.getString(2)).toSet}")
+    assert(v3.count(_.getString(2) == "update_preimage") == 3 &&
+      v3.filter(_.getString(2) == "update_postimage")
+        .forall(_.getDouble(1) == 9.0))
+    // stream face agrees with the batch face event for event
+    val log = new EventLog("gcl.s.mg.changes", tmpDir("gcl-mg-ckpt"),
+      Map("startingVersion" -> "2"))
+    log.run()
+    assert(log.events.map(r =>
+        (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq ==
+      cdf.map(r =>
+        (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq,
+      "stream and batch faces diverged on typed events")
   }
 
   test("maxRowsPerBatch paces the changes stream version-granularly " +
