@@ -108,6 +108,17 @@ case class VectorIndexConfig(
     idCol: String = "vec_id",
     embCol: String = "embedding")
 
+/** Cross-engine TABLE MIRROR declared in config: maintain `target` as
+  * an exact replica of lake table `source` by consuming its row-level
+  * changelog (`readStream.table("<cat>.<ns>.<source>.changes")`),
+  * exactly-once per SOURCE version — GraftEngine.startTableMirror
+  * from YAML. `keyCols` (comma-separated in YAML) must be a row
+  * identity of the source. */
+case class MirrorConfig(
+    source: String,
+    target: String = "mirror",
+    keyCols: Seq[String] = Seq("id"))
+
 /** Reference flight.servers/port (config.go:22-25). In this engine the
   * ingress stand-in is file-stream polling, so `servers` are the
   * directories `GraftEngine.sourceStreams` polls; when a true Flight
@@ -126,7 +137,8 @@ case class GraftConfig(
     embeddingCuration: Option[EmbeddingCurationConfig] = None,
     perceptualCuration: Option[PerceptualCurationConfig] = None,
     lexicalIndex: Option[LexicalIndexConfig] = None,
-    vectorIndex: Option[VectorIndexConfig] = None) {
+    vectorIndex: Option[VectorIndexConfig] = None,
+    mirror: Option[MirrorConfig] = None) {
   def trigger: Trigger =
     if (batching.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(batching.triggerInterval)
@@ -226,7 +238,18 @@ object GraftConfig {
             clusters = (root / "vectorIndex" / "clusters").int(32),
             idCol = (root / "vectorIndex" / "idCol").str("vec_id"),
             embCol = (root / "vectorIndex" / "embCol").str("embedding"))
-        })
+        },
+      mirror = (root / "mirror" / "source").strOpt.map { src =>
+        val keys = (root / "mirror" / "keyCols").str("")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty,
+          "config: mirror.keyCols is required (comma-separated row " +
+            "identity of the source table)")
+        MirrorConfig(
+          source = src,
+          target = (root / "mirror" / "target").str("mirror"),
+          keyCols = keys)
+      })
   }
 }
 
@@ -722,6 +745,49 @@ class GraftEngine(val spark: SparkSession, val config: GraftConfig) {
     val q = mvs.startVectorIndexFromLake(name, src, index, m, idCol,
       embCol, config.trigger)
     (index, m, q)
+  }
+
+  /** Continuous CROSS-ENGINE TABLE MIRROR from the engine facade
+    * ([[graft.streaming.MVManager.startTableMirror]] with the engine's
+    * catalog/checkpoint/trigger wiring, YAML `mirror:` section):
+    * maintain `<name>` as an exact replica of lake table `sourceTable`
+    * by consuming its row-level changelog
+    * (`readStream.table("<cat>.<ns>.<source>.changes")`), exactly-once
+    * per SOURCE version — a GDPR forget on the source propagates as
+    * O(keys) equality deletes. `keyCols` must be a row identity of the
+    * source. Requires `catalog.sqlName` (the changelog stream is a SQL
+    * catalog face; the refusal says so).
+    *
+    * SCHEMA-DRIFT CONTRACT: a source ADD COLUMN refuses the RUNNING
+    * stream at its next batch carrying post-evolution files (the
+    * field-id guard — a pinned stream must never serve a schema it did
+    * not declare); a RESTART from the same checkpoint re-resolves the
+    * changes schema and the mirror EVOLVES ADDITIVELY on its next
+    * append (pre-evolution events mirror the new column as null —
+    * exactly how the source reads them). RENAME/DROP epochs refuse
+    * with restart-from-fresh-checkpoint guidance, never serve stale
+    * names. */
+  def startTableMirror(name: String, sourceTable: String,
+                       keyCols: Seq[String])
+      : (LakeTable, StreamingQuery) = {
+    val ns = config.catalog.namespace
+    val src = table(sourceTable) // fail fast if absent
+    val sqlName = config.catalog.sqlName.getOrElse(
+      throw new IllegalStateException(
+        "startTableMirror consumes the row-level changelog stream " +
+          "(readStream.table(\"<cat>.<ns>.<t>.changes\")), which is a " +
+          "SQL catalog face — set catalog.sqlName in the engine " +
+          "config (YAML: catalog.sqlName)"))
+    keyCols.foreach(c => require(src.schema.fieldNames.contains(c),
+      s"mirror key column '$c' is not in ${ns}.$sourceTable's schema"))
+    val changes = spark.readStream
+      .table(s"$sqlName.$ns.$sourceTable.changes")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      src.schema.fields.filterNot(_.name == LakeTable.BucketCol))
+    val mirror = catalog.createOrLoadTable(ns, name, outSchema)
+    val q = mvs.startTableMirror(name, changes, mirror, keyCols,
+      config.trigger)
+    (mirror, q)
   }
 
   def table(name: String): LakeTable =

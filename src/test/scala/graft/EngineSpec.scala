@@ -35,6 +35,64 @@ class EngineSpec extends SparkSuite {
       .head.getLong(0) == 3)
   }
 
+  test("mirror section parses from YAML and startTableMirror keeps an " +
+    "exact replica across DML + a mid-stream ADD COLUMN (additive " +
+    "evolution on restart)") {
+    val yaml =
+      s"""storage:
+         |  localPath: ${tmpDir("ymir-wh")}
+         |iceberg:
+         |  defaultNamespace: ymir
+         |catalog:
+         |  sqlName: gmir
+         |mirror:
+         |  source: src
+         |  target: src_mirror
+         |  keyCols: id
+         |""".stripMargin
+    val cfg = GraftConfig.fromYamlString(yaml)
+      .copy(batching = BatchingConfig(availableNow = true))
+    assert(cfg.mirror ==
+      Some(MirrorConfig("src", "src_mirror", Seq("id"))))
+    // keyCols is required — a mirror without a row identity refuses
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYamlString(
+        "storage:\n  localPath: /tmp/x\nmirror:\n  source: s\n")
+    }
+    val engine = new GraftEngine(spark, cfg)
+    val src = engine.catalog.createTable("ymir", "src",
+      spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) v").schema)
+    src.append(spark.range(20).selectExpr("id", "CAST(id AS DOUBLE) v"))
+    val mc = cfg.mirror.get
+    def drive(): graft.lake.LakeTable = {
+      val (m, q) = engine.startTableMirror(mc.target, mc.source,
+        mc.keyCols)
+      q.awaitTermination(); m
+    }
+    drive() // snapshot
+    // DML: a forget + an update propagate through the changelog
+    src.deleteWhereEqual(Seq(3L, 7L).toDF("id"), Seq("id"))
+    engine.sql("UPDATE gmir.ymir.src SET v = v + 100 WHERE id < 2")
+    val mirror = drive()
+    def sorted(t: graft.lake.LakeTable): Seq[String] =
+      t.read().collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    assert(sorted(mirror) == sorted(src), "mirror diverged after DML")
+    // SCHEMA DRIFT: source ADD COLUMN between lifecycles — the restart
+    // re-resolves the changes schema and the mirror EVOLVES ADDITIVELY
+    // on its next append; pre-evolution rows mirror the new column as
+    // null, exactly how the source reads them
+    engine.sql("ALTER TABLE gmir.ymir.src ADD COLUMN tag STRING")
+    src.append(spark.range(50, 53)
+      .selectExpr("id", "CAST(0 AS DOUBLE) v", "'late' AS tag"))
+    val evolved = drive()
+    assert(evolved.schema.fieldNames.contains("tag"),
+      "mirror did not evolve on source ADD COLUMN")
+    assert(sorted(evolved) == sorted(src),
+      "mirror diverged after schema drift")
+    assert(evolved.read().filter(col("tag").isNull).count() ==
+      src.read().filter(col("tag").isNull).count())
+  }
+
   test("engine end-to-end: MV from stream into catalog table, read back") {
     implicit val sqlCtx = spark.sqlContext
     val engine = new GraftEngine(spark, GraftConfig(
