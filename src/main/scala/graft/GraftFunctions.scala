@@ -58,12 +58,18 @@ object GraftFunctions {
     "sign_bits" -> (es => SignBits(es.head)),
     "pair_explode" -> (es => PairExplode(es.head)))
 
-  /** Register (or refresh) all functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register (or refresh) all functions on an existing session —
+    * scalar/agg expressions plus the `table_changes` TVF (the SQL-only
+    * batch change feed, [[graft.lake.TableChanges]]). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      graft.lake.TableChanges.Name, graft.lake.TableChanges.builder,
+      "built-in")
+  }
 
   /** Install the planner strategies behind SQL UPDATE / MERGE (row
     * deltas), `writeStream.toTable` (streaming epoch commits) and
@@ -99,6 +105,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    e.injectTableFunction((
+      FunctionIdentifier(graft.lake.TableChanges.Name),
+      new ExpressionInfo("graft.lake", graft.lake.TableChanges.Name),
+      graft.lake.TableChanges.builder))
     e.injectResolutionRule(s => new graft.lake.GraftV1ReadRule(s))
     e.injectPlannerStrategy(s =>
       org.apache.spark.sql.graft.GraftRowDeltaStrategy(s))

@@ -1691,6 +1691,14 @@ object SparkEntry {
     // .startTableMirror, exactly-once per source version (q187)
     "q187_table_mirror_mv" ->
       (graft.lake.SqlQueries.sqlTableMirrorMv _),
+    // the SQL-only batch change feed: table_changes(...) TVF over the
+    // full DML algebra, grading the four-type CDF schema (q188)
+    "q188_sql_table_changes" ->
+      (graft.lake.SqlQueries.sqlTableChanges _),
+    // the mirror loop forced through the distributed over-bound delta
+    // path (maxMorRowsPerBatch=1 — the bulk-purge shape) (q189)
+    "q189_mirror_distributed_delta" ->
+      (graft.lake.SqlQueries.sqlMirrorDistributedDelta _),
     "q96_lake_rollback" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val ev = Tables.load(s, d, "events")
@@ -4304,6 +4312,53 @@ object SparkEntry {
            UNION ALL
            SELECT event_id + 10000000, user_id, 'replay', value
            FROM events WHERE event_type = 'purchase')
+         SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM final GROUP BY event_type""",
+    // q188: the oracle recomputes the TYPED change events the TVF
+    // must return for commits [2, head] — v2's cohort delete as
+    // `delete`, v3's keyed update as paired pre/post images (old and
+    // new values), v4's append as `insert`
+    "q188_sql_table_changes" ->
+      """WITH src AS (
+           SELECT event_id, user_id, event_type, value FROM events),
+         after_del AS (SELECT * FROM src WHERE user_id % 7 <> 3),
+         ev AS (
+           SELECT 'delete' AS _change_type, event_type, value
+           FROM src WHERE user_id % 7 = 3
+           UNION ALL
+           SELECT 'update_preimage', event_type, value
+           FROM after_del
+           WHERE event_type = 'click' AND user_id % 4 = 1
+           UNION ALL
+           SELECT 'update_postimage', event_type, value + 5
+           FROM after_del
+           WHERE event_type = 'click' AND user_id % 4 = 1
+           UNION ALL
+           SELECT 'insert', 'tvf_replay', value
+           FROM src WHERE event_type = 'view')
+         SELECT _change_type, event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM ev GROUP BY _change_type, event_type""",
+    // q189: the distributed-delta mirror oracle replays the algebra —
+    // view/purchase base, drop the user_id%11=6 cohort, +50 on the
+    // keyed purchases, append the keyed click replays
+    "q189_mirror_distributed_delta" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type, value FROM events
+           WHERE event_type IN ('view', 'purchase')),
+         kept AS (SELECT * FROM base WHERE user_id % 11 <> 6),
+         updated AS (
+           SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'purchase' AND user_id % 2 = 0
+                  THEN value + 50 ELSE value END AS value
+           FROM kept),
+         final AS (
+           SELECT * FROM updated
+           UNION ALL
+           SELECT event_id + 40000000, user_id, 'late', value
+           FROM events
+           WHERE event_type = 'click' AND user_id % 5 = 0)
          SELECT event_type, count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM final GROUP BY event_type""",

@@ -679,4 +679,81 @@ object SqlQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g187_mirror GROUP BY event_type""".stripMargin)
   }
+
+  /** q188: the SQL-ONLY batch change feed — `table_changes(...)`
+    * ([[TableChanges]], Delta's TVF of the same name) over a table
+    * that took the full DML algebra, aggregated BY EVENT TYPE so the
+    * result grades the four-type CDF schema itself: the DELETE commit
+    * emits `delete`, the pure-update UPDATE commit emits paired
+    * `update_preimage`/`update_postimage` (old and new values), the
+    * INSERT emits `insert` — all from `spark.sql` text alone, no
+    * reader options, composable like a table. */
+  def sqlTableChanges(s: SparkSession, dir: String): DataFrame = {
+    install(s, "g188")
+    installRowLevel(s)
+    graft.GraftFunctions.register(s) // the TVF on a live session
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g188_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g188.q")
+    s.sql("DROP TABLE IF EXISTS g188.q.events")
+    s.sql("CREATE TABLE g188.q.events AS SELECT * FROM g188_src") // v1
+    s.sql("DELETE FROM g188.q.events WHERE user_id % 7 = 3")      // v2
+    s.sql("""UPDATE g188.q.events SET value = value + 5
+             WHERE event_type = 'click' AND user_id % 4 = 1""")   // v3
+    s.sql("""INSERT INTO g188.q.events
+             SELECT event_id + 30000000, user_id, 'tvf_replay', value
+             FROM g188_src WHERE event_type = 'view'""")          // v4
+    s.sql(
+      """SELECT _change_type, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM table_changes('g188.q.events', 2)
+        |GROUP BY _change_type, event_type""".stripMargin)
+  }
+
+  /** q189: the q187 mirror loop FORCED THROUGH THE DISTRIBUTED delta
+    * path — the changes stream consumed with `maxMorRowsPerBatch=1`,
+    * so every delta batch's merge-on-read state exceeds the broadcast
+    * bound and plans through the per-commit batch changelog into
+    * checkpoint scratch (the over-bound shape of a bulk GDPR purge).
+    * The mirror's aggregate equals the oracle's replayed algebra iff
+    * the scratch-served events are exactly the broadcast path's:
+    * typed, per-commit, exactly once across the three lifecycles. */
+  def sqlMirrorDistributedDelta(s: SparkSession, dir: String)
+      : DataFrame = {
+    install(s, "g189")
+    installRowLevel(s)
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("g189_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g189.q")
+    s.sql("DROP TABLE IF EXISTS g189.q.src")
+    s.sql("""CREATE TABLE g189.q.src AS
+             SELECT * FROM g189_src
+             WHERE event_type IN ('view', 'purchase')""")
+    val mirror = graft.lake.LakeTable.create(s,
+      java.nio.file.Files.createTempDirectory("g189-mirror").toString,
+      s.table("g189.q.src").schema)
+    val mv = new graft.streaming.MVManager(s,
+      java.nio.file.Files.createTempDirectory("g189-ckpt").toString)
+    def run(): Unit = mv.startTableMirror("g189_mir",
+      s.readStream.option("maxMorRowsPerBatch", "1")
+        .table("g189.q.src.changes"), mirror,
+      Seq("event_id")).awaitTermination()
+    run() // snapshot (no live deletes yet — plain insert batch)
+    s.sql("DELETE FROM g189.q.src WHERE user_id % 11 = 6")
+    s.sql(
+      """UPDATE g189.q.src SET value = value + 50
+        |WHERE event_type = 'purchase' AND user_id % 2 = 0""".stripMargin)
+    run() // both commits, one restarted batch, scratch path
+    s.sql("""INSERT INTO g189.q.src
+             SELECT event_id + 40000000, user_id, 'late', value
+             FROM g189_src WHERE event_type = 'click' AND user_id % 5 = 0""")
+    run() // third lifecycle
+    mirror.read().createOrReplaceTempView("g189_mirror")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g189_mirror GROUP BY event_type""".stripMargin)
+  }
 }

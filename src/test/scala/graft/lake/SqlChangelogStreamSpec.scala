@@ -417,6 +417,57 @@ class SqlChangelogStreamSpec extends SparkSuite {
       s"scratch batch re-delivered or lost: ${log.events.size - before}")
   }
 
+  test("table_changes TVF: the batch change feed from SQL text alone " +
+    "— version and timestamp bounds, composable, errors delegated") {
+    install()
+    graft.GraftFunctions.register(spark) // the TVF on a live session
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.s")
+    spark.sql("DROP TABLE IF EXISTS gcl.s.tvf")
+    spark.sql("CREATE TABLE gcl.s.tvf (id BIGINT)")                // v0
+    spark.sql("INSERT INTO gcl.s.tvf SELECT id FROM range(10)")    // v1
+    Thread.sleep(15)
+    spark.sql("DELETE FROM gcl.s.tvf WHERE id IN (3, 7)")          // v2
+    spark.sql("INSERT INTO gcl.s.tvf SELECT id + 100 FROM range(3)") // v3
+    // version bounds — identical to the reader-option face
+    val rows = spark.sql(
+      "SELECT * FROM table_changes('gcl.s.tvf', 2)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq(
+      (3L, "delete", 2L), (7L, "delete", 2L),
+      (100L, "insert", 3L), (101L, "insert", 3L),
+      (102L, "insert", 3L)), rows.mkString(", "))
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('gcl.s.tvf', 2, 2)")
+      .head.getLong(0) == 2)
+    // composable like a table: aggregate over a typed change feed
+    assert(spark.sql(
+      """SELECT _change_type, count(*) AS n
+        |FROM table_changes('gcl.s.tvf', 2, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 2L), ("insert", 3L)))
+    // timestamp bound: v2's commit time resolves to commits >= v2
+    val t = new LakeCatalog(spark, wh).table("s", "tvf")
+    val v2Time = t.snapshots.find(_.version == 2).get.committedAtMs
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('gcl.s.tvf', '$v2Time')")
+      .head.getLong(0) == 5)
+    // validation is the reader face's: version 0 refuses with the
+    // same guidance; a non-literal bound names the usage
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('gcl.s.tvf', 0)").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      .contains("startingVersion"))
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM table_changes('gcl.s.tvf', id) ").collect()
+    }
+    assert(Option(ex2.getMessage).getOrElse("").nonEmpty)
+  }
+
   test("mixed MERGE keeps the conservative insert/delete typing; a " +
     "pure-update MERGE and the batch face carry the image pair") {
     install()
