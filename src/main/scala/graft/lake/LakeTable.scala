@@ -554,6 +554,14 @@ class LakeTable private (
     * files (deleteEntries) are not subtracted — an exact live count
     * needs a read (concurrent overlapping deletes may record a
     * position twice, so metadata alone cannot be exact). */
+  /** Commit wall-clock of one retained snapshot (the `_commit_timestamp`
+    * CDF column's source) — one metadata-node read. */
+  private[graft] def committedAtMs(v: Int): Long = {
+    requireRetained(v)
+    mapper.readTree(Files.readString(versionPath(metaDir, v)))
+      .get("committedAtMs").asLong()
+  }
+
   def snapshots: Seq[SnapshotInfo] =
     (0 to currentVersion)
       .filter(v => Files.exists(versionPath(metaDir, v)))
@@ -1081,7 +1089,7 @@ class LakeTable private (
         .flatMap(m => Option(m.get("cdf.op")))
         .exists(_.asText() == "update")
       val step = LakeTable.ChangeStep(v, prevFiles, files, prevDels, dels,
-        isCompaction, isUpdate)
+        isCompaction, isUpdate, node.get("committedAtMs").asLong())
       prevFiles = files
       prevDels = dels
       step
@@ -4058,7 +4066,8 @@ object LakeTable {
                                        prevDeletes: Seq[DeleteEntry],
                                        deletes: Seq[DeleteEntry],
                                        isCompaction: Boolean,
-                                       isUpdate: Boolean)
+                                       isUpdate: Boolean,
+                                       committedAtMs: Long)
 
   /** One snapshot-level reference to an immutable manifest file
     * (relative to the table's metadata dir). `entries` rides in the

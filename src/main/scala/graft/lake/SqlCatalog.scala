@@ -1067,9 +1067,11 @@ object GraftV1ReadRule {
   * pushdown — inspection surfaces, not data paths. */
 /** The ROW-LEVEL CHANGELOG face of one lake table
   * (`graft.ns.tbl.changes` — Delta's change-data-feed shape): schema
-  * = the table's visible columns plus `_change_type` (insert | delete
-  * | update_preimage | update_postimage — the update pair for
-  * writer-stamped pure-update commits) and `_commit_version`.
+  * = the table's visible columns plus the full CDF column set —
+  * `_change_type` (insert | delete | update_preimage |
+  * update_postimage — the update pair for writer-stamped pure-update
+  * commits), `_commit_version`, and `_commit_timestamp` (the commit
+  * wall-clock, the `TIMESTAMP AS OF` clock).
   *
   * STREAMING (`spark.readStream.table(...)`): see
   * [[graft.sources.GraftLakeChangesMicroBatchStream]] — per-commit
@@ -1128,7 +1130,8 @@ class GraftChangesTable(ident: String, lake: LakeTable)
     require(sv <= ev,
       s"empty changelog range [$sv, $ev] at $ident")
     val visibleNames = schema.fieldNames.toSeq
-      .filterNot(n => n == "_change_type" || n == "_commit_version")
+      .filterNot(n => n == "_change_type" || n == "_commit_version" ||
+        n == "_commit_timestamp")
     // one code path with the stream's distributed delta batches: the
     // typed per-commit frame (update_preimage/update_postimage for
     // writer-stamped pure-update commits), balanced union (O(log n)

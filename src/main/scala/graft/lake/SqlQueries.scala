@@ -606,7 +606,8 @@ object SqlQueries {
           mirror.append(
             batch.filter(col("_commit_version") === v &&
               col("_change_type").isin(insTypes: _*))
-              .drop("_change_type", "_commit_version"))
+              .drop("_change_type", "_commit_version",
+                "_commit_timestamp"))
       }
     }
     def run(): Unit = {

@@ -80,9 +80,10 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
 
   import GraftLakeChangesMicroBatchStream._
 
-  /** The data half of the output (target minus the two CDF columns). */
+  /** The data half of the output (target minus the CDF columns). */
   private val visible = StructType(target.fields.filterNot(f =>
-    f.name == ChangeTypeCol || f.name == CommitVersionCol))
+    f.name == ChangeTypeCol || f.name == CommitVersionCol ||
+      f.name == CommitTimestampCol))
 
   private val snapSchema = lake.schema
   private val partCols = lake.partitionBy.toSet
@@ -154,7 +155,8 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
                         added: Seq[LakeTable.FileEntry],
                         prevDeletes: Seq[LakeTable.DeleteEntry],
                         newDels: Seq[LakeTable.DeleteEntry],
-                        isUpdate: Boolean)
+                        isUpdate: Boolean,
+                        tsMs: Long)
     val plans = steps.map { st =>
       val prevPaths = st.prevFiles.map(_.path).toSet
       val curPaths = st.files.map(_.path).toSet
@@ -184,7 +186,7 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
       val grew = survivors.filter(f => newDels.exists(e =>
         if (e.kind == "eq") e.seq > f.seq else e.covers.contains(f.path)))
       StepPlan(st.version, removed, grew, added, st.prevDeletes, newDels,
-        st.isUpdate)
+        st.isUpdate, st.committedAtMs)
     }
     // ---- bound the batch's driver-broadcast delete state ------------
     // Below the bound, the commits' delete delta broadcasts and every
@@ -226,7 +228,8 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
         idx += 1
         GraftChangeInputPartition(
           LakeStreamPlanning.filePartition(lake, f, idx, readPartSchema),
-          f.path.split("/").last, f.seq, p.version, changeType, mode, bc)
+          f.path.split("/").last, f.seq, p.version, p.tsMs, changeType,
+          mode, bc)
       }
       val st = perVersion(p.version)
       // manifest-stats prune over the commit's own equality keys: a
@@ -299,12 +302,13 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
   private def initialSnapshotPartitions(session: SparkSession, hi: Int)
       : Array[InputPartition] = {
     val (files, dels) = lake.snapshotWithDeletes(hi)
+    val tsMs = lake.committedAtMs(hi)
     if (MorPlanning.morRowCount(files, dels) > maxMorRows) {
       val dir = LakeStreamPlanning.scratchDir(checkpointLocation, lake,
         hi, maxMorRows, "maxMorRowsPerBatch")
       scratchLive.put(dir, hi)
       return LakeStreamPlanning.scratchSnapshot(lake, visible, hi, dir)
-        .map(fp => GraftScratchChangeInputPartition(fp, hi)
+        .map(fp => GraftScratchChangeInputPartition(fp, hi, tsMs)
           : InputPartition)
     }
     LakeStreamPlanning.guardFieldIds(lake, currentIds, files)
@@ -324,7 +328,7 @@ class GraftLakeChangesMicroBatchStream(lake: LakeTable,
       val name = e.path.split("/").last
       val touched =
         state.posByName.contains(name) || maxEqSeq > e.seq
-      GraftChangeInputPartition(fp, name, e.seq, hi, "insert",
+      GraftChangeInputPartition(fp, name, e.seq, hi, tsMs, "insert",
         if (touched) ModeLiveOld else ModeNone, bc): InputPartition
     }.toArray
   }
@@ -355,14 +359,19 @@ object GraftLakeChangesMicroBatchStream {
     * exactly like `insert`. */
   val UpdatePreimage = "update_preimage"
   val UpdatePostimage = "update_postimage"
+  val CommitTimestampCol = "_commit_timestamp"
 
   /** The changes table's schema: the table's visible columns plus the
-    * two CDF columns (`_change_type` in insert | delete |
-    * update_preimage | update_postimage). */
+    * three CDF columns — `_change_type` (insert | delete |
+    * update_preimage | update_postimage), `_commit_version`, and
+    * `_commit_timestamp` (the commit's wall-clock, the same value
+    * `TIMESTAMP AS OF` resolves against) — Delta's full CDF column
+    * set. */
   def schemaFor(visible: StructType): StructType =
     StructType(visible.fields ++ Seq(
       StructField(ChangeTypeCol, StringType, nullable = false),
-      StructField(CommitVersionCol, LongType, nullable = false)))
+      StructField(CommitVersionCol, LongType, nullable = false),
+      StructField(CommitTimestampCol, TimestampType, nullable = false)))
 
   /** The TYPED per-commit changelog frame of version `v`: the batch
     * algebra ([[LakeTable.readChangelog]] over (v-1, v] — executor-
@@ -382,7 +391,9 @@ object GraftLakeChangesMicroBatchStream {
         .otherwise(lit(UpdatePostimage))
     lake.readChangelog(v - 1, v)
       .select(visibleNames.map(col) :+ typed.as(ChangeTypeCol) :+
-        lit(v.toLong).as(CommitVersionCol): _*)
+        lit(v.toLong).as(CommitVersionCol) :+
+        lit(new java.sql.Timestamp(lake.committedAtMs(v)))
+          .as(CommitTimestampCol): _*)
   }
 
   /** Pairwise-halving union: O(log n) plan depth on wide commit
@@ -420,14 +431,15 @@ private[sources] case class ChangeBatchState(
   * batch state. */
 case class GraftChangeInputPartition(
     inner: FilePartition, fileName: String, fileSeq: Long,
-    version: Int, changeType: String, mode: Int,
+    version: Int, commitTsMs: Long, changeType: String, mode: Int,
     state: org.apache.spark.broadcast.Broadcast[ChangeBatchState])
     extends InputPartition
 
 /** A scratch file of the over-bound distributed initial batch, all
   * rows `insert` at `version`. */
 case class GraftScratchChangeInputPartition(inner: FilePartition,
-                                            version: Int)
+                                            version: Int,
+                                            commitTsMs: Long)
     extends InputPartition
 
 /** A scratch file of an over-bound distributed DELTA batch: plain
@@ -455,7 +467,7 @@ case class GraftChangesReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   private def projectTo(inputOrder: StructType, changeType: String,
-                        version: Int)
+                        version: Int, commitTsMs: Long)
       : (PartitionReader[InternalRow]) => PartitionReader[InternalRow] =
     inner => new PartitionReader[InternalRow] {
       private val attrs = DataTypeUtils.toAttributes(inputOrder)
@@ -465,7 +477,8 @@ case class GraftChangesReaderFactory(
             throw new IllegalStateException(
               s"changelog projection lost column $n"))) ++ Seq(
           Literal(UTF8String.fromString(changeType), StringType),
-          Literal(version.toLong, LongType))
+          Literal(version.toLong, LongType),
+          Literal(commitTsMs * 1000L, TimestampType)) // catalyst micros
       private val proj = UnsafeProjection.create(exprs, attrs)
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = proj(inner.get())
@@ -475,7 +488,7 @@ case class GraftChangesReaderFactory(
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
     case s: GraftScratchChangeInputPartition =>
-      projectTo(visibleOrder, "insert", s.version)(
+      projectTo(visibleOrder, "insert", s.version, s.commitTsMs)(
         scratchDelegate.createReader(s.inner))
     case d: GraftScratchDeltaInputPartition =>
       deltaScratchDelegate.createReader(d.inner)
@@ -512,7 +525,8 @@ case class GraftChangesReaderFactory(
           override def get(): InternalRow = cur
           override def close(): Unit = base.close()
         }
-      projectTo(readerOrder, c.changeType, c.version)(filtered)
+      projectTo(readerOrder, c.changeType, c.version, c.commitTsMs)(
+        filtered)
     case other => throw new IllegalStateException(
       s"unexpected changelog partition $other")
   }

@@ -106,7 +106,8 @@ class MVManager(spark: SparkSession, checkpointRoot: String,
           mirror.appendExactlyOnce(
             batch.filter(col("_commit_version") === v &&
               col("_change_type").isin(insTypes: _*))
-              .drop("_change_type", "_commit_version"),
+              .drop("_change_type", "_commit_version",
+                "_commit_timestamp"),
             s"$wid-ins", v)
       }
       mirror.autoCompactIfNeeded(); ()

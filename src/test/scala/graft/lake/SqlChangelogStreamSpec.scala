@@ -76,9 +76,11 @@ class SqlChangelogStreamSpec extends SparkSuite {
     spark.sql("""INSERT INTO gcl.s.t
       |SELECT id, concat('k', CAST(id % 5 AS STRING)),
       |       CAST(id AS DOUBLE) FROM range(20)""".stripMargin)
-    // the changes table's schema: visible columns + the two CDF cols
+    // the changes table's schema: visible columns + the full Delta
+    // CDF column set
     assert(spark.readStream.table("gcl.s.t.changes").schema.fieldNames
-      .toSeq == Seq("id", "k", "v", "_change_type", "_commit_version"))
+      .toSeq == Seq("id", "k", "v", "_change_type", "_commit_version",
+        "_commit_timestamp"))
     val log = new EventLog("gcl.s.t.changes", tmpDir("gcl-t-ckpt"))
     log.run() // batch 0: the snapshot as inserts
     assert(log.events.nonEmpty &&
@@ -507,14 +509,15 @@ class SqlChangelogStreamSpec extends SparkSuite {
     assert(v3.count(_.getString(2) == "update_preimage") == 3 &&
       v3.filter(_.getString(2) == "update_postimage")
         .forall(_.getDouble(1) == 9.0))
-    // stream face agrees with the batch face event for event
+    // stream face agrees with the batch face event for event —
+    // including the commit wall-clock column
     val log = new EventLog("gcl.s.mg.changes", tmpDir("gcl-mg-ckpt"),
       Map("startingVersion" -> "2"))
     log.run()
-    assert(log.events.map(r =>
-        (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq ==
-      cdf.map(r =>
-        (r.getLong(0), r.getString(2), r.getLong(3))).sorted.toSeq,
+    def keyed(rs: Seq[Row]) = rs.map(r =>
+      (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getTimestamp(4).getTime)).sorted
+    assert(keyed(log.events.toSeq) == keyed(cdf.toSeq),
       "stream and batch faces diverged on typed events")
   }
 
@@ -593,7 +596,16 @@ class SqlChangelogStreamSpec extends SparkSuite {
     val cdf = spark.read.option("startingVersion", "2")
       .table("gcl.s.b.changes")
     assert(cdf.schema.fieldNames.toSeq ==
-      Seq("id", "_change_type", "_commit_version"))
+      Seq("id", "_change_type", "_commit_version", "_commit_timestamp"))
+    // _commit_timestamp is each commit's wall-clock — the same value
+    // TIMESTAMP AS OF resolves against, on both faces
+    val tb = new LakeCatalog(spark, wh).table("s", "b")
+    cdf.collect().foreach { r =>
+      val v = r.getLong(2).toInt
+      assert(r.getTimestamp(3).getTime ==
+        tb.snapshots.find(_.version == v).get.committedAtMs,
+        s"_commit_timestamp diverged from the snapshot clock at v$v")
+    }
     val events = cdf.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
     assert(events.toSeq == Seq(
