@@ -2511,10 +2511,12 @@ class LakeTable private (
     val aligned = keys
       .select(keyCols.map(c => col(c).cast(s(c).dataType)): _*)
       .distinct()
+    // coalesce(8) caps at the plan's own partition count, so this is
+    // min(8, partitions) without forcing a second physical planning
+    // (.rdd.getNumPartitions built a full QueryExecution just to read
+    // the number)
     val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
-      aligned.coalesce(math.max(1,
-        math.min(8, aligned.rdd.getNumPartitions))),
-      s"$root/deletes", Seq.empty)
+      aligned.coalesce(8), s"$root/deletes", Seq.empty)
     val keySchema = StructType(keyCols.map(c => s(c)))
     val metas = footerMetas(rels.map(r =>
       Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
@@ -2690,10 +2692,10 @@ class LakeTable private (
     val keys = spark.read.schema(keySchema)
       .parquet(pending.files.map(f => s"$root/${f.path}"): _*)
       .distinct()
+    // same min(8, partitions)-via-coalesce as deleteWhereEqualWith:
+    // no extra planning pass just to read the partition count
     val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
-      keys.coalesce(math.max(1,
-        math.min(8, keys.rdd.getNumPartitions))),
-      s"$root/deletes", Seq.empty)
+      keys.coalesce(8), s"$root/deletes", Seq.empty)
     val metas = footerMetas(rels.map(r =>
       Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
     val rowsByRel = rels.zip(metas.map(_._1)).toMap
@@ -2886,9 +2888,24 @@ class LakeTable private (
     * tiny (rows, stats, nulls, size, mtime) tuples. */
   private def footerMetas(paths: Seq[String], schema: StructType)
       : Seq[(Long, Map[String, ColStat], Map[String, Long], Long, Long)] =
-    if (paths.length < 32)
+    if (paths.length == 1)
       paths.map(p => LakeTable.footerMeta(p, schema, hadoopConf))
-    else {
+    else if (paths.length < 32) {
+      // driver-threaded: each footer is a file-status + ranged read —
+      // two latency-bound round trips on an object store — so overlap
+      // them on the shared pool instead of serializing (the same
+      // reasoning that distributes the >= 32 branch, at driver scale)
+      import java.util.concurrent.{Callable, ExecutionException}
+      val futs = paths.map { p =>
+        LakeTable.footerPool.submit(new Callable[
+            (Long, Map[String, ColStat], Map[String, Long], Long, Long)] {
+          override def call() = LakeTable.footerMeta(p, schema, hadoopConf)
+        })
+      }
+      futs.map(f =>
+        try f.get()
+        catch { case e: ExecutionException => throw e.getCause })
+    } else {
       val confFn = org.apache.spark.sql.graft.ConfBridge
         .carrier(hadoopConf)
       val byPath = spark.sparkContext
@@ -3958,6 +3975,22 @@ class StaleOffsetException(msg: String) extends RuntimeException(msg)
 object LakeTable {
   private[lake] val mapper = new ObjectMapper()
   private val VersionRe = "v(\\d{8})\\.json".r
+  /** Shared driver pool for small-commit footer reads (footerMetas'
+    * < 32-file branch): bounded, daemon (never blocks JVM exit), and
+    * process-wide so concurrent committers share it instead of each
+    * spinning up threads. Footer reads are independent latency-bound
+    * I/O; 8 threads hides the per-file round trips without competing
+    * with task execution for cores. */
+  private[lake] lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
   val BatchIdKey = "streaming.batchId"
   val WriterIdKey = "streaming.writerId"
   val DefaultWriter = "default"

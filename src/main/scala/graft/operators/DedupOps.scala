@@ -678,9 +678,16 @@ object DedupOps {
     * exact sketch from the text, which also makes the q34/q95 oracles
     * checkable. ~2x the hash cost of xxhash64, paid once per distinct
     * token; the sketch pipeline stays codegen'd end to end. */
-  private val md5Token64: String =
-    "(shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), 32)" +
-      " | cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+  /** Applied as a nested transform — md5 once per token in the inner
+    * lambda, the two 32-bit halves folded in the outer — because
+    * writing both `substring(md5(t), ...)` halves in ONE lambda body
+    * evaluates md5 twice per token: Catalyst's common-subexpression
+    * elimination does not reach inside higher-order-function lambdas.
+    * Same bit pattern, half the hash work. */
+  private def md5Tokens64(arrayExpr: String): String =
+    s"transform(transform($arrayExpr, t -> md5(t)), m -> " +
+      "(shiftleft(cast(conv(substring(m, 1, 8), 16, 10) as bigint), 32)" +
+      " | cast(conv(substring(m, 9, 8), 16, 10) as bigint)))"
 
   /** 64-bit SimHash per document over distinct word tokens, computed
     * per-row from the token-hash array (shuffle-free; the grouped
@@ -689,8 +696,8 @@ object DedupOps {
               idCol: String = "doc_id"): DataFrame =
     graft.Tables.widen(docs)
       .select(col(idCol).as("doc_id"), expr(
-        s"transform(array_remove(array_distinct(split(lower($textCol), " +
-          s"' ')), ''), t -> $md5Token64)").as("toks"))
+        md5Tokens64(s"array_remove(array_distinct(split(lower($textCol)" +
+          s", ' ')), '')")).as("toks"))
       // A document with no non-empty tokens has no sketch: drop it here
       // so the Spark side agrees with the DuckDB oracle CTE, where such
       // docs vanish at the unnest (no token rows -> no simhash row).
@@ -866,19 +873,29 @@ object DedupOps {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh =
-      s"(shiftleft(cast(conv(substring(md5(array_join(slice(ws, i + 1, " +
-        s"$n), ' ')), 1, 8), 16, 10) as bigint), 32) | " +
-        s"cast(conv(substring(md5(array_join(slice(ws, i + 1, $n)," +
-        s" ' ')), 9, 8), 16, 10) as bigint))"
+    // the lambda emits the md5 STRING once per window; the two 32-bit
+    // halves fold into the 64-bit key OUTSIDE the lambda. Writing the
+    // fold inside the lambda (the original form) evaluated
+    // md5(array_join(slice(...))) twice per window — Catalyst CSE does
+    // not reach inside higher-order-function lambdas — doubling the
+    // whole hash kernel. The window string must stay INSIDE the
+    // lambda either way: exploding raw window strings (or positions
+    // with `ws` kept for a later projection) would copy each
+    // document's token array once per window into the generate
+    // output, O(tokens^2) materialized bytes. Same bit pattern, same
+    // oracle.
     val positioned = docs
       .select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $n), i -> $sh)")))
-      .withColumnRenamed("pos", "pos")
-      .withColumnRenamed("col", "sh")
+        s"transform(sequence(0, size(ws) - $n), " +
+          s"i -> md5(array_join(slice(ws, i + 1, $n), ' ')))")))
+      .select(col("doc_id"), col("pos"),
+        expr("(shiftleft(cast(conv(substring(col, 1, 8), 16, 10) " +
+          "as bigint), 32) | " +
+          "cast(conv(substring(col, 9, 8), 16, 10) as bigint))")
+          .as("sh"))
     val dup = positioned.groupBy(col("sh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("sh"))

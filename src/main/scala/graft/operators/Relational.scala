@@ -600,8 +600,11 @@ object Relational {
       explode(expr(s"sequence(0L, ${salts - 1}L)")))
     // explicit repartition on the full (blk, salt) key: the join is
     // CPU-dense but only ~1 MB of bytes, so AQE would otherwise coalesce
-    // it to a handful of partitions and serialize the edit-distance DP
-    probe.as("a").repartition(32, col("blk"), col("_salt"))
+    // it to a handful of partitions and serialize the edit-distance DP.
+    // Width = the cluster's core count, not a constant — the pinned
+    // exchange must scale with the machine it runs on
+    probe.as("a").repartition(s.sparkContext.defaultParallelism,
+        col("blk"), col("_salt"))
       .join(build.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a._salt") === col("b._salt") &&
