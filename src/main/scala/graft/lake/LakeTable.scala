@@ -2425,44 +2425,40 @@ class LakeTable private (
     * commits — pairing the entries with data files in one atomic
     * commit is what SQL UPDATE/MERGE (applyRowDelta) needs. */
   private def writeDeleteFiles(positions: DataFrame): Seq[DeleteEntry] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, collect_set, count, lit}
     val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
       positions, s"$root/deletes", Seq.empty)
+    if (rels.isEmpty) return Nil
     def absRel(r: String) = s"$root/deletes/data/$r"
-    val metas = footerMetas(rels.map(r =>
-      Paths.get(root, "deletes", "data", r).toUri.toString), deleteSchema)
-    val rowsByRel = rels.zip(metas.map(_._1)).toMap
-    if (rowsByRel.values.sum == 0L) {
-      // nothing matched: reclaim the empty write
-      rels.foreach(r => Files.deleteIfExists(
-        Paths.get(root, "deletes", "data", r)))
-      return Nil
-    }
-    val live = rels.filter(rowsByRel(_) > 0)
-    // a rare empty shard (all its rows were range-partitioned away)
-    // would just be an orphan — reclaim it now instead of at vacuum
+    // ONE read-back pass serves both needs: per written file, the
+    // exact row count AND the exact covered data-file set — the
+    // commit conflict check and the compaction drop rule key on the
+    // covers (read back from the written files, never recomputed from
+    // the plan). Driver-bounded by (delete files x covered data
+    // files), both metadata-scale. DeleteEntry carries no column
+    // stats, so the former separate footer-read pass for the counts
+    // bought nothing this job lacks. An empty shard (nothing matched,
+    // or all rows range-partitioned away) yields no group — a rel
+    // absent from the result wrote zero rows.
+    val byFile = spark.read.schema(deleteSchema)
+      .parquet(rels.map(absRel): _*)
+      .groupBy(col("_metadata.file_path").as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        collect_set(col(DeleteFileCol)).as("__cv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).sorted))
+    val statsByRel = rels.flatMap { r =>
+      byFile.collectFirst { case (w, n, cv) if w.endsWith("/" + r) =>
+        r -> (n, cv) }
+    }.toMap
+    val live = rels.filter(r => statsByRel.get(r).exists(_._1 > 0))
+    // empty shards would just be orphans — reclaim them now instead
+    // of at vacuum
     rels.filterNot(live.contains).foreach(r =>
       Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
-    // exact covered data files PER written delete file — the commit
-    // conflict check and the compaction drop rule key on this set;
-    // driver-bounded by (delete files x covered data files), both
-    // metadata-scale
-    val coversByFile = spark.read.schema(deleteSchema)
-      .parquet(live.map(absRel): _*)
-      .select(col(DeleteFileCol),
-        org.apache.spark.sql.functions.col("_metadata.file_path")
-          .as("__w"))
-      .groupBy("__w")
-      .agg(org.apache.spark.sql.functions.collect_set(DeleteFileCol)
-        .as("__cv"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
     live.map { r =>
-      val covers = coversByFile.collectFirst {
-        case (w, cv) if w.endsWith("/" + r) => cv
-      }.getOrElse(throw new IllegalStateException(
-        s"no read-back provenance for delete file $r at $root"))
-      DeleteEntry(s"deletes/data/$r", rowsByRel(r), covers)
+      val (rows, covers) = statsByRel(r)
+      DeleteEntry(s"deletes/data/$r", rows, covers)
     }
   }
 
