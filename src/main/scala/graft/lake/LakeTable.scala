@@ -2425,40 +2425,45 @@ class LakeTable private (
     * commits — pairing the entries with data files in one atomic
     * commit is what SQL UPDATE/MERGE (applyRowDelta) needs. */
   private def writeDeleteFiles(positions: DataFrame): Seq[DeleteEntry] = {
-    import org.apache.spark.sql.functions.{col, collect_set, count, lit}
-    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
-      positions, s"$root/deletes", Seq.empty)
-    if (rels.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{col, collect_set}
+    // per-file row counts ride the task-commit messages — no fresh-
+    // file reads here, and a no-match delete skips the covers job
+    // entirely
+    val relsMetas = org.apache.spark.sql.graft.DirectWrite
+      .parquetWithMetas(positions, s"$root/deletes", Seq.empty)
+    val rels = relsMetas.map(_._1)
+    val rowsByRel = relsMetas.map { case (r, m) => r -> m._1 }.toMap
     def absRel(r: String) = s"$root/deletes/data/$r"
-    // ONE read-back pass serves both needs: per written file, the
-    // exact row count AND the exact covered data-file set — the
-    // commit conflict check and the compaction drop rule key on the
-    // covers (read back from the written files, never recomputed from
-    // the plan). Driver-bounded by (delete files x covered data
-    // files), both metadata-scale. DeleteEntry carries no column
-    // stats, so the former separate footer-read pass for the counts
-    // bought nothing this job lacks. An empty shard (nothing matched,
-    // or all rows range-partitioned away) yields no group — a rel
-    // absent from the result wrote zero rows.
-    val byFile = spark.read.schema(deleteSchema)
-      .parquet(rels.map(absRel): _*)
-      .groupBy(col("_metadata.file_path").as("__w"))
-      .agg(count(lit(1)).as("__n"),
-        collect_set(col(DeleteFileCol)).as("__cv"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).sorted))
-    val statsByRel = rels.flatMap { r =>
-      byFile.collectFirst { case (w, n, cv) if w.endsWith("/" + r) =>
-        r -> (n, cv) }
-    }.toMap
-    val live = rels.filter(r => statsByRel.get(r).exists(_._1 > 0))
-    // empty shards would just be orphans — reclaim them now instead
-    // of at vacuum
+    if (rowsByRel.values.sum == 0L) {
+      // nothing matched: reclaim the empty write
+      rels.foreach(r => Files.deleteIfExists(
+        Paths.get(root, "deletes", "data", r)))
+      return Nil
+    }
+    val live = rels.filter(rowsByRel(_) > 0)
+    // a rare empty shard (all its rows were range-partitioned away)
+    // would just be an orphan — reclaim it now instead of at vacuum
     rels.filterNot(live.contains).foreach(r =>
       Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
+    // exact covered data files PER written delete file — the commit
+    // conflict check and the compaction drop rule key on this set;
+    // driver-bounded by (delete files x covered data files), both
+    // metadata-scale
+    val coversByFile = spark.read.schema(deleteSchema)
+      .parquet(live.map(absRel): _*)
+      .select(col(DeleteFileCol),
+        org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("__w"))
+      .groupBy("__w")
+      .agg(collect_set(DeleteFileCol).as("__cv"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
     live.map { r =>
-      val (rows, covers) = statsByRel(r)
-      DeleteEntry(s"deletes/data/$r", rows, covers)
+      val covers = coversByFile.collectFirst {
+        case (w, cv) if w.endsWith("/" + r) => cv
+      }.getOrElse(throw new IllegalStateException(
+        s"no read-back provenance for delete file $r at $root"))
+      DeleteEntry(s"deletes/data/$r", rowsByRel(r), covers)
     }
   }
 
@@ -2511,12 +2516,10 @@ class LakeTable private (
     // min(8, partitions) without forcing a second physical planning
     // (.rdd.getNumPartitions built a full QueryExecution just to read
     // the number)
-    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
-      aligned.coalesce(8), s"$root/deletes", Seq.empty)
-    val keySchema = StructType(keyCols.map(c => s(c)))
-    val metas = footerMetas(rels.map(r =>
-      Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
-    val rowsByRel = rels.zip(metas.map(_._1)).toMap
+    val relsMetas = org.apache.spark.sql.graft.DirectWrite
+      .parquetWithMetas(aligned.coalesce(8), s"$root/deletes", Seq.empty)
+    val rels = relsMetas.map(_._1)
+    val rowsByRel = relsMetas.map { case (r, m) => r -> m._1 }.toMap
     if (rowsByRel.values.sum == 0L) {
       rels.foreach(r => Files.deleteIfExists(
         Paths.get(root, "deletes", "data", r)))
@@ -2690,11 +2693,10 @@ class LakeTable private (
       .distinct()
     // same min(8, partitions)-via-coalesce as deleteWhereEqualWith:
     // no extra planning pass just to read the partition count
-    val rels = org.apache.spark.sql.graft.DirectWrite.parquet(
-      keys.coalesce(8), s"$root/deletes", Seq.empty)
-    val metas = footerMetas(rels.map(r =>
-      Paths.get(root, "deletes", "data", r).toUri.toString), keySchema)
-    val rowsByRel = rels.zip(metas.map(_._1)).toMap
+    val relsMetas = org.apache.spark.sql.graft.DirectWrite
+      .parquetWithMetas(keys.coalesce(8), s"$root/deletes", Seq.empty)
+    val rels = relsMetas.map(_._1)
+    val rowsByRel = relsMetas.map { case (r, m) => r -> m._1 }.toMap
     val live = rels.filter(rowsByRel(_) > 0)
     rels.filterNot(live.contains).foreach(r =>
       Files.deleteIfExists(Paths.get(root, "deletes", "data", r)))
@@ -2875,42 +2877,6 @@ class LakeTable private (
     * prune) when any row group lacks stats, is all-null, or is a
     * floating column whose range touches NaN (parquet NaN stats are
     * unreliable by spec). */
-  /** Footer metadata for a batch of freshly-written files. Small
-    * commits read footers on the driver; MANY-file commits distribute
-    * the reads across executors (each footer is a ranged read + a
-    * file-status call — on an object store that is two HTTP round
-    * trips per file, so a 1,000-file commit would serialize ~2,000
-    * driver round trips without this). Executors return only the
-    * tiny (rows, stats, nulls, size, mtime) tuples. */
-  private def footerMetas(paths: Seq[String], schema: StructType)
-      : Seq[(Long, Map[String, ColStat], Map[String, Long], Long, Long)] =
-    if (paths.length == 1)
-      paths.map(p => LakeTable.footerMeta(p, schema, hadoopConf))
-    else if (paths.length < 32) {
-      // driver-threaded: each footer is a file-status + ranged read —
-      // two latency-bound round trips on an object store — so overlap
-      // them on the shared pool instead of serializing (the same
-      // reasoning that distributes the >= 32 branch, at driver scale)
-      import java.util.concurrent.{Callable, ExecutionException}
-      val futs = paths.map { p =>
-        LakeTable.footerPool.submit(new Callable[
-            (Long, Map[String, ColStat], Map[String, Long], Long, Long)] {
-          override def call() = LakeTable.footerMeta(p, schema, hadoopConf)
-        })
-      }
-      futs.map(f =>
-        try f.get()
-        catch { case e: ExecutionException => throw e.getCause })
-    } else {
-      val confFn = org.apache.spark.sql.graft.ConfBridge
-        .carrier(hadoopConf)
-      val byPath = spark.sparkContext
-        .parallelize(paths, math.min(paths.length, 64))
-        .map(p => (p, LakeTable.footerMeta(p, schema, confFn())))
-        .collect().toMap
-      paths.map(byPath)
-    }
-
   /** Manifest metadata for the hive partition values encoded in a
     * file's relative partition path (`k1=v1/k2=v2`): each value is an
     * exact [v, v] range with null count 0; the null marker records an
@@ -2986,11 +2952,13 @@ class LakeTable private (
           .repartition(n, col(BucketCol))
       case _ => df0
     }
-    val rels =
-      org.apache.spark.sql.graft.DirectWrite.parquet(df, root, partitionBy)
-    val metas = footerMetas(
-      rels.map(r => Paths.get(root, "data", r).toUri.toString), df.schema)
-    val entries = rels.zip(metas).map {
+    // footer metas ride the task-commit messages (each task parses
+    // the files it wrote — see DirectWrite.parquetWithMetas): the
+    // manifest builds with zero fresh-file reads on the driver and no
+    // extra job at any commit size
+    val relsMetas = org.apache.spark.sql.graft.DirectWrite
+      .parquetWithMetas(df, root, partitionBy)
+    val entries = relsMetas.map {
       case (rel, (rows, st, nc, size, mtime)) =>
         val partRel = dirOf(rel)
         // partition values are exact per-file constants: record them
@@ -3971,14 +3939,22 @@ class StaleOffsetException(msg: String) extends RuntimeException(msg)
 object LakeTable {
   private[lake] val mapper = new ObjectMapper()
   private val VersionRe = "v(\\d{8})\\.json".r
-  /** Shared driver pool for small-commit footer reads (footerMetas'
-    * < 32-file branch): bounded, daemon (never blocks JVM exit), and
-    * process-wide so concurrent committers share it instead of each
-    * spinning up threads. Footer reads are independent latency-bound
-    * I/O; 8 threads hides the per-file round trips without competing
-    * with task execution for cores. */
-  private[lake] lazy val footerPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8,
+  /** Shared per-JVM pool for footer reads: bounded, daemon (never
+    * blocks JVM exit), and process-wide so concurrent users share it
+    * instead of each spinning up threads. Used by committing TASKS to
+    * overlap the footer parses of wide fan-out writes (the
+    * [[org.apache.spark.sql.graft.GraftDirectCommitProtocol]]
+    * task-commit read-back) and by the rare driver-side fallback.
+    * Sized to the JVM's cores (floor 8): a footer parse is part
+    * latency-bound I/O (status + ranged read — the floor hides those
+    * round trips) and part real CPU (thrift decode + stats fold), and
+    * a dynamic-partition write can hand ONE task hundreds of files —
+    * on an executor the pool then uses exactly that executor's cores,
+    * which is where the parallelism of the former separate footer
+    * JOB came from. */
+  lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(8, Runtime.getRuntime.availableProcessors()),
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger
         override def newThread(r: Runnable): Thread = {
@@ -4631,23 +4607,41 @@ object LakeTable {
     cmpStat(a, b).map(c => if (c >= 0) a else b)
 
 
+  /** The [[footerMeta]] tuple: (rows, per-column [lo, hi] stats,
+    * per-column null counts, file size bytes, mtime ms). */
+  type FooterMeta = (Long, Map[String, ColStat], Map[String, Long],
+    Long, Long)
+
   /** Exact row count + per-column [lo, hi] ranges + file size/mtime
     * from one parquet footer — static and conf-parameterized so it
-    * runs on EXECUTORS for many-file commits (footerMetas): the only
-    * state it touches is the file itself. Stats are aggregated across
-    * row groups; a column is dropped (never prune) when any row group
-    * lacks stats, is all-null, or is a floating column whose range
-    * touches NaN (parquet NaN stats are unreliable by spec). */
-  private[lake] def footerMeta(pathStr: String, schema: StructType,
-                               conf: org.apache.hadoop.conf.Configuration)
-      : (Long, Map[String, ColStat], Map[String, Long], Long, Long) = {
+    * runs on EXECUTORS (the task-commit read-back in
+    * [[org.apache.spark.sql.graft.GraftDirectCommitProtocol]], and
+    * the driver fallback): the only state it touches is the file
+    * itself. Stats are aggregated across row groups; a column is
+    * dropped (never prune) when any row group lacks stats, is
+    * all-null, or is a floating column whose range touches NaN
+    * (parquet NaN stats are unreliable by spec). */
+  def footerMeta(pathStr: String, schema: StructType,
+                 conf: org.apache.hadoop.conf.Configuration)
+      : FooterMeta = {
     // callers pass URI strings (file:/...), pinning the scheme so a
     // session-level fs.defaultFS can never redirect footer reads.
     // Parse back to a URI before building the Path: the Path(String)
     // constructor URI-DECODES %XX once, which corrupts hive-escaped
     // partition dirs (grp=%2Bliteral would lose its escaping); the
     // Path(URI) constructor takes the components literally.
-    val hp = new org.apache.hadoop.fs.Path(java.net.URI.create(pathStr))
+    footerMetaAt(new org.apache.hadoop.fs.Path(
+      java.net.URI.create(pathStr)), schema, conf)
+  }
+
+  /** [[footerMeta]] over an already-built hadoop Path — the
+    * task-commit form: the committing task passes EXACTLY the Path it
+    * created the file with (same parent, same child string), so
+    * whatever escaping semantics the writer's Path construction had,
+    * the read-back sees the same file. */
+  def footerMetaAt(hp: org.apache.hadoop.fs.Path, schema: StructType,
+                   conf: org.apache.hadoop.conf.Configuration)
+      : FooterMeta = {
     val status = hp.getFileSystem(conf).getFileStatus(hp)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromStatus(status, conf)

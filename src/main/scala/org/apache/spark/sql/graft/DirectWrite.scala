@@ -41,9 +41,21 @@ import org.apache.spark.sql.DataFrame
   */
 object DirectWrite {
 
-  /** Written file lists by write token, deposited by
-    * [[GraftDirectCommitProtocol.commitJob]] on the driver. */
-  private[graft] val results = new ConcurrentHashMap[String, Seq[String]]()
+  /** Written (file, footer-meta) lists by write token, deposited by
+    * [[GraftDirectCommitProtocol.commitJob]] on the driver. The meta
+    * is parsed by the COMMITTING TASK itself (page-cache-warm, in
+    * parallel across tasks, zero driver round trips); None means the
+    * task could not parse it and the driver must fall back to its own
+    * footer read. */
+  private[graft] val results = new ConcurrentHashMap[String,
+    Seq[(String, Option[graft.lake.LakeTable.FooterMeta])]]()
+
+  /** Count of files whose footer meta did NOT arrive from its writing
+    * task and had to be re-read on the driver — expected zero; exposed
+    * so tests can pin the task-side path as the one actually taken. */
+  private val metaFallbacks =
+    new java.util.concurrent.atomic.AtomicLong()
+  def metaFallbackCount: Long = metaFallbacks.get()
 
   /** Writer clones per parent session, reused across writes: cloning
     * copies the whole session state (conf, catalog, registry), a
@@ -121,7 +133,22 @@ object DirectWrite {
     * same session keep their own committer untouched.
     */
   def parquet(df: DataFrame, tableRoot: String,
-              partitionBy: Seq[String]): Seq[String] = {
+              partitionBy: Seq[String]): Seq[String] =
+    parquetWithMetas(df, tableRoot, partitionBy).map(_._1)
+
+  /** [[parquet]] returning, per written file, its parquet FOOTER
+    * METADATA (rows, column stats, null counts, size, mtime) alongside
+    * the relative path. The metas come from the task-commit messages:
+    * each task parses the footers of the files IT wrote, right after
+    * closing them (page-cache-warm, overlapped across tasks), so the
+    * driver never re-opens a fresh file — on an object store that is
+    * two HTTP round trips per file saved, and the manifest build
+    * needs no extra Spark job at any commit size. A task-side parse
+    * failure degrades to a driver-side [[graft.lake.LakeTable
+    * .footerMeta]] fallback for that file (never silently absent). */
+  def parquetWithMetas(df: DataFrame, tableRoot: String,
+                       partitionBy: Seq[String])
+      : Seq[(String, graft.lake.LakeTable.FooterMeta)] = {
     val classic =
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sess = writerSessionFor(classic)
@@ -136,13 +163,30 @@ object DirectWrite {
     // into the protocol (which derives data/ from it and keys its
     // result deposit by the token)
     val dest = s"$tableRoot/.write-$token"
+    // the write schema rides the write OPTIONS into the job's hadoop
+    // conf (newHadoopConfWithOptions copies every option), which is
+    // what the committing tasks parse footers against — per-write
+    // isolation for free, no session state touched
+    val schemaJson = df.schema.json
     try {
-      if (partitionBy.isEmpty) wdf.write.mode("errorifexists").parquet(dest)
-      else wdf.write.partitionBy(partitionBy: _*).parquet(dest)
-      Option(results.remove(token)).getOrElse(
+      val w = wdf.write.mode("errorifexists")
+        .option(GraftDirectCommitProtocol.SchemaKey, schemaJson)
+      if (partitionBy.isEmpty) w.parquet(dest)
+      else w.partitionBy(partitionBy: _*).parquet(dest)
+      val pairs = Option(results.remove(token)).getOrElse(
         throw new IllegalStateException(
           s"direct write at $tableRoot: job committed but no task " +
-            "manifest was deposited")).sorted
+            "manifest was deposited")).sortBy(_._1)
+      pairs.map {
+        case (rel, Some(meta)) => rel -> meta
+        case (rel, None) =>
+          // task-side parse failed (or an out-of-band writer lacked
+          // the schema option): read the footer here, as before
+          metaFallbacks.incrementAndGet()
+          rel -> graft.lake.LakeTable.footerMetaAt(
+            new Path(new Path(tableRoot, "data"), rel), df.schema,
+            classic.sessionState.newHadoopConf())
+      }
     } finally results.remove(token)
   }
 }
@@ -159,6 +203,13 @@ object DirectWrite {
   * so a speculative twin attempt can never double-report (or orphan
   * into the manifest) the same logical task's files.
   */
+object GraftDirectCommitProtocol {
+  /** Write-option key carrying the caller's schema JSON into the
+    * job's hadoop conf (newHadoopConfWithOptions copies every write
+    * option) — what committing tasks parse footers against. */
+  val SchemaKey = "graft.write.schema"
+}
+
 class GraftDirectCommitProtocol(jobId: String, destPath: String,
                                 dynamicPartitionOverwrite: Boolean)
     extends FileCommitProtocol with Serializable {
@@ -180,7 +231,8 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
   override def commitJob(jobContext: JobContext,
                          taskCommits: Seq[TaskCommitMessage]): Unit =
     DirectWrite.results.put(DirectWrite.tokenOf(destPath),
-      taskCommits.flatMap(_.obj.asInstanceOf[Seq[String]]))
+      taskCommits.flatMap(_.obj.asInstanceOf[
+        Seq[(String, Option[graft.lake.LakeTable.FooterMeta])]]))
 
   override def abortJob(jobContext: JobContext): Unit =
     DirectWrite.results.remove(DirectWrite.tokenOf(destPath))
@@ -234,7 +286,43 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
           s"${tc.attemptNumber()}",
         tc.stageId(), tc.partitionId(), tc.attemptNumber())
     }
-    new TaskCommitMessage(taskFiles.toList)
+    // parse the footers of the files THIS task wrote, right here:
+    // the bytes are page-cache-warm, the parses overlap across
+    // committing tasks, and the driver's manifest build needs no
+    // fresh-file reads (on an object store: two HTTP round trips per
+    // file saved) and no extra Spark job at any commit size. Only the
+    // authorized attempt parses (after canCommit above). Failures
+    // degrade to None — the driver falls back to its own footer read
+    // rather than failing a task whose write already succeeded. Wide
+    // fan-out tasks (dynamic partitions: hundreds of files per task)
+    // overlap their parses on the shared footer pool.
+    val conf = taskContext.getConfiguration
+    val schema = Option(conf.get(GraftDirectCommitProtocol.SchemaKey))
+      .map(graft.lake.DataTypeBridge.fromJson)
+    val metas: List[(String,
+        Option[graft.lake.LakeTable.FooterMeta])] = schema match {
+      case None => taskFiles.toList.map(_ -> None)
+      case Some(s) =>
+        def parse(rel: String) =
+          try Some(graft.lake.LakeTable.footerMetaAt(
+            new Path(dataRoot, rel), s, conf))
+          catch { case _: Exception => None }
+        if (taskFiles.length <= 1) taskFiles.toList.map(r => r -> parse(r))
+        else {
+          import java.util.concurrent.Callable
+          val futs = taskFiles.toList.map { r =>
+            r -> graft.lake.LakeTable.footerPool.submit(
+              new Callable[Option[graft.lake.LakeTable.FooterMeta]] {
+                override def call() = parse(r)
+              })
+          }
+          futs.map { case (r, f) =>
+            r -> (try f.get()
+                  catch { case _: Exception => None })
+          }
+        }
+    }
+    new TaskCommitMessage(metas)
   }
 
   override def abortTask(taskContext: TaskAttemptContext): Unit = {

@@ -24,15 +24,3 @@ object ColumnBridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
-
-/** Serializable Hadoop-Configuration carrier for executor-side
-  * metadata work (e.g. distributed parquet-footer reads at commit
-  * time). `SerializableConfiguration` is private[spark]; this shim
-  * hands callers an opaque serializable thunk instead. */
-object ConfBridge {
-  def carrier(conf: org.apache.hadoop.conf.Configuration)
-      : () => org.apache.hadoop.conf.Configuration = {
-    val sc = new org.apache.spark.util.SerializableConfiguration(conf)
-    () => sc.value
-  }
-}

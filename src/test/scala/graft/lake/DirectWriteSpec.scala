@@ -120,6 +120,46 @@ class DirectWriteSpec extends SparkSuite {
     assert(t.read().count() == 100)
   }
 
+  test("task-commit footer metas equal an independent driver-side " +
+    "footer read, partitioned and flat, including nulls and escapes") {
+    // the manifest is built from metas parsed by the COMMITTING TASKS
+    // (DirectWrite.parquetWithMetas) — this pins them bit-equal to the
+    // former driver read-back, so stats pruning and meta tables see
+    // exactly what a re-read of the file would produce
+    val df = spark.range(500)
+      .select($"id",
+        when($"id" % 5 === 0, lit(null)).otherwise($"id" % 97)
+          .cast("double").as("v"),
+        concat(lit("g="), ($"id" % 3).cast("string")).as("s"),
+        // '+'-bearing group value: exercises hive-escaped partition
+        // dirs through the task-side read-back path
+        concat(lit("+grp"), ($"id" % 2).cast("string")).as("grp"))
+    for (partitionBy <- Seq(Seq.empty[String], Seq("grp"))) {
+      val root = tmpDir(s"dw-metas-${partitionBy.length}")
+      val written = df
+      val fb0 = org.apache.spark.sql.graft.DirectWrite.metaFallbackCount
+      val relsMetas = org.apache.spark.sql.graft.DirectWrite
+        .parquetWithMetas(written.repartition(4), root, partitionBy)
+      assert(relsMetas.nonEmpty)
+      assert(org.apache.spark.sql.graft.DirectWrite.metaFallbackCount
+        == fb0, "metas must come from the task-commit messages, not " +
+        "the driver fallback")
+      val conf = spark.sessionState.newHadoopConf()
+      relsMetas.foreach { case (rel, taskMeta) =>
+        val driverMeta = LakeTable.footerMeta(
+          Paths.get(root, "data", rel).toUri.toString, written.schema,
+          conf)
+        assert(taskMeta == driverMeta,
+          s"task-commit meta for $rel diverges from a driver read: " +
+            s"$taskMeta vs $driverMeta")
+      }
+      assert(relsMetas.map(_._2._1).sum == 500L, "row counts complete")
+      // stats present for the data columns (pruning depends on them)
+      assert(relsMetas.forall { case (_, (_, st, nc, size, _)) =>
+        st.contains("id") && nc.contains("v") && size > 0 })
+    }
+  }
+
   test("cached writer session: a temp view registered AFTER the first " +
     "write still resolves, and toggled shuffle partitions get their " +
     "own clone") {
