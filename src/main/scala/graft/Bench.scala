@@ -54,7 +54,30 @@ object Bench {
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Additions after "sf" (r17): the ~10 KB line was truncated to a
+    // 2,000-char tail by the driver's capture every round since r13
+    // (BENCH_r*.json `parsed: null`), so the same line is ALSO written
+    // to bench_out.json for a whole-line parse; "parallelism" proves
+    // the $SPARK_GRAFT_CPUS core count took effect, and "controls"
+    // duplicates the two regime sentinels (q01 general, q56 CPU-dense)
+    // near the END of the line where a tail capture still sees them.
+    // All pre-existing keys, their order, and the timing methodology
+    // (count() sink, min-of-N) are unchanged.
+    val controls = Seq("q01_agg_pricing", "q56_neardup_clusters")
+      .flatMap(c => results.collectFirst {
+        case (k, Some(v)) if k == c => s"\"$k\":$v" })
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","parallelism":${spark.sparkContext.defaultParallelism},"controls":$controls}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_out.json: $e")
+    }
     spark.stop()
   }
 }
