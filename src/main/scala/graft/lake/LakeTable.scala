@@ -2515,7 +2515,11 @@ class LakeTable private (
     // coalesce(8) caps at the plan's own partition count, so this is
     // min(8, partitions) without forcing a second physical planning
     // (.rdd.getNumPartitions built a full QueryExecution just to read
-    // the number)
+    // the number). The 8 is scale-safe, not a local-mode tuning:
+    // forget-key frames are metadata-scale by construction (keys of
+    // the rows one GDPR/CDC commit removes, kilobytes to low MB), and
+    // capping them at 8 delete files bounds manifest growth per
+    // commit — at 100 TB the DATA side scales, the key frame does not.
     val relsMetas = org.apache.spark.sql.graft.DirectWrite
       .parquetWithMetas(aligned.coalesce(8), s"$root/deletes", Seq.empty)
     val rels = relsMetas.map(_._1)
@@ -2692,7 +2696,10 @@ class LakeTable private (
       .parquet(pending.files.map(f => s"$root/${f.path}"): _*)
       .distinct()
     // same min(8, partitions)-via-coalesce as deleteWhereEqualWith:
-    // no extra planning pass just to read the partition count
+    // no extra planning pass just to read the partition count, and the
+    // same scale rationale — the key frame is metadata-scale (one
+    // commit's removed-row keys), so 8 files bounds manifest growth
+    // without ever throttling a data-sized write
     val relsMetas = org.apache.spark.sql.graft.DirectWrite
       .parquetWithMetas(keys.coalesce(8), s"$root/deletes", Seq.empty)
     val rels = relsMetas.map(_._1)
@@ -3945,16 +3952,31 @@ object LakeTable {
     * overlap the footer parses of wide fan-out writes (the
     * [[org.apache.spark.sql.graft.GraftDirectCommitProtocol]]
     * task-commit read-back) and by the rare driver-side fallback.
-    * Sized to the JVM's cores (floor 8): a footer parse is part
-    * latency-bound I/O (status + ranged read — the floor hides those
-    * round trips) and part real CPU (thrift decode + stats fold), and
-    * a dynamic-partition write can hand ONE task hundreds of files —
-    * on an executor the pool then uses exactly that executor's cores,
-    * which is where the parallelism of the former separate footer
-    * JOB came from. */
-  lazy val footerPool: java.util.concurrent.ExecutorService =
+    * Sized to the executor's ALLOTTED cores (floor 8): a footer parse
+    * is part latency-bound I/O (status + ranged read — the floor hides
+    * those round trips) and part real CPU (thrift decode + stats
+    * fold), and a dynamic-partition write can hand ONE task hundreds
+    * of files — on an executor the pool then uses exactly that
+    * executor's share, which is where the parallelism of the former
+    * separate footer JOB came from. `spark.executor.cores` is
+    * preferred over `availableProcessors` because a JVM on a shared
+    * host sees the MACHINE's cores: with several executors per node,
+    * machine-cores threads each would oversubscribe the node during
+    * simultaneous wide task commits (r16 ADVICE). Local mode and the
+    * driver fall back to the JVM's processors — there the process IS
+    * the machine's tenant. */
+  lazy val footerPool: java.util.concurrent.ExecutorService = {
+    val allotted =
+      try Option(org.apache.spark.SparkEnv.get)
+        .flatMap(e => e.conf.getOption("spark.executor.cores"))
+        .map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors())
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          Runtime.getRuntime.availableProcessors()
+      }
     java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(8, Runtime.getRuntime.availableProcessors()),
+      math.max(8, allotted),
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger
         override def newThread(r: Runnable): Thread = {
@@ -3963,6 +3985,7 @@ object LakeTable {
           t
         }
       })
+  }
   val BatchIdKey = "streaming.batchId"
   val WriterIdKey = "streaming.writerId"
   val DefaultWriter = "default"

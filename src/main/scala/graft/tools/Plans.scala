@@ -17,6 +17,20 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.isEmpty) Set("q01", "q02", "q03", "q04", "q39")
                  else args.toSet
+    // KERNEL frames: plans of hot operator kernels that a query's own
+    // captured plan cannot show because the query localCheckpoints the
+    // kernel's output (the checkpoint truncates lineage to a Scan
+    // ExistingRDD). `kernel_q95_sketch` is the SimHash sketch frame
+    // (DedupOps.simHash — the md5Tokens64 token-hash kernel) exactly
+    // as q95 computes it before sketchesAgainstIndex checkpoints it.
+    val kernels: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "kernel_q95_sketch" -> (() => graft.operators.DedupOps.simHash(
+        graft.Tables.load(spark, sfDir, "documents"))))
+    kernels.filter { case (n, _) => wanted.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
+        println(s"\n===================== $name =====================")
+        fn().explain("formatted")
+      }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.exists(n.startsWith) }
       .foreach { case (name, fn) =>

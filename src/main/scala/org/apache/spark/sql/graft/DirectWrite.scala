@@ -226,6 +226,33 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
     * attempt by `setupTask`; only ever non-empty on executors. */
   @transient private var taskFiles: ArrayBuffer[String] = _
 
+  /** Footer parses PIPELINED with the write (guide §6 I/O overlap):
+    * keyed by relative path, submitted the moment the writer closes a
+    * file and asks for the next one. Wide dynamic-partition tasks
+    * (hundreds of serial create/write/close cycles) thereby finish
+    * their footer work DURING the write instead of as a tail after the
+    * last close; commitTask only drains futures plus parses the final
+    * file. A pipelined parse that fails (e.g. a future writer mode
+    * keeping several files open — the default single-open-file writer
+    * never does) is retried synchronously at commit before degrading
+    * to the driver fallback, so pipelining can only save time, never
+    * change what the manifest sees. */
+  @transient private var pipelined: java.util.HashMap[String,
+    java.util.concurrent.Future[Option[graft.lake.LakeTable.FooterMeta]]] = _
+
+  /** The write schema, decoded from the task conf once per task. */
+  @transient private var taskSchema:
+    Option[Option[org.apache.spark.sql.types.StructType]] = _
+
+  private def schemaFor(conf: org.apache.hadoop.conf.Configuration)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (taskSchema == null)
+      taskSchema = Some(
+        Option(conf.get(GraftDirectCommitProtocol.SchemaKey))
+          .map(graft.lake.DataTypeBridge.fromJson))
+    taskSchema.get
+  }
+
   override def setupJob(jobContext: JobContext): Unit = ()
 
   override def commitJob(jobContext: JobContext,
@@ -237,12 +264,41 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
   override def abortJob(jobContext: JobContext): Unit =
     DirectWrite.results.remove(DirectWrite.tokenOf(destPath))
 
-  override def setupTask(taskContext: TaskAttemptContext): Unit =
+  override def setupTask(taskContext: TaskAttemptContext): Unit = {
     taskFiles = ArrayBuffer.empty[String]
+    pipelined = null
+    taskSchema = null
+  }
+
+  /** Submit `rel`'s footer parse on the shared pool. Called from
+    * `newTaskTempFile` for the file the writer JUST closed (Spark's
+    * file writers hold one open file and close it before asking for
+    * the next), so the parse of file N overlaps the write of file
+    * N+1 — its bytes are page-cache-warm and the write stage runs far
+    * below full CPU on latency-bound create/close cycles. */
+  private def pipelineParse(conf: org.apache.hadoop.conf.Configuration,
+                            rel: String): Unit =
+    schemaFor(conf).foreach { s =>
+      if (pipelined == null)
+        pipelined = new java.util.HashMap[String,
+          java.util.concurrent.Future[
+            Option[graft.lake.LakeTable.FooterMeta]]]()
+      if (!pipelined.containsKey(rel))
+        pipelined.put(rel, graft.lake.LakeTable.footerPool.submit(
+          new java.util.concurrent.Callable[
+              Option[graft.lake.LakeTable.FooterMeta]] {
+            override def call() =
+              try Some(graft.lake.LakeTable.footerMetaAt(
+                new Path(dataRoot, rel), s, conf))
+              catch { case scala.util.control.NonFatal(_) => None }
+          }))
+    }
 
   override def newTaskTempFile(taskContext: TaskAttemptContext,
                                dir: Option[String],
                                spec: FileNameSpec): String = {
+    if (taskFiles.nonEmpty)
+      pipelineParse(taskContext.getConfiguration, taskFiles.last)
     // files landing in a bucket dir carry Spark's bucket-id suffix
     // (`_00003`, BucketingUtils' format): the name is what lets a
     // manifest-served read expose the layout as a real BucketSpec —
@@ -286,46 +342,50 @@ class GraftDirectCommitProtocol(jobId: String, destPath: String,
           s"${tc.attemptNumber()}",
         tc.stageId(), tc.partitionId(), tc.attemptNumber())
     }
-    // parse the footers of the files THIS task wrote, right here:
-    // the bytes are page-cache-warm, the parses overlap across
-    // committing tasks, and the driver's manifest build needs no
-    // fresh-file reads (on an object store: two HTTP round trips per
-    // file saved) and no extra Spark job at any commit size. Only the
-    // authorized attempt parses (after canCommit above). Failures
-    // degrade to None — the driver falls back to its own footer read
-    // rather than failing a task whose write already succeeded. Wide
-    // fan-out tasks (dynamic partitions: hundreds of files per task)
-    // overlap their parses on the shared footer pool.
+    // footer metas for the files THIS task wrote: all but the final
+    // file were already submitted to the shared pool DURING the write
+    // (pipelineParse — the parse of file N overlapped the write of
+    // file N+1, page-cache-warm), so this drain plus one inline parse
+    // of the final file leaves no parse tail after the last close.
+    // The driver's manifest build needs no fresh-file reads (on an
+    // object store: two HTTP round trips per file saved) and no extra
+    // Spark job at any commit size. Failures degrade to None — the
+    // driver falls back to its own footer read rather than failing a
+    // task whose write already succeeded — but a task KILL
+    // (InterruptedException) propagates: NonFatal never converts it
+    // into a silent fallback. Speculative twin attempts may pipeline
+    // parses of their own (soon-orphaned) files — wasted I/O bounded
+    // by the losing attempt's files, never a correctness issue.
     val conf = taskContext.getConfiguration
-    val schema = Option(conf.get(GraftDirectCommitProtocol.SchemaKey))
-      .map(graft.lake.DataTypeBridge.fromJson)
     val metas: List[(String,
-        Option[graft.lake.LakeTable.FooterMeta])] = schema match {
+        Option[graft.lake.LakeTable.FooterMeta])] = schemaFor(conf) match {
       case None => taskFiles.toList.map(_ -> None)
       case Some(s) =>
         def parse(rel: String) =
           try Some(graft.lake.LakeTable.footerMetaAt(
             new Path(dataRoot, rel), s, conf))
-          catch { case _: Exception => None }
-        if (taskFiles.length <= 1) taskFiles.toList.map(r => r -> parse(r))
-        else {
-          import java.util.concurrent.Callable
-          val futs = taskFiles.toList.map { r =>
-            r -> graft.lake.LakeTable.footerPool.submit(
-              new Callable[Option[graft.lake.LakeTable.FooterMeta]] {
-                override def call() = parse(r)
-              })
-          }
-          futs.map { case (r, f) =>
-            r -> (try f.get()
-                  catch { case _: Exception => None })
-          }
+          catch { case scala.util.control.NonFatal(_) => None }
+        taskFiles.toList.map { r =>
+          val piped = if (pipelined == null) null else pipelined.get(r)
+          val m =
+            if (piped == null) parse(r) // the final (or only) file
+            else (try piped.get()
+                  catch { case scala.util.control.NonFatal(_) => None })
+              // a pipelined miss (unexpected writer mode keeping the
+              // file open at submit time) retries synchronously here,
+              // where the file is certainly closed
+              .orElse(parse(r))
+          r -> m
         }
     }
     new TaskCommitMessage(metas)
   }
 
   override def abortTask(taskContext: TaskAttemptContext): Unit = {
+    if (pipelined != null) {
+      pipelined.values.forEach(f => f.cancel(true))
+      pipelined = null
+    }
     val fs = dataRoot.getFileSystem(
       taskContext.getConfiguration)
     taskFiles.foreach { rel =>
