@@ -2769,7 +2769,7 @@ class LakeTable private (
     val delPinned = deletePositions
       .select(col(RowFileCol).cast("string").as(DeleteFileCol),
         col(RowPosCol).cast("long").as(DeletePosCol))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDel = delPinned.count()
     // align inserts loudly to the user columns (a missing column is an
     // analysis error, not a silent null); derived bucket/transform

@@ -66,7 +66,7 @@ object DedupOps {
       .select(TextFunctions.fingerprint(col(textCol)).as("fp"),
         col(idCol).as("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hits = indexHits(index, batchFps.select("fp"), "fp", maxProbe)
     batchFps.join(broadcast(hits), Seq("fp"), "left_anti")
   }
@@ -136,7 +136,7 @@ object DedupOps {
     // shingling + MinHash is the batch side's whole cost and feeds two
     // consumers (band buckets, exact verify): one materialization
     nearDupSigsAgainstIndex(
-      signatureIndexRows(batch, k, shingleN).localCheckpoint(),
+      signatureIndexRows(batch, k, shingleN).localCheckpoint(eager = false),
       index, minJaccard, bands, maxProbe, postings)
   }
 
@@ -251,16 +251,31 @@ object DedupOps {
         index.read().select(col("doc_id").as("d_idx"), col("sig")), "d_idx")
     }
     // index side streams; only the tiny candidate set hits an exchange
-    // (the distinct), and localCheckpoint pins it so the two uses below
-    // don't rescan the index
-    val cand = idxBk.join(broadcast(newBk), "bk")
+    // (the distinct). Candidate pairs are small by LSH design: ONE
+    // bounded collect serves both consumers (the verify join gets them
+    // back as a broadcast-able local relation, the probe reads the ids
+    // off the collected rows) — fusing what used to be a
+    // localCheckpoint job plus a separate candIds collect job; the
+    // per-batch job floor is the MV loops' dominant cost at sf0.1 and
+    // a pure driver/commit overhead at any scale. A degenerate pair
+    // explosion (> maxProbe) falls back to the checkpointed
+    // distributed shape unchanged.
+    val candQ = idxBk.join(broadcast(newBk), "bk")
       .select(col("d_new"), col("d_idx"))
       .distinct() // a pair colliding in several bands verifies once
-      .localCheckpoint()
-    val candIds = cand.select(col("d_idx")).distinct()
-      .limit(maxProbe + 1).collect().map(_.get(0))
+    val candRows = candQ.limit(maxProbe + 1).collect()
+    val (cand, candIds) =
+      if (candRows.length <= maxProbe)
+        (newRows.sparkSession.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), candQ.schema),
+          candRows.map(_.get(1)).distinct.toSeq)
+      else {
+        val ck = candQ.localCheckpoint()
+        (ck, ck.select(col("d_idx")).distinct()
+          .limit(maxProbe + 1).collect().map(_.get(0)).toSeq)
+      }
     val idxDocs =
-      if (candIds.length <= maxProbe) index.probe("doc_id", candIds.toSeq)
+      if (candIds.length <= maxProbe) index.probe("doc_id", candIds)
       else index.read()
     val s2 = idxDocs.select(col("doc_id").as("d_idx"), col("shs").as("shs_idx"))
       .join(broadcast(cand), Seq("d_idx"))
@@ -430,7 +445,7 @@ object DedupOps {
     val batch = newRows
       .select(col("doc_id").as("d_new"), size(col("shs")).as("n1"),
         explode(col("shs")).as("eh"))
-      .localCheckpoint() // key enumeration + the probe join share it
+      .localCheckpoint(eager = false) // key enumeration + the probe join share it
     val keys = batch.select(col("eh")).distinct()
       .limit(maxProbe + 1).collect().map(_.get(0))
     val probed = postings.probeTiered("eh", keys.toSeq, maxProbe)
@@ -771,7 +786,7 @@ object DedupOps {
     require(maxHamming <= 3,
       s"banded candidate generation is recall-exact only for " +
         s"maxHamming <= 3 (4 bands), got $maxHamming")
-    val newSh = batchSketches.localCheckpoint()
+    val newSh = batchSketches.localCheckpoint(eager = false)
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))
@@ -793,14 +808,26 @@ object DedupOps {
           struct(col("band"), col("bv")).as("bk"))
       case None => bandsOf(index.read(), "d_idx")
     }
-    val cand = idxBk.join(broadcast(newBk), "bk")
+    // same one-bounded-collect candidate fusion as
+    // nearDupSigsAgainstIndex: the collected pairs feed the verify
+    // join as a local relation AND yield the probe ids, replacing a
+    // checkpoint job + a collect job per probe
+    val candQ = idxBk.join(broadcast(newBk), "bk")
       .select(col("d_new"), col("d_idx"))
       .distinct() // a pair colliding in several bands verifies once
-      .localCheckpoint()
-    val candIds = cand.select(col("d_idx")).distinct()
-      .limit(maxProbe + 1).collect().map(_.get(0))
+    val candRows = candQ.limit(maxProbe + 1).collect()
+    val (cand, candIds) =
+      if (candRows.length <= maxProbe)
+        (batchSketches.sparkSession.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), candQ.schema),
+          candRows.map(_.get(1)).distinct.toSeq)
+      else {
+        val ck = candQ.localCheckpoint()
+        (ck, ck.select(col("d_idx")).distinct()
+          .limit(maxProbe + 1).collect().map(_.get(0)).toSeq)
+      }
     val idxDocs =
-      if (candIds.length <= maxProbe) index.probe("doc_id", candIds.toSeq)
+      if (candIds.length <= maxProbe) index.probe("doc_id", candIds)
       else index.read()
     val h2 = idxDocs.select(col("doc_id").as("d_idx"),
         col("simhash").as("_h2"))

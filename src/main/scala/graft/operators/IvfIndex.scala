@@ -298,7 +298,7 @@ object IvfIndex {
       col(embCol).as("_qv"),
       explode(top_centroids(col(embCol), model.centroids, nprobe))
         .as("_cluster"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the probed-cluster union is bounded by C (the centroid count),
     // never by query or corpus size — a driver-safe collect
     val probed = probes.select(col("_cluster")).distinct()

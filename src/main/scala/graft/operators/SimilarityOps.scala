@@ -860,15 +860,27 @@ object SimilarityOps {
           struct(col("band"), col("bv")).as("bk"))
       case None => bandsOf(index.read(), "v_idx")
     }
-    val cand = idxBk
+    // same one-bounded-collect candidate fusion as the MinHash twin
+    // (DedupOps.nearDupSigsAgainstIndex): the collected pairs feed the
+    // verify join as a local relation AND yield the probe ids,
+    // replacing a checkpoint job + a collect job per probe
+    val candQ = idxBk
       .join(broadcast(newBk), "bk")
       .select(col("v_new"), col("v_idx"))
       .distinct() // a pair colliding in several bands verifies once
-      .localCheckpoint()
-    val candIds = cand.select(col("v_idx")).distinct()
-      .limit(maxProbe + 1).collect().map(_.get(0))
+    val candRows = candQ.limit(maxProbe + 1).collect()
+    val (cand, candIds) =
+      if (candRows.length <= maxProbe)
+        (batch.sparkSession.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), candQ.schema),
+          candRows.map(_.get(1)).distinct.toSeq)
+      else {
+        val ck = candQ.localCheckpoint()
+        (ck, ck.select(col("v_idx")).distinct()
+          .limit(maxProbe + 1).collect().map(_.get(0)).toSeq)
+      }
     val idxDocs =
-      if (candIds.length <= maxProbe) index.probe(idCol, candIds.toSeq)
+      if (candIds.length <= maxProbe) index.probe(idCol, candIds)
       else index.read()
     val e2 = idxDocs.select(col(idCol).as("v_idx"), col(embCol).as("_e2"))
       .join(broadcast(cand), Seq("v_idx"))

@@ -209,7 +209,7 @@ object TextOps {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.map { case (id, sc) => (pid, id, sc) }
       }.toDF("pid", "doc_id", "score")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = staged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .as[(Int, Long)].collect().sortBy(_._1)
     val nDocs = counts.map(_._2).sum
@@ -600,7 +600,10 @@ object TextOps {
                            docstats: graft.lake.LakeTable,
                            batch: DataFrame, writerId: String,
                            batchId: Long): Unit = {
-    val p = postingsOf(batch)
+    // lazy pin: tokenization runs ONCE (it fed both commits as two full
+    // passes before), materialized inside the postings write job — no
+    // dedicated checkpoint job, and both commits see one row set
+    val p = postingsOf(batch).localCheckpoint(eager = false)
     postings.appendExactlyOnce(p, writerId, batchId)
     docstats.appendExactlyOnce(
       p.select(col("doc_id"), col("dl")).distinct(), writerId, batchId)

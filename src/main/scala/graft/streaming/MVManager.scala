@@ -685,7 +685,7 @@ object MVManager {
       indexIdCol: String, out: LakeTable, index: LakeTable,
       postings: Option[LakeTable], writerId: String, v: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    val keys = ids.localCheckpoint()
+    val keys = ids.localCheckpoint(eager = false)
     out.deleteWhereEqualExactlyOnce(keys, Seq(idCol), s"$writerId#del", v)
     val idxKeys = keys.select(col(idCol).as(indexIdCol))
     index.deleteWhereEqualExactlyOnce(idxKeys, Seq(indexIdCol),
@@ -718,7 +718,7 @@ object MVManager {
     import org.apache.spark.sql.functions.{broadcast, col}
     val fresh = graft.operators.DedupOps
       .freshAgainstIndex(docs, index, textCol, idCol)
-      .localCheckpoint() // one evaluation; both commits see one row set
+      .localCheckpoint(eager = false) // one evaluation; both commits see one row set
     val accepted0 = docs.join(
       broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
@@ -726,7 +726,7 @@ object MVManager {
     // pin it so both see one row set; the unaudited path keeps its
     // single-evaluation plan
     val accepted =
-      if (wap.isDefined) accepted0.localCheckpoint() else accepted0
+      if (wap.isDefined) accepted0.localCheckpoint(eager = false) else accepted0
     wapAppend(out, accepted, writerId, batchId, wap)
     index.appendExactlyOnce(fresh, writerId, batchId)
     // keep both tables' layouts bounded under continuous tiny commits
@@ -808,7 +808,7 @@ object MVManager {
     val bands = postings.map(p =>
       DedupOps.requirePostingsProp(p, "postings.bands").toInt).getOrElse(16)
     val fresh = DedupOps.freshAgainstIndex(docs, index, textCol, idCol)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val freshDocs = docs.join(
       broadcast(fresh.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
@@ -816,7 +816,7 @@ object MVManager {
     // within-batch collapse, the LSH probe, and (filtered to accepted)
     // the index commit
     val sigRows = DedupOps.signatureIndexRows(freshDocs)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // within-batch collapse: connected near-dup clusters keep their
     // min doc_id. Near-dup pairs are SPARSE relative to the batch, so
     // the common case collects them (bounded) and union-finds on the
@@ -848,7 +848,7 @@ object MVManager {
     val accepted = freshDocs
       .join(broadcast(wbDrop), Seq(idCol), "left_anti")
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // LEFT join from the accepted fingerprints: a doc too short to
     // shingle still advances the fp frontier (null sig rows are inert
     // on the LSH side — explode skips them), so an exact copy of it
@@ -858,7 +858,7 @@ object MVManager {
         Seq("doc_id"), "left_semi")
       .join(sigRows, Seq("doc_id"), "left")
       .select(col("fp"), col("doc_id"), col("shs"), col("sig"))
-      .localCheckpoint() // two consumers: postings rows + index commit
+      .localCheckpoint(eager = false) // two consumers: postings rows + index commit
     wapAppend(out, accepted, writerId, batchId, wap)
     postings.foreach(_.appendExactlyOnce(
       DedupOps.bandPostingsRows(idxRows, bands), writerId, batchId))
@@ -905,7 +905,7 @@ object MVManager {
         "they cannot match anything, not even their own copies")
     val sk = MultimodalOps.perceptualSketch(media,
         idCol = idCol, payloadCol = payloadCol)
-      .localCheckpoint() // feeds collapse, probe, and the index commit
+      .localCheckpoint(eager = false) // feeds collapse, probe, and the index commit
     // within-batch collapse: bounded driver union-find over the banded
     // pairs (sparse by LSH design), distributed contraction fallback
     val maxWbPairs = 100000
@@ -925,20 +925,20 @@ object MVManager {
     val survivorSk = sk
       .join(broadcast(wbDrop.select(col(idCol).as("doc_id"))),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nearIds = DedupOps
       .sketchesAgainstIndex(survivorSk, index, maxHamming,
         postings = postings)
       .select(col("d_new").as("doc_id")).distinct()
     val acceptedSk = survivorSk
       .join(broadcast(nearIds), Seq("doc_id"), "left_anti")
-      .localCheckpoint() // three consumers: out semi-join, postings, index
+      .localCheckpoint(eager = false) // three consumers: out semi-join, postings, index
     val accepted0 = media.join(
       broadcast(acceptedSk.select(col("doc_id").as(idCol))), Seq(idCol),
       "left_semi")
     // a WAP audit evaluates the frame twice (stage + predicate)
     val accepted =
-      if (wap.isDefined) accepted0.localCheckpoint() else accepted0
+      if (wap.isDefined) accepted0.localCheckpoint(eager = false) else accepted0
     wapAppend(out, accepted, writerId, batchId, wap)
     postings.foreach(_.appendExactlyOnce(
       DedupOps.simHashPostingsRows(acceptedSk), writerId, batchId))
@@ -998,7 +998,7 @@ object MVManager {
     // already-checkpointed partitions).
     val flagged = vecs
       .withColumn("_ok", cosine_sim(col(embCol), col(embCol)) > 0.5)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val degenerate = flagged.filter(!col("_ok")).count()
     if (degenerate > 0)
       log.warn(s"embedding curation writer=$writerId batch=$batchId: " +
@@ -1028,14 +1028,14 @@ object MVManager {
         .select(col("doc_id").as(idCol))
     val survivors = batch
       .join(broadcast(wbDrop), Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nearIds = SimilarityOps.embeddingNearDupAgainstIndex(
         survivors.select(col(idCol), col(embCol)), index, threshold,
         bandBits, bands, idCol, embCol, postings = postings)
       .select(col("v_new").as(idCol)).distinct()
     val accepted = survivors
       .join(broadcast(nearIds), Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val acceptedVecs = accepted.select(col(idCol), col(embCol))
     wapAppend(out, accepted, writerId, batchId, wap)
     postings.foreach(_.appendExactlyOnce(

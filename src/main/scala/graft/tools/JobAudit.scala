@@ -28,8 +28,12 @@ object JobAudit {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           t0.put(j.jobId, System.nanoTime())
-          val site = j.properties.getProperty("callSite.short", "?")
-          println(f"[job] #${j.jobId}%03d START $site")
+          // the job-start callsite is the streaming query's start()
+          // for every foreachBatch job; the RESULT STAGE's name carries
+          // the actual action callsite (count/collect/parquet at ...)
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val nstg = j.stageInfos.size
+          println(f"[job] #${j.jobId}%03d START stages=$nstg $site")
         }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
