@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -50,11 +49,12 @@ private[functions] trait CentroidScoring {
 
 /** Index of the nearest (max-cosine) centroid; evaluated per vector row
   * during assignment — the hot loop of Lloyd iterations and of index
-  * construction, CodegenFallback is fine because the row count dominates
-  * centroid count. */
+  * construction; codegen'd via [[KernelUnaryCodegen]] (direct kernel
+  * call — no fallback input-row materialization; the O(C*d) kernel
+  * dominates). */
 case class NearestCentroid(child: Expression,
                            centroids: Array[Array[Double]])
-    extends UnaryExpression with CentroidScoring with CodegenFallback {
+    extends UnaryExpression with CentroidScoring with KernelUnaryCodegen {
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes() = checkArray(child, "nearest_centroid")
@@ -75,7 +75,7 @@ case class NearestCentroid(child: Expression,
   * query side — evaluated once per query). */
 case class TopCentroids(child: Expression,
                         centroids: Array[Array[Double]], nprobe: Int)
-    extends UnaryExpression with CentroidScoring with CodegenFallback {
+    extends UnaryExpression with CentroidScoring with KernelUnaryCodegen {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes() = checkArray(child, "top_centroids")

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -15,8 +14,9 @@ import org.apache.spark.sql.types._
   * by m small codes, and its approximate distance is m lookups into a
   * per-query table. Codebooks and LUTs ride as plan constants (m*k*d/m
   * doubles — bytes, not data), so both kernels are single-pass
-  * per-row expressions; CodegenFallback is fine because row count
-  * dominates (the NearestCentroid precedent). */
+  * per-row expressions, codegen'd via [[KernelUnaryCodegen]] /
+  * [[KernelBinaryCodegen]] (direct kernel call — no fallback
+  * input-row materialization; the O(m*k*d/m) kernel dominates). */
 private[functions] object PqMath {
   /** Squared L2 between `a[off..off+len)` (float/double array data)
     * and `code` — accumulation order is ascending index, matching the
@@ -41,7 +41,7 @@ private[functions] object PqMath {
   * subspace has the same width d/m. */
 case class PqEncode(child: Expression,
                     codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelUnaryCodegen {
 
   private val subDim = codebooks(0)(0).length
 
@@ -86,7 +86,7 @@ case class PqEncode(child: Expression,
 /** ADC distance of a code array against a per-query lookup table:
   * sum over subspaces of `lut(j)(code(j))`. */
 case class PqAdc(child: Expression, lut: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelUnaryCodegen {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() =
@@ -118,7 +118,7 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
   * of the compressed code table: Q*m lookups per row in a single
   * pass, instead of Q separate scans. */
 case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelUnaryCodegen {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes() =
@@ -159,7 +159,7 @@ case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
   * a single per-row pass with no join. */
 case class VecResidual(left: Expression, right: Expression,
                        centroids: Array[Array[Double]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with KernelBinaryCodegen {
 
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
@@ -203,7 +203,7 @@ case class VecResidual(left: Expression, right: Expression,
   * ascending-j like [[PqAdc]]. */
 case class PqAdcClustered(left: Expression, right: Expression,
                           luts: Array[Array[Array[Double]]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with KernelBinaryCodegen {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() =
@@ -239,7 +239,7 @@ case class PqAdcClustered(left: Expression, right: Expression,
   * [[PqAdcBatch]]). */
 case class PqAdcClusteredBatch(left: Expression, right: Expression,
                                luts: Array[Array[Array[Array[Double]]]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with KernelBinaryCodegen {
 
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * operators need.
   */
 case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelUnaryCodegen {
 
   require(n >= 1 && n <= 16, "shingle width out of range")
 
